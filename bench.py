@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (measures the whole
+plan — scan, shuffle, aggregation — without driver-collect overhead).
+One warm-up execution amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    "scan_parquet",
+    "agg_hash_sum_avg",
+    "agg_count_distinct",
+    "join_inner_hash",
+    "join_broadcast",
+    "window_row_number_topk",
+    "window_running_sum",
+    "sort_multi_key",
+    "stream_tumbling_count",
+    "stream_session_window",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "sim_search_cosine_topk",
+    "text_tokenize_stats",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from universal_data_connector_spark.plans.catalog import QUERIES
+    from universal_data_connector_spark.session import get_spark
+
+    spark = get_spark("udc-bench", cpus=cpus)
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("agg_hash_sum_avg")  # warm-up: JVM, codegen, parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline query set wall-clock (noop-materialized, warm JVM)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "spark_version": spark.version,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Text-analysis column expressions for LLM-training-data pipelines.
+
+All pure `pyspark.sql.functions` compositions (higher-order array
+functions — `transform`, `filter`, `aggregate` — run JVM-side), so every
+one of these is a projection that scales linearly and survives 100 TB:
+no shuffle, no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the n-gram/stopword language
+# heuristic. Deliberately tiny: the heuristic's contract is "cheap,
+# deterministic, order-of-magnitude right", not model-grade LID.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "sur"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "con"],
+}
+
+
+def tokenize(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization -> array<string> (empty tokens dropped)."""
+    c = F.lower(col) if lowercase else col
+    toks = F.split(F.trim(c), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def regex_token_count(col: Column, pattern: str = r"[a-z]+|[0-9]+|[^a-z0-9\s]") -> Column:
+    """BPE-ish token count: number of regex matches over the lowered text.
+
+    The default pattern approximates a byte-pair pre-tokenizer's word /
+    number / punctuation split. Uses only regex constructs shared by
+    Java regex and RE2 so oracles can mirror it.
+    """
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0))).cast("bigint")
+
+
+def word_ngrams(tokens: Column, n: int = 5) -> Column:
+    """Distinct word n-grams (space-joined) from a token array.
+
+    ``transform(sequence(...))`` is evaluated per row JVM-side; the
+    result feeds shingle-based dedup (MinHash / Jaccard).
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.array_distinct(grams)
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the raw string."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, n)))
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang` (0.0 if empty)."""
+    toks = tokenize(col)
+    hits = _stopword_hits(toks, STOPWORDS[lang])
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks).cast("double")).otherwise(F.lit(0.0))
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: argmax stopword-hit count across languages.
+
+    Ties (including the all-zero case) resolve to 'unknown'. Returns
+    string codes from STOPWORDS plus 'unknown'. This is the cheap
+    n-gram/stopword heuristic a 100 TB pre-filter wants — exact LID is a
+    downstream model's job.
+    """
+    toks = tokenize(col)
+    scored = None
+    for lang, words in STOPWORDS.items():
+        s = F.struct(_stopword_hits(toks, words).alias("hits"), F.lit(lang).alias("lang"))
+        scored = s if scored is None else F.when(s["hits"] > scored["hits"], s).otherwise(scored)
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("unknown"))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\.,;:!\?]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    mean(length component, stopword component, punctuation component):
+    * length: min(n_chars / 500, 1) — favors non-trivially-short docs,
+    * stopwords: min(stopword_ratio * 5, 1) — natural prose has them,
+    * punctuation: 1 - min(punct_ratio * 10, 1) — punctuation soup is bad.
+    """
+    len_c = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_c = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_c = F.lit(1.0) - F.least(punct_ratio(col) * 10.0, F.lit(1.0))
+    return (len_c + stop_c + punct_c) / F.lit(3.0)
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lower, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def text_fingerprint(col: Column) -> Column:
+    """Deterministic 256-bit document fingerprint over normalized text.
+
+    sha2 of the normalized text — the cheap exact-dedup key. (A rolling
+    / content-defined chunk hash lives in operators/dedup.py where it
+    has the shingle context it needs.)
+    """
+    return F.sha2(normalize_text(col), 256)

@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB:
+
+* exact         — sha256(normalized text) groupBy; one shuffle on a
+                  256-bit key, no skew (hash keys are uniform).
+* MinHash + LSH — shingle -> minhash signature (projection, no shuffle)
+                  -> band -> bucket self-join (shuffle on band hash;
+                  candidate set is tiny vs O(n^2)) -> exact-Jaccard
+                  verify on candidates only.
+* SimHash       — 64-bit signature (projection) -> Hamming-ball
+                  candidates via 4x16-bit pigeonhole banding.
+* n-gram Jaccard— exact all-pairs similarity *within LSH candidate sets*
+                  (or, for modest data, within a blocking key).
+
+The signatures are built from Spark's `xxhash64` (deterministic across
+runs/clusters) combined with fixed affine hash families, entirely in
+higher-order array expressions — the signature stage is a pure
+projection that scans 100 TB without a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from universal_data_connector_spark.functions.text import (
+    normalize_text,
+    text_fingerprint,
+    tokenize,
+    word_ngrams,
+)
+
+# Mersenne prime 2^31-1; with a,b < p and shingle hashes reduced mod p
+# first, a*h+b stays < 2^62 — no 64-bit overflow, fully portable.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text; keeps the minimum id per group.
+
+    Deterministic by construction (min id), unlike `dropDuplicates`
+    which keeps an arbitrary row per key. One shuffle, uniform keys.
+    """
+    return (df.withColumn("__fp", text_fingerprint(F.col(text_col)))
+              .groupBy("__fp").agg(F.min(id_col).alias(id_col))
+              .drop("__fp"))
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed affine hash family (a, b) pairs — deterministic, no RNG at
+    plan time (same plan on every executor / every run)."""
+    coeffs = []
+    a, b = seed * 2 + 1, seed * 31 + 7
+    for _ in range(num_hashes):
+        a = (a * 1103515245 + 12345) % _MERSENNE
+        b = (b * 69069 + 1) % _MERSENNE
+        coeffs.append((a | 1, b))
+    return coeffs
+
+
+def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
+    """Distinct word-shingle hashes (array<bigint>, reduced mod p)."""
+    grams = word_ngrams(tokenize(text), shingle_n)
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE)))
+
+
+def minhash_signature_df(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 128,
+                         shingle_n: int = 5) -> DataFrame:
+    """MinHash signatures, relationally: explode shingle hashes to rows,
+    then `num_hashes` parallel `min()` aggregates (one per affine hash
+    function) grouped by document.
+
+    Why not a nested higher-order-function expression? Catalyst's
+    projection collapse inlines a referenced array expression into each
+    use site, so a lambda-based signature silently re-tokenizes the
+    document once per hash function / per band (measured 100x slowdown).
+    The relational form tokenizes once, gets map-side partial
+    aggregation for free, and its one shuffle is on uniform (doc_id)
+    keys — exactly what survives 100 TB.
+
+    Docs with no shingles (< shingle_n words) keep a sentinel shingle so
+    they band deterministically with other empty docs only.
+
+    Output: (id_col, h0..h{n-1} as one array<bigint> column `sig`).
+    """
+    hashes = shingle_hashes(F.col(text_col), shingle_n)
+    sentinel = F.array(F.lit(_MERSENNE))
+    ex = df.select(F.col(id_col),
+                   F.explode(F.when(F.size(hashes) > 0, hashes).otherwise(sentinel))
+                    .alias("__gh"))
+    aggs = [F.min(F.pmod(F.col("__gh") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+             .alias(f"__h{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col),
+                      F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 128,
+                       bands: int = 32, shingle_n: int = 5) -> DataFrame:
+    """LSH candidate pairs (id_1 < id_2) via banded minhash signatures.
+
+    rows-per-band = num_hashes / bands; a pair is a candidate iff any
+    band's sub-signature matches exactly. The only shuffle is the
+    groupBy on (band_idx, band_hash) — bucket sizes stay small because
+    band hashes of non-near-dup docs are uniform.
+    """
+    r = num_hashes // bands
+    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.xxhash64(F.concat_ws(",", *[
+                     F.col("sig")[b * r + i].cast("string") for i in range(r)
+                 ])).alias("band_hash"))
+        for b in range(bands)
+    ])
+    banded = (sig.select(id_col, F.explode(band_structs).alias("band"))
+                 .select(id_col, "band.band_idx", "band.band_hash"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_1"),
+                     F.col(f"b.{id_col}").alias("id_2"))
+             .distinct())
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_n: int = 5,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Joins the (small) candidate pair set back to the shingle arrays and
+    verifies with array_intersect — the classic LSH verify stage: exact
+    where it matters, never O(n^2).
+    """
+    grams = df.select(F.col(id_col), word_ngrams(tokenize(F.col(text_col)),
+                                                 shingle_n).alias("__g"))
+    g1 = grams.select(F.col(id_col).alias("id_1"), F.col("__g").alias("__g1"))
+    g2 = grams.select(F.col(id_col).alias("id_2"), F.col("__g").alias("__g2"))
+    inter = F.size(F.array_intersect("__g1", "__g2")).cast("double")
+    union = (F.size("__g1") + F.size("__g2")).cast("double") - inter
+    return (pairs.join(g1, "id_1").join(g2, "id_2")
+                 .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_1", "id_2", "jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.8,
+                        num_hashes: int = 128, bands: int = 32,
+                        shingle_n: int = 5) -> DataFrame:
+    """MinHash LSH near-dup pairs: candidates -> exact-Jaccard verify."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_verify(df, cand, text_col, id_col, shingle_n, threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 5,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted shingle index.
+
+    explode shingles -> self-join on shingle -> count shared -> Jaccard.
+    Cost is O(sum of postings^2 per shingle): fine when shingles are
+    discriminative (word 5-grams). At 100 TB use minhash_dedup_pairs —
+    this exact variant is the verify-stage primitive and the oracle.
+    """
+    grams = df.select(F.col(id_col),
+                      F.explode(word_ngrams(tokenize(F.col(text_col)), shingle_n)).alias("g"))
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
+                        F.col(f"b.{id_col}").alias("id_2"))
+               .agg(F.count("*").alias("shared")))
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+    return (shared.join(s1, "id_1").join(s2, "id_2")
+                  .withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_1", "id_2", "jaccard"))
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles as an array<int> of 64 sign bits.
+
+    Classic Charikar construction: each shingle votes +-1 on each bit of
+    its xxhash64; the signature is the sign vector of the summed votes.
+    Built with aggregate/zip_with — a pure projection.
+    """
+    grams = word_ngrams(tokenize(text), shingle_n)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        grams,
+        F.transform(bit_idx, lambda i: F.lit(0)),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda i:
+                        F.when(F.call_function("shiftright", F.xxhash64(g), i)
+                               .bitwiseAND(F.lit(1)) == 1,
+                               F.lit(1)).otherwise(F.lit(-1))),
+            lambda x, y: x + y),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two sign-bit arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+                       F.lit(0), lambda acc, v: acc + v)
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       shingle_n: int = 2) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into `max_hamming + 1` chunks; any
+    pair within the Hamming ball matches at least one chunk exactly, so
+    an equi-join per chunk finds all candidates (then verify distance).
+    Same shuffle discipline as MinHash LSH.
+    """
+    n_chunks = max_hamming + 1
+    chunk = 64 // n_chunks
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("__sig"))
+    chunk_ids = F.sequence(F.lit(0), F.lit(n_chunks - 1))
+    banded = sig.select(
+        id_col, "__sig",
+        F.explode(F.transform(chunk_ids, lambda c: F.struct(
+            c.alias("chunk_idx"),
+            F.concat_ws("", F.transform(F.slice(F.col("__sig"), c * chunk + 1, chunk),
+                                        lambda x: x.cast("string"))).alias("chunk_key"),
+        ))).alias("ck")).select(id_col, "__sig", "ck.chunk_idx", "ck.chunk_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_1"),
+                     F.col(f"b.{id_col}").alias("id_2"),
+                     F.col("a.__sig").alias("__s1"), F.col("b.__sig").alias("__s2"))
+             .distinct())
+    return (cand.withColumn("hamming", simhash_hamming(F.col("__s1"), F.col("__s2")))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_1", "id_2", "hamming"))
+
+
+def dedup_keep_min(df: DataFrame, dup_pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy dedup: drop every doc that appears as the larger id of a
+    duplicate pair (left-anti join — no driver-side loop)."""
+    losers = dup_pairs.select(F.col("id_2").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,88 @@
+"""Relational operator helpers (joins / aggregations / windows / top-k).
+
+Everything stays declarative so Catalyst picks the physical strategy
+(broadcast vs sort-merge vs shuffled-hash; partial+final aggregation;
+WholeStageCodegen). Helpers here add the two things Catalyst can't
+infer: explicit strategy *intent* (broadcast hints for dimension
+tables) and numeric determinism (decimal-exact sums, so results are
+bit-identical across engines and across partition orders — a plain
+double sum is order-dependent and shuffles reorder partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Exact-aggregation scale: all synthetic money/quantity columns carry
+# <= 2 decimal digits; 6 fractional digits absorbs products of them.
+_DEC = "decimal(27,6)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent, engine-portable sum of a double column.
+
+    Casting each value to decimal before summing makes the aggregation
+    exact (integer arithmetic), hence independent of partition/merge
+    order — doubles summed in shuffle order are not reproducible run to
+    run at scale. Result is cast back to double for a stable schema.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def exact_avg(col: Column | str) -> Column:
+    """Exact-sum / count — deterministic average of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c) / F.count(c)
+
+
+def broadcast_dim(df: DataFrame) -> DataFrame:
+    """Mark a dimension table broadcast-able (skips the shuffle on the
+    fact side; the right call whenever the dim fits in executor memory)."""
+    return F.broadcast(df)
+
+
+def top_k_per_group(df: DataFrame, partition_cols: list[str],
+                    order_cols: list[Column], k: int,
+                    rank_alias: str = "rnk") -> DataFrame:
+    """Grouped top-K via row_number — one shuffle on the partition keys.
+
+    `order_cols` must impose a total order (include a unique key as the
+    final tiebreak) or the result is nondeterministic.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (df.withColumn(rank_alias, F.row_number().over(w))
+              .filter(F.col(rank_alias) <= k))
+
+
+def running_sum(df: DataFrame, partition_cols: list[str],
+                order_cols: list[Column], value: Column,
+                alias: str) -> DataFrame:
+    """Cumulative sum over a totally-ordered window (decimal-exact)."""
+    w = (Window.partitionBy(*partition_cols).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(alias, F.sum(value.cast(_DEC)).over(w).cast("double"))
+
+
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str,
+               direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (direction='backward') sharing the `on` key.
+
+    Spark lacks a native as-of join; this is the composition route —
+    range join + grouped argmax via row_number. One shuffle per side on
+    (key), then a window. For heavily skewed keys prefer bucketing both
+    sides on `on` so the join co-locates.
+    """
+    cmp = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") if direction == "backward" \
+        else F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}")
+    j = (left.alias("__l").join(right.alias("__r"),
+                                (F.col(f"__l.{on}") == F.col(f"__r.{on}")) & cmp,
+                                "left"))
+    order = F.col(f"__r.{right_ts}").desc() if direction == "backward" \
+        else F.col(f"__r.{right_ts}").asc()
+    w = Window.partitionBy(f"__l.{on}", f"__l.{left_ts}").orderBy(order)
+    return j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")

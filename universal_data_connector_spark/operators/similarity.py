@@ -1,0 +1,132 @@
+"""Similarity search (ANN) over `array<float>` embedding columns.
+
+Two tiers:
+
+* `brute_force_topk` — exact cosine top-k. The query set is broadcast,
+  so the corpus is scanned once with no shuffle on the corpus side;
+  per-query ranking shuffles only (n_queries x k) candidate rows after
+  a partial top-k. Baseline and verifier.
+* `ivf_topk` — IVF-style partitioned search: corpus vectors are
+  assigned to their nearest centroid (one broadcast join), queries
+  probe only the `n_probe` nearest inverted lists. At 1000 executors /
+  100 TB this turns a full scan into a ~(n_probe / n_centroids) scan.
+  Centroids here are taken deterministically from the corpus (first
+  `n_centroids` ids); on a real deployment you'd plug k-means centroids
+  in through the same interface.
+
+Vector math is `zip_with`/`aggregate` (JVM, sequential, deterministic);
+for very wide vectors swap in the numpy Pandas-UDF variant
+(`cosine_topk_pandas`) — same results, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from universal_data_connector_spark.functions.vectors import cosine_similarity
+from universal_data_connector_spark.operators.relational import top_k_per_group
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Ties break on
+    neighbor id, so the result is fully deterministic.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    ranked = top_k_per_group(
+        scored, ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()], k, rank_alias="rank")
+    return ranked.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def assign_ivf_clusters(corpus: DataFrame, centroids: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        centroid_id: str = "centroid_id") -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (broadcast join
+    + grouped argmax). Output: corpus columns + `centroid_id`."""
+    cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("__cent"))
+    scored = (corpus.crossJoin(F.broadcast(cent))
+              .withColumn("__sim", cosine_similarity(F.col(vec_col), F.col("__cent"))))
+    best = top_k_per_group(scored, [id_col],
+                           [F.col("__sim").desc(), F.col(centroid_id).asc()], 1)
+    return best.drop("__cent", "__sim", "rnk")
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k via IVF inverted lists.
+
+    1. centroids := first `n_centroids` corpus vectors (deterministic
+       stand-in for trained centroids; same plumbing either way),
+    2. corpus rows -> nearest centroid (broadcast),
+    3. each query probes its `n_probe` nearest centroids,
+    4. exact cosine within the probed lists only.
+
+    Recall < 1.0 by design; the scan fraction drops by
+    ~n_probe/n_centroids, which is the 100 TB play.
+    """
+    w = F.row_number().over  # noqa: F841  (documentational)
+    centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"), vec_col))
+    assigned = assign_ivf_clusters(corpus, centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probes = top_k_per_group(
+        q.crossJoin(F.broadcast(centroids.withColumnRenamed(vec_col, "__cent")))
+         .withColumn("__sim", cosine_similarity(F.col("__qv"), F.col("__cent"))),
+        ["query_id"], [F.col("__sim").desc(), F.col("centroid_id").asc()], n_probe,
+    ).select("query_id", "__qv", "centroid_id")
+    cand = (assigned.withColumnRenamed(id_col, "neighbor_id")
+            .join(probes, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = cand.withColumn("cosine", cosine_similarity(F.col("__qv"), F.col(vec_col)))
+    ranked = top_k_per_group(scored, ["query_id"],
+                             [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+                             k, rank_alias="rank")
+    return ranked.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """numpy/Arrow variant of brute-force top-k (mapInPandas).
+
+    The query matrix rides along as a plan-time literal broadcast;
+    each corpus partition is scored as one dense matmul. Preferable
+    when vectors are wide (>= 512 dims) and the JVM expression path's
+    per-element overhead dominates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # query set is small by contract
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qnorm.T  # (batch, n_queries)
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, len(ids)),
+                "neighbor_id": np.tile(ids, len(qids)),
+                "cosine": sims.T.reshape(-1),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cosine double")
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+                           k, rank_alias="rank")

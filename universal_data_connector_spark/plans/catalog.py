@@ -1,0 +1,1238 @@
+"""Declared query catalog — the engine's operator contract.
+
+Every key is one operator from SURVEY.md §2B. Each entry pairs
+
+* a PySpark callable ``(spark, sf_dir) -> DataFrame`` built on the
+  package's operator/function library, and
+* where ANSI-SQL-expressible, an equivalent DuckDB oracle SQL string
+  (tables pre-registered as views: region nation customer supplier part
+  orders lineitem events documents embeddings).
+
+Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+
+* double sums go through ``exact_sum`` (decimal-exact, order-free);
+  the oracle mirrors with CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE),
+* ranking windows always include a unique key as the final tiebreak,
+* timestamps are emitted as formatted strings (session TZ pinned UTC),
+* count/length-ish integers are cast to bigint on both sides,
+* float-sensitive outputs (cosine scores) are either omitted or rounded
+  far from decision thresholds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from universal_data_connector_spark import session as udc_session
+from universal_data_connector_spark.functions import casts as fc
+from universal_data_connector_spark.functions import text as ft
+from universal_data_connector_spark.operators import dedup as od
+from universal_data_connector_spark.operators import multimodal as om
+from universal_data_connector_spark.operators import relational as orel
+from universal_data_connector_spark.operators import similarity as osim
+from universal_data_connector_spark.tables import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog query; `oracle=None` => rows-only check
+    (genuinely non-SQL-expressible, e.g. LSH signatures)."""
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            udc_session.pin(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+    return deco
+
+
+def _dsum(sql_expr: str) -> str:
+    """Oracle-side mirror of operators.relational.exact_sum."""
+    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Scan / ingest  (reference: S1-S5 sources, SURVEY.md §2A)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    """Projected + filtered parquet scan. Catalyst pushes both the
+    filter and the 4-column projection into the scan (PushedFilters /
+    ReadSchema) — at 100 TB this is the difference between reading 4
+    columns of matching row groups and reading everything."""
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            .filter(F.col("l_shipdate") < "1997-01-01"))
+
+
+@query(
+    "scan_glob_filter",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+def scan_glob_filter(spark, sf_dir):
+    """Glob-filtered directory scan (reference file-source pattern
+    matching, FileSourceContext.java:85-90) via Spark's native
+    pathGlobFilter — file pruning happens at listing time."""
+    df = (spark.read.option("pathGlobFilter", "lineitem*.parquet")
+          .parquet(sf_dir))
+    return df.agg(F.count("*").cast("bigint").alias("n_rows"))
+
+
+@query(
+    "scan_csv_typed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           CAST(l_extendedprice AS DOUBLE) AS extendedprice
+    FROM lineitem
+    """,
+)
+def scan_csv_typed(spark, sf_dir):
+    """Typed CSV ingest (reference record-mode: header binding + typed
+    conversion, ParquetSinkContext.java:251-314): round-trip a slice of
+    lineitem through a real CSV file and read it back with an explicit
+    schema — no inferSchema (a second full scan at 100 TB)."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix="udc_csv_scan_")
+    (load(spark, sf_dir, "lineitem")
+     .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+     .write.mode("overwrite").option("header", True).csv(out))
+    df = spark.read.schema(
+        "l_orderkey bigint, l_linenumber int, l_quantity double, l_extendedprice double"
+    ).option("header", True).csv(out)
+    return df.select("l_orderkey", "l_linenumber",
+                     F.col("l_quantity").alias("quantity"),
+                     F.col("l_extendedprice").alias("extendedprice"))
+
+
+# ---------------------------------------------------------------------------
+# Projection / rename  (intent of the reference's dead `columnMapping`,
+# PipelineBuilder.java:102-104)
+# ---------------------------------------------------------------------------
+
+@query(
+    "project_columns",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def project_columns(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "rename_columns",
+    oracle="""
+    SELECT n_nationkey AS nation_id, n_name AS nation_name,
+           n_regionkey AS region_id FROM nation
+    """,
+)
+def rename_columns(spark, sf_dir):
+    return load(spark, sf_dir, "nation").withColumnsRenamed(
+        {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": "region_id"})
+
+
+# ---------------------------------------------------------------------------
+# Filters  (reference T1, PipelineBuilder.java:27-89)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_contains",
+    oracle="SELECT doc_id, source FROM documents WHERE text LIKE '%window%'",
+)
+def filter_contains(spark, sf_dir):
+    """Reference T1 semantics at row granularity: substring,
+    case-sensitive (`PipelineBuilder.java:73,83`)."""
+    return (load(spark, sf_dir, "documents")
+            .filter(F.col("text").contains("window"))
+            .select("doc_id", "source"))
+
+
+@query(
+    "filter_equality",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def filter_equality(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+@query(
+    "filter_null_safe",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE (CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END)
+          IS NOT DISTINCT FROM NULL
+    """,
+)
+def filter_null_safe(spark, sf_dir):
+    """Null-safe equality (<=>): NULL <=> NULL is true, unlike `=`."""
+    o = load(spark, sf_dir, "orders")
+    nullified = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string")) \
+                 .otherwise(F.col("o_orderstatus"))
+    return (o.filter(nullified.eqNullSafe(F.lit(None).cast("string")))
+             .select("o_orderkey", "o_orderstatus"))
+
+
+@query(
+    "filter_any_row_per_file",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE source IN (SELECT source FROM documents WHERE text LIKE '%shuffle%')
+    """,
+)
+def filter_any_row_per_file(spark, sf_dir):
+    """Reference T1 *whole-file* fidelity: keep every row of a source
+    group iff ANY row in the group matches (PipelineBuilder.java:69-80
+    keeps the entire file-item). One window, no self-join."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    return (d.withColumn("__any", F.max(F.col("text").contains("shuffle").cast("int")).over(w))
+             .filter(F.col("__any") == 1)
+             .select("doc_id", "source"))
+
+
+# ---------------------------------------------------------------------------
+# Map / derive  (reference T2 + K2 lenient casts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "map_prefix_suffix",
+    oracle="SELECT doc_id, '>> ' || text || ' <<' AS mapped FROM documents",
+)
+def map_prefix_suffix(spark, sf_dir):
+    """Reference T2: prefix + item + suffix (PipelineBuilder.java:116)."""
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", F.concat(F.lit(">> "), F.col("text"), F.lit(" <<")).alias("mapped")))
+
+
+@query(
+    "cast_lenient_int",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           printf('%.0f', l_quantity) || '.7' AS qty_str,
+           CAST(TRUNC(CAST(printf('%.0f', l_quantity) || '.7' AS DOUBLE)) AS INTEGER) AS qty_int
+    FROM lineitem
+    """,
+)
+def cast_lenient_int(spark, sf_dir):
+    """Reference lenient INT cast: decimals truncate ("42.7" -> 42),
+    ParquetSinkContext.java:402-408."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_str = F.concat(F.format_string("%.0f", F.col("l_quantity")), F.lit(".7"))
+    return li.select("l_orderkey", "l_linenumber",
+                     qty_str.alias("qty_str"),
+                     fc.lenient_int(qty_str).alias("qty_int"))
+
+
+@query(
+    "cast_currency_double",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           '$' || printf('%.2f', l_extendedprice) AS price_str,
+           CAST(regexp_replace(trim('$' || printf('%.2f', l_extendedprice)),
+                               '[^0-9.\\-]', '', 'g') AS DOUBLE) AS price_num
+    FROM lineitem
+    """,
+)
+def cast_currency_double(spark, sf_dir):
+    """Reference currency-tolerant DOUBLE cast ("$75,000.00" -> 75000.0),
+    ParquetSinkContext.java:411-415."""
+    li = load(spark, sf_dir, "lineitem")
+    price_str = F.concat(F.lit("$"), F.format_string("%.2f", F.col("l_extendedprice")))
+    return li.select("l_orderkey", "l_linenumber",
+                     price_str.alias("price_str"),
+                     fc.lenient_currency_double(price_str).alias("price_num"))
+
+
+@query(
+    "defaults_on_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(CASE WHEN l_discount < 0.03 THEN NULL ELSE l_discount END, 0.0)
+               AS discount_defaulted,
+           COALESCE(CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END, '')
+               AS returnflag_defaulted
+    FROM lineitem
+    """,
+)
+def defaults_on_null(spark, sf_dir):
+    """Reference per-type NULL defaults (ParquetSinkContext.java:428-443):
+    double -> 0.0, string -> ''."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.when(F.col("l_discount") < 0.03, F.lit(None).cast("double")) \
+            .otherwise(F.col("l_discount"))
+    flag = F.when(F.col("l_returnflag") == "N", F.lit(None).cast("string")) \
+            .otherwise(F.col("l_returnflag"))
+    return li.select("l_orderkey", "l_linenumber",
+                     fc.with_default(disc, "double").alias("discount_defaulted"),
+                     fc.with_default(flag, "string").alias("returnflag_defaulted"))
+
+
+# ---------------------------------------------------------------------------
+# Joins  (absent from the reference — SURVEY.md §2A; full surface here)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_hash",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_hash(spark, sf_dir):
+    """Equi inner join + aggregation. Both sides shuffle on the join
+    key unless AQE converts to broadcast at runtime — which it does
+    here since customer is small; at 100 TB the same plan holds because
+    dimension tables stay broadcast-able."""
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+             .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+             .agg(F.count("*").alias("n_orders"),
+                  orel.exact_sum("o_totalprice").alias("sum_price")))
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Explicit broadcast-hash join: the fact side never shuffles —
+    the 100 TB-correct plan for fact x dimension."""
+    li, p = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orel.broadcast_dim(p), li.l_partkey == p.p_partkey)
+              .groupBy(F.col("p_brand").alias("brand"))
+              .agg(F.count("*").alias("n_items"),
+                   orel.exact_sum(revenue).alias("revenue")))
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): no duplication of the left side, right
+    columns never materialize — cheaper than inner+distinct."""
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    GROUP BY p.p_brand
+    """,
+)
+def join_range_theta(spark, sf_dir):
+    """Equi + range-residual join: the equi key drives the (broadcast)
+    hash join, the theta predicate is a post-probe filter — this is how
+    a range condition stays O(n) instead of a nested-loop O(n*m)."""
+    li, p = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    cond = ((li.l_partkey == p.p_partkey)
+            & (li.l_quantity >= p.p_size - 2)
+            & (li.l_quantity <= p.p_size + 2))
+    return (li.join(orel.broadcast_dim(p), cond)
+              .groupBy(F.col("p_brand").alias("brand"))
+              .agg(F.count("*").alias("n_matches")))
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           (SELECT max_by(v.event_id, v.ts) FROM events v
+             WHERE v.user_id = c.user_id AND v.event_type = 'view'
+               AND v.ts <= c.ts) AS last_view_id
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (no native Spark operator — composed from a range
+    join + grouped argmax; operators/relational.py:as_of_join): for each
+    click, the latest preceding view by the same user."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"))
+    j = clicks.join(views, (clicks.user_id == views.v_user) & (views.v_ts <= clicks.ts), "left")
+    w = Window.partitionBy("click_id").orderBy(F.col("v_ts").desc_nulls_last())
+    return (j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+             .select("click_id", F.col("view_id").alias("last_view_id")))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation  (absent from the reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_hash_sum_avg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_sum_avg(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the flagship aggregation.
+    Catalyst plans partial (map-side) + final aggregation automatically;
+    decimal-exact sums make the result partition-order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(orel.exact_sum("l_quantity").alias("sum_qty"),
+                   orel.exact_sum("l_extendedprice").alias("sum_base_price"),
+                   orel.exact_sum(disc_price).alias("sum_disc_price"),
+                   orel.exact_avg("l_quantity").alias("avg_qty"),
+                   orel.exact_avg("l_extendedprice").alias("avg_price"),
+                   F.count("*").alias("count_order")))
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
+@query("agg_approx_count_distinct")  # HLL sketches differ per engine -> rows-only
+def agg_approx_count_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the 100 TB substitute for
+    exact distinct counts — one pass, bounded memory, no huge shuffle.
+    Sketch internals are engine-specific, so no cross-engine oracle."""
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts")))
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), orel.exact_sum("l_quantity").alias("sum_qty")))
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), orel.exact_sum("l_quantity").alias("sum_qty")))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("udc_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        FROM udc_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list — never let Spark discover
+    pivot values at plan time (that's an extra distinct scan)."""
+    piv = (load(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+           .count())
+    return piv.select("user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                                   for c in ["click", "view", "purchase", "signup", "error"]])
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (absent from the reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+    """,
+)
+def window_row_number_topk(spark, sf_dir):
+    """Grouped top-K: one shuffle on the partition key; unique-key
+    tiebreak keeps it deterministic (operators/relational.py)."""
+    o = load(spark, sf_dir, "orders")
+    ranked = orel.top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3)
+    return ranked.select("o_custkey", "o_orderkey", "o_totalprice",
+                         F.col("rnk").cast("bigint").alias("rn"))
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = orel.running_sum(o, ["o_custkey"],
+                           [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+                           F.col("o_totalprice"), "running_total")
+    return out.select("o_custkey", "o_orderkey", "running_total")
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey",
+                    F.lag("o_totalprice").over(w).alias("prev_price"),
+                    F.lead("o_totalprice").over(w).alias("next_price"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+    ORDER BY o_orderstatus, o_orderpriority DESC, o_orderkey LIMIT 1000
+    """,
+)
+def sort_multi_key(spark, sf_dir):
+    """Multi-key sort + limit. Spark plans TakeOrderedAndProject — a
+    per-partition top-N then a driver merge, never a full global sort."""
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+            .orderBy(F.col("o_orderstatus").asc(), F.col("o_orderpriority").desc(),
+                     F.col("o_orderkey").asc())
+            .limit(1000))
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def limit_topk(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                     F.col("l_linenumber").asc())
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union_all(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)  # EXCEPT (distinct) semantics, same as the oracle
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library  (SURVEY.md §2A utility table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lower_name, upper(c_mktsegment) AS upper_seg,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           trim('  ' || c_name || '  ') AS trimmed,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           c_name || '/' || c_mktsegment AS joined
+    FROM customer
+    """,
+)
+def str_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("joined"))
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS order_ym
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(d + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(d, "yyyy-MM").alias("order_ym"))
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_diff,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+           round(l_extendedprice, 1) AS round_p,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sign_diff,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           greatest(l_quantity, 25.0) AS gmax,
+           least(l_quantity, 25.0) AS gmin
+    FROM lineitem
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(p - 30000.0).alias("abs_diff"),
+        F.floor(p).alias("floor_p"),
+        F.ceil(p).alias("ceil_p"),
+        F.round(p, 1).alias("round_p"),
+        F.signum(p - 30000.0).cast("double").alias("sign_diff"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("gmax"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("gmin"))
+
+
+@query(
+    "csv_parse_rfc4180",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(split_part(line, ',', 1) AS INTEGER) AS pk,
+           split_part(line, ',', 2) AS name,
+           CAST(split_part(line, ',', 3) AS INTEGER) AS rk
+    FROM (SELECT n_nationkey,
+                 n_nationkey || ',' || n_name || ',' || n_regionkey AS line
+          FROM nation)
+    """,
+)
+def csv_parse_rfc4180(spark, sf_dir):
+    """In-flight CSV parse with Spark's RFC-4180 parser (`from_csv`) —
+    replaces the reference's naive split(",") which mis-parses quoted
+    commas (PipelineBuilder.java:70; divergence documented SURVEY §7.4.2)."""
+    n = load(spark, sf_dir, "nation")
+    line = F.concat_ws(",", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))
+    parsed = F.from_csv(line, "pk INT, name STRING, rk INT")
+    return (n.select("n_nationkey", parsed.alias("p"))
+             .select("n_nationkey", F.col("p.pk").alias("pk"),
+                     F.col("p.name").alias("name"), F.col("p.rk").alias("rk")))
+
+
+@query(
+    "base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 40))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 40))))) AS decoded
+    FROM documents
+    """,
+)
+def base64_roundtrip(spark, sf_dir):
+    """Reference base64 envelope encode/decode
+    (DirectorySourceContext.java:115, S3SinkAdapter.java:29-47) as
+    column expressions."""
+    d = load(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    b64 = F.base64(head.cast("binary"))
+    return d.select("doc_id", b64.alias("b64"),
+                    F.unbase64(b64).cast("string").alias("decoded"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics, verified on their batch-equivalent plans.
+# The same expressions run under readStream + withWatermark in
+# streaming/windows.py (tested there); `F.window`/`session_window` are
+# identical operators in both modes, so the oracle checks the semantics
+# while the streaming tests check triggers/watermarks/state.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_tumbling_count",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{TS_FMT_DUCK}') AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_count(spark, sf_dir):
+    """Tumbling event-time window aggregate (reference has NO event time
+    at all — withoutTimestamps(), PipelineBuilder.java:152; this is the
+    Structured-Streaming-native replacement)."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"), orel.exact_sum("value").alias("sum_value"))
+             .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+                     F.date_format("w.end", TS_FMT_SPARK).alias("window_end"),
+                     "event_type", "n", "sum_value"))
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+    WITH slid AS (
+        SELECT date_trunc('hour', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+    )
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+           strftime(ws + INTERVAL 2 HOUR, '{TS_FMT_DUCK}') AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n, {_dsum('value')} AS sum_value
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark, sf_dir):
+    """Sliding window (2h length, 1h slide): each event lands in two
+    windows; Spark explodes window assignment before the aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+             .agg(F.count("*").alias("n"), orel.exact_sum("value").alias("sum_value"))
+             .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+                     F.date_format("w.end", TS_FMT_SPARK).alias("window_end"),
+                     "n", "sum_value"))
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 10 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (10-minute gap): events of a user merge while
+    gaps stay under the timeout; window end = last event + gap. The
+    oracle rebuilds the same semantics with lag + cumulative sum."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id",
+                     F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+                     F.date_format("w.end", TS_FMT_SPARK).alias("session_end"),
+                     "n_events"))
+
+
+@query(
+    "stream_dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def stream_dedup_first_per_key(spark, sf_dir):
+    """Keyed dedup keeping the earliest event — the batch-equivalent of
+    streaming `dropDuplicatesWithinWatermark` (streaming variant with a
+    real watermark lives in streaming/windows.py). `dropDuplicates`
+    alone keeps an *arbitrary* row; first-by-time is the deterministic
+    contract."""
+    e = load(spark, sf_dir, "events")
+    first = orel.top_k_per_group(e, ["user_id", "event_type"],
+                                 [F.col("ts").asc(), F.col("event_id").asc()], 1)
+    return first.select("user_id", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators  (north star; operators/dedup.py,
+# operators/similarity.py, functions/text.py, operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via sha256(normalized text), keep-min-id. One
+    shuffle on a uniform 256-bit key — no skew at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return (d.withColumn("fingerprint", ft.text_fingerprint(F.col("text")))
+             .groupBy("fingerprint")
+             .agg(F.min("doc_id").cast("bigint").alias("doc_id")))
+
+
+@query("dedup_near_minhash")  # LSH signatures are engine-specific -> rows-only
+def dedup_near_minhash(spark, sf_dir):
+    """MinHash (128 hashes, 32 bands) + LSH candidate generation +
+    exact-Jaccard verification at 0.8 (operators/dedup.py). The exact
+    same pair set is independently verified against the SQL oracle of
+    `dedup_ngram_jaccard` — see tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return od.minhash_dedup_pairs(d, threshold=0.8).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-5-gram Jaccard near-dup pairs (>= 0.8) via an
+    inverted shingle index. This is the verify-stage primitive of the
+    MinHash pipeline, so it's also the SQL-checkable ground truth."""
+    d = load(spark, sf_dir, "documents")
+    return od.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@query("dedup_simhash")  # signature internals engine-specific -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures,
+    pigeonhole-banded candidate join). Validated against planted
+    near-dups in tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return od.simhash_candidates(d, max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.95. Exact pairwise here
+    (the verify primitive); the scale path is the same predicate inside
+    LSH/IVF buckets (operators/similarity.py) — never all-pairs at
+    100 TB. Cosine values are excluded from the output so the check is
+    robust to last-ulp float differences; 0.95 sits in a wide margin
+    between planted near-dups (~0.99) and random pairs (<0.9)."""
+    from universal_data_connector_spark.functions.vectors import cosine_similarity
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("__e1"))
+    b = e.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("__e2"))
+    return (a.join(b, F.col("id_1") < F.col("id_2"))
+             .filter(cosine_similarity(F.col("__e1"), F.col("__e2")) >= 0.95)
+             .select("id_1", "id_2"))
+
+
+@query(
+    "sim_search_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                            DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def sim_search_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (the exact
+    baseline; operators/similarity.py also ships the IVF scale path,
+    benchmarked in bench.py). Query side broadcast, corpus scanned
+    once; rank is cast to bigint to match the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    out = osim.brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+@query("sim_search_ivf")  # approximate by design -> rows-only
+def sim_search_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (16 lists, probe 4): the 100 TB similarity
+    path — scan fraction ~ n_probe/n_centroids. Recall vs brute force
+    is asserted in tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    out = osim.ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
+                        n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               AS distinct_ratio
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def text_tokenize_stats(spark, sf_dir):
+    """Per-document token statistics (functions/text.py): all
+    higher-order array expressions — a pure projection over 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    toks = ft.tokenize(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    tok_len_sum = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (tok_len_sum.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("distinct_ratio"))
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer count: regex over word / number /
+    punctuation classes shared by Java regex and RE2."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", ft.regex_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+_LID_SQL_LISTS = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in ft.STOPWORDS.items()
+}
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> list_contains({_LID_SQL_LISTS['en']}, t))) AS h_en,
+               len(list_filter(toks, t -> list_contains({_LID_SQL_LISTS['de']}, t))) AS h_de,
+               len(list_filter(toks, t -> list_contains({_LID_SQL_LISTS['fr']}, t))) AS h_fr,
+               len(list_filter(toks, t -> list_contains({_LID_SQL_LISTS['es']}, t))) AS h_es
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword-argmax language heuristic (functions/text.py). Ties
+    resolve to the first language in (en, de, fr, es) order; all-zero
+    resolves to 'unknown' — the oracle mirrors the fold order."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    ft.language_id(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                  + least((CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_filter(toks, t -> list_contains(
+                                ['the','a','and','of','to','in','is','on','for','with'], t)))
+                                AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                           ELSE 0.0 END) * 5.0, 1.0)
+                  + (1.0 - least((CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                            / CAST(length(text) AS DOUBLE)
+                       ELSE 0.0 END) * 10.0, 1.0)))
+                 / 3.0, 6) AS quality
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality heuristic (length / stopword / punctuation
+    components, functions/text.py:quality_score), rounded to 6 dp for
+    float robustness."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(ft.quality_score(F.col("text")), 6).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint over normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", ft.text_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+           sha256(text) AS content_sha256,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal column plumbing: treat content as an opaque binary
+    column with typed metadata (length / sha256 / magic-byte media
+    type; operators/multimodal.py). Text bytes sniff to octet-stream;
+    real image/audio magic bytes are unit-tested in
+    tests/test_multimodal.py."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    meta = om.binary_metadata(d)
+    return meta.select("doc_id", "byte_length", "content_sha256", "media_type")

@@ -1,0 +1,63 @@
+"""SparkSession construction and per-query session pinning.
+
+The reference boots a single-member Hazelcast cluster
+(``config/HazelcastConfig.java:13-44``); our equivalent is a SparkSession
+tuned for the target: AQE on (runtime re-planning, skew-join handling),
+shuffle partitions sized to cores locally (on a real cluster this is
+overridden by ``spark.sql.adaptive.coalescePartitions``), UTC session
+time zone so results are byte-comparable with engines that use naive
+timestamps (DuckDB, Parquet NTZ).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "universal_data_connector_spark",
+              cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-appropriate conf."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin(spark: SparkSession) -> SparkSession:
+    """Pin runtime conf on a session we did not build (e.g. the driver's).
+
+    Idempotent and cheap; every catalog query calls this so that results
+    are deterministic regardless of who constructed the session:
+
+    * UTC session time zone — Spark renders TIMESTAMP in the session TZ,
+      while the test parquet stores naive (UTC-like) timestamps; pinning
+      UTC makes ``date_format``/``cast(ts as date)`` agree with DuckDB.
+    * AQE on — runtime shuffle-partition coalescing and skew-join splits;
+      this is the 100 TB posture (plans re-optimize on real stats).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
+    # vectorized reader; read as bigint nanos and convert in tables.load
+    # (lossless here: the synthetic data is microsecond-aligned).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
