@@ -25,11 +25,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from universal_data_connector_spark.functions.text import (
-    normalize_text,
     text_fingerprint,
     tokenize,
     word_ngrams,
 )
+from universal_data_connector_spark.operators.relational import spread
 
 # Mersenne prime 2^31-1; with a,b < p and shingle hashes reduced mod p
 # first, a*h+b stays < 2^62 — no 64-bit overflow, fully portable.
@@ -88,6 +88,7 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     """
     hashes = shingle_hashes(F.col(text_col), shingle_n)
     sentinel = F.array(F.lit(_MERSENNE))
+    df = spread(df, id_col)  # shingling is the hot loop — use every core
     ex = df.select(F.col(id_col),
                    F.explode(F.when(F.size(hashes) > 0, hashes).otherwise(sentinel))
                     .alias("__gh"))
@@ -138,8 +139,8 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     verifies with array_intersect — the classic LSH verify stage: exact
     where it matters, never O(n^2).
     """
-    grams = df.select(F.col(id_col), word_ngrams(tokenize(F.col(text_col)),
-                                                 shingle_n).alias("__g"))
+    grams = spread(df, id_col).select(
+        F.col(id_col), word_ngrams(tokenize(F.col(text_col)), shingle_n).alias("__g"))
     g1 = grams.select(F.col(id_col).alias("id_1"), F.col("__g").alias("__g1"))
     g2 = grams.select(F.col(id_col).alias("id_2"), F.col("__g").alias("__g2"))
     inter = F.size(F.array_intersect("__g1", "__g2")).cast("double")
@@ -169,8 +170,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     discriminative (word 5-grams). At 100 TB use minhash_dedup_pairs —
     this exact variant is the verify-stage primitive and the oracle.
     """
-    grams = df.select(F.col(id_col),
-                      F.explode(word_ngrams(tokenize(F.col(text_col)), shingle_n)).alias("g"))
+    grams = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_ngrams(tokenize(F.col(text_col)), shingle_n)).alias("g"))
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -228,7 +230,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     """
     n_chunks = max_hamming + 1
     chunk = 64 // n_chunks
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("__sig"))
+    sig = spread(df, id_col).select(F.col(id_col),
+                                    simhash64(F.col(text_col), shingle_n).alias("__sig"))
     chunk_ids = F.sequence(F.lit(0), F.lit(n_chunks - 1))
     banded = sig.select(
         id_col, "__sig",

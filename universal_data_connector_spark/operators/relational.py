@@ -38,6 +38,24 @@ def exact_avg(col: Column | str) -> Column:
     return exact_sum(c) / F.count(c)
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise scan parallelism before a compute-heavy projection.
+
+    A parquet file is split at row-group boundaries, so a file with few
+    row groups scans as few tasks — downstream per-row work (shingling,
+    hashing, vector math) then runs on a handful of cores regardless of
+    cluster size, because map-side work fuses into the scan stage. When
+    the input has fewer partitions than the cluster's parallelism, one
+    cheap shuffle of the raw rows unlocks full fan-out; when the input
+    is already wide (the 100 TB case: thousands of files/row groups)
+    this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Mark a dimension table broadcast-able (skips the shuffle on the
     fact side; the right call whenever the dim fits in executor memory)."""
