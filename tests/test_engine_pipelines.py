@@ -1,0 +1,271 @@
+"""End-to-end YAML pipeline tests.
+
+Mirrors the reference's manual smoke workflows (README.md:34-124 in
+ThatNinjaGuy/universal-data-connector): drop files in an input dir, run
+the pipeline, assert on the output dir — but automated, and exercising
+the same fixture shapes (projects.csv / tasks.csv / test.txt with the
+'important' filter, data/processed/* residual evidence).
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+import yaml
+
+from universal_data_connector_spark.config import (
+    avro_schema_to_struct,
+    load_config,
+    parse_config,
+)
+from universal_data_connector_spark.engine import build, run
+from universal_data_connector_spark.manager import PipelineManager
+
+PROJECTS_CSV = textwrap.dedent("""\
+    id,project,status,assignee,deadline
+    1,Apollo,important,alice,2026-01-01
+    2,Borealis,normal,bob,2026-02-01
+    3,Cascade,important and urgent,carol,2026-03-01
+    """)
+
+TASKS_CSV = textwrap.dedent("""\
+    id,name,status,priority
+    10,deploy,done,high
+    11,review,open,low
+    """)
+
+TEXT_IMPORTANT = "this line is important\nand so is this file\n"
+TEXT_PLAIN = "nothing to see here\n"
+
+
+def _write(path: str, content: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+    return path
+
+
+@pytest.fixture
+def io_dirs(tmp_path):
+    inp, out = tmp_path / "input", tmp_path / "output"
+    inp.mkdir(), out.mkdir()
+    return str(inp), str(out)
+
+
+def _pipeline(name, src_props, sink_props, transformations=()):
+    return parse_config({"pipelines": [{
+        "name": name,
+        "source": {"type": "file", "properties": src_props},
+        "transformations": [dict(t) for t in transformations],
+        "sink": {"type": "file", "properties": sink_props},
+    }]}).pipelines[0]
+
+
+def test_text_to_text_passthrough(spark, io_dirs):
+    """README.md:34-50 workflow: text files copied through unchanged."""
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", TEXT_IMPORTANT)
+    _write(f"{inp}/b.txt", TEXT_PLAIN)
+    cfg = _pipeline("text-processor", {"path": inp, "pattern": "*.txt"},
+                    {"path": out, "extension": ".txt"})
+    run(spark, cfg)
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt"]
+    assert open(f"{out}/a.txt").read() == TEXT_IMPORTANT
+
+
+def test_filter_contains_no_column_drops_files(spark, io_dirs):
+    """T1 without a column: whole-item substring match
+    (PipelineBuilder.java:83)."""
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", TEXT_IMPORTANT)
+    _write(f"{inp}/b.txt", TEXT_PLAIN)
+    cfg = _pipeline("filtered", {"path": inp, "pattern": "*.txt"},
+                    {"path": out, "extension": ".txt"},
+                    [{"type": "filter", "properties": {"condition": "important"}}])
+    run(spark, cfg)
+    assert os.listdir(out) == ["a.txt"]
+
+
+def test_csv_to_csv_with_extension_swap(spark, io_dirs):
+    inp, out = io_dirs
+    _write(f"{inp}/projects.csv", PROJECTS_CSV)
+    cfg = _pipeline("csv-to-csv", {"path": inp, "pattern": "*.csv"},
+                    {"path": out, "extension": ".out"})
+    run(spark, cfg)
+    assert os.listdir(out) == ["projects.out"]
+    assert open(f"{out}/projects.out").read() == PROJECTS_CSV
+
+
+def test_filter_column_file_granularity(spark, io_dirs):
+    """T1 with a column: keep the WHOLE file iff any row's `status`
+    contains 'important' (PipelineBuilder.java:42-81)."""
+    inp, out = io_dirs
+    _write(f"{inp}/projects.csv", PROJECTS_CSV)   # has important rows
+    _write(f"{inp}/tasks.csv", TASKS_CSV)         # has not
+    cfg = _pipeline("filtered", {"path": inp, "pattern": "*.csv"},
+                    {"path": out, "extension": ".csv"},
+                    [{"type": "filter",
+                      "properties": {"column": "status", "condition": "important"}}])
+    run(spark, cfg)
+    assert os.listdir(out) == ["projects.csv"]
+    assert open(f"{out}/projects.csv").read() == PROJECTS_CSV
+
+
+def test_filter_column_row_granularity(spark, io_dirs):
+    """granularity: row — the scalable upgrade (SURVEY.md §7.4.1):
+    only matching data rows survive, header preserved."""
+    inp, out = io_dirs
+    _write(f"{inp}/projects.csv", PROJECTS_CSV)
+    cfg = _pipeline("filtered", {"path": inp, "pattern": "*.csv"},
+                    {"path": out, "extension": ".csv"},
+                    [{"type": "filter",
+                      "properties": {"column": "status", "condition": "important",
+                                     "granularity": "row"}}])
+    run(spark, cfg)
+    text = open(f"{out}/projects.csv").read()
+    lines = text.strip().split("\n")
+    assert lines[0] == "id,project,status,assignee,deadline"
+    assert [ln.split(",")[0] for ln in lines[1:]] == ["1", "3"]
+
+
+def test_map_prefix_suffix(spark, io_dirs):
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", "hello")
+    cfg = _pipeline("mapped", {"path": inp, "pattern": "*.txt"},
+                    {"path": out, "extension": ".txt"},
+                    [{"type": "map", "properties": {"prefix": ">> ", "suffix": " <<"}}])
+    run(spark, cfg)
+    assert open(f"{out}/a.txt").read() == ">> hello <<\n"
+
+
+def test_unknown_transformation_passes_through(spark, io_dirs):
+    """PipelineBuilder.java:135-138: warn + identity."""
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", TEXT_PLAIN)
+    cfg = _pipeline("unknown-t", {"path": inp, "pattern": "*.txt"},
+                    {"path": out, "extension": ".txt"},
+                    [{"type": "quantum-entangle", "properties": {}}])
+    run(spark, cfg)
+    assert os.listdir(out) == ["a.txt"]
+
+
+AVRO_SCHEMA = """
+{"type": "record", "name": "CsvRecord", "namespace": "com.example",
+ "fields": [
+   {"name": "id", "type": "int"},
+   {"name": "project", "type": "string"},
+   {"name": "status", "type": "string"},
+   {"name": "assignee", "type": ["null", "string"]},
+   {"name": "deadline", "type": "string"}]}
+"""
+
+
+def test_csv_to_parquet_with_schema(spark, io_dirs):
+    """The flagship reference pipeline (pipeline-config-example.yaml:
+    27-64): CSV -> filter -> typed Parquet."""
+    inp, out = io_dirs
+    _write(f"{inp}/projects.csv", PROJECTS_CSV)
+    cfg = _pipeline("csv-to-parquet", {"path": inp, "pattern": "*.csv"},
+                    {"path": f"{out}/pq", "format": "parquet", "schema": AVRO_SCHEMA},
+                    [{"type": "filter",
+                      "properties": {"column": "status", "condition": "important"}}])
+    run(spark, cfg)
+    df = spark.read.parquet(f"{out}/pq")
+    assert df.schema["id"].dataType.typeName() == "integer"
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}  # file granularity keeps the whole file
+    assert rows[1].project == "Apollo"
+
+
+def test_avro_schema_translation():
+    st = avro_schema_to_struct(AVRO_SCHEMA)
+    assert [f.name for f in st.fields] == ["id", "project", "status", "assignee", "deadline"]
+    assert st["id"].dataType.typeName() == "integer"
+    with pytest.raises(ValueError):
+        avro_schema_to_struct('{"type": "record", "fields": [{"name": "x", "type": "bytes"}]}')
+
+
+def test_sql_transformation(spark, io_dirs):
+    """Extended surface: full SQL over the in-flight frame."""
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", "alpha")
+    _write(f"{inp}/b.txt", "beta")
+    cfg = _pipeline("sqlish", {"path": inp, "pattern": "*.txt"},
+                    {"path": out, "extension": ".txt"},
+                    [{"type": "sql", "properties": {
+                        "query": "SELECT source_file, file_type, upper(content) AS content "
+                                 "FROM _input"}}])
+    run(spark, cfg)
+    assert open(f"{out}/a.txt").read().strip() == "ALPHA"
+
+
+def test_yaml_roundtrip_and_validation(tmp_path):
+    doc = {"pipelines": [
+        {"name": "p1",
+         "source": {"type": "file", "properties": {"path": "/x"}},
+         "sink": {"type": "file", "properties": {"path": "/y"}}},
+        {"name": "", "source": {"type": "file"}, "sink": {"type": "file"}},
+    ]}
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(doc))
+    cfg = load_config(str(path))
+    assert len(cfg.pipelines) == 2
+    cfg.pipelines[0].validate()
+    with pytest.raises(ValueError):
+        cfg.pipelines[1].validate()
+
+
+def test_manager_lifecycle(spark, io_dirs, tmp_path):
+    """Control-plane ops over a real batch job (SURVEY.md §2A control
+    plane table); one bad pipeline doesn't kill the rest
+    (PipelineManager.java:44-50)."""
+    inp, out = io_dirs
+    _write(f"{inp}/a.txt", TEXT_IMPORTANT)
+    doc = {"pipelines": [
+        {"name": "ok-pipe",
+         "source": {"type": "file", "properties": {"path": inp, "pattern": "*.txt"}},
+         "sink": {"type": "file", "properties": {"path": out, "extension": ".txt"}}},
+        {"name": "bad-pipe",
+         "source": {"type": "no-such-source", "properties": {}},
+         "sink": {"type": "file", "properties": {"path": out}}},
+    ]}
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(doc))
+
+    mgr = PipelineManager(spark)
+    started = mgr.start_all(str(path))
+    assert len(started) == 1 and started[0].startswith("ok-pipe-")
+    assert mgr.wait(timeout=120)
+    jobs = mgr.jobs()
+    assert jobs[0]["status"] == "COMPLETED"
+    assert mgr.status() == {"runningCount": 0, "hasRunningPipelines": False}
+    assert mgr.count() == 0
+    assert not mgr.is_running("nonexistent")
+    assert os.listdir(out) == ["a.txt"]
+
+
+def test_record_mode_promotion_quirks(spark, io_dirs):
+    """csv_blob_to_records: lenient casts, short-row drop, all-null-row
+    drop, case-insensitive header binding, RFC-4180 quoted commas."""
+    from universal_data_connector_spark.sources.records import csv_blob_to_records
+    inp, _ = io_dirs
+    csv = ('ID,Name,Salary\n'
+           '1,"Smith, John","$75,000.00"\n'  # RFC-4180 quoted commas + currency
+           '2,plain,1234.5\n'
+           'x,,\n'                           # unparseable id -> default 0
+           '3,short\n')                      # fewer cols than header -> drop
+    _write(f"{inp}/emp.csv", csv)
+    cfg = _pipeline("rm", {"path": inp, "pattern": "*.csv"}, {"path": "/dev/null"})
+    df = build(spark, cfg)
+    schema = avro_schema_to_struct(
+        '{"type":"record","name":"E","fields":['
+        '{"name":"id","type":"int"},{"name":"name","type":"string"},'
+        '{"name":"salary","type":"double"}]}')
+    out = csv_blob_to_records(df, schema).orderBy("__line_no").collect()
+    ids = [r.id for r in out]
+    assert ids == [1, 2, 0]  # short row dropped; 'x' row survives (name/salary default)
+    assert out[0].name == "Smith, John"       # RFC-4180 quoted comma
+    assert out[0].salary == 75000.0           # currency-tolerant double
+    assert out[2].id == 0 and out[2].name == ""  # per-type defaults

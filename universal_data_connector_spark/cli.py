@@ -1,0 +1,50 @@
+"""CLI autostart: ``python -m universal_data_connector_spark.cli
+--config pipeline-config.yaml [--once]``.
+
+Mirrors the reference's boot-time autostart
+(``PipelineApplication.java:26-35`` loads
+``pipeline-config/pipeline-config.yaml`` on startup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from universal_data_connector_spark.manager import PipelineManager
+from universal_data_connector_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="universal_data_connector_spark")
+    ap.add_argument("--config", required=True, help="pipeline YAML path")
+    ap.add_argument("--once", action="store_true",
+                    help="run batch pipelines to completion and exit")
+    ap.add_argument("--cpus", default=None, help="local[N] parallelism")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("udc-cli", cpus=args.cpus)
+    mgr = PipelineManager(spark)
+    started = mgr.start_all(args.config)
+    print(json.dumps({"started": started}))
+
+    if args.once:
+        ok = mgr.wait()
+        for q in spark.streams.active:
+            q.processAllAvailable()
+            q.stop()
+        print(json.dumps({"jobs": mgr.jobs()}))
+        return 0 if ok and all(j["status"] != "FAILED" for j in mgr.jobs()) else 1
+
+    try:
+        while True:
+            time.sleep(5)
+    except KeyboardInterrupt:
+        mgr.stop_all()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

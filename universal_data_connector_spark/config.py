@@ -1,0 +1,144 @@
+"""YAML pipeline configuration: reference-shaped, engine-validated.
+
+The YAML shape is kept verbatim from the reference
+(``config/PipelineConfig.java:6-47``, ``src/main/resources/
+pipeline-config-example.yaml`` in ThatNinjaGuy/universal-data-connector):
+
+.. code-block:: yaml
+
+    pipelines:
+      - name: "csv-to-parquet"
+        source:        {type: file, properties: {path: ..., pattern: "*.csv"}}
+        transformations:
+          - {type: filter, properties: {column: status, condition: important}}
+        sink:          {type: file, properties: {path: ..., format: parquet,
+                                                 schema: '{"type":"record",...}'}}
+
+so reference configs run unmodified. Additional ``type`` values (``sql``,
+``project``, ``rename`` transformations; ``directory``/``kafka`` sources)
+extend the same shape.
+
+The reference's Avro record schema JSON (embedded as a string in the
+parquet sink config, ``ParquetSinkContext.java:51-93``) is translated to
+a Spark ``StructType`` here; supported Avro types are exactly the
+reference's set: STRING, INT, LONG, FLOAT, DOUBLE, BOOLEAN plus nullable
+unions (first non-null branch wins, ``ParquetSinkContext.java:388-396``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+from pyspark.sql import types as T
+
+
+@dataclass
+class SourceConfig:
+    type: str
+    properties: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class SinkConfig:
+    type: str
+    properties: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class TransformationConfig:
+    type: str
+    properties: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    name: str
+    source: SourceConfig
+    sink: SinkConfig
+    transformations: list[TransformationConfig] = field(default_factory=list)
+
+    def validate(self) -> None:
+        """Source and sink are required (``PipelineBuilder.java:164-174``)."""
+        if not self.name:
+            raise ValueError("pipeline name is required")
+        if not self.source or not self.source.type:
+            raise ValueError(f"pipeline {self.name!r}: source is required")
+        if not self.sink or not self.sink.type:
+            raise ValueError(f"pipeline {self.name!r}: sink is required")
+
+
+@dataclass
+class EngineConfig:
+    pipelines: list[PipelineConfig] = field(default_factory=list)
+
+
+def _norm_props(props: dict[str, Any] | None) -> dict[str, Any]:
+    return dict(props or {})
+
+
+def parse_config(raw: dict[str, Any]) -> EngineConfig:
+    pipelines = []
+    for p in raw.get("pipelines") or []:
+        src = p.get("source") or {}
+        snk = p.get("sink") or {}
+        cfg = PipelineConfig(
+            name=str(p.get("name") or ""),
+            source=SourceConfig(type=str(src.get("type") or ""),
+                                properties=_norm_props(src.get("properties"))),
+            sink=SinkConfig(type=str(snk.get("type") or ""),
+                            properties=_norm_props(snk.get("properties"))),
+            transformations=[
+                TransformationConfig(type=str(t.get("type") or ""),
+                                     properties=_norm_props(t.get("properties")))
+                for t in (p.get("transformations") or [])
+            ],
+        )
+        pipelines.append(cfg)
+    return EngineConfig(pipelines=pipelines)
+
+
+def load_config(path: str) -> EngineConfig:
+    """YAML file -> EngineConfig (``config/ConfigurationLoader.java:17-31``)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return parse_config(raw)
+
+
+# ---------------------------------------------------------------------------
+# Avro record schema JSON -> Spark StructType
+# ---------------------------------------------------------------------------
+
+_AVRO_TO_SPARK: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def avro_schema_to_struct(schema_json: str) -> T.StructType:
+    """Translate the reference's embedded Avro record schema to StructType.
+
+    Mirrors the supported type set and the union rule (first non-null
+    branch wins) of ``ParquetSinkContext.java:382-396``.
+    """
+    schema = json.loads(schema_json)
+    if schema.get("type") != "record" or "fields" not in schema:
+        raise ValueError("schema must be an Avro record with fields")
+    fields = []
+    for f in schema["fields"]:
+        avro_type = f["type"]
+        nullable = False
+        if isinstance(avro_type, list):  # union: first non-null branch wins
+            nullable = "null" in avro_type
+            avro_type = next((t for t in avro_type if t != "null"), "string")
+        if not isinstance(avro_type, str) or avro_type not in _AVRO_TO_SPARK:
+            raise ValueError(f"unsupported Avro type {avro_type!r} for field {f['name']!r}; "
+                             f"supported: {sorted(_AVRO_TO_SPARK)}")
+        fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[avro_type], nullable=True))
+    return T.StructType(fields)

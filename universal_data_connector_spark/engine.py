@@ -1,0 +1,144 @@
+"""Pipeline engine: YAML config -> DataFrame lineage -> execution.
+
+The reference builds a linear Jet pipeline source -> [filter|map]* ->
+sink (``pipeline/PipelineBuilder.java:144-162`` in
+ThatNinjaGuy/universal-data-connector). Here ``build`` produces a
+DataFrame lineage declaratively — Catalyst then does the planning the
+reference never had (predicate pushdown, pruning, join selection, AQE).
+
+Transformation registry semantics:
+
+* ``filter`` — reference T1 (``PipelineBuilder.java:27-89``). With a
+  ``column`` property on CSV input: keep if the column's value contains
+  ``condition`` (substring, case-sensitive). Granularity defaults to
+  row-level (the scalable upgrade, SURVEY.md §7.4.1); ``granularity:
+  file`` reproduces the reference's whole-file keep/drop via a window.
+  Without ``column``: keep if the raw content contains ``condition``.
+* ``map`` — reference T2 (``PipelineBuilder.java:91-123``):
+  ``format: csv`` is identity; else prefix + content + suffix.
+* ``sql`` / ``project`` / ``rename`` — extended surface (the intent of
+  the reference's dead ``columnMapping`` / ``expression`` config,
+  ``TransformationConfig.java:10-11``), giving the full Spark SQL
+  expression language inside the same YAML shape.
+* unknown type — warn and pass through unchanged
+  (``PipelineBuilder.java:135-138``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from universal_data_connector_spark.config import PipelineConfig, TransformationConfig
+from universal_data_connector_spark.sinks import create_sink
+from universal_data_connector_spark.sources import create_source
+from universal_data_connector_spark.sources.records import explode_csv_rows, field_value
+
+log = logging.getLogger(__name__)
+
+
+def _is_file_mode(df: DataFrame) -> bool:
+    return "content" in df.columns and "file_type" in df.columns
+
+
+def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
+    column = (props.get("column") or "").strip()
+    condition = str(props.get("condition", ""))
+    if not column:
+        # whole-item substring (PipelineBuilder.java:83)
+        target = "content" if "content" in df.columns else df.columns[0]
+        return df.filter(F.col(target).contains(condition))
+
+    if not _is_file_mode(df):
+        # record-mode: row-level contains on the named column
+        return df.filter(F.col(column).cast("string").contains(condition))
+
+    # file-mode CSV: does any data row's value in `column` contain
+    # `condition`? (PipelineBuilder.java:42-81). Missing column /
+    # empty file -> no match -> drop, same as the reference's
+    # error->drop path (:84-87).
+    rows = explode_csv_rows(df).filter(field_value(None, column).contains(condition))
+    if str(props.get("granularity", "file")).lower() == "file":
+        # whole-file keep/drop: reference-faithful default in file-mode
+        matches = rows.select("source_file").distinct()
+        return df.join(F.broadcast(matches), "source_file", "left_semi")
+    # granularity: row — keep only matching data rows, rebuilding each
+    # file's content as header + matching lines in original order (the
+    # scalable upgrade of SURVEY.md §7.4.1, expressed as one grouped
+    # array_sort/array_join — no driver loops).
+    kept = (rows.groupBy("source_file")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__line_no", "__line"))),
+                        lambda s: s["__line"]),
+                    "\n").alias("__body")))
+    hdr = df.select("source_file", "file_type",
+                    F.substring_index(F.col("content"), "\n", 1).alias("__hdr"))
+    return (hdr.join(kept, "source_file")
+               .select("source_file", "file_type",
+                       F.concat_ws("\n", F.col("__hdr"), F.col("__body")).alias("content")))
+
+
+def _map_transform(df: DataFrame, props: dict) -> DataFrame:
+    if str(props.get("format", "")).lower() == "csv":
+        return df  # identity (PipelineBuilder.java:111-114)
+    prefix = str(props.get("prefix", ""))
+    suffix = str(props.get("suffix", ""))
+    target = props.get("column", "content" if "content" in df.columns else df.columns[0])
+    return df.withColumn(
+        target, F.concat(F.lit(prefix), F.col(target).cast("string"), F.lit(suffix)))
+
+
+def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
+    """Full SQL over the in-flight frame; the frame is visible as
+    ``_input`` (extended surface — F.expr/spark.sql is free)."""
+    df.createOrReplaceTempView("_input")
+    return df.sparkSession.sql(props["query"])
+
+
+def _project_transform(df: DataFrame, props: dict) -> DataFrame:
+    return df.select(*props["columns"])
+
+
+def _rename_transform(df: DataFrame, props: dict) -> DataFrame:
+    return df.withColumnsRenamed(dict(props["mapping"]))
+
+
+TRANSFORMS = {
+    "filter": _filter_transform,
+    "map": _map_transform,
+    "sql": _sql_transform,
+    "project": _project_transform,
+    "rename": _rename_transform,
+}
+
+
+def apply_transformations(df: DataFrame,
+                          transformations: list[TransformationConfig]) -> DataFrame:
+    """Linear, YAML-order composition (``PipelineBuilder.java:125-142``)."""
+    for t in transformations:
+        fn = TRANSFORMS.get(t.type)
+        if fn is None:
+            log.warning("unknown transformation type %r — passing through "
+                        "unchanged", t.type)
+            continue
+        df = fn(df, t.properties)
+    return df
+
+
+def build(spark: SparkSession, cfg: PipelineConfig,
+          streaming: bool = False) -> DataFrame:
+    """Config -> DataFrame lineage (no execution)."""
+    cfg.validate()
+    df = create_source(spark, cfg.source, streaming)
+    return apply_transformations(df, cfg.transformations)
+
+
+def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
+    """Build and execute one pipeline. Batch: runs to completion and
+    returns None. Streaming: returns the started StreamingQuery."""
+    df = build(spark, cfg, streaming)
+    return create_sink(df, cfg.sink, streaming)

@@ -36,19 +36,19 @@ def lenient_int(col: Column) -> Column:
 
     ``"42" -> 42``, ``"42.7" -> 42`` (truncate toward zero), junk -> NULL.
     """
-    return F.trim(col).cast("double").cast("int")
+    return F.trim(col).try_cast("double").try_cast("int")
 
 
 def lenient_long(col: Column) -> Column:
-    return F.trim(col).cast("double").cast("bigint")
+    return F.trim(col).try_cast("double").try_cast("bigint")
 
 
 def lenient_double(col: Column) -> Column:
-    return F.trim(col).cast("double")
+    return F.trim(col).try_cast("double")
 
 
 def lenient_float(col: Column) -> Column:
-    return F.trim(col).cast("float")
+    return F.trim(col).try_cast("float")
 
 
 def lenient_currency_double(col: Column) -> Column:
@@ -58,7 +58,7 @@ def lenient_currency_double(col: Column) -> Column:
     plain parse fails; applying the strip unconditionally is equivalent
     on parseable input and simpler to codegen.
     """
-    return _clean_numeric(col).cast("double")
+    return _clean_numeric(col).try_cast("double")
 
 
 def lenient_bool(col: Column) -> Column:

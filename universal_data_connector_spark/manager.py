@@ -1,0 +1,186 @@
+"""Pipeline manager: the control plane over running pipelines.
+
+Mirrors the reference's REST-shaped operations
+(``controller/PipelineController.java`` -> ``service/PipelineService
+.java`` -> ``pipeline/PipelineManager.java`` in
+ThatNinjaGuy/universal-data-connector) over Spark jobs:
+
+| reference op                          | here                        |
+|---------------------------------------|-----------------------------|
+| POST /api/pipelines/start             | ``start_all(config_path)``  |
+| POST /api/pipelines/stop/{jobName}    | ``stop(job_name)``          |
+| POST /api/pipelines/stop-all          | ``stop_all()``              |
+| GET  /api/pipelines/status            | ``status()``                |
+| GET  /api/pipelines/jobs              | ``jobs()``                  |
+| GET  /api/pipelines/jobs/{n}/status   | ``is_running(job_name)``    |
+| GET  /api/pipelines/count             | ``count()``                 |
+
+Job names are unique per submission: ``<pipeline>-<millis>``
+(``PipelineManager.java:57-61``). Per-pipeline failure isolation: one
+bad pipeline logs and does not stop the rest
+(``PipelineManager.java:44-50``). Streaming pipelines map to
+``StreamingQuery`` handles; batch pipelines run on a worker thread so
+submission returns immediately (the reference's Jet submission
+boundary, SURVEY.md §3) and terminal state is observable — COMPLETED /
+FAILED — which the reference's park-forever JDBC one-shot never reaches
+(documented improvement, SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from universal_data_connector_spark import engine
+from universal_data_connector_spark.config import PipelineConfig, load_config
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Job:
+    name: str
+    pipeline: str
+    submission_time_ms: int
+    kind: str  # "batch" | "streaming"
+    query: StreamingQuery | None = None
+    thread: threading.Thread | None = None
+    _state: str = "RUNNING"
+    error: str | None = None
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def status(self) -> str:
+        if self.kind == "streaming" and self.query is not None:
+            if self.query.isActive:
+                return "RUNNING"
+            return "FAILED" if self.query.exception() else "COMPLETED"
+        with self._lock:
+            return self._state
+
+    @property
+    def is_running(self) -> bool:
+        return self.status == "RUNNING"
+
+    def info(self) -> dict:
+        """DTO shape of ``dto/JobInfo.java:8-34``."""
+        return {"name": self.name, "status": self.status,
+                "submissionTime": self.submission_time_ms}
+
+
+class PipelineManager:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._jobs: dict[str, Job] = {}
+        self._lock = threading.Lock()
+
+    # -- start ----------------------------------------------------------
+
+    def start_all(self, config_path: str) -> list[str]:
+        cfg = load_config(config_path)
+        started = []
+        for p in cfg.pipelines:
+            try:
+                started.append(self.start_pipeline(p))
+            except Exception:  # noqa: BLE001 - isolation (:44-50)
+                log.exception("failed to start pipeline %s", p.name)
+        return started
+
+    def start_pipeline(self, cfg: PipelineConfig,
+                       streaming: bool | None = None) -> str:
+        if streaming is None:
+            streaming = _wants_streaming(cfg)
+        job_name = f"{cfg.name}-{int(time.time() * 1000)}"
+        # Build the lineage synchronously: config/connector errors
+        # surface at submission (the reference's per-pipeline try/catch
+        # boundary, PipelineManager.java:44-50); execution is deferred.
+        df = engine.build(self.spark, cfg, streaming=streaming)
+        if streaming:
+            from universal_data_connector_spark.sinks import create_sink
+            query = create_sink(df, cfg.sink, streaming=True)
+            job = Job(job_name, cfg.name, int(time.time() * 1000),
+                      "streaming", query=query)
+        else:
+            job = Job(job_name, cfg.name, int(time.time() * 1000), "batch")
+
+            def target() -> None:
+                from universal_data_connector_spark.sinks import create_sink
+                try:
+                    create_sink(df, cfg.sink, streaming=False)
+                    with job._lock:
+                        job._state = "COMPLETED"
+                except Exception as exc:  # noqa: BLE001
+                    log.exception("pipeline %s failed", cfg.name)
+                    with job._lock:
+                        job._state = "FAILED"
+                        job.error = str(exc)
+
+            job.thread = threading.Thread(target=target,
+                                          name=job_name, daemon=True)
+            job.thread.start()
+        with self._lock:
+            self._jobs[job_name] = job
+        return job_name
+
+    # -- stop -----------------------------------------------------------
+
+    def stop(self, job_name: str) -> bool:
+        job = self._jobs.get(job_name)
+        if job is None:
+            return False
+        if job.query is not None:
+            job.query.stop()
+        elif job.thread is not None and job.thread.is_alive():
+            # Batch Spark jobs are not preemptible per-thread; mark as
+            # cancel-requested and let the driver's job group handle it.
+            self.spark.sparkContext.cancelAllJobs()
+        return True
+
+    def stop_all(self) -> int:
+        n = 0
+        for name in list(self._jobs):
+            if self._jobs[name].is_running and self.stop(name):
+                n += 1
+        return n
+
+    # -- introspection ---------------------------------------------------
+
+    def status(self) -> dict:
+        running = sum(1 for j in self._jobs.values() if j.is_running)
+        return {"runningCount": running, "hasRunningPipelines": running > 0}
+
+    def jobs(self) -> list[dict]:
+        return [j.info() for j in self._jobs.values()]
+
+    def is_running(self, job_name: str) -> bool:
+        job = self._jobs.get(job_name)
+        return job is not None and job.is_running
+
+    def count(self) -> int:
+        return sum(1 for j in self._jobs.values() if j.is_running)
+
+    def wait(self, timeout: float | None = None) -> bool:
+        """Wait for all batch jobs to reach a terminal state (test /
+        --once helper). Returns True if everything finished."""
+        deadline = None if timeout is None else time.time() + timeout
+        for job in list(self._jobs.values()):
+            if job.thread is not None:
+                remaining = None if deadline is None else max(0.0, deadline - time.time())
+                job.thread.join(remaining)
+        return all(not j.is_running for j in self._jobs.values()
+                   if j.kind == "batch")
+
+
+def _wants_streaming(cfg: PipelineConfig) -> bool:
+    """Streaming iff the source is unbounded-by-nature (kafka) or the
+    config asks for it; the reference runs everything as an unbounded
+    stream (SURVEY.md §1.4) — we default file/jdbc pipelines to finite
+    batch, the semantically honest mode."""
+    if str(cfg.source.properties.get("streaming", "")).lower() == "true":
+        return True
+    return cfg.source.type == "kafka"

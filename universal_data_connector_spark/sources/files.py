@@ -1,0 +1,119 @@
+"""File-shaped sources: local/HDFS file, recursive directory, S3.
+
+Re-expresses the reference's three polling file sources —
+``factory/source/FileSourceContext.java`` (whole-file text/CSV items),
+``factory/source/DirectorySourceContext.java`` (any file as base64
+bytes), ``factory/source/S3SourceContext.java`` (bucket listing +
+whole-object items) — as declarative Spark reads. The reference's
+glob→regex compiler (three identical copies, ``FileSourceContext.java:
+29-52``) is Spark's native ``pathGlobFilter``; its extension+content
+type sniffing (``FileSourceContext.java:58-67``,
+``DirectorySourceContext.java:64-74``) becomes a column expression.
+
+Scale: file listing is driver-side but parallelized by Spark
+(``spark.sql.sources.parallelPartitionDiscovery.threshold``); content
+rides in executors. One row per file means file-mode DataFrames are as
+wide as the file count — fine for passthrough pipelines, and
+record-mode (``records.py``) takes over for anything relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sniff_file_type(path: Column, first_line: Column | None = None) -> Column:
+    """CSV/TEXT for text-ish files (``FileSourceContext.java:58-67``:
+    ``.csv`` extension AND a comma in line 1 -> CSV), extension map for
+    binary files (``DirectorySourceContext.java:64-74``)."""
+    lower = F.lower(path)
+    is_csv = lower.endswith(".csv")
+    if first_line is not None:
+        is_csv = is_csv & first_line.contains(",")
+    return (F.when(is_csv, "CSV")
+             .when(lower.endswith(".parquet"), "PARQUET")
+             .when(lower.endswith(".crc"), "CRC")
+             .when(lower.endswith(".txt") | lower.endswith(".text")
+                   | lower.endswith(".log") | lower.endswith(".json")
+                   | lower.endswith(".csv"), "TEXT")
+             .otherwise("BINARY"))
+
+
+def _text_file_frame(spark: SparkSession, path: str, pattern: str | None,
+                     streaming: bool, *, recursive: bool = False,
+                     archive_dir: str | None = None) -> DataFrame:
+    """Whole-file text read -> (source_file, file_type, content)."""
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("text").option("wholetext", "true")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if streaming:
+        # The durable version of the reference's processed-files dedup +
+        # move-to-processed (FileSourceContext.java:113-125): Spark's
+        # file-stream log guarantees exactly-once per file; archive
+        # physically moves consumed inputs.
+        reader = reader.option("maxFilesPerTrigger", "1000")
+        if archive_dir:
+            reader = (reader.option("cleanSource", "archive")
+                            .option("sourceArchiveDir", archive_dir))
+    df = reader.load(path)
+    first_line = F.substring_index(F.col("value"), "\n", 1)
+    return df.select(
+        F.col("_metadata.file_path").alias("source_file"),
+        sniff_file_type(F.col("_metadata.file_path"), first_line).alias("file_type"),
+        F.col("value").alias("content"),
+    )
+
+
+def file_source(spark: SparkSession, props: dict, streaming: bool = False) -> DataFrame:
+    """Reference S1: poll a directory for text/CSV files, one item per
+    whole file (``factory/SourceFactory.java:69-81``)."""
+    return _text_file_frame(spark, props["path"], props.get("pattern"),
+                            streaming, archive_dir=props.get("archiveDir"))
+
+
+def directory_source(spark: SparkSession, props: dict, streaming: bool = False) -> DataFrame:
+    """Reference S2: recursive walk, any file as bytes
+    (``factory/SourceFactory.java:136-152``). Spark's binaryFile source
+    natively gives path/length/modificationTime/content — no base64
+    in-band encoding needed (it was only ever a transport hack)."""
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("binaryFile")
+    if props.get("pattern"):
+        reader = reader.option("pathGlobFilter", props["pattern"])
+    if str(props.get("recursive", True)).lower() != "false":
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(props["path"])
+    # preserveStructure (DirectorySourceContext.java:110-121): keep the
+    # path relative to the configured root, else just the basename.
+    base = props["path"].rstrip("/") + "/"
+    rel = F.regexp_replace(F.col("path"), F.lit(base).cast("string"), "")
+    name = (rel if str(props.get("preserveStructure", "false")).lower() == "true"
+            else F.element_at(F.split(F.col("path"), "/"), -1))
+    return df.select(
+        name.alias("source_file"),
+        sniff_file_type(F.col("path")).alias("file_type"),
+        F.col("content"),
+        F.col("length").alias("byte_length"),
+        F.col("modificationTime").alias("modification_time"),
+    )
+
+
+def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> DataFrame:
+    """Reference S5: S3 object listing + whole-object read
+    (``factory/SourceFactory.java:116-134``). Spark + Hadoop S3A does
+    listing/pagination natively; credentials go to Hadoop conf (never
+    in-band — SURVEY.md §7.4.8 deliberately diverges from YAML secrets)."""
+    bucket, prefix = props["bucketName"], props.get("prefix", "")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if props.get("accessKey"):
+        hconf.set("fs.s3a.access.key", props["accessKey"])
+    if props.get("secretKey"):
+        hconf.set("fs.s3a.secret.key", props["secretKey"])
+    if props.get("endpoint"):
+        hconf.set("fs.s3a.endpoint", props["endpoint"])
+    path = f"s3a://{bucket}/{prefix}"
+    return _text_file_frame(spark, path, props.get("pattern"), streaming)
