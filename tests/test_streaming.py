@@ -1,0 +1,195 @@
+"""Structured Streaming tests: real readStream/writeStream with
+watermarks, triggers, state, and file-source exactly-once semantics.
+
+Replaces the reference's untestable streaming behaviors (JVM-static
+dedup sets, park-forever one-shots — SURVEY.md §1.4) with observable,
+checkpointed equivalents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from universal_data_connector_spark.sources.files import file_source
+from universal_data_connector_spark.streaming import (
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(path: str, rows: list[tuple]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for event_id, user_id, ts, value in rows:
+            f.write(json.dumps({"event_id": event_id, "user_id": user_id,
+                                "ts": ts, "value": value}) + "\n")
+
+
+@pytest.fixture
+def stream_env(spark, tmp_path):
+    """A JSON-file event stream the tests can append to, plus a memory
+    sink reader."""
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def start(df_builder, name, output_mode="append"):
+        raw = (spark.readStream.schema(EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", "1")
+               .json(str(src)))
+        q = (df_builder(raw).writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+             .start())
+        return q
+
+    return str(src), start
+
+
+def test_tumbling_window_and_late_data_drop(spark, stream_env):
+    """Rows later than watermark + window close are dropped from the
+    result; on-time rows aggregate per hour."""
+    src, start = stream_env
+    _write_events(f"{src}/b1.json", [
+        (1, 1, "2026-01-01 10:05:00", 1.0),
+        (2, 1, "2026-01-01 10:55:00", 2.0),
+        (3, 1, "2026-01-01 13:00:00", 4.0),   # advances watermark to 12:50
+    ])
+    q = start(lambda df: tumbling_agg(df, "ts", "1 hour", watermark="10 minutes",
+                                      aggs={"n": F.count("*"),
+                                            "sv": F.sum("value")}),
+              "tumbling", output_mode="append")
+    q.processAllAvailable()
+    # late row: 10:30 is far behind the 12:50 watermark -> dropped
+    _write_events(f"{src}/b2.json", [(4, 1, "2026-01-01 10:30:00", 8.0)])
+    # advance watermark past 14:00 so the 13:00 window finalizes too
+    _write_events(f"{src}/b3.json", [(5, 1, "2026-01-01 15:00:00", 0.5)])
+    q.processAllAvailable()
+    q.stop()
+    out = {r.window_start.hour: (r.n, r.sv)
+           for r in spark.sql("SELECT * FROM tumbling").collect()}
+    assert out[10] == (2, 3.0)   # late event 4 NOT counted
+    assert out[13] == (1, 4.0)
+
+
+def test_session_window_merges_and_splits(spark, stream_env):
+    src, start = stream_env
+    _write_events(f"{src}/b1.json", [
+        (1, 7, "2026-01-01 09:00:00", 1.0),
+        (2, 7, "2026-01-01 09:04:00", 1.0),   # same session (gap < 10m)
+        (3, 7, "2026-01-01 10:00:00", 1.0),   # new session
+        (4, 8, "2026-01-01 09:00:00", 1.0),
+        (5, 7, "2026-01-01 23:00:00", 1.0),   # watermark push
+    ])
+    q = start(lambda df: session_agg(df, "ts", "10 minutes", ("user_id",),
+                                     watermark="5 minutes"),
+              "sessions", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert [r.n_events for r in by_user[7][:2]] == [2, 1]
+    assert by_user[7][0].session_end.minute == 14  # last event 09:04 + 10m gap
+    assert by_user[8][0].n_events == 1
+
+
+def test_stream_dedup_within_watermark(spark, stream_env):
+    src, start = stream_env
+    _write_events(f"{src}/b1.json", [
+        (1, 1, "2026-01-01 10:00:00", 1.0),
+        (1, 1, "2026-01-01 10:00:30", 1.0),   # dup event_id within watermark
+        (2, 1, "2026-01-01 10:01:00", 2.0),
+    ])
+    q = start(lambda df: stream_dedup(df, ("event_id",), "ts", "1 hour"),
+              "dedup", output_mode="append")
+    q.processAllAvailable()
+    _write_events(f"{src}/b2.json", [(1, 1, "2026-01-01 10:02:00", 1.0)])  # dup again
+    q.processAllAvailable()
+    q.stop()
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup").collect()]
+    assert sorted(ids) == [1, 2]
+
+
+def test_file_source_streaming_exactly_once_with_archive(spark, tmp_path):
+    """Reference S1 dedup + move-to-processed
+    (FileSourceContext.java:113-125) as checkpointed streaming with
+    cleanSource=archive: each file processed once, then physically
+    moved to the archive dir."""
+    src = tmp_path / "watch"
+    archive = tmp_path / "processed"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha file\n")
+
+    df = file_source(spark, {"path": str(src), "pattern": "*.txt",
+                             "archiveDir": str(archive)}, streaming=True)
+    q = (df.writeStream.format("memory").queryName("file_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    (src / "b.txt").write_text("beta file\n")
+    q.processAllAvailable()
+    rows = spark.sql("SELECT source_file, content FROM file_stream").collect()
+    assert len(rows) == 2
+    assert {os.path.basename(r.source_file) for r in rows} == {"a.txt", "b.txt"}
+
+    # archive happens with a maintenance delay; poll briefly
+    q.processAllAvailable()
+    deadline = time.time() + 60
+    archived = []
+    while time.time() < deadline:
+        archived = [p for p in archive.rglob("*.txt")] if archive.exists() else []
+        if len(archived) >= 1:
+            break
+        (src / f"tick_{int(time.time()*1000)}.txt").write_text("tick\n")
+        q.processAllAvailable()
+        time.sleep(1)
+    q.stop()
+    assert archived, "cleanSource=archive moved no files"
+    assert not (src / "a.txt").exists() or not (src / "b.txt").exists()
+
+
+def test_streaming_pipeline_via_engine(spark, tmp_path):
+    """YAML pipeline in streaming mode through the engine: file source
+    (streaming: true) -> filter -> file sink via foreachBatch."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.manager import PipelineManager
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+    (inp / "x.txt").write_text("very important\n")
+    (inp / "y.txt").write_text("not so much\n")
+    cfg = parse_config({"pipelines": [{
+        "name": "stream-filter",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [{"type": "filter",
+                             "properties": {"condition": "important"}}],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt",
+                                "checkpointLocation": str(tmp_path / "ck")}},
+    }]}).pipelines[0]
+
+    mgr = PipelineManager(spark)
+    job = mgr.start_pipeline(cfg)
+    assert mgr.is_running(job)
+    for q in spark.streams.active:
+        q.processAllAvailable()
+    mgr.stop(job)
+    assert os.listdir(out) == ["x.txt"]
+    assert mgr.jobs()[0]["name"] == job

@@ -1,0 +1,13 @@
+"""Structured Streaming operators (event-time semantics the reference
+never had — it runs everything ``withoutTimestamps()``,
+``pipeline/PipelineBuilder.java:152`` in
+ThatNinjaGuy/universal-data-connector)."""
+
+from universal_data_connector_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_dedup"]

@@ -1,0 +1,72 @@
+"""Event-time windowed aggregation and streaming dedup.
+
+These operators are mode-agnostic: ``F.window`` / ``session_window`` /
+``dropDuplicates`` build identical logical plans in batch and
+streaming, so the catalog verifies their *semantics* against the DuckDB
+oracle in batch (plans/catalog.py ``stream_*`` keys) while the tests
+here run the *same* builders under ``readStream`` with real watermarks,
+triggers, and state — late-data drops included.
+
+Watermarks bound state at scale: without one, a windowed streaming agg
+keeps every window open forever (unbounded state at 100 TB/day);
+with one, state for windows older than (max event time - delay) is
+evicted each micro-batch, and rows later than that are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(df: DataFrame, ts_col: str = "ts", width: str = "1 hour",
+                 watermark: str | None = None, group_cols: tuple[str, ...] = (),
+                 aggs: dict | None = None) -> DataFrame:
+    """Tumbling event-time window; each row lands in exactly one window."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n": F.count("*")}
+    return (df.groupBy(F.window(ts_col, width).alias("w"), *group_cols)
+              .agg(*[v.alias(k) for k, v in aggs.items()])
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      *group_cols, *aggs.keys()))
+
+
+def sliding_agg(df: DataFrame, ts_col: str = "ts", width: str = "2 hours",
+                slide: str = "1 hour", watermark: str | None = None,
+                aggs: dict | None = None) -> DataFrame:
+    """Sliding window: width/slide copies of each row, pre-aggregated
+    map-side like any other grouped agg."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n": F.count("*")}
+    return (df.groupBy(F.window(ts_col, width, slide).alias("w"))
+              .agg(*[v.alias(k) for k, v in aggs.items()])
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"), *aggs.keys()))
+
+
+def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "10 minutes",
+                key_cols: tuple[str, ...] = ("user_id",),
+                watermark: str | None = None) -> DataFrame:
+    """Session windows (dynamic gap-merged); streaming requires a
+    watermark so closed sessions can be finalized and evicted."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+              .agg(F.count("*").alias("n_events"))
+              .select(*key_cols,
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"), "n_events"))
+
+
+def stream_dedup(df: DataFrame, keys: tuple[str, ...], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Keyed streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes — the durable, bounded-memory
+    version of the reference's JVM-static ``processedFiles`` sets
+    (``FileSourceContext.java:20-21``)."""
+    return (df.withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(list(keys)))
