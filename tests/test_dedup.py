@@ -1,0 +1,122 @@
+"""Dedup operator tests: planted near-duplicates + cross-validation of
+the MinHash LSH pipeline against the exact n-gram Jaccard oracle
+(referenced from plans/catalog.py `dedup_near_minhash`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from universal_data_connector_spark.operators.dedup import (
+    dedup_keep_min,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from universal_data_connector_spark.tables import load
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the old oak tree "
+        "beside the quiet river near the small wooden bridge")
+NEAR = BASE.replace("quiet river", "quiet stream")          # ~1 shingle region changed
+FAR = ("completely different content about distributed query engines and "
+       "columnar storage formats with vectorized execution pipelines and "
+       "adaptive runtime replanning across thousand node clusters today")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),                      # near-dup of 1
+        (3, FAR),
+        (4, BASE.upper()),              # exact dup of 1 after normalization
+        (5, "tiny doc"),                # fewer words than shingle width
+        (6, "tiny doc"),                # exact dup of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    # 4 collapses into 1 (case-normalized), 6 into 5
+    assert kept == [1, 2, 3, 5]
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    # one changed word in a ~36-shingle doc -> exact jaccard ~0.72
+    pairs = {(r.id_1, r.id_2): r.jaccard
+             for r in minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    assert (1, 2) in pairs and 0.7 <= pairs[(1, 2)] < 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0   # normalized exact dup
+    assert not any({a, b} & {3} for a, b in pairs)     # FAR pairs with nothing
+    # empty-shingle docs (< shingle_n words) have undefined jaccard and
+    # are exact_dedup's job, not minhash's
+    assert (5, 6) not in pairs
+
+
+def test_minhash_pairs_subset_of_exact_and_high_recall(spark):
+    """LSH verify stage guarantees pairs ⊆ exact-Jaccard pairs; with
+    128 hashes / 32 bands recall at 0.8 should be essentially total on
+    the synthetic documents table (planted near-dups ~0.9+)."""
+    d = load(spark, SF_DIR, "documents")
+    lsh = {(r.id_1, r.id_2) for r in minhash_dedup_pairs(d, threshold=0.8).collect()}
+    exact = {(r.id_1, r.id_2) for r in ngram_jaccard_pairs(d, threshold=0.8).collect()}
+    assert lsh <= exact
+    assert exact, "testdata should contain planted near-dups"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_simhash_planted_near_dup(docs, spark):
+    """SimHash distances order near-dups below unrelated docs, and the
+    pigeonhole banding finds every pair within the configured ball (on
+    ~35-word docs one changed word still flips a handful of bits, so
+    the threshold is taken from the measured distance, not hardcoded)."""
+    from universal_data_connector_spark.operators.dedup import (
+        simhash64, simhash_hamming)
+    sig = {r.doc_id: r.s for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    sig_df = spark.createDataFrame(
+        [(1, sig[1]), (2, sig[2]), (3, sig[3])], "doc_id bigint, s array<int>")
+    d = {r.doc_id: r.h for r in sig_df.select("doc_id", simhash_hamming(
+        F.array(*[F.lit(x) for x in sig[1]]), F.col("s")).alias("h")).collect()}
+    assert d[1] == 0
+    assert d[2] < d[3], f"near-dup {d[2]} should beat unrelated {d[3]}"
+
+    pairs = {(r.id_1, r.id_2): r.hamming
+             for r in simhash_candidates(docs, max_hamming=max(d[2], 1)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == d[2]   # pigeonhole guarantee
+    assert pairs[(1, 4)] == 0            # normalization-identical -> distance 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_keep_min_drops_larger_ids(docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    kept = sorted(r.doc_id for r in dedup_keep_min(docs, pairs).collect())
+    # 2 and 4 lose to 1 ((1,2), (1,4), (2,4) all verified >= 0.7)
+    assert kept == [1, 3, 5, 6]
+
+
+def test_embedding_cosine_dedup_planted(spark):
+    """Embedding near-dup mechanism on planted vectors: a tiny-noise
+    copy pairs at cosine >= 0.95, random pairs stay far below (the
+    testdata embeddings are random — max pairwise cosine ~0.51 — so the
+    planted case lives here, and the catalog query's empty result on
+    testdata is the correct answer, not a vacuous one)."""
+    import numpy as np
+    from universal_data_connector_spark.functions.vectors import cosine_similarity
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(10, 32))
+    near = base[0] + rng.normal(scale=0.02, size=32)   # ~0.999 cosine to row 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    rows.append((10, [float(x) for x in near]))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"))
+    sims = (a.join(b, F.col("id_1") < F.col("id_2"))
+             .withColumn("cos", cosine_similarity(F.col("e1"), F.col("e2"))))
+    near_pairs = [(r.id_1, r.id_2) for r in sims.filter(F.col("cos") >= 0.95).collect()]
+    assert near_pairs == [(0, 10)]

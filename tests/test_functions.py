@@ -1,0 +1,93 @@
+"""Golden-semantics tests for the quirky reference behaviors
+(SURVEY.md §5.2.2): lenient casts, per-type defaults, text functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_data_connector_spark.functions import casts as fc
+from universal_data_connector_spark.functions import text as ft
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+@pytest.mark.parametrize("raw,expect", [
+    ("42", 42), ("42.7", 42), (" 17 ", 17), ("-3.9", -3),
+    ("junk", None), ("", None),
+])
+def test_lenient_int(spark, raw, expect):
+    """Reference INT cast truncates decimals (ParquetSinkContext.java:
+    402-408): '42.7' -> 42; junk -> NULL."""
+    assert _one(spark, fc.lenient_int(F.lit(raw))) == expect
+
+
+@pytest.mark.parametrize("raw,expect", [
+    ("$75,000.00", 75000.0), ("1 234,56", 123456.0), ("99.5", 99.5),
+    ("USD 12.50", 12.50), ("-$8.25", -8.25), ("garbage", None),
+])
+def test_lenient_currency_double(spark, raw, expect):
+    """Currency-tolerant DOUBLE (ParquetSinkContext.java:411-415) —
+    with the documented improvement that '-' survives the strip."""
+    assert _one(spark, fc.lenient_currency_double(F.lit(raw))) == expect
+
+
+@pytest.mark.parametrize("raw,expect", [
+    ("true", True), ("TRUE", True), (" True ", True),
+    ("false", False), ("yes", False), ("", False),
+])
+def test_lenient_bool(spark, raw, expect):
+    """Boolean.parseBoolean semantics: only 'true' (any case) is true."""
+    assert _one(spark, fc.lenient_bool(F.lit(raw))) == expect
+
+
+def test_defaults_on_null(spark):
+    """NULL -> per-type default (ParquetSinkContext.java:428-443)."""
+    null_s = F.lit(None).cast("string")
+    assert _one(spark, fc.with_default(null_s, "string")) == ""
+    assert _one(spark, fc.with_default(F.lit(None).cast("int"), "int")) == 0
+    assert _one(spark, fc.with_default(F.lit(None).cast("double"), "double")) == 0.0
+    assert _one(spark, fc.with_default(F.lit(None).cast("boolean"), "boolean")) is False
+    with pytest.raises(KeyError):
+        fc.with_default(null_s, "decimal(10,2)")
+
+
+def test_tokenize_and_ngrams(spark):
+    toks = _one(spark, ft.tokenize(F.lit("  The quick   brown FOX  ")))
+    assert toks == ["the", "quick", "brown", "fox"]
+    grams = _one(spark, ft.word_ngrams(ft.tokenize(F.lit("a b c d")), 2))
+    assert grams == ["a b", "b c", "c d"]
+    assert _one(spark, ft.word_ngrams(ft.tokenize(F.lit("a b")), 5)) == []
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, ft.text_fingerprint(F.lit("Hello   World")))
+    b = _one(spark, ft.text_fingerprint(F.lit("  hello world ")))
+    c = _one(spark, ft.text_fingerprint(F.lit("hello worlds")))
+    assert a == b != c
+
+
+def test_language_id(spark):
+    assert _one(spark, ft.language_id(
+        F.lit("the cat is on the roof and the dog is in the garden"))) == "en"
+    assert _one(spark, ft.language_id(
+        F.lit("der hund ist auf dem dach und die katze ist im garten"))) == "de"
+    assert _one(spark, ft.language_id(
+        F.lit("le chat est dans le jardin et la maison est sur la colline"))) == "fr"
+    assert _one(spark, ft.language_id(F.lit("zzz qqq xxx"))) == "unknown"
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    prose = ("the quick brown fox jumps over the lazy dog and runs into the "
+             "forest where the birds sing ") * 5
+    soup = "!!! ??? ... ;;; ::: ,,," * 20
+    q_prose = _one(spark, ft.quality_score(F.lit(prose)))
+    q_soup = _one(spark, ft.quality_score(F.lit(soup)))
+    assert 0.0 <= q_soup < q_prose <= 1.0
+
+
+def test_regex_token_count(spark):
+    # "hello" "," "world" "!" "42" -> 5 pre-tokens
+    assert _one(spark, ft.regex_token_count(F.lit("Hello, world! 42"))) == 5

@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: magic-byte sniffing, binary metadata,
+the stubbed decode path (schema/batch shape real, codec faked), and
+frame sampling (referenced from plans/catalog.py
+`multimodal_binary_meta`)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_data_connector_spark.operators.multimodal import (
+    binary_metadata,
+    decode_image_batch,
+    partition_by_content_hash,
+    sample_frames,
+)
+
+PNG = bytes.fromhex("89504e470d0a1a0a") + b"fakepng"
+JPG = bytes.fromhex("ffd8ffe0") + b"fakejpeg"
+GIF = b"GIF89a" + b"fakegif"
+WAV = b"RIFF" + b"\x00" * 4 + b"WAVE"
+MP3 = b"ID3\x03" + b"fakemp3"
+WEBM = bytes.fromhex("1a45dfa3") + b"fakewebm"
+RAW = b"just some text bytes"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [(1, PNG), (2, JPG), (3, GIF), (4, WAV), (5, MP3), (6, WEBM), (7, RAW)]
+    return spark.createDataFrame(rows, "asset_id bigint, content binary")
+
+
+def test_magic_byte_media_types(assets):
+    got = {r.asset_id: r.media_type for r in binary_metadata(assets).collect()}
+    assert got == {1: "image/png", 2: "image/jpeg", 3: "image/gif",
+                   4: "audio/wav", 5: "audio/mp3", 6: "video/webm",
+                   7: "application/octet-stream"}
+
+
+def test_binary_metadata_length_and_sha(assets):
+    rows = {r.asset_id: r for r in binary_metadata(assets).collect()}
+    assert rows[1].byte_length == len(PNG)
+    assert rows[7].content_sha256 == hashlib.sha256(RAW).hexdigest()
+
+
+def test_decode_stub_raises_without_fake(assets):
+    plan = decode_image_batch(assets, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        plan.collect()
+
+
+def test_decode_fake_features_deterministic(assets):
+    out = {r.asset_id: r.features
+           for r in decode_image_batch(assets, feature_dim=4, fake=True).collect()}
+    assert out[1] == [float(len(PNG))] + [float(b) for b in PNG[:3]]
+    assert all(len(v) == 4 for v in out.values())
+    again = {r.asset_id: r.features
+             for r in decode_image_batch(assets, feature_dim=4, fake=True).collect()}
+    assert out == again
+
+
+def test_sample_frames_counts(assets):
+    out = sample_frames(assets, every_n_bytes=4, max_frames=3)
+    counts = {r[0]: r[1] for r in
+              out.groupBy("asset_id").agg(F.count("*")).collect()}
+    # every asset >= 12 bytes -> capped at max_frames
+    assert all(c == 3 for c in counts.values())
+    offs = [r.frame_offset for r in
+            out.filter(F.col("asset_id") == 1).orderBy("frame_idx").collect()]
+    assert offs == [0, 4, 8]
+
+
+def test_partition_by_content_hash(assets):
+    out = partition_by_content_hash(assets, n_shards=8)
+    assert out.rdd.getNumPartitions() == 8
+    shards = {r.shard for r in out.select("shard").collect()}
+    assert all(0 <= s < 8 for s in shards)

@@ -44,16 +44,22 @@ def word_ngrams(tokens: Column, n: int = 5) -> Column:
 
     ``transform(sequence(...))`` is evaluated per row JVM-side; the
     result feeds shingle-based dedup (MinHash / Jaccard).
+
+    Note Spark's ``sequence(1, 0)`` is a DESCENDING [1, 0], not empty —
+    short inputs must short-circuit to an empty array explicitly.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
-    return F.array_distinct(grams)
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the raw string."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, n)))
+    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    grams = F.transform(idx, lambda i: F.substring(col, i, n))
+    return F.when(F.length(col) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:

@@ -73,8 +73,12 @@ def decode_image_batch(df: DataFrame, content_col: str = "content",
     of the bytes (length + first bytes), so schema/partitioning/batch
     shape are fully testable.
     """
-    out_schema = (df.schema.add("features", T.ArrayType(T.DoubleType()))
-                  if "features" not in df.columns else df.schema)
+    # Build a NEW StructType: StructType.add mutates in place, and
+    # df.schema is a cached object — mutating it corrupts df.columns.
+    out_schema = (df.schema if "features" in df.columns
+                  else T.StructType([*df.schema.fields,
+                                     T.StructField("features",
+                                                   T.ArrayType(T.DoubleType()))]))
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:

@@ -1038,8 +1038,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     (the verify primitive); the scale path is the same predicate inside
     LSH/IVF buckets (operators/similarity.py) — never all-pairs at
     100 TB. Cosine values are excluded from the output so the check is
-    robust to last-ulp float differences; 0.95 sits in a wide margin
-    between planted near-dups (~0.99) and random pairs (<0.9)."""
+    robust to last-ulp float differences; 0.95 sits far above the
+    testdata's max pairwise cosine (~0.51 — random vectors, no planted
+    dups), so no pair rides a float boundary. The mechanism is proven
+    on planted near-dup vectors in tests/test_dedup.py."""
     from universal_data_connector_spark.functions.vectors import cosine_similarity
     e = load(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("__e1"))
