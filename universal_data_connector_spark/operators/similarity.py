@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from universal_data_connector_spark.functions.vectors import cosine_similarity
-from universal_data_connector_spark.operators.relational import top_k_per_group
+from universal_data_connector_spark.operators.relational import spread, top_k_per_group
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -37,7 +37,10 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     neighbor id, so the result is fully deterministic.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # spread: a small parquet scan is one partition, which would score
+    # every (corpus x query) cosine on a single core
+    c = spread(corpus, id_col).select(F.col(id_col).alias("neighbor_id"),
+                                      F.col(vec_col).alias("__cv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -54,7 +57,7 @@ def assign_ivf_clusters(corpus: DataFrame, centroids: DataFrame,
     """Assign each corpus vector to its nearest centroid (broadcast join
     + grouped argmax). Output: corpus columns + `centroid_id`."""
     cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("__cent"))
-    scored = (corpus.crossJoin(F.broadcast(cent))
+    scored = (spread(corpus, id_col).crossJoin(F.broadcast(cent))
               .withColumn("__sim", cosine_similarity(F.col(vec_col), F.col("__cent"))))
     best = top_k_per_group(scored, [id_col],
                            [F.col("__sim").desc(), F.col(centroid_id).asc()], 1)
