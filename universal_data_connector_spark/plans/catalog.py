@@ -1238,3 +1238,177 @@ def multimodal_binary_meta(spark, sf_dir):
         "doc_id", F.col("text").cast("binary").alias("content"))
     meta = om.binary_metadata(d)
     return meta.select("doc_id", "byte_length", "content_sha256", "media_type")
+
+
+# ---------------------------------------------------------------------------
+# Sinks, verified by re-reading their output (SURVEY.md §2B "Sinks"),
+# and end-to-end streaming ingestion with real checkpoints.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sink_parquet_snappy",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def sink_parquet_snappy(spark, sf_dir):
+    """Parquet sink roundtrip (reference K2,
+    ParquetSinkContext.java:356-380: Snappy + dictionary encoding):
+    write a filtered orders slice with Spark's native parquet writer,
+    assert the files really are snappy-compressed, read them back."""
+    import glob
+    import os
+    import tempfile
+    out = tempfile.mkdtemp(prefix="udc_sink_parquet_")
+    (load(spark, sf_dir, "orders")
+     .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+     .filter(F.col("o_totalprice") > 150000)
+     .write.mode("overwrite").option("compression", "snappy").parquet(out))
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files and all(".snappy." in os.path.basename(p) for p in files), \
+        f"expected snappy-compressed part files in {out}"
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_csv_per_source",
+    oracle="""
+    SELECT n_name || '.txt' AS out_file,
+           CAST(n_nationkey AS VARCHAR) || ',' || n_name AS content
+    FROM nation
+    """,
+)
+def sink_csv_per_source(spark, sf_dir):
+    """File-mode sink roundtrip (reference K1,
+    FileSinkContext.java:79-100): one output file per source file with
+    the configured extension swapped in (.csv -> .txt,
+    FileSinkContext.java:81-93), written from executors via
+    foreachPartition — then read back with whole-file semantics. The
+    25-row nation table stands in for 25 source files; at scale the
+    write is embarrassingly parallel (no shuffle, one IO per row)."""
+    import tempfile
+    from universal_data_connector_spark.sinks.files import _write_file_mode
+    out = tempfile.mkdtemp(prefix="udc_sink_files_")
+    file_mode = load(spark, sf_dir, "nation").select(
+        F.concat(F.col("n_name"), F.lit(".csv")).alias("source_file"),
+        F.concat_ws(",", F.col("n_nationkey").cast("string"),
+                    F.col("n_name")).alias("content"))
+    _write_file_mode(file_mode, out, extension=".txt")
+    back = (spark.read.format("text").option("wholetext", "true").load(out)
+            .select(F.col("_metadata.file_name").alias("out_file"),
+                    F.regexp_replace("value", r"\n$", "").alias("content")))
+    return back
+
+
+@query(
+    "sink_jdbc_append",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+)
+def sink_jdbc_append(spark, sf_dir):
+    """JDBC sink + source roundtrip (reference K3/S3) against embedded
+    Derby: append the customer table through Spark's batched JDBC
+    writer (real columns per row — not the reference's one-string-per-
+    row INSERT, JdbcSinkContext.java:30-34), then read it back over
+    JDBC. Batched writes (`batchsize` rows per round-trip) and
+    per-partition parallelism are the 100 TB posture; partitions are
+    coalesced here only because embedded Derby serializes writers."""
+    import tempfile
+    from universal_data_connector_spark.sinks.jdbc import jdbc_sink
+    db = tempfile.mkdtemp(prefix="udc_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    jdbc_sink(src.coalesce(4),
+              {"jdbcUrl": url, "table": "customer_sink", "driver": driver,
+               "batchSize": 500})
+    return (spark.read.format("jdbc")
+            .options(url=url, dbtable="customer_sink", driver=driver).load())
+
+
+@query(
+    "stream_file_ingest_exactly_once",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           {_dsum('value')} AS sum_value
+    FROM events
+    """,
+)
+def stream_file_ingest_exactly_once(spark, sf_dir):
+    """Checkpointed file-source streaming ingest, run TWICE against the
+    same checkpoint (reference S1 fakes exactly-once with a JVM-static
+    filename set, FileSourceContext.java:20-21; checkpoints survive
+    restarts). The second run sees no new files and must append
+    nothing: any reprocessing doubles n_events and breaks the oracle
+    hash (n_distinct pins uniqueness explicitly)."""
+    import os
+    import tempfile
+    base = tempfile.mkdtemp(prefix="udc_stream_eo_")
+    indir, outdir, ckpt = (os.path.join(base, d)
+                           for d in ("in", "out", "ckpt"))
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    events.coalesce(4).write.mode("overwrite").parquet(indir)
+    schema = spark.read.parquet(indir).schema
+    for _restart in range(2):
+        q = (spark.readStream.schema(schema).parquet(indir)
+             .writeStream.format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    out = spark.read.parquet(outdir)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+        orel.exact_sum("value").alias("sum_value"))
+
+
+@query(
+    "stream_late_data_watermark",
+    oracle=f"""
+    WITH batched AS (
+        SELECT *, event_id // 2500 AS batch FROM events
+    ), wm AS (
+        SELECT batch,
+               MAX(MAX(ts)) OVER (ORDER BY batch
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - INTERVAL 30 MINUTE AS watermark
+        FROM batched GROUP BY batch
+    ), kept AS (
+        SELECT b.* FROM batched b JOIN wm USING (batch)
+        WHERE wm.watermark IS NULL
+           OR date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.watermark
+    )
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n, {_dsum('value')} AS sum_value
+    FROM kept GROUP BY 1
+    """,
+)
+def stream_late_data_watermark(spark, sf_dir):
+    """Deterministic executable model of `withWatermark("ts", "30
+    minutes")` + tumbling-window aggregation: replay events in arrival
+    order (event_id) as fixed micro-batches of 2500; the watermark
+    entering batch k is max(ts) over earlier batches minus the delay,
+    and a row is DROPPED iff its window has already closed (window end
+    <= watermark) — exactly Structured Streaming's late-data rule. The
+    live-stream twin (real withWatermark, real triggers, observed
+    drops) is tests/test_streaming.py::
+    test_tumbling_window_and_late_data_drop; this entry hash-checks the
+    drop semantics against the oracle."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "batch", F.expr("event_id div 2500"))
+    prev = (Window.orderBy("batch")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wm = (e.groupBy("batch").agg(F.max("ts").alias("__bmax"))
+          .select("batch",
+                  (F.max("__bmax").over(prev)
+                   - F.expr("INTERVAL 30 MINUTES")).alias("__wm")))
+    win_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    kept = (e.join(F.broadcast(wm), "batch")
+             .filter(F.col("__wm").isNull() | (win_end > F.col("__wm"))))
+    return (kept.groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count("*").alias("n"),
+                     orel.exact_sum("value").alias("sum_value"))
+                .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+                        "n", "sum_value"))
