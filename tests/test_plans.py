@@ -1,0 +1,145 @@
+"""Physical-plan assertions: the 100 TB posture, checked in CI.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these prove the *plans* are the ones that survive a 1000-executor
+cluster: filters and projections reach the parquet scan, small sides
+broadcast instead of shuffling, aggregates combine map-side, per-doc
+operators stay shuffle-free, and nothing silently degrades to a
+cartesian product. A regression here is invisible at sf0.001 and fatal
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from universal_data_connector_spark.operators import dedup as od
+from universal_data_connector_spark.plans.catalog import QUERIES
+from universal_data_connector_spark.tables import load
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Filter and projection must reach the parquet scan: at 100 TB this
+    is the difference between reading 4 columns of matching row groups
+    and reading the whole table."""
+    p = plan_str(QUERIES["scan_parquet"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # 4 projected columns + the filter column — and nothing else
+    assert read_schema.count(":") <= 6, f"scan reads too many columns: {read_schema}"
+    assert "l_comment" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    """nation/region-sized dimensions must broadcast, not shuffle."""
+    p = plan_str(QUERIES["join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["join_inner_hash", "join_left", "join_semi",
+                                  "join_anti"])
+def test_equi_joins_never_cartesian(spark, name):
+    """Equi-joins must plan as hash/sort-merge joins; a cartesian
+    product here means the join condition was lost."""
+    p = plan_str(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_agg_combines_map_side(spark):
+    """groupBy aggregates must run partial (map-side) then final —
+    shuffling raw rows instead of partial states is a 100x regression
+    on high-cardinality scans."""
+    p = plan_str(QUERIES["agg_hash_sum_avg"](spark, SF_DIR))
+    assert "partial_sum" in p or "partial_" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_agg_whole_stage_codegen(spark):
+    """The scan -> partial-agg pipeline must fuse into whole-stage
+    codegen (JVM-side, no per-row interpretation). AQE only finalizes
+    the physical plan on execution, so materialize first and assert on
+    the executed plan's codegen spans (`*(n)` prefixes)."""
+    df = QUERIES["agg_hash_sum_avg"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "*(" in p, f"no WholeStageCodegen span in:\n{p}"
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """The MinHash signature stage is a pure projection (Arrow-batched
+    UDF over the scan): any Exchange before signatures means the plan
+    re-shuffles the full corpus text."""
+    docs = load(spark, SF_DIR, "documents")
+    sig = od.minhash_signature_df(docs, num_hashes=16, shingle_n=3)
+    p = plan_str(sig)
+    # spread() repartitions by id for local parallelism; RoundRobin/hash
+    # on the skinny (id, text) projection is acceptable — a shuffle of
+    # aggregated state (HashAggregate+Exchange) is not.
+    assert "HashAggregate" not in p
+    assert "ArrowEvalPython" in p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """Brute-force cosine top-k must broadcast the (small) query side
+    under the corpus cross join — shuffling the corpus per query batch
+    would never survive scale."""
+    p = plan_str(QUERIES["sim_search_cosine_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_window_topk_single_shuffle(spark):
+    """Grouped top-k = one shuffle on the partition keys, then a local
+    sort — a global sort (Exchange rangepartitioning over all rows)
+    would be a scale bug."""
+    df = QUERIES["window_row_number_topk"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "rangepartitioning" not in p.lower().replace(" ", "")
+
+
+def test_exact_dedup_partial_agg(spark):
+    """Exact dedup is groupBy(fingerprint) -> min(id): must show
+    map-side partial aggregation so only unique hashes shuffle."""
+    p = plan_str(QUERIES["dedup_exact"](spark, SF_DIR))
+    assert "partial_min" in p or "partial_" in p
+
+
+def test_filter_contains_pushed_to_scan(spark):
+    """String-contains filters push into the parquet scan
+    (StringContains pushdown)."""
+    p = plan_str(QUERIES["filter_contains"](spark, SF_DIR))
+    assert "StringContains" in p or "PushedFilters: [IsNotNull(text)" in p
+
+
+def test_set_ops_no_cartesian_and_streaming_side(spark):
+    """Set operations plan as aggregates/joins, never products."""
+    for name in ("set_union_all", "set_intersect", "set_except"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+
+
+def test_lineitem_orders_join_prunes_columns(spark):
+    """A join consuming 2 columns per side must not read full rows."""
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").agg(
+        F.sum("l_extendedprice").alias("s"))
+    p = plan_str(j)
+    schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schemas and all(l.count(":") <= 3 for l in schemas), schemas
