@@ -48,27 +48,14 @@ def _py_ngrams(text: str | None, n: int) -> list[str]:
         " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
 
 
-def word_ngram_strings_udf(n: int):
-    """Arrow-batched distinct word n-grams -> array<string>.
-
-    Semantically identical to the JVM expression form
-    (``word_ngrams(tokenize(col))``) but ~10x faster on document-sized
-    rows: interpreted higher-order functions allocate per element,
-    while this path is one Python pass per doc in an Arrow batch.
-    """
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def f(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _py_ngrams(t, n))
-    return f
-
-
 def word_ngram_hashes_udf(n: int):
     """Arrow-batched distinct word n-gram hashes -> array<bigint>
-    (blake2b 8-byte, reduced mod p). The inverted-index join key: same
-    posting counts as the string grams (collisions ~0), a fraction of
-    the shuffle bytes."""
+    (blake2b 8-byte, top bit dropped to stay positive). The
+    inverted-index join / set-intersection key: 63-bit space makes a
+    cross-gram collision ~2^-63 per pair (a 2^31 reduction would
+    birthday-collide in the millions-of-shingles regime), so posting
+    counts and Jaccard values match the string-gram oracle exactly,
+    at a fraction of the shuffle bytes."""
     from hashlib import blake2b
 
     from pyspark.sql import types as T
@@ -77,7 +64,7 @@ def word_ngram_hashes_udf(n: int):
     def f(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: [
             int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
-            % _MERSENNE
+            >> 1
             for g in _py_ngrams(t, n)])
     return f
 
@@ -112,6 +99,64 @@ def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
     return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE)))
 
 
+def _shingle_hash_array(text: str | None, shingle_n: int) -> "np.ndarray":
+    """Distinct word-shingle hashes for one document as int64 numpy
+    (blake2b 8-byte mod p). Empty docs get the sentinel shingle so they
+    group deterministically with other empty docs only."""
+    from hashlib import blake2b
+    toks = (text or "").lower().split()
+    grams = {" ".join(toks[i:i + shingle_n])
+             for i in range(len(toks) - shingle_n + 1)}
+    if not grams:
+        return np.array([_MERSENNE], dtype=np.int64)
+    return np.fromiter(
+        (int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
+         % _MERSENNE for g in grams),
+        dtype=np.int64, count=len(grams))
+
+
+def minhash_banded_df(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 128,
+                      bands: int = 32, shingle_n: int = 5) -> DataFrame:
+    """Banded minhash rows (id, band_idx, band_hash) in ONE Arrow-batched
+    projection: tokenize -> shingle-hash -> `num_hashes` affine mins ->
+    per-band FNV-1a fold, all numpy, per document.
+
+    Folding the band hash into the signature UDF (instead of 128 JVM
+    array extracts + string concat + xxhash64 per row) removes the
+    second-most-expensive projection in the LSH pipeline; the banded
+    output is also `bands`x smaller than exploding JVM-side structs.
+    Still shuffle-free — at 100 TB this stage is a pure map.
+    """
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_udf(texts: pd.Series) -> pd.Series:
+        FNV_OFF = np.uint64(14695981039346656037)
+        FNV_P = np.uint64(1099511628211)
+        out = []
+        with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+            for t in texts:
+                h = _shingle_hash_array(t, shingle_n)
+                sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
+                folded = np.full(bands, FNV_OFF, dtype=np.uint64)
+                band_sig = sig.astype(np.uint64).reshape(bands, r)
+                for j in range(r):
+                    folded = (folded ^ band_sig[:, j]) * FNV_P
+                out.append(folded.astype(np.int64))
+        return pd.Series(out)
+
+    df = spread(df, id_col)  # shingling is the hot loop — use every core
+    return (df.select(F.col(id_col), band_udf(text_col).alias("__bands"))
+              .select(F.col(id_col),
+                      F.posexplode("__bands").alias("band_idx", "band_hash")))
+
+
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 128,
                          shingle_n: int = 5) -> DataFrame:
@@ -136,8 +181,6 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
 
     Output: (id_col, sig array<bigint> of length num_hashes).
     """
-    from hashlib import blake2b
-
     from pyspark.sql import types as T
 
     coeffs = _minhash_coeffs(num_hashes)
@@ -148,16 +191,7 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").lower().split()
-            grams = {" ".join(toks[i:i + shingle_n])
-                     for i in range(len(toks) - shingle_n + 1)}
-            if grams:
-                h = np.fromiter(
-                    (int.from_bytes(blake2b(g.encode(), digest_size=8).digest(),
-                                    "big") % _MERSENNE for g in grams),
-                    dtype=np.int64, count=len(grams))
-            else:
-                h = np.array([_MERSENNE], dtype=np.int64)
+            h = _shingle_hash_array(t, shingle_n)
             out.append(((A * h[None, :] + B) % _MERSENNE).min(axis=1))
         return pd.Series(out)
 
@@ -175,17 +209,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     groupBy on (band_idx, band_hash) — bucket sizes stay small because
     band hashes of non-near-dup docs are uniform.
     """
-    r = num_hashes // bands
-    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band_idx"),
-                 F.xxhash64(F.concat_ws(",", *[
-                     F.col("sig")[b * r + i].cast("string") for i in range(r)
-                 ])).alias("band_hash"))
-        for b in range(bands)
-    ])
-    banded = (sig.select(id_col, F.explode(band_structs).alias("band"))
-                 .select(id_col, "band.band_idx", "band.band_hash"))
+    banded = minhash_banded_df(df, text_col, id_col, num_hashes, bands, shingle_n)
     # Materialize the banded signatures eagerly: the self-join's two
     # sides otherwise RACE to compute the unpopulated cache in parallel
     # (AQE materializes both join-side stages concurrently), running
@@ -209,10 +233,13 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     Joins the (small) candidate pair set back to the shingle arrays and
     verifies with array_intersect — the classic LSH verify stage: exact
-    where it matters, never O(n^2).
+    where it matters, never O(n^2). Shingles are compared as 64-bit
+    hashes, not strings: set Jaccard over blake2b-8-byte hashes equals
+    string Jaccard up to a ~2^-64 per-pair collision, and long-array
+    intersection shuffles/compares a fraction of the bytes.
     """
     grams = spread(df, id_col).select(
-        F.col(id_col), word_ngram_strings_udf(shingle_n)(text_col).alias("__g"))
+        F.col(id_col), word_ngram_hashes_udf(shingle_n)(text_col).alias("__g"))
     # Both pair sides read the shingle arrays; materialize eagerly so
     # tokenization runs exactly once (shingling dominates this
     # operator's cost, and lazy caches race under AQE).
