@@ -17,7 +17,11 @@ from pyspark.sql.window import Window
 
 # Exact-aggregation scale: all synthetic money/quantity columns carry
 # <= 2 decimal digits; 6 fractional digits absorbs products of them.
-_DEC = "decimal(27,6)"
+# Precision 18 keeps per-value casts on Spark's compact-long decimal
+# fast path (precision <= 18 avoids java BigDecimal in partial sums);
+# the sum result widens to decimal(28,6) — headroom ~1e22, enough for
+# 100 TB totals (~1e5 avg value x ~6e11 rows = 6e16).
+_DEC = "decimal(18,6)"
 
 
 def exact_sum(col: Column | str) -> Column:
