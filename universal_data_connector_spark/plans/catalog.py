@@ -1412,3 +1412,79 @@ def stream_late_data_watermark(spark, sf_dir):
                      orel.exact_sum("value").alias("sum_value"))
                 .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
                         "n", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: vocabulary building, reproducible
+# sampling, grouped distribution statistics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, n FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+        FROM (SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''))
+                  AS token
+              FROM documents)
+        GROUP BY token) WHERE rn <= 100
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: explode tokens -> count -> top-100 (count
+    desc, token asc tiebreak). explode + partial-aggregated count is
+    the scalable vocab build — token keys are skewed (stopwords), which
+    map-side combine absorbs before the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(ft.tokenize(F.col("text"))).alias("token"))
+               .groupBy("token").agg(F.count("*").cast("bigint").alias("n")))
+    top = orel.top_k_per_group(counts, [], [F.col("n").desc(), F.col("token").asc()], 100)
+    return top.select("token", "n")
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) < '08'
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Reproducible ~3% sample by content hash (sha256 of the key),
+    not RNG: the same rows are selected on every engine, every run,
+    every partitioning — the property training-data pipelines need for
+    resumable sharding. (`df.sample` is seed-stable only for a fixed
+    partitioning; a hash predicate survives repartitioning and pushes
+    down to the scan.)"""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 2)
+    return (o.filter(bucket < "08")
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Grouped exact percentiles (linear interpolation, matching
+    quantile_cont). Exact percentile shuffles per-group value
+    multisets — right for bounded group counts; the sketch-based
+    scale-out variant is approx_percentile (use when groups x values
+    no longer fit an executor)."""
+    e = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (e.groupBy("event_type")
+             .agg(pct.alias("__p"))
+             .select("event_type",
+                     F.round(F.col("__p")[0], 6).alias("p50"),
+                     F.round(F.col("__p")[1], 6).alias("p90"),
+                     F.round(F.col("__p")[2], 6).alias("p99")))
