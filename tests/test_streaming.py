@@ -193,3 +193,33 @@ def test_streaming_pipeline_via_engine(spark, tmp_path):
     mgr.stop(job)
     assert os.listdir(out) == ["x.txt"]
     assert mgr.jobs()[0]["name"] == job
+
+
+def test_stateful_running_totals_across_batches(spark, stream_env):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    the latest emitted row per key carries totals accumulated over ALL
+    batches, not just the current one."""
+    from universal_data_connector_spark.streaming import stateful_running_totals
+
+    src, start = stream_env
+    _write_events(os.path.join(src, "b1.json"), [
+        (1, 1, "2024-01-01T10:00:00", 1.0),
+        (2, 1, "2024-01-01T10:01:00", 2.0),
+        (3, 2, "2024-01-01T10:02:00", 5.0),
+    ])
+    q = start(lambda raw: stateful_running_totals(raw), "running_totals",
+              output_mode="update")
+    q.processAllAvailable()
+    _write_events(os.path.join(src, "b2.json"), [
+        (4, 1, "2024-01-01T10:05:00", 3.0),
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    latest = {}
+    for r in rows:  # update mode emits once per touched key per batch
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].total_value == 6.0
+    assert latest[2].n_events == 1 and latest[2].total_value == 5.0

@@ -6,8 +6,10 @@ ThatNinjaGuy/universal-data-connector)."""
 from universal_data_connector_spark.streaming.windows import (
     session_agg,
     sliding_agg,
+    stateful_running_totals,
     stream_dedup,
     tumbling_agg,
 )
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_dedup"]
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
+           "stateful_running_totals"]

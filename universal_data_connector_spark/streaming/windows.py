@@ -61,6 +61,41 @@ def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "10 minutes",
                       F.col("w.end").alias("session_end"), "n_events"))
 
 
+def stateful_running_totals(df: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", value_col: str = "value",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) across
+    micro-batches via ``applyInPandasWithState`` — the escape hatch for
+    stateful logic that windowed aggregation can't express (reference
+    has no stateful surface at all; this is the Spark-native extension
+    point, SURVEY.md §2A "Grouped/streaming state").
+
+    State per key is two scalars, updated from Arrow batches; the
+    watermark bounds how late input may arrive. Emits one row per key
+    per micro-batch that touched it (update mode): the latest row per
+    key is the current running total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (df.withWatermark(ts_col, watermark)
+              .groupBy(key_col)
+              .applyInPandasWithState(update, out_schema, state_schema,
+                                      "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_dedup(df: DataFrame, keys: tuple[str, ...], ts_col: str = "ts",
                  watermark: str = "1 hour") -> DataFrame:
     """Keyed streaming dedup with bounded state:
