@@ -115,18 +115,24 @@ def _shingle_hash_array(text: str | None, shingle_n: int) -> "np.ndarray":
         dtype=np.int64, count=len(grams))
 
 
-def minhash_banded_df(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", num_hashes: int = 128,
-                      bands: int = 32, shingle_n: int = 5) -> DataFrame:
-    """Banded minhash rows (id, band_idx, band_hash) in ONE Arrow-batched
-    projection: tokenize -> shingle-hash -> `num_hashes` affine mins ->
-    per-band FNV-1a fold, all numpy, per document.
+def shingle_hashes_df(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """(id, __g array<bigint>) distinct 63-bit word-shingle hashes —
+    the shared input of LSH banding AND exact-Jaccard verification.
+    Tokenization + hashing is the dominant Python cost of the whole
+    dedup pipeline, so callers that need both stages compute this once
+    and checkpoint it."""
+    return spread(df, id_col).select(
+        F.col(id_col), word_ngram_hashes_udf(shingle_n)(text_col).alias("__g"))
 
-    Folding the band hash into the signature UDF (instead of 128 JVM
-    array extracts + string concat + xxhash64 per row) removes the
-    second-most-expensive projection in the LSH pipeline; the banded
-    output is also `bands`x smaller than exploding JVM-side structs.
-    Still shuffle-free — at 100 TB this stage is a pure map.
+
+def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 128, bands: int = 32) -> DataFrame:
+    """Banded minhash rows (id, band_idx, band_hash) from shingle-hash
+    arrays: `num_hashes` affine mins + per-band FNV-1a fold, all numpy
+    per Arrow batch. (Folding band hashes here instead of 128 JVM array
+    extracts + string concat + xxhash64 per row removed the second-most
+    expensive projection in the pipeline.) Shuffle-free: a pure map.
     """
     from pyspark.sql import types as T
 
@@ -136,13 +142,17 @@ def minhash_banded_df(df: DataFrame, text_col: str = "text",
     r = num_hashes // bands
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def band_udf(texts: pd.Series) -> pd.Series:
+    def band_udf(gram_lists: pd.Series) -> pd.Series:
         FNV_OFF = np.uint64(14695981039346656037)
         FNV_P = np.uint64(1099511628211)
         out = []
         with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
-            for t in texts:
-                h = _shingle_hash_array(t, shingle_n)
+            for lst in gram_lists:
+                h = np.asarray(lst, dtype=np.int64)
+                if h.size == 0:  # no shingles: sentinel bands with other empties
+                    h = np.array([_MERSENNE], dtype=np.int64)
+                # reduce 63-bit hashes below 2^31 so a*h + b stays < 2^63
+                h = h % _MERSENNE
                 sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
                 folded = np.full(bands, FNV_OFF, dtype=np.uint64)
                 band_sig = sig.astype(np.uint64).reshape(bands, r)
@@ -151,10 +161,9 @@ def minhash_banded_df(df: DataFrame, text_col: str = "text",
                 out.append(folded.astype(np.int64))
         return pd.Series(out)
 
-    df = spread(df, id_col)  # shingling is the hot loop — use every core
-    return (df.select(F.col(id_col), band_udf(text_col).alias("__bands"))
-              .select(F.col(id_col),
-                      F.posexplode("__bands").alias("band_idx", "band_hash")))
+    return (grams.select(F.col(id_col), band_udf("__g").alias("__bands"))
+                 .select(F.col(id_col),
+                         F.posexplode("__bands").alias("band_idx", "band_hash")))
 
 
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
@@ -209,7 +218,15 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     groupBy on (band_idx, band_hash) — bucket sizes stay small because
     band hashes of non-near-dup docs are uniform.
     """
-    banded = minhash_banded_df(df, text_col, id_col, num_hashes, bands, shingle_n)
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
+    return minhash_candidates_from_grams(grams, id_col, num_hashes, bands)
+
+
+def minhash_candidates_from_grams(grams: DataFrame, id_col: str = "doc_id",
+                                  num_hashes: int = 128,
+                                  bands: int = 32) -> DataFrame:
+    """LSH candidate pairs from precomputed shingle-hash arrays."""
+    banded = _banded_from_grams(grams, id_col, num_hashes, bands)
     # Materialize the banded signatures eagerly: the self-join's two
     # sides otherwise RACE to compute the unpopulated cache in parallel
     # (AQE materializes both join-side stages concurrently), running
@@ -238,12 +255,19 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     string Jaccard up to a ~2^-64 per-pair collision, and long-array
     intersection shuffles/compares a fraction of the bytes.
     """
-    grams = spread(df, id_col).select(
-        F.col(id_col), word_ngram_hashes_udf(shingle_n)(text_col).alias("__g"))
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
     # Both pair sides read the shingle arrays; materialize eagerly so
     # tokenization runs exactly once (shingling dominates this
     # operator's cost, and lazy caches race under AQE).
     grams = grams.localCheckpoint(eager=True)
+    return jaccard_verify_grams(grams, pairs, id_col, threshold)
+
+
+def jaccard_verify_grams(grams: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         threshold: float = 0.8) -> DataFrame:
+    """Verify stage over precomputed (and already materialized)
+    shingle-hash arrays."""
     g1 = grams.select(F.col(id_col).alias("id_1"), F.col("__g").alias("__g1"))
     g2 = grams.select(F.col(id_col).alias("id_2"), F.col("__g").alias("__g2"))
     inter = F.size(F.array_intersect("__g1", "__g2")).cast("double")
@@ -258,9 +282,19 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
                         num_hashes: int = 128, bands: int = 32,
                         shingle_n: int = 5) -> DataFrame:
-    """MinHash LSH near-dup pairs: candidates -> exact-Jaccard verify."""
-    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    return jaccard_verify(df, cand, text_col, id_col, shingle_n, threshold)
+    """MinHash LSH near-dup pairs: candidates -> exact-Jaccard verify.
+
+    The corpus is shingled exactly ONCE: banding and verification both
+    read the same eagerly-materialized shingle-hash arrays
+    (tokenize+hash is the pipeline's dominant cost, so sharing it
+    roughly halves end-to-end time). At 100 TB the materialized arrays
+    are bounded by corpus token count — the same order as the text
+    itself — and live only for the job.
+    """
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
+    grams = grams.localCheckpoint(eager=True)
+    cand = minhash_candidates_from_grams(grams, id_col, num_hashes, bands)
+    return jaccard_verify_grams(grams, cand, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
