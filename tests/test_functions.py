@@ -91,3 +91,22 @@ def test_quality_score_bounds_and_ordering(spark):
 def test_regex_token_count(spark):
     # "hello" "," "world" "!" "42" -> 5 pre-tokens
     assert _one(spark, ft.regex_token_count(F.lit("Hello, world! 42"))) == 5
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics: every (key, salt) bucket
+    on the skewed side meets exactly one replica of the other side."""
+    from universal_data_connector_spark.operators.relational import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, f"row{i}") for i in range(500)] + [(2, "only"), (3, "none")],
+        "k bigint, payload string")
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k bigint, label string")
+
+    plain = {tuple(r) for r in skewed.join(dim, ["k"], "inner").collect()}
+    salted = {tuple(r) for r in salted_join(skewed, dim, ["k"], "inner", salt=8).collect()}
+    assert salted == plain and len(plain) == 501
+
+    left_plain = {tuple(r) for r in skewed.join(dim, ["k"], "left").collect()}
+    left_salted = {tuple(r) for r in salted_join(skewed, dim, ["k"], "left", salt=8).collect()}
+    assert left_salted == left_plain and len(left_plain) == 502

@@ -108,3 +108,27 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         else F.col(f"__r.{right_ts}").asc()
     w = Window.partitionBy(f"__l.{on}", f"__l.{left_ts}").orderBy(order)
     return j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
+                how: str = "inner", salt: int = 16) -> DataFrame:
+    """Equi-join with explicit key salting for skew the optimizer can't
+    fix.
+
+    AQE's skew-join split handles skewed *sort-merge* joins at runtime;
+    salting is the structural fix when a handful of hot keys would
+    still concentrate on one task (e.g. under joins feeding stateful
+    ops, or engines/configs without AQE). The skewed side gets a
+    deterministic bucket from hashing its whole row (content-based, so
+    re-runs and retries land identically — no rand()); the other side
+    is replicated `salt` times, fanning each hot key's rows across
+    `salt` tasks. Replication costs `salt` x |other|: use for
+    fact x dimension shapes, keep `salt` modest.
+    """
+    skewed_cols = [c for c in skewed.columns]
+    s = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed_cols]),
+                         F.lit(salt)).cast("int"))
+    o = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return s.join(o, on + ["__salt"], how).drop("__salt")
