@@ -1494,3 +1494,31 @@ def agg_percentile_exact(spark, sf_dir):
                      F.round(F.col("__p")[0], 6).alias("p50"),
                      F.round(F.col("__p")[1], 6).alias("p90"),
                      F.round(F.col("__p")[2], 6).alias("p99")))
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Wide -> long reshape (inverse of agg_pivot): one output row per
+    (row, measure). Spark's native unpivot is a zero-shuffle Expand —
+    rows multiply map-side, nothing moves."""
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").alias("quantity"),
+                  F.col("l_extendedprice").alias("extendedprice"),
+                  F.col("l_discount").alias("discount")))
+    return li.unpivot(["l_orderkey", "l_linenumber"],
+                      ["quantity", "extendedprice", "discount"],
+                      "metric", "val")
