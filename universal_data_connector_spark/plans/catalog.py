@@ -1522,3 +1522,29 @@ def reshape_unpivot(spark, sf_dir):
     return li.unpivot(["l_orderkey", "l_linenumber"],
                       ["quantity", "extendedprice", "discount"],
                       "metric", "val")
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS near_sum
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-range window frame (RANGE BETWEEN 10 PRECEDING): the frame
+    is defined by the ORDER BY value's magnitude, not row position, so
+    peers always aggregate together — deterministic without a unique
+    tiebreak (unlike ROWS frames). Sum is decimal-exact so the result
+    is independent of intra-frame order."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", "value",
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) "
+               "OVER (PARTITION BY user_id ORDER BY value "
+               "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)")
+         .alias("near_sum"))
