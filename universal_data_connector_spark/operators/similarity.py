@@ -64,13 +64,43 @@ def assign_ivf_clusters(corpus: DataFrame, centroids: DataFrame,
     return best.drop("__cent", "__sim", "rnk")
 
 
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 20) -> DataFrame:
+    """Train real IVF centroids with MLlib k-means (fixed seed).
+
+    Output schema matches what `ivf_topk` expects: (centroid_id,
+    <vec_col>). Training cost is a few passes over the (sampled)
+    corpus; at 100 TB train on a ~1% hash-sample — centroid quality
+    saturates long before full-corpus training pays off.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from universal_data_connector_spark.functions.vectors import l2_norm
+
+    # Spherical k-means: train on L2-normalized vectors so euclidean
+    # centroids align with the cosine geometry used for assignment and
+    # probing (raw-norm training clusters by magnitude, not direction,
+    # and recall collapses).
+    unit = F.transform(F.col(vec_col).cast("array<double>"),
+                       lambda x: x / l2_norm(F.col(vec_col)))
+    train = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"centroid_id int, {vec_col} array<double>")
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF inverted lists.
 
-    1. centroids := first `n_centroids` corpus vectors (deterministic
-       stand-in for trained centroids; same plumbing either way),
+    1. centroids := caller-supplied (e.g. `kmeans_centroids`) or, by
+       default, the first `n_centroids` corpus vectors (deterministic
+       zero-training stand-in; same plumbing either way),
     2. corpus rows -> nearest centroid (broadcast),
     3. each query probes its `n_probe` nearest centroids,
     4. exact cosine within the probed lists only.
@@ -78,9 +108,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     Recall < 1.0 by design; the scan fraction drops by
     ~n_probe/n_centroids, which is the 100 TB play.
     """
-    w = F.row_number().over  # noqa: F841  (documentational)
-    centroids = (corpus.orderBy(id_col).limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"), vec_col))
+    if centroids is None:
+        centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"), vec_col))
+    else:
+        centroids = centroids.select("centroid_id", vec_col)
     assigned = assign_ivf_clusters(corpus, centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     probes = top_k_per_group(

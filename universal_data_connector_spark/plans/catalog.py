@@ -1094,6 +1094,21 @@ def sim_search_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+@query("sim_search_ivf_kmeans")  # approximate + trained -> rows-only
+def sim_search_ivf_kmeans(spark, sf_dir):
+    """IVF over MLlib spherical-k-means inverted lists (fixed seed):
+    trained centroids align lists with whatever cluster structure the
+    corpus has (on clustered corpora probe-1 recall is near-total —
+    asserted on planted clusters in tests/test_similarity.py; the
+    synthetic embeddings table is near-isotropic, where no list
+    assignment can beat random)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = osim.kmeans_centroids(e, n_centroids=8)
+    out = osim.ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
+                        n_centroids=8, n_probe=2, centroids=cents)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
 @query(
     "text_tokenize_stats",
     oracle="""
