@@ -1563,3 +1563,75 @@ def window_range_frame(spark, sf_dir):
                "OVER (PARTITION BY user_id ORDER BY value "
                "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)")
          .alias("near_sum"))
+
+
+_Q_SQL = """(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + least((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','a','and','of','to','in','is','on','for','with'], t)))
+                           AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END) * 5.0, 1.0)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END) * 10.0, 1.0))) / 3.0"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round({_Q_SQL}, 6) AS q
+        FROM toked
+    ), kept AS (
+        SELECT * FROM scored WHERE q >= 0.4
+    ), dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round({_dsum('q')} / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM dedup WHERE rn = 1 GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The flagship LLM-data composition: quality-filter -> exact-dedup
+    (keep min doc_id per normalized-text fingerprint) -> per-language
+    corpus stats. Every stage is the engine's own operator
+    (quality_score, text_fingerprint, top_k_per_group, exact_sum) and
+    the whole plan is two shuffles (fingerprint window + final groupBy)
+    over a single scan — the shape a 100 TB cleaning job needs."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text",
+        F.size(ft.tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.round(ft.quality_score(F.col("text")), 6).alias("q"))
+    kept = scored.filter(F.col("q") >= 0.4)
+    kept = kept.withColumn("__fp", ft.text_fingerprint(F.col("text")))
+    first = orel.top_k_per_group(kept, ["__fp"], [F.col("doc_id").asc()], 1)
+    return (first.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.round(orel.exact_sum("q") / F.count("*"), 6).alias("avg_quality"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+
+
+@query("multimodal_decode_features")  # byte-level features -> rows-only
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal decode plumbing through mapInPandas: binary content ->
+    fixed-dim feature vector (deterministic byte-derived fake — the real
+    image decoder slots into the same batch iterator; libraries absent
+    in this container, SURVEY.md §2B multimodal). Schema, Arrow batch
+    shape, and partitioning are the real, tested surface."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    feats = om.decode_image_batch(d, feature_dim=8, fake=True)
+    return feats.select("doc_id", "features")
