@@ -18,9 +18,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-shaped
-    pricing summary (grouped aggregation with decimal-exact sums)."""
-    return QUERIES["agg_hash_sum_avg"](spark, SF0001)
+    """Flagship query on /root/testdata/sf0.001: the composed
+    LLM-corpus-cleaning pipeline (quality filter -> exact dedup by
+    normalized-text fingerprint -> per-language stats), built entirely
+    from the engine's own operators."""
+    return QUERIES["pipeline_clean_corpus"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
