@@ -1635,3 +1635,30 @@ def multimodal_decode_features(spark, sf_dir):
         "doc_id", F.col("text").cast("binary").alias("content"))
     feats = om.decode_image_batch(d, feature_dim=8, fake=True)
     return feats.select("doc_id", "features")
+
+
+@query(
+    "sql_full_surface",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    """,
+)
+def sql_full_surface(spark, sf_dir):
+    """The full-SQL entry point (reference has no expression language at
+    all — TransformationConfig's condition/expression fields are dead,
+    SURVEY.md §2A; Spark gives ANSI SQL for free): register tables as
+    temp views, run the statement through spark.sql, same Catalyst plan
+    as the DataFrame API."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+        SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY n.n_name
+    """)
