@@ -56,15 +56,23 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
         # record-mode: row-level contains on the named column
         return df.filter(F.col(column).cast("string").contains(condition))
 
-    # file-mode CSV: does any data row's value in `column` contain
-    # `condition`? (PipelineBuilder.java:42-81). Missing column /
-    # empty file -> no match -> drop, same as the reference's
-    # error->drop path (:84-87).
-    rows = explode_csv_rows(df).filter(field_value(None, column).contains(condition))
+    # file-mode: the reference only takes the column-aware CSV branch
+    # for TYPE=CSV items (PipelineBuilder.java:42: parts[1].equals
+    # ("TYPE=CSV")); every other type falls back to whole-item
+    # contains (:83). Field values are trimmed before matching (:73).
+    # For CSV: does any data row's trimmed value in `column` contain
+    # `condition`? Missing column / empty file -> no match -> drop,
+    # same as the reference's error->drop path (:84-87).
+    is_csv = F.col("file_type") == "CSV"
+    non_csv_kept = df.filter(~is_csv).filter(F.col("content").contains(condition))
+    rows = (explode_csv_rows(df.filter(is_csv))
+            .filter(F.trim(field_value(None, column)).contains(condition)))
     if str(props.get("granularity", "file")).lower() == "file":
         # whole-file keep/drop: reference-faithful default in file-mode
         matches = rows.select("source_file").distinct()
-        return df.join(F.broadcast(matches), "source_file", "left_semi")
+        kept_csv = df.filter(is_csv).join(F.broadcast(matches),
+                                          "source_file", "left_semi")
+        return kept_csv.unionByName(non_csv_kept)
     # granularity: row — keep only matching data rows, rebuilding each
     # file's content as header + matching lines in original order (the
     # scalable upgrade of SURVEY.md §7.4.1, expressed as one grouped
@@ -75,11 +83,14 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
                         F.array_sort(F.collect_list(F.struct("__line_no", "__line"))),
                         lambda s: s["__line"]),
                     "\n").alias("__body")))
-    hdr = df.select("source_file", "file_type",
-                    F.substring_index(F.col("content"), "\n", 1).alias("__hdr"))
-    return (hdr.join(kept, "source_file")
-               .select("source_file", "file_type",
-                       F.concat_ws("\n", F.col("__hdr"), F.col("__body")).alias("content")))
+    hdr = df.filter(is_csv).select(
+        "source_file", "file_type",
+        F.substring_index(F.col("content"), "\n", 1).alias("__hdr"))
+    rebuilt = (hdr.join(kept, "source_file")
+                  .select("source_file", "file_type",
+                          F.concat_ws("\n", F.col("__hdr"), F.col("__body")).alias("content")))
+    return rebuilt.unionByName(
+        non_csv_kept.select("source_file", "file_type", "content"))
 
 
 def _map_transform(df: DataFrame, props: dict) -> DataFrame:

@@ -40,7 +40,14 @@ def lenient_int(col: Column) -> Column:
 
 
 def lenient_long(col: Column) -> Column:
-    return F.trim(col).try_cast("double").try_cast("bigint")
+    """Long.parseLong first (exact for the full 64-bit range — routing
+    everything through double would lose integers above 2^53), then the
+    Double.parseDouble().longValue() fallback for decimal strings.
+    Remaining documented divergence from the reference: decimal strings
+    ("42.7") are accepted via the fallback where Long.parseLong would
+    reject the whole value, matching lenient_int's truncate behavior."""
+    t = F.trim(col)
+    return F.coalesce(t.try_cast("bigint"), t.try_cast("double").try_cast("bigint"))
 
 
 def lenient_double(col: Column) -> Column:

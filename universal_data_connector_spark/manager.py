@@ -63,6 +63,15 @@ class Job:
         with self._lock:
             return self._state
 
+    def _finish(self, state: str, error: str | None = None) -> None:
+        """Transition to a terminal state exactly once: a stop() that
+        already marked the job CANCELLED wins over the worker thread
+        later observing the cancellation as a failure."""
+        with self._lock:
+            if self._state == "RUNNING":
+                self._state = state
+                self.error = error
+
     @property
     def is_running(self) -> bool:
         return self.status == "RUNNING"
@@ -110,15 +119,25 @@ class PipelineManager:
 
             def target() -> None:
                 from universal_data_connector_spark.sinks import create_sink
+                # Tag every Spark job this pipeline submits with its own
+                # job group so stop(job_name) can cancel just this
+                # pipeline (the reference's per-job stopPipeline,
+                # PipelineManager.java:74-81). PySpark's pinned-thread
+                # mode makes the group local to this worker thread.
+                sc = self.spark.sparkContext
+                sc.setJobGroup(job_name, f"pipeline {cfg.name}",
+                               interruptOnCancel=True)
                 try:
                     create_sink(df, cfg.sink, streaming=False)
-                    with job._lock:
-                        job._state = "COMPLETED"
+                    job._finish("COMPLETED")
                 except Exception as exc:  # noqa: BLE001
+                    if job.status == "CANCELLED":
+                        return  # stop() already recorded the outcome
                     log.exception("pipeline %s failed", cfg.name)
-                    with job._lock:
-                        job._state = "FAILED"
-                        job.error = str(exc)
+                    job._finish("FAILED", str(exc))
+                # No clearJobGroup needed: the group is local to this
+                # dedicated worker thread (pinned-thread mode) and the
+                # thread ends with the pipeline.
 
             job.thread = threading.Thread(target=target,
                                           name=job_name, daemon=True)
@@ -136,9 +155,11 @@ class PipelineManager:
         if job.query is not None:
             job.query.stop()
         elif job.thread is not None and job.thread.is_alive():
-            # Batch Spark jobs are not preemptible per-thread; mark as
-            # cancel-requested and let the driver's job group handle it.
-            self.spark.sparkContext.cancelAllJobs()
+            # Cancel only this pipeline's Spark jobs — other running
+            # pipelines keep their isolation (the worker thread tagged
+            # them with setJobGroup(job_name) at start).
+            job._finish("CANCELLED")
+            self.spark.sparkContext.cancelJobGroup(job_name)
         return True
 
     def stop_all(self) -> int:

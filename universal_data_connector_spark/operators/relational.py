@@ -90,7 +90,8 @@ def running_sum(df: DataFrame, partition_cols: list[str],
 
 def as_of_join(left: DataFrame, right: DataFrame, on: str,
                left_ts: str, right_ts: str,
-               direction: str = "backward") -> DataFrame:
+               direction: str = "backward",
+               tiebreakers: list[str] | None = None) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts (direction='backward') sharing the `on` key.
 
@@ -98,15 +99,22 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     range join + grouped argmax via row_number. One shuffle per side on
     (key), then a window. For heavily skewed keys prefer bucketing both
     sides on `on` so the join co-locates.
+
+    `tiebreakers` (right-side columns, appended to the orderBy in the
+    same direction as the timestamp) make the winner deterministic when
+    several right rows share (key, right_ts); pass a unique right-side
+    id for a fully deterministic result.
     """
-    cmp = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") if direction == "backward" \
+    backward = direction == "backward"
+    cmp = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") if backward \
         else F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}")
     j = (left.alias("__l").join(right.alias("__r"),
                                 (F.col(f"__l.{on}") == F.col(f"__r.{on}")) & cmp,
                                 "left"))
-    order = F.col(f"__r.{right_ts}").desc() if direction == "backward" \
-        else F.col(f"__r.{right_ts}").asc()
-    w = Window.partitionBy(f"__l.{on}", f"__l.{left_ts}").orderBy(order)
+    keys = [right_ts] + list(tiebreakers or [])
+    order = [F.col(f"__r.{k}").desc_nulls_last() if backward
+             else F.col(f"__r.{k}").asc_nulls_last() for k in keys]
+    w = Window.partitionBy(f"__l.{on}", f"__l.{left_ts}").orderBy(*order)
     return j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 

@@ -409,17 +409,24 @@ def join_range_theta(spark, sf_dir):
 @query(
     "join_asof",
     oracle=f"""
-    SELECT c.event_id AS click_id,
-           (SELECT max_by(v.event_id, v.ts) FROM events v
-             WHERE v.user_id = c.user_id AND v.event_type = 'view'
-               AND v.ts <= c.ts) AS last_view_id
-    FROM events c WHERE c.event_type = 'click'
+    SELECT click_id, last_view_id FROM (
+      SELECT c.event_id AS click_id, v.event_id AS last_view_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST,
+                                         v.event_id DESC NULLS LAST) AS rn
+      FROM events c
+      LEFT JOIN events v
+        ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+      WHERE c.event_type = 'click'
+    ) WHERE rn = 1
     """,
 )
 def join_asof(spark, sf_dir):
     """As-of join (no native Spark operator — composed from a range
     join + grouped argmax; operators/relational.py:as_of_join): for each
-    click, the latest preceding view by the same user."""
+    click, the latest preceding view by the same user. view_id is the
+    final orderBy key on both sides: ties on (user_id, ts) would
+    otherwise make the winner nondeterministic."""
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click") \
               .select(F.col("event_id").alias("click_id"), "user_id", "ts")
@@ -427,7 +434,8 @@ def join_asof(spark, sf_dir):
              .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
                      F.col("ts").alias("v_ts"))
     j = clicks.join(views, (clicks.user_id == views.v_user) & (views.v_ts <= clicks.ts), "left")
-    w = Window.partitionBy("click_id").orderBy(F.col("v_ts").desc_nulls_last())
+    w = Window.partitionBy("click_id").orderBy(F.col("v_ts").desc_nulls_last(),
+                                              F.col("view_id").desc_nulls_last())
     return (j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
              .select("click_id", F.col("view_id").alias("last_view_id")))
 

@@ -89,8 +89,12 @@ def directory_source(spark: SparkSession, props: dict, streaming: bool = False) 
     df = reader.load(props["path"])
     # preserveStructure (DirectorySourceContext.java:110-121): keep the
     # path relative to the configured root, else just the basename.
+    # substring_index treats the base as a literal (a configured path
+    # may contain regex metacharacters like '(', '[', '+'), and taking
+    # everything after its last occurrence also drops the URI scheme
+    # Spark prepends (file:/...).
     base = props["path"].rstrip("/") + "/"
-    rel = F.regexp_replace(F.col("path"), F.lit(base).cast("string"), "")
+    rel = F.substring_index(F.col("path"), base, -1)
     name = (rel if str(props.get("preserveStructure", "false")).lower() == "true"
             else F.element_at(F.split(F.col("path"), "/"), -1))
     return df.select(
