@@ -120,3 +120,42 @@ def test_embedding_cosine_dedup_planted(spark):
              .withColumn("cos", cosine_similarity(F.col("e1"), F.col("e2"))))
     near_pairs = [(r.id_1, r.id_2) for r in sims.filter(F.col("cos") >= 0.95).collect()]
     assert near_pairs == [(0, 10)]
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle-with-tail, pair, and isolated-from-edges cases:
+    every node labels to its component minimum in O(log n) rounds."""
+    from universal_data_connector_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),          # chain -> 1
+         (10, 11), (11, 12), (10, 12), (12, 13),  # triangle + tail -> 10
+         (20, 21),                                # pair -> 20
+         (30, 30)],                               # self-loop ignored
+        "id_1 bigint, id_2 bigint")
+    got = {(r.node, r.component)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (12, 10), (13, 10),
+                   (20, 20), (21, 20)}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 20, 21, 99]], "doc_id bigint")
+    clusters = {(r.doc_id, r.cluster_id, r.is_canonical)
+                for r in dedup_clusters(docs, edges).collect()}
+    assert (99, 99, True) in clusters          # singleton: own cluster
+    assert (2, 1, False) in clusters and (1, 1, True) in clusters
+    assert (21, 20, False) in clusters and (20, 20, True) in clusters
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path is the adversarial diameter case: plain label
+    propagation needs 63 rounds, large-star/small-star needs O(log n)."""
+    from universal_data_connector_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_1 bigint, id_2 bigint")
+    out = connected_components(edges, max_iterations=12).collect()
+    assert {r.component for r in out} == {0}
+    assert {r.node for r in out} == set(range(65))

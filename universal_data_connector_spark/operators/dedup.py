@@ -408,6 +408,100 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                 .select("id_1", "id_2", "hamming"))
 
 
+def connected_components(edges: DataFrame, src: str = "id_1",
+                         dst: str = "id_2",
+                         max_iterations: int = 30) -> DataFrame:
+    """Connected components over a pair graph -> (node, component),
+    component = min node id in the component.
+
+    Near-dup pairs are only half the dedup story: transitive duplicates
+    (A~B, B~C but A!~C) must resolve to ONE canonical doc per cluster,
+    or keep-one-per-pair policies drop documents inconsistently. This
+    is the alternating large-star / small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public literature): every iteration is a groupBy over the edge
+    list, state is the edge list itself (never adjacency in one task's
+    memory), and convergence takes O(log n) rounds even on adversarial
+    chain graphs — the 100 TB-safe formulation. Lineage is truncated
+    with an eager localCheckpoint per round (iterative plans otherwise
+    grow exponentially under AQE re-planning).
+
+    Only nodes that appear in `edges` are returned; callers give
+    singletons their own id via a left join + coalesce.
+    """
+    e = (edges.select(F.col(src).cast("bigint").alias("u"),
+                      F.col(dst).cast("bigint").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+              .distinct()
+              .localCheckpoint(eager=True))
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        # xor-fold (overflow-free under ANSI mode) of the edge hashes:
+        # equal sets -> equal signature; distinct edges make a hash
+        # collision across iterations vanishingly unlikely.
+        row = (df.agg(F.count("*").alias("n"),
+                      F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"))
+                 .collect()[0])
+        return int(row.n), int(row.h)
+
+    def large_star(df: DataFrame) -> DataFrame:
+        # For each node u: connect every strictly-larger neighbor to
+        # the minimum of u's neighborhood (including u itself).
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbrs = sym.groupBy("u").agg(F.collect_set("v").alias("nn"))
+        m = F.array_min(F.array_append(F.col("nn"), F.col("u")))
+        big = F.filter(F.col("nn"), lambda x: x > F.col("u"))
+        return (nbrs.select(m.alias("m"), F.explode(big).alias("b"))
+                    .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                    .filter(F.col("u") != F.col("v"))
+                    .distinct())
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # Edges oriented large->small; for each node u: connect u and
+        # all smaller neighbors to the minimum of that set.
+        oriented = df.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v"))
+        nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("nn"))
+        m = F.array_min(F.col("nn"))  # all nn < u, so min includes the answer
+        members = F.array_append(F.col("nn"), F.col("u"))
+        return (nbrs.select(m.alias("m"), F.explode(members).alias("b"))
+                    .select(F.greatest("b", "m").alias("u"),
+                            F.least("b", "m").alias("v"))
+                    .filter(F.col("u") != F.col("v"))
+                    .distinct())
+
+    sig = _signature(e)
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Converged edge set is a forest of stars (u -> component min).
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return nodes.union(roots).groupBy("node").agg(
+        F.min("component").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, dup_pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster-consistent dedup decision per document.
+
+    Output: every input row's id, its duplicate-cluster id (min id in
+    the connected component; singletons are their own cluster), and
+    whether this row is the cluster's canonical keeper.
+    """
+    cc = connected_components(dup_pairs)
+    out = (df.select(F.col(id_col).cast("bigint").alias(id_col))
+             .join(cc, F.col(id_col) == F.col("node"), "left")
+             .select(id_col,
+                     F.coalesce("component", F.col(id_col)).alias("cluster_id")))
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
 def dedup_keep_min(df: DataFrame, dup_pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Greedy dedup: drop every doc that appears as the larger id of a

@@ -1027,6 +1027,54 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return od.ngram_jaccard_pairs(d, threshold=0.8)
 
 
+@query(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_1, id_2 FROM shared
+        JOIN sizes s1 ON id_1 = s1.doc_id
+        JOIN sizes s2 ON id_2 = s2.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
+    ), sym AS (
+        SELECT id_1 AS u, id_2 AS v FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ), reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id,
+           CAST(node AS BIGINT) = CAST(MIN(r) AS BIGINT) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster resolution: near-dup pairs (exact word-5-gram
+    Jaccard >= 0.8, the SQL-checkable pair graph) -> distributed
+    connected components (alternating large-star/small-star,
+    operators/dedup.py:connected_components) -> one canonical doc per
+    cluster (min id), singletons canonical by definition. The oracle
+    computes the same components via a recursive transitive-closure
+    CTE — tractable for DuckDB at sf0.01, while the Spark side is the
+    O(log n)-round formulation that holds at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    pairs = od.ngram_jaccard_pairs(d, threshold=0.8).select("id_1", "id_2")
+    return od.dedup_clusters(d, pairs)
+
+
 @query("dedup_simhash")  # signature internals engine-specific -> rows-only
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3 over 64-bit signatures,
