@@ -110,3 +110,19 @@ def test_salted_join_equals_plain_join(spark):
     left_plain = {tuple(r) for r in skewed.join(dim, ["k"], "left").collect()}
     left_salted = {tuple(r) for r in salted_join(skewed, dim, ["k"], "left", salt=8).collect()}
     assert left_salted == left_plain and len(left_plain) == 502
+
+
+def test_redact_pii_order_and_counts(spark):
+    """EMAIL redacts before PHONE (emails can embed digit runs); SSN
+    and PHONE patterns don't cross-match; counts are per-kind."""
+    from universal_data_connector_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("mail a.b-c%d@ex-ample.co.uk or call 415-555-2671 ssn 078-05-1120 ip 10.0.0.1",)],
+        "t string")
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[c.alias(f"n_{k.lower()}") for k, c in pii_counts(F.col("t")).items()],
+    ).collect()[0]
+    assert out.r == "mail [EMAIL] or call [PHONE] ssn [SSN] ip [IPV4]"
+    assert (out.n_email, out.n_ssn, out.n_phone, out.n_ipv4) == (1, 1, 1, 1)

@@ -124,3 +124,32 @@ def text_fingerprint(col: Column) -> Column:
     has the shingle context it needs.)
     """
     return F.sha2(normalize_text(col), 256)
+
+
+# PII patterns shared by the redaction op and its oracle. Kept to
+# syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no backreferences
+# or lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+    "PHONE": r"\b\d{3}-\d{3}-\d{4}\b",
+    "IPV4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with its [KIND] tag, in PII_PATTERNS
+    order (EMAIL before PHONE: an email can embed digit runs, and
+    replacement order is part of the contract). Pure regexp_replace
+    chain — JVM-side, codegen-friendly, linear per document."""
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind}]")
+    return out
+
+
+def pii_counts(col: Column, kinds: list[str] | None = None) -> dict[str, Column]:
+    """Per-kind match counts (bigint) for audit metrics."""
+    return {kind: F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("bigint")
+            for kind in kinds or list(PII_PATTERNS)}

@@ -440,6 +440,34 @@ def join_asof(spark, sf_dir):
              .select("click_id", F.col("view_id").alias("last_view_id")))
 
 
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_customers, s.n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM customer WHERE c_acctbal < 0 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM supplier WHERE s_acctbal >= 5000 GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join preserving unmatched rows on both sides
+    (completes the join-type family). The filters make each side a
+    genuinely partial nation set, so both null-padded directions are
+    exercised. Aggregated inputs are tiny; Catalyst picks a broadcast
+    or shuffled hash join as cardinality dictates."""
+    c = (load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+         .groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").cast("bigint").alias("n_customers")))
+    s = (load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 5000)
+         .groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.count("*").cast("bigint").alias("n_suppliers")))
+    return (c.join(s, "nk", "full_outer")
+             .select(F.col("nk").alias("nationkey"), "n_customers", "n_suppliers"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregation  (absent from the reference)
 # ---------------------------------------------------------------------------
@@ -629,6 +657,36 @@ def window_lag_lead(spark, sf_dir):
     return o.select("o_custkey", "o_orderkey",
                     F.lag("o_totalprice").over(w).alias("prev_price"),
                     F.lead("o_totalprice").over(w).alias("next_price"))
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+           percent_rank()    OVER w AS pct_rank,
+           cume_dist()       OVER w AS cume,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The full ranking-function family over one window (rank,
+    dense_rank, percent_rank, cume_dist, ntile). p_partkey is the
+    unique final tiebreak — the catalog's determinism rule. All five
+    functions share a single sort: one shuffle on p_brand, one
+    in-partition sort, no matter how many ranking columns ride on it."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey", "p_brand",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"))
 
 
 # ---------------------------------------------------------------------------
@@ -1166,6 +1224,41 @@ def sim_search_ivf_kmeans(spark, sf_dir):
 
 
 @query(
+    "embedding_normalize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e,
+                      sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm
+               FROM v)
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           array_to_string(
+               CASE WHEN nrm > 0
+                    THEN list_transform(e, x -> CAST(round(x / nrm * 127) AS INT))
+                    ELSE list_transform(e, x -> 0) END, ',') AS int8_csv
+    FROM n
+    """,
+)
+def embedding_normalize(spark, sf_dir):
+    """Embedding hygiene for training pipelines: L2 norm + symmetric
+    int8 quantization (x/||x|| * 127, rounded), emitted as a CSV string
+    so the oracle compare is exact. Pure higher-order array expressions
+    — a shuffle-free projection that quantizes 100 TB of vectors at
+    scan speed. Zero vectors quantize to zeros rather than dividing by
+    zero."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = e.select("vec_id", v.alias("__v")).withColumn(
+        "__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
+    quant = F.when(
+        F.col("__n") > 0,
+        F.transform("__v", lambda x: F.round(x / F.col("__n") * 127).cast("int"))
+    ).otherwise(F.transform("__v", lambda x: F.lit(0)))
+    return df.select(
+        "vec_id", F.round("__n", 6).alias("l2_norm"),
+        F.concat_ws(",", F.transform(quant, lambda q: q.cast("string"))).alias("int8_csv"))
+
+
+@query(
     "text_tokenize_stats",
     oracle="""
     SELECT doc_id,
@@ -1293,6 +1386,46 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic document fingerprint over normalized text."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", ft.text_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH msg AS (
+        SELECT c_custkey,
+               'Reach ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+               '@corp.example.com> or 555-' ||
+               printf('%03d-%04d', c_custkey % 1000, c_custkey % 10000) AS m
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(m, '{ft.PII_PATTERNS["EMAIL"]}', '[EMAIL]', 'g'),
+                          '{ft.PII_PATTERNS["PHONE"]}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(m, '{ft.PII_PATTERNS["EMAIL"]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(m, '{ft.PII_PATTERNS["PHONE"]}')) AS BIGINT) AS n_phones
+    FROM msg
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing for training corpora: tag-replace emails and
+    phone-shaped digit runs, with per-kind audit counts
+    (functions/text.py:redact_pii / pii_counts — patterns restricted to
+    syntax with identical Java-regex/RE2 semantics). The corpus text is
+    synthesized from customer columns so the testdata actually contains
+    PII to find. A regexp_replace chain is a pure projection: scans
+    100 TB with no shuffle and no Python."""
+    c = load(spark, sf_dir, "customer")
+    msg = F.concat(
+        F.lit("Reach "), F.col("c_name"), F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@corp.example.com> or 555-"),
+        F.format_string("%03d-%04d", F.col("c_custkey") % 1000,
+                        F.col("c_custkey") % 10000))
+    counts = ft.pii_counts(msg, ["EMAIL", "PHONE"])
+    return c.select("c_custkey",
+                    ft.redact_pii(msg, ["EMAIL", "PHONE"]).alias("redacted"),
+                    counts["EMAIL"].alias("n_emails"),
+                    counts["PHONE"].alias("n_phones"))
 
 
 @query(
