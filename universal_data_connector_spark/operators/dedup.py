@@ -166,6 +166,63 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
                          F.posexplode("__bands").alias("band_idx", "band_hash")))
 
 
+def shingle_band_df(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 128,
+                    bands: int = 32, shingle_n: int = 5) -> DataFrame:
+    """(id, __g, __bands) in ONE Arrow pass per document.
+
+    The LSH pipeline needs the shingle-hash arrays twice (banding and
+    Jaccard verification). Computing grams in one UDF and band hashes
+    in a second means serializing every gram array out of and back
+    into Python; fusing tokenize -> gram hash -> affine min-signature
+    -> FNV band fold into a single struct-returning UDF halves the
+    Arrow traffic and removes one Python stage from the critical path.
+    Still a pure projection: no shuffle at any scale.
+    """
+    from hashlib import blake2b
+
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+
+    schema = T.StructType([
+        T.StructField("g", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(schema)
+    def f(texts: pd.Series) -> pd.DataFrame:
+        FNV_OFF = np.uint64(14695981039346656037)
+        FNV_P = np.uint64(1099511628211)
+        gs, bs = [], []
+        with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+            for t in texts:
+                # grams as 63-bit hashes (verify keys, matches
+                # word_ngram_hashes_udf exactly)
+                g = np.array([
+                    int.from_bytes(blake2b(x.encode(), digest_size=8).digest(),
+                                   "big") >> 1
+                    for x in _py_ngrams(t, shingle_n)], dtype=np.int64)
+                gs.append(g)
+                h = g % _MERSENNE if g.size else np.array([_MERSENNE],
+                                                          dtype=np.int64)
+                sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
+                folded = np.full(bands, FNV_OFF, dtype=np.uint64)
+                band_sig = sig.astype(np.uint64).reshape(bands, r)
+                for j in range(r):
+                    folded = (folded ^ band_sig[:, j]) * FNV_P
+                bs.append(folded.astype(np.int64))
+        return pd.DataFrame({"g": gs, "bands": bs})
+
+    return (spread(df, id_col)
+            .select(F.col(id_col), f(text_col).alias("__s"))
+            .select(F.col(id_col), F.col("__s.g").alias("__g"),
+                    F.col("__s.bands").alias("__bands")))
+
+
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 128,
                          shingle_n: int = 5) -> DataFrame:
@@ -291,10 +348,18 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     are bounded by corpus token count — the same order as the text
     itself — and live only for the job.
     """
-    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
-    grams = grams.localCheckpoint(eager=True)
-    cand = minhash_candidates_from_grams(grams, id_col, num_hashes, bands)
-    return jaccard_verify_grams(grams, cand, id_col, threshold)
+    gb = shingle_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
+    gb = gb.localCheckpoint(eager=True)
+    banded = gb.select(F.col(id_col),
+                       F.posexplode("__bands").alias("band_idx", "band_hash"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_1"),
+                     F.col(f"b.{id_col}").alias("id_2"))
+             .distinct())
+    return jaccard_verify_grams(gb.select(id_col, "__g"), cand, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
