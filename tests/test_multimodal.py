@@ -77,3 +77,26 @@ def test_partition_by_content_hash(assets):
     assert out.rdd.getNumPartitions() == 8
     shards = {r.shard for r in out.select("shard").collect()}
     assert all(0 <= s < 8 for s in shards)
+
+
+def test_resize_media_batch_fake(spark):
+    from universal_data_connector_spark.operators.multimodal import resize_media_batch
+    df = spark.createDataFrame(
+        [(1, b"0123456789abcdef"), (2, b""), (3, None)],
+        "asset_id bigint, content binary")
+    out = {r.asset_id: r for r in
+           resize_media_batch(df, target_bytes=8, fake=True).collect()}
+    assert all(r.resized_length == 8 for r in out.values())
+    assert out[1].content_resized == b"02468ace"  # nearest-neighbor bytes
+    assert out[2].content_resized == bytes(8)    # empty -> zero bytes
+    assert out[3].content_resized == bytes(8)    # null -> zero bytes
+
+
+def test_resize_media_batch_requires_fake(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from universal_data_connector_spark.operators.multimodal import resize_media_batch
+    df = spark.createDataFrame([(1, b"xx")], "asset_id bigint, content binary")
+    with pytest.raises(Exception) as exc:
+        resize_media_batch(df, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "resize requires" in str(exc.value)

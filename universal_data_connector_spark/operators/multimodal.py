@@ -98,6 +98,43 @@ def decode_image_batch(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_media_batch(df: DataFrame, target_bytes: int = 64,
+                       content_col: str = "content",
+                       fake: bool = False) -> DataFrame:
+    """Resize/resample plumbing via mapInPandas: binary in, binary out
+    (`content_resized`) plus `resized_length`.
+
+    A real implementation would decode, resize (image) or resample
+    (audio), and re-encode; that needs codec libraries this container
+    lacks, so without `fake=True` execution raises NotImplementedError.
+    With `fake=True` the output is deterministic nearest-neighbor byte
+    sampling to exactly `target_bytes` — the Arrow batch shape, binary
+    output schema, and per-row size contract are the real, tested part.
+    """
+    out_schema = T.StructType([*df.schema.fields,
+                               T.StructField("content_resized", T.BinaryType()),
+                               T.StructField("resized_length", T.LongType())])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media resize requires codec libraries — not available; "
+                    "pass fake=True for deterministic plumbing tests")
+            resized = []
+            for raw in pdf[content_col]:
+                raw = bytes(raw or b"")
+                if not raw:
+                    resized.append(bytes(target_bytes))
+                    continue
+                resized.append(bytes(raw[(i * len(raw)) // target_bytes]
+                                     for i in range(target_bytes)))
+            yield pdf.assign(content_resized=resized,
+                             resized_length=[len(r) for r in resized])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                   content_col: str = "content", max_frames: int = 16) -> DataFrame:
     """Frame-sampling plumbing: explode one row per sampled "frame"

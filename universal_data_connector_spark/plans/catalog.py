@@ -1450,6 +1450,43 @@ def multimodal_binary_meta(spark, sf_dir):
     return meta.select("doc_id", "byte_length", "content_sha256", "media_type")
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 256 AS INT) AS frame_offset
+    FROM (SELECT doc_id,
+                 unnest(range(0, least(octet_length(encode(text)) // 256 + 1, 8))) AS i
+          FROM documents)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (operators/multimodal.py:sample_frames):
+    one row per sampled frame offset, capped per asset. The offset
+    arithmetic stands in for a video decoder's keyframe index; the
+    explode shape — bounded fan-out per row, no shuffle — is the part
+    that must hold at 100 TB."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    return (om.sample_frames(d, every_n_bytes=256, max_frames=8)
+              .select("doc_id", "frame_idx",
+                      F.col("frame_offset").cast("int").alias("frame_offset")))
+
+
+@query("multimodal_resize")  # binary resampling is engine-specific -> rows-only
+def multimodal_resize(spark, sf_dir):
+    """Resize/resample plumbing (operators/multimodal.py:
+    resize_media_batch): binary in -> fixed-size binary out via
+    mapInPandas, deterministic fake in place of the codec (not in this
+    container). Emits the resized sha256 so the rows-only check still
+    pins deterministic content."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    out = om.resize_media_batch(d, target_bytes=64, fake=True)
+    return out.select("doc_id", "resized_length",
+                      F.sha2("content_resized", 256).alias("resized_sha256"))
+
+
 # ---------------------------------------------------------------------------
 # Sinks, verified by re-reading their output (SURVEY.md §2B "Sinks"),
 # and end-to-end streaming ingestion with real checkpoints.
