@@ -1661,6 +1661,56 @@ def stream_late_data_watermark(spark, sf_dir):
                         "n", "sum_value"))
 
 
+@query(
+    "stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round({_dsum('value')}, 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator, executed for real: per-key
+    running (count, sum) via applyInPandasWithState
+    (streaming/windows.py:stateful_running_totals) over a checkpointed
+    AvailableNow read of the events table into a memory sink. One
+    input file -> one micro-batch, so the emitted update per key IS
+    the final running total and the batch SQL oracle applies. Totals
+    are rounded to 4 decimals on both sides: the in-state accumulator
+    is float-order-dependent, the oracle decimal-exact. Cross-batch
+    state accumulation is separately pinned in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+    from universal_data_connector_spark.streaming.windows import (
+        stateful_running_totals,
+    )
+    from pyspark.sql import types as T
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="udc_stream_state_"), "ckpt")
+    path = os.path.join(sf_dir, "events.parquet")
+    # Stream with the RAW schema (ts arrives as bigint nanos under
+    # session.pin's nanosAsLong), then restore TimestampType exactly as
+    # tables.load does for the batch path.
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory: stream the sf dir with
+    # a glob pinned to the events table
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    totals = stateful_running_totals(stream)
+    sink = f"udc_state_totals_{uuid.uuid4().hex[:8]}"
+    q = (totals.writeStream.format("memory").queryName(sink)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select("user_id", "n_events",
+                    F.round("total_value", 4).alias("total_value")))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions: vocabulary building, reproducible
 # sampling, grouped distribution statistics.
