@@ -84,11 +84,19 @@ def language_id(col: Column) -> Column:
     downstream model's job.
     """
     toks = tokenize(col)
-    scored = None
-    for lang, words in STOPWORDS.items():
-        s = F.struct(_stopword_hits(toks, words).alias("hits"), F.lit(lang).alias("lang"))
-        scored = s if scored is None else F.when(s["hits"] > scored["hits"], s).otherwise(scored)
-    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("unknown"))
+    langs = list(STOPWORDS)  # insertion order = tie priority
+    # argmax as array_max over (hits, priority, lang) structs: structs
+    # compare field-by-field, so higher hits wins and earlier languages
+    # win ties. A when-chain fold would duplicate every hit-count
+    # subtree ~2^langs times in the expression tree (measured ~5x
+    # slower at sf0.1); here each count appears exactly once.
+    entries = [
+        F.struct(_stopword_hits(toks, STOPWORDS[lang]).alias("hits"),
+                 F.lit(len(langs) - i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
 
 def punct_ratio(col: Column) -> Column:
