@@ -143,3 +143,59 @@ def test_lineitem_orders_join_prunes_columns(spark):
     p = plan_str(j)
     schemas = [l for l in p.splitlines() if "ReadSchema" in l]
     assert schemas and all(l.count(":") <= 3 for l in schemas), schemas
+
+
+def test_pii_redact_is_pure_projection(spark):
+    """PII redaction must be a single scan->project pipeline: any
+    Exchange means the regex chain triggered a shuffle."""
+    p = plan_str(QUERIES["text_pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Python" not in p  # JVM-side regexps, no UDF in the hot path
+
+
+def test_embedding_normalize_is_pure_projection(spark):
+    """Norm + quantization are higher-order array expressions over the
+    scan — no shuffle, no Python."""
+    p = plan_str(QUERIES["embedding_normalize"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_frame_sample_no_shuffle(spark):
+    """Frame sampling is a bounded explode over the scan."""
+    p = plan_str(QUERIES["multimodal_frame_sample"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_rank_family_single_sort(spark):
+    """Five ranking functions over one window must share a single
+    shuffle + sort, not one per function."""
+    p = plan_str(QUERIES["window_rank_family"](spark, SF_DIR))
+    assert p.count("+- Exchange") == 1  # one shuffle in the plan tree
+    assert p.count("+- Sort") == 1      # one shared sort
+    assert p.count("+- Window") == 1    # all five functions in one Window node
+    assert "rangepartitioning" not in p
+
+
+def test_full_outer_join_not_nested_loop(spark):
+    """Aggregated full outer join must stay an equi hash/merge join."""
+    p = plan_str(QUERIES["join_full_outer"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_json_extract_prunes_columns(spark):
+    """JSON extraction reads only props + event_type."""
+    p = plan_str(QUERIES["json_funcs"](spark, SF_DIR))
+    schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schemas and all(l.count(":") <= 3 for l in schemas), schemas
+
+
+def test_connected_components_no_cartesian(spark):
+    """One large-star round must plan as aggregates + generate — a
+    cartesian product would mean the neighbor join lost its keys."""
+    from universal_data_connector_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_1 bigint, id_2 bigint")
+    p = plan_str(connected_components(edges, max_iterations=1))
+    assert "CartesianProduct" not in p

@@ -903,6 +903,62 @@ def base64_roundtrip(spark, sf_dir):
                     F.unbase64(b64).cast("string").alias("decoded"))
 
 
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_funcs(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    with a declared schema (from_json — no schema inference pass, which
+    would be a second full scan at 100 TB) and aggregate the extracted
+    field. Integer sums stay exact."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (e.select("event_type", k.alias("k"))
+             .filter(F.col("k").isNotNull())
+             .groupBy("event_type")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("k").cast("bigint").alias("sum_k"),
+                  F.min("k").cast("bigint").alias("min_k"),
+                  F.max("k").cast("bigint").alias("max_k")))
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Distribution statistics per group: sample stddev/variance,
+    covariance, correlation. Both engines merge partial moments
+    numerically (Chan/Welford-style), so outputs are rounded below the
+    last-ulp disagreement while staying far above data resolution.
+    One partial-aggregated shuffle regardless of how many moments ride
+    on the same groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+                   F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+                   F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                    .alias("cov_qty_price"),
+                   F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                    .alias("corr_qty_price")))
+
+
 # ---------------------------------------------------------------------------
 # Streaming semantics, verified on their batch-equivalent plans.
 # The same expressions run under readStream + withWatermark in

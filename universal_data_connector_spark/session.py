@@ -60,4 +60,12 @@ def pin(spark: SparkSession) -> SparkSession:
     # vectorized reader; read as bigint nanos and convert in tables.load
     # (lossless here: the synthetic data is microsecond-aligned).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Size shuffle/state partitions to the local machine: AQE coalesces
+    # batch shuffles at runtime, but streaming state stores take the
+    # static setting (AQE is disabled for stateful workloads), and a
+    # vanilla session's 200 empty state partitions are pure task
+    # overhead here. On a real cluster this path isn't used — the
+    # cluster session carries its own sizing.
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(int(cores), 8)))
     return spark
