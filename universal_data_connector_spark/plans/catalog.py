@@ -1445,6 +1445,43 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "text_rolling_hash",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              '[^\\x20-\\x7e]', '', 'g') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 [CAST(ascii(c) AS BIGINT)
+                                  for c in list_filter(string_split(t, ''), c -> c <> '')]),
+                    (a, x) -> (a * 31 + x) % 1000000007)
+           END AS rolling_hash
+    FROM norm
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style,
+    base 31 mod 1e9+7) over normalized printable-ASCII text — the
+    incremental-update-friendly fingerprint family, complementing
+    text_fingerprint's sha256. A sequential higher-order fold per
+    document: shuffle-free, JVM-side, O(chars)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.regexp_replace(ft.normalize_text(F.col("text")), r"[^\x20-\x7e]", "")
+    chars = F.filter(F.split(t, ""), lambda c: c != "")
+    fold = F.aggregate(chars, F.lit(0).cast("bigint"),
+                       lambda a, c: (a * 31 + F.ascii(c).cast("bigint")) % 1000000007)
+    return d.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0).cast("bigint"))
+         .otherwise(fold).alias("rolling_hash"))
+
+
+@query(
     "text_pii_redact",
     oracle=f"""
     WITH msg AS (
