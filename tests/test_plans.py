@@ -199,3 +199,12 @@ def test_connected_components_no_cartesian(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_1 bigint, id_2 bigint")
     p = plan_str(connected_components(edges, max_iterations=1))
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed co-located join: no Exchange anywhere — not for the
+    join, not for the following same-key aggregation."""
+    df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "SortMergeJoin" in p
+    assert "+- Exchange" not in p and "Exchange hashpartitioning" not in p, p

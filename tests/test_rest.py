@@ -1,0 +1,78 @@
+"""Control-plane REST API tests: the reference's 7 endpoints
+(API_TESTING.md workflow: start -> status -> jobs -> job status ->
+stop), driven over real HTTP against a live manager."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import yaml
+
+from universal_data_connector_spark.manager import PipelineManager
+from universal_data_connector_spark.rest import ControlPlaneServer
+
+
+def _req(method: str, url: str):
+    req = urllib.request.Request(url, method=method)
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_rest_lifecycle(spark, tmp_path):
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir(), out.mkdir()
+    (inp / "a.txt").write_text("important note\n")
+    cfg = {"pipelines": [{
+        "name": "rest-pipe",
+        "source": {"type": "file", "properties": {"path": str(inp)}},
+        "sink": {"type": "file", "properties": {"path": str(out),
+                                                "extension": ".txt"}},
+    }]}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    mgr = PipelineManager(spark)
+    srv = ControlPlaneServer(mgr, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}/api/pipelines"
+    try:
+        # start requires configFilePath (PipelineController.java:105-107)
+        try:
+            _req("POST", f"{base}/start")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        status, body = _req("POST", f"{base}/start?configFilePath={cfg_path}")
+        assert status == 200 and len(body["jobs"]) == 1
+        job = body["jobs"][0]
+        assert job.startswith("rest-pipe-")
+
+        assert mgr.wait(timeout=120)
+        status, body = _req("GET", f"{base}/jobs")
+        assert body[0]["name"] == job and body[0]["status"] == "COMPLETED"
+        assert set(body[0]) == {"name", "status", "submissionTime"}
+
+        status, body = _req("GET", f"{base}/jobs/{job}/status")
+        assert body == {"jobName": job, "running": False}
+
+        status, body = _req("GET", f"{base}/status")
+        assert body == {"runningCount": 0, "hasRunningPipelines": False}
+
+        status, body = _req("GET", f"{base}/count")
+        assert body == {"count": 0}
+
+        try:
+            _req("GET", f"{base}/jobs/nope/status")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        status, body = _req("POST", f"{base}/stop-all")
+        assert body == {"stopped": 0}  # nothing left running
+
+        assert os.listdir(out) == ["a.txt"]
+    finally:
+        srv.stop()

@@ -23,10 +23,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--once", action="store_true",
                     help="run batch pipelines to completion and exit")
     ap.add_argument("--cpus", default=None, help="local[N] parallelism")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="expose the REST control plane on this port "
+                         "(the reference's PipelineController API)")
     args = ap.parse_args(argv)
 
     spark = get_spark("udc-cli", cpus=args.cpus)
     mgr = PipelineManager(spark)
+    server = None
+    if args.serve is not None:
+        from universal_data_connector_spark.rest import serve
+        server = serve(mgr, port=args.serve)
+        print(json.dumps({"control_plane": f"http://127.0.0.1:{server.port}"}))
     started = mgr.start_all(args.config)
     print(json.dumps({"started": started}))
 
@@ -43,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
             time.sleep(5)
     except KeyboardInterrupt:
         mgr.stop_all()
+    finally:
+        if server is not None:
+            server.stop()
     return 0
 
 

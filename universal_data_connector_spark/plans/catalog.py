@@ -441,6 +441,50 @@ def join_asof(spark, sf_dir):
 
 
 @query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 200000
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Co-located join via bucketing: both sides written bucketed on
+    the join key, so the join (and the following per-key aggregation)
+    runs with ZERO exchanges — the structural fix when a big join's
+    shuffle would dominate at 100 TB and the key is stable enough to
+    pre-bucket. tests/test_plans.py asserts the executed plan has no
+    Exchange between the scans and the join. Bucketed tables persist in
+    the session warehouse; creation is idempotent per session."""
+    import uuid
+    n_buckets = 8
+    cache = getattr(spark, "_udc_bucket_tables", None)
+    if cache is None:
+        cache = spark._udc_bucket_tables = {}
+    if sf_dir not in cache:  # one bucketed copy per (session, sf_dir)
+        suffix = uuid.uuid4().hex[:8]
+        t_orders, t_lines = f"udc_b_orders_{suffix}", f"udc_b_lineitem_{suffix}"
+        (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+         .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(t_orders))
+        (load(spark, sf_dir, "lineitem").select("l_orderkey")
+         .write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(t_lines))
+        cache[sf_dir] = (t_orders, t_lines)
+    t_orders, t_lines = cache[sf_dir]
+    o = spark.table(t_orders).filter(F.col("o_totalprice") > 200000)
+    li = spark.table(t_lines)
+    # merge hint: keep the bucket-aligned sort-merge join even when the
+    # filtered side is small enough to broadcast — the point is the
+    # exchange-free co-location, which also feeds the groupBy on the
+    # same key without a shuffle.
+    return (o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+             .groupBy("o_orderkey")
+             .agg(F.count("*").cast("bigint").alias("n_lines")))
+
+
+@query(
     "join_full_outer",
     oracle="""
     SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_customers, s.n_suppliers

@@ -1,0 +1,123 @@
+"""REST control plane over the pipeline manager.
+
+Reproduces the reference's HTTP API surface
+(``controller/PipelineController.java`` in
+ThatNinjaGuy/universal-data-connector) with the Python standard
+library only — no web-framework dependency:
+
+| Method+path                              | reference               |
+|------------------------------------------|-------------------------|
+| POST /api/pipelines/start?configFilePath= | `PipelineController.java:91-120`  |
+| POST /api/pipelines/stop/{jobName}        | `:122-139`              |
+| POST /api/pipelines/stop-all              | `:141-154`              |
+| GET  /api/pipelines/status                | `:27-43`                |
+| GET  /api/pipelines/jobs                  | `:45-58`                |
+| GET  /api/pipelines/jobs/{jobName}/status | `:60-75`                |
+| GET  /api/pipelines/count                 | `:77-89`                |
+
+Responses are JSON with the DTO shapes of ``dto/JobInfo.java:8-34`` and
+the controller's map payloads (message/status keys). Missing
+``configFilePath`` answers 400 like the controller's validation
+(`:105-107`); unknown jobs answer 404.
+
+The server is a ThreadingHTTPServer on a daemon thread: submission
+returns after the manager call, not pipeline completion — the same
+boundary as the reference's servlet-thread -> Jet submission.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from universal_data_connector_spark.manager import PipelineManager
+
+
+class ControlPlaneServer:
+    def __init__(self, manager: PipelineManager,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.manager = manager
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet by default
+                pass
+
+            def _json(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 - http.server API
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                m = outer.manager
+                if parts == ["api", "pipelines", "status"]:
+                    return self._json(200, m.status())
+                if parts == ["api", "pipelines", "jobs"]:
+                    return self._json(200, m.jobs())
+                if parts == ["api", "pipelines", "count"]:
+                    return self._json(200, {"count": m.count()})
+                if (len(parts) == 5 and parts[:3] == ["api", "pipelines", "jobs"]
+                        and parts[4] == "status"):
+                    name = parts[3]
+                    if not any(j["name"] == name for j in m.jobs()):
+                        return self._json(404, {"error": f"job {name} not found"})
+                    return self._json(200, {"jobName": name,
+                                            "running": m.is_running(name)})
+                return self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):  # noqa: N802
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                m = outer.manager
+                if parts == ["api", "pipelines", "start"]:
+                    qs = parse_qs(url.query)
+                    path = (qs.get("configFilePath") or [None])[0]
+                    if not path:
+                        # controller validation (:105-107)
+                        return self._json(400, {"error": "configFilePath is required"})
+                    try:
+                        started = m.start_all(path)
+                    except Exception as exc:  # noqa: BLE001
+                        return self._json(500, {"error": str(exc)})
+                    return self._json(200, {"message": "Pipelines started",
+                                            "jobs": started})
+                if parts == ["api", "pipelines", "stop-all"]:
+                    return self._json(200, {"stopped": m.stop_all()})
+                if len(parts) == 4 and parts[:3] == ["api", "pipelines", "stop"]:
+                    name = parts[3]
+                    if not m.stop(name):
+                        return self._json(404, {"error": f"job {name} not found"})
+                    return self._json(200, {"message": f"Pipeline {name} stopped"})
+                return self._json(404, {"error": "unknown path"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "ControlPlaneServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="udc-control-plane", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(5)
+
+
+def serve(manager: PipelineManager, host: str = "127.0.0.1",
+          port: int = 8080) -> ControlPlaneServer:
+    """Start the control plane; returns the running server handle."""
+    return ControlPlaneServer(manager, host, port).start()
