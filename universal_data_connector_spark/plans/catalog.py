@@ -200,7 +200,7 @@ def filter_null_safe(spark, sf_dir):
     "filter_any_row_per_file",
     oracle="""
     SELECT doc_id, source FROM documents
-    WHERE source IN (SELECT source FROM documents WHERE text LIKE '%shuffle%')
+    WHERE source IN (SELECT source FROM documents WHERE text LIKE '%dup%')
     """,
 )
 def filter_any_row_per_file(spark, sf_dir):
@@ -209,7 +209,7 @@ def filter_any_row_per_file(spark, sf_dir):
     keeps the entire file-item). One window, no self-join."""
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source")
-    return (d.withColumn("__any", F.max(F.col("text").contains("shuffle").cast("int")).over(w))
+    return (d.withColumn("__any", F.max(F.col("text").contains("dup").cast("int")).over(w))
              .filter(F.col("__any") == 1)
              .select("doc_id", "source"))
 
@@ -374,11 +374,14 @@ def join_semi(spark, sf_dir):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def join_anti(spark, sf_dir):
-    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = load(spark, sf_dir, "customer")
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .select("c_custkey", "c_name"))
 
@@ -806,14 +809,17 @@ def set_intersect(spark, sf_dir):
 @query(
     "set_except",
     oracle="""
-    SELECT c_custkey FROM customer
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def set_except(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = (load(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
     return c.subtract(o)  # EXCEPT (distinct) semantics, same as the oracle
 
 
