@@ -126,3 +126,46 @@ def test_redact_pii_order_and_counts(spark):
     ).collect()[0]
     assert out.r == "mail [EMAIL] or call [PHONE] ssn [SSN] ip [IPV4]"
     assert (out.n_email, out.n_ssn, out.n_phone, out.n_ipv4) == (1, 1, 1, 1)
+
+
+def test_csv_fields_fuzz_against_python_csv(spark):
+    """RFC-4180 tokenizer fuzz: 300 seeded random rows (quotes, commas,
+    empties, unicode) written by Python's csv module must tokenize back
+    to the original fields — the reference's naive split(\",\") breaks
+    on most of these (SURVEY.md §7.4.2, the documented divergence)."""
+    import csv
+    import io
+    import random
+
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.sources.records import csv_fields
+
+    rng = random.Random(42)
+    alphabet = ['a', 'b', ',', '"', "'", ' ', 'é', '0', ';', '|']
+    rows = []
+    for _ in range(300):
+        fields = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+                  for _ in range(rng.randint(1, 5))]
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="").writerow(fields)
+        rows.append((buf.getvalue(), fields))
+
+    df = spark.createDataFrame([(line,) for line, _ in rows], "line string")
+    got = [r.f for r in df.select(csv_fields(F.col("line")).alias("f")).collect()]
+    for (line, expected), actual in zip(rows, got):
+        assert actual == expected, f"line {line!r}: {actual} != {expected}"
+
+
+def test_kafka_source_dispatch_gated(spark):
+    """No broker or kafka connector jar in this container: the source
+    must build its declarative contract and surface Spark's own
+    data-source error, not crash earlier in our dispatch."""
+    import pytest
+
+    from universal_data_connector_spark.sources.kafka import kafka_source
+    with pytest.raises(Exception) as exc:
+        kafka_source(spark, {"bootstrapServers": "localhost:9092",
+                             "topic": "t", "groupId": "g"})
+    msg = str(exc.value)
+    assert "kafka" in msg.lower()

@@ -33,13 +33,18 @@ from pyspark.sql import types as T
 from universal_data_connector_spark.functions import casts as fc
 
 # RFC-4180 field tokenizer: each field is either a quoted run (allowing
-# escaped "" inside) or a bare run up to the next comma.
-_CSV_FIELD_RE = r'(?:^|,)("(?:[^"]|"")*"|[^,]*)'
+# escaped "" inside) or a bare run up to the next comma. The line is
+# prefixed with ',' so every field match consumes its delimiter — an
+# anchored `(?:^|,)` form matches the first empty field zero-width,
+# after which the engine bumps past the real comma and silently drops
+# the second field (found by the fuzz test against Python's csv module).
+_CSV_FIELD_RE = r',("(?:[^"]|"")*"|[^,]*)'
 
 
 def csv_fields(line: Column) -> Column:
     """Tokenize one CSV line into an array of unquoted field strings."""
-    raw = F.regexp_extract_all(line, F.lit(_CSV_FIELD_RE), 1)
+    raw = F.regexp_extract_all(F.concat(F.lit(","), line),
+                               F.lit(_CSV_FIELD_RE), 1)
     return F.transform(raw, _unquote)
 
 
