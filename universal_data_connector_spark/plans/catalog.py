@@ -1351,7 +1351,7 @@ def embedding_normalize(spark, sf_dir):
     — a shuffle-free projection that quantizes 100 TB of vectors at
     scan speed. Zero vectors quantize to zeros rather than dividing by
     zero."""
-    e = load(spark, sf_dir, "embeddings")
+    e = orel.spread(load(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = e.select("vec_id", v.alias("__v")).withColumn(
         "__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
@@ -1384,7 +1384,7 @@ def embedding_normalize(spark, sf_dir):
 def text_tokenize_stats(spark, sf_dir):
     """Per-document token statistics (functions/text.py): all
     higher-order array expressions — a pure projection over 100 TB."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     toks = ft.tokenize(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
@@ -1410,7 +1410,7 @@ def text_tokenize_stats(spark, sf_dir):
 def text_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer count: regex over word / number /
     punctuation classes shared by Java regex and RE2."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", ft.regex_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
@@ -1446,7 +1446,7 @@ def text_language_id(spark, sf_dir):
     """Stopword-argmax language heuristic (functions/text.py). Ties
     resolve to the first language in (en, de, fr, es) order; all-zero
     resolves to 'unknown' — the oracle mirrors the fold order."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", F.col("lang").alias("labeled_lang"),
                     ft.language_id(F.col("text")).alias("predicted_lang"))
 
@@ -1476,7 +1476,7 @@ def text_quality_score(spark, sf_dir):
     """Composite quality heuristic (length / stopword / punctuation
     components, functions/text.py:quality_score), rounded to 6 dp for
     float robustness."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", F.round(ft.quality_score(F.col("text")), 6).alias("quality"))
 
 
@@ -1490,7 +1490,7 @@ def text_quality_score(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Deterministic document fingerprint over normalized text."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", ft.text_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -1520,7 +1520,7 @@ def text_rolling_hash(spark, sf_dir):
     incremental-update-friendly fingerprint family, complementing
     text_fingerprint's sha256. A sequential higher-order fold per
     document: shuffle-free, JVM-side, O(chars)."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     t = F.regexp_replace(ft.normalize_text(F.col("text")), r"[^\x20-\x7e]", "")
     chars = F.filter(F.split(t, ""), lambda c: c != "")
     fold = F.aggregate(chars, F.lit(0).cast("bigint"),
@@ -1557,7 +1557,7 @@ def text_pii_redact(spark, sf_dir):
     synthesized from customer columns so the testdata actually contains
     PII to find. A regexp_replace chain is a pure projection: scans
     100 TB with no shuffle and no Python."""
-    c = load(spark, sf_dir, "customer")
+    c = orel.spread(load(spark, sf_dir, "customer"))
     msg = F.concat(
         F.lit("Reach "), F.col("c_name"), F.lit(" <"),
         F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
@@ -1587,7 +1587,7 @@ def multimodal_binary_meta(spark, sf_dir):
     type; operators/multimodal.py). Text bytes sniff to octet-stream;
     real image/audio magic bytes are unit-tested in
     tests/test_multimodal.py."""
-    d = load(spark, sf_dir, "documents").select(
+    d = orel.spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("content"))
     meta = om.binary_metadata(d)
     return meta.select("doc_id", "byte_length", "content_sha256", "media_type")
@@ -1623,7 +1623,7 @@ def multimodal_resize(spark, sf_dir):
     mapInPandas, deterministic fake in place of the codec (not in this
     container). Emits the resized sha256 so the rows-only check still
     pins deterministic content."""
-    d = load(spark, sf_dir, "documents").select(
+    d = orel.spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("content"))
     out = om.resize_media_batch(d, target_bytes=64, fake=True)
     return out.select("doc_id", "resized_length",
@@ -1877,7 +1877,7 @@ def text_vocab_topk(spark, sf_dir):
     desc, token asc tiebreak). explode + partial-aggregated count is
     the scalable vocab build — token keys are skewed (stopwords), which
     map-side combine absorbs before the shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = orel.spread(load(spark, sf_dir, "documents"))
     counts = (d.select(F.explode(ft.tokenize(F.col("text"))).alias("token"))
                .groupBy("token").agg(F.count("*").cast("bigint").alias("n")))
     top = orel.top_k_per_group(counts, [], [F.col("n").desc(), F.col("token").asc()], 100)
