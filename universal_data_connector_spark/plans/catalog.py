@@ -488,6 +488,34 @@ def join_bucketed_colocated(spark, sf_dir):
 
 
 @query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT 'grp' || CAST(l_suppkey % 3 AS VARCHAR) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum('l_extendedprice')} AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Deterministic salted join under forced key skew: 600k fact rows
+    funneled onto THREE join keys (the pathology AQE's skew split can't
+    always reach, e.g. feeding stateful ops). The skewed side gets a
+    content-hash salt bucket, the 3-row dimension replicates across
+    salt values (operators/relational.py:salted_join), fanning each hot
+    key over `salt` tasks. Salting must be invisible in the result —
+    the oracle is the plain join, and values hash-match exactly."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select((F.col("l_suppkey") % 3).alias("k"), "l_extendedprice"))
+    dim = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("grp"), F.col("id").cast("string")).alias("label"))
+    j = orel.salted_join(li, dim, on=["k"], salt=16)
+    return (j.groupBy("label")
+             .agg(F.count("*").cast("bigint").alias("n_rows"),
+                  orel.exact_sum("l_extendedprice").alias("revenue")))
+
+
+@query(
     "join_full_outer",
     oracle="""
     SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_customers, s.n_suppliers
