@@ -1882,6 +1882,46 @@ def stream_stateful_totals(spark, sf_dir):
                     F.round("total_value", 4).alias("total_value")))
 
 
+@query(
+    "stream_static_enrich_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich_join(spark, sf_dir):
+    """Stream-static enrichment: a real micro-batch stream of events
+    joined to the static customer dimension (broadcast — the static
+    side never re-shuffles per batch), aggregated per segment in
+    complete mode. Decimal-exact sums make the result independent of
+    batch/partition order, so the batch SQL oracle hash-matches the
+    streaming output exactly."""
+    import os
+    import tempfile
+    import uuid
+    from pyspark.sql import types as T
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="udc_stream_enrich_"), "ckpt")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(orel.broadcast_dim(cust),
+                           stream.user_id == cust.c_custkey)
+    agg = (enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+           .agg(F.count("*").cast("bigint").alias("n_events"),
+                orel.exact_sum("value").alias("sum_value")))
+    sink = f"udc_enrich_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions: vocabulary building, reproducible
 # sampling, grouped distribution statistics.
