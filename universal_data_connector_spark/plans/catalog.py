@@ -1883,6 +1883,43 @@ def stream_stateful_totals(spark, sf_dir):
 
 
 @query(
+    "agg_grouped_mad_pandas",
+    oracle="""
+    WITH med AS (SELECT user_id, median(value) AS m FROM events GROUP BY 1)
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(median(abs(e.value - med.m)), 6) AS mad
+    FROM events e JOIN med USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def agg_grouped_mad_pandas(spark, sf_dir):
+    """Custom grouped operator through the Arrow extension point:
+    per-user median absolute deviation via groupBy().applyInPandas —
+    the escape hatch for per-group logic Spark aggregates can't
+    express in one pass (MAD needs the group's median before the
+    deviations). One shuffle on the group key, then numpy per Arrow
+    batch; still hash-checked against a SQL oracle (median and
+    midpoint interpolation are the same arithmetic in numpy and
+    DuckDB)."""
+    import numpy as np
+    import pandas as pd
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=float)
+        m = np.median(v)
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n": [len(v)],
+            "mad": [round(float(np.median(np.abs(v - m))), 6)],
+        })
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    return (e.groupBy("user_id")
+             .applyInPandas(mad, "user_id bigint, n bigint, mad double"))
+
+
+@query(
     "stream_static_enrich_join",
     oracle=f"""
     SELECT c.c_mktsegment AS segment,
