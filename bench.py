@@ -55,10 +55,12 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def run_best(name: str, reps: int = 3) -> float:
+    def run_best(name: str, reps: int = 4) -> float:
         """Min over reps: the host VM shows transient multi-second CPU
         starvation spikes that land on random queries; min-of-N measures
-        the engine, not the neighbor."""
+        the engine, not the neighbor. Four reps so operators whose first
+        execution materializes an eager checkpoint still get three
+        clean samples."""
         return min(run(name) for _ in range(reps))
 
     run("agg_hash_sum_avg")  # warm-up: JVM, codegen, parquet footer cache

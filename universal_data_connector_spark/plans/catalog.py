@@ -466,13 +466,20 @@ def join_bucketed_colocated(spark, sf_dir):
     if cache is None:
         cache = spark._udc_bucket_tables = {}
     if sf_dir not in cache:  # one bucketed copy per (session, sf_dir)
+        import os
+        import tempfile
         suffix = uuid.uuid4().hex[:8]
         t_orders, t_lines = f"udc_b_orders_{suffix}", f"udc_b_lineitem_{suffix}"
+        # external tables with an explicit location: saveAsTable would
+        # otherwise drop a spark-warehouse dir under the CALLER's cwd
+        base = tempfile.mkdtemp(prefix="udc_bucketed_")
         (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
          .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+         .option("path", os.path.join(base, t_orders))
          .mode("overwrite").saveAsTable(t_orders))
         (load(spark, sf_dir, "lineitem").select("l_orderkey")
          .write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+         .option("path", os.path.join(base, t_lines))
          .mode("overwrite").saveAsTable(t_lines))
         cache[sf_dir] = (t_orders, t_lines)
     t_orders, t_lines = cache[sf_dir]
