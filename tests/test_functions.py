@@ -169,3 +169,35 @@ def test_kafka_source_dispatch_gated(spark):
                              "topic": "t", "groupId": "g"})
     msg = str(exc.value)
     assert "kafka" in msg.lower()
+
+
+def test_rolling_hash_matches_python_reference(spark):
+    """The catalog's Rabin-Karp fold must equal a straight Python
+    implementation over the same normalization (lower, collapse
+    whitespace, strip non-printable-ASCII), including unicode and
+    empty-string edge cases."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.functions.text import normalize_text
+
+    def py_hash(text):
+        t = _re.sub(r"\s+", " ", text.lower()).strip()
+        t = _re.sub(r"[^\x20-\x7e]", "", t)
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 1000000007
+        return h  # 0 for empty, same as the query's guard
+
+    cases = ["hello world", "  Spaced\tOUT  ", "", "é∂ƒ unicode müx",
+             "a", "comma, \"quoted\"", "ASCII and é mixed 123"]
+    t = F.regexp_replace(normalize_text(F.col("s")), r"[^\x20-\x7e]", "")
+    chars = F.filter(F.split(t, ""), lambda c: c != "")
+    fold = F.aggregate(chars, F.lit(0).cast("bigint"),
+                       lambda a, c: (a * 31 + F.ascii(c).cast("bigint")) % 1000000007)
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.h for r in df.select(
+        F.when(F.length(t) == 0, F.lit(0).cast("bigint")).otherwise(fold).alias("h")
+    ).collect()]
+    assert got == [py_hash(c) for c in cases]

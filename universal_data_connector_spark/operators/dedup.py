@@ -537,13 +537,24 @@ def connected_components(edges: DataFrame, src: str = "id_1",
                     .filter(F.col("u") != F.col("v"))
                     .distinct())
 
+    import logging
+
     sig = _signature(e)
+    converged = False
     for _ in range(max_iterations):
         e = small_star(large_star(e)).localCheckpoint(eager=True)
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # O(log n) rounds suffice for any graph; hitting the cap means
+        # labels may not be component minima yet — say so rather than
+        # returning silently-wrong canonical ids.
+        logging.getLogger(__name__).warning(
+            "connected_components: no convergence after %d iterations; "
+            "labels may be partial", max_iterations)
     # Converged edge set is a forest of stars (u -> component min).
     nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
