@@ -495,6 +495,41 @@ def join_bucketed_colocated(spark, sf_dir):
 
 
 @query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_overlapping_views
+    FROM (SELECT event_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+          FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT event_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+               FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id AND v.s <= c.e AND c.s <= v.e
+    GROUP BY c.event_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: each click's 30-minute activity window
+    against overlapping view windows of the same user. The equi
+    component (user_id) keeps it a hash join with the overlap range as
+    a post-join filter — never a nested loop; at scale, bucketing both
+    sides on the key co-locates it."""
+    e = load(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"), "user_id",
+                       F.col("ts").alias("c_s"), (F.col("ts") + half_hour).alias("c_e")))
+    views = (e.filter(F.col("event_type") == "view")
+              .select(F.col("event_id").alias("view_id"),
+                      F.col("user_id").alias("v_user"),
+                      F.col("ts").alias("v_s"), (F.col("ts") + half_hour).alias("v_e")))
+    j = clicks.join(views, (clicks.user_id == views.v_user)
+                    & (views.v_s <= clicks.c_e) & (clicks.c_s <= views.v_e),
+                    "left")
+    return (j.groupBy("click_id")
+             .agg(F.count("view_id").cast("bigint").alias("n_overlapping_views")))
+
+
+@query(
     "join_salted_skew",
     oracle=f"""
     SELECT 'grp' || CAST(l_suppkey % 3 AS VARCHAR) AS label,
@@ -769,6 +804,35 @@ def window_rank_family(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w2 AS last_key,
+           nth_value(o_orderkey, 2) OVER w2 AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """first/last/nth positional window values. last_value and
+    nth_value run over the full-partition frame (the default
+    running frame makes last_value just the current row — the classic
+    trap); the unique o_orderkey tiebreak keeps every position
+    deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w2).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_key"))
 
 
 # ---------------------------------------------------------------------------
