@@ -2081,6 +2081,65 @@ def sample_deterministic(spark, sf_dir):
 
 
 @query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE substr(sha256(CAST(event_id AS VARCHAR)), 1, 2) <
+          CASE event_type WHEN 'click' THEN '80'
+                          WHEN 'view' THEN '08' ELSE '20' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates from a
+    content hash (clicks 50%, views ~3%, rest 12.5%) — the
+    source-rebalancing op of a training-data pipeline. Hash-gated
+    sampling is reproducible across runs, engines, and cluster sizes,
+    unlike rand()-based sampling; a pure projection+filter, no
+    shuffle."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 2)
+    rate = (F.when(F.col("event_type") == "click", "80")
+             .when(F.col("event_type") == "view", "08")
+             .otherwise("20"))
+    return e.filter(bucket < rate).select("event_id", "event_type")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ), counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS t FROM tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(ln(counts.n / tot.t)), 4) AS logprob
+    FROM tok JOIN counts USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram log-probability scorer — the cheap
+    statistical quality signal (low logprob = unusual token mix).
+    Two passes: token counts (map-side combined), then score-join —
+    the count table is vocabulary-sized, so it broadcasts at any
+    corpus scale. Log-sums are rounded below double addition-order
+    divergence."""
+    d = orel.spread(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(ft.tokenize(F.col("text"))).alias("token"))
+    tok = tok.localCheckpoint(eager=True)  # consumed twice (counts + scoring)
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = tok.count()
+    return (tok.join(orel.broadcast_dim(counts), "token")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                    F.round(F.sum(F.log(F.col("n") / F.lit(total))), 4)
+                     .alias("logprob")))
+
+
+@query(
     "agg_percentile_exact",
     oracle="""
     SELECT event_type,
