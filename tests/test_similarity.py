@@ -124,3 +124,26 @@ def test_ivf_kmeans_recovers_planted_clusters(spark):
                                 centroids=cents).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"k-means IVF recall@5 = {recall:.2f}"
+
+
+def test_lsh_topk_recall_on_planted_clusters(spark):
+    """Three tight planted clusters: hyperplane LSH must put
+    same-cluster vectors at the top of each query's neighbor list."""
+    import numpy as np
+
+    from universal_data_connector_spark.operators.similarity import lsh_topk
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(3):
+        center = rng.standard_normal(16) * 3
+        for i in range(8):
+            v = center + rng.standard_normal(16) * 0.05
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = lsh_topk(df.filter("vec_id % 100 = 0"), df, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    for c in range(3):
+        q = c * 100
+        neighbors = {n for (qq, n) in got if qq == q}
+        assert neighbors and all(n // 100 == c for n in neighbors), \
+            f"cluster {c}: {neighbors}"

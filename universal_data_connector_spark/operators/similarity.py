@@ -21,6 +21,8 @@ for very wide vectors swap in the numpy Pandas-UDF variant
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -165,3 +167,77 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return top_k_per_group(scored, ["query_id"],
                            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
                            k, rank_alias="rank")
+
+
+def lsh_signatures(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_planes: int = 16,
+                   seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH signatures: sign bit of the dot product
+    against `n_planes` fixed Gaussian hyperplanes, packed into one int.
+
+    The hyperplanes are generated ONCE at plan-build time from a fixed
+    seed, so every executor, run, and cluster sees identical constants
+    — signatures are reproducible. Arrow-batched matrix multiply, pure
+    projection, no shuffle: at 100 TB the signature pass rides the
+    scan. Collision probability for two vectors is (1 - theta/pi) per
+    bit (Charikar), so same-bucket rates track cosine similarity.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        weights = np.random.default_rng(seed).standard_normal(
+            (M.shape[1], n_planes))
+        bits = (M @ weights) > 0
+        packed = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(packed.astype(np.int32))
+
+    return spread(df, id_col).select(
+        F.col(id_col), F.col(vec_col), sig(vec_col).alias("__sig"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 16, bands: int = 4, seed: int = 7) -> DataFrame:
+    """Approximate cosine top-k via banded hyperplane LSH.
+
+    Signatures are split into `bands` sub-codes; a corpus vector is a
+    candidate for a query iff any band matches exactly (pigeonhole:
+    near vectors disagree on few bits, so some band collides). Exact
+    cosine ranks the candidate set only — the same
+    candidates-then-verify discipline as MinHash dedup. One shuffle on
+    (band_idx, band_value); bucket sizes are balanced because random
+    hyperplanes split the space evenly.
+    """
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+        bs = F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright("__sig", b * width).bitwiseAND(mask)
+                      .alias("band_val"))
+            for b in range(bands)]))
+        return (sig.select(F.col(id_col).alias(f"{prefix}_id"),
+                           F.col(vec_col).alias(f"__{prefix}v"),
+                           bs.alias("b"))
+                   .select(f"{prefix}_id", f"__{prefix}v",
+                           "b.band_idx", "b.band_val"))
+
+    qb = banded(queries, "query").localCheckpoint(eager=True)
+    cb = banded(corpus, "neighbor").localCheckpoint(eager=True)
+    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "__queryv", "neighbor_id", "__neighborv")
+              .distinct())
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col("__queryv"), F.col("__neighborv")))
+    ranked = top_k_per_group(
+        scored, ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()], k,
+        rank_alias="rank")
+    return ranked.select("query_id", "neighbor_id", "cosine", "rank")

@@ -1413,6 +1413,20 @@ def sim_search_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+@query("sim_search_lsh")  # approximate by design -> rows-only
+def sim_search_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (operators/similarity.py:
+    lsh_topk): 16 fixed Gaussian hyperplanes -> sign signature -> 4
+    pigeonhole bands -> candidates -> exact cosine rank. The
+    candidates-then-verify discipline of MinHash dedup applied to
+    vectors; recall on planted clusters is pinned in
+    tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    out = osim.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 @query("sim_search_ivf_kmeans")  # approximate + trained -> rows-only
 def sim_search_ivf_kmeans(spark, sf_dir):
     """IVF over MLlib spherical-k-means inverted lists (fixed seed):
