@@ -148,3 +148,37 @@ def test_file_filter_text_fallback_and_trim(spark, tmp_path):
     }]}).pipelines[0]
     run(spark, cfg)
     assert sorted(os.listdir(out)) == ["note.txt", "padded.csv"]
+
+
+def test_filter_on_binary_directory_source(spark, tmp_path):
+    """Directory-source frames carry BinaryType content; both filter
+    branches (whole-item and column-aware CSV) must decode and match."""
+    from universal_data_connector_spark.engine import apply_transformations
+    from universal_data_connector_spark.config import TransformationConfig
+    from universal_data_connector_spark.sources.files import directory_source
+    base = tmp_path / "bin"
+    _write(str(base / "match.csv"), "id,status\n1,important\n")
+    _write(str(base / "nomatch.csv"), "id,status\n2,normal\n")
+    _write(str(base / "note.bin"), "important binary payload")
+    df = directory_source(spark, {"path": str(base)})
+    whole = apply_transformations(df, [TransformationConfig(
+        type="filter", properties={"condition": "important"})])
+    assert {r.source_file for r in whole.collect()} == {"match.csv", "note.bin"}
+    col = apply_transformations(df, [TransformationConfig(
+        type="filter", properties={"column": "status", "condition": "important"})])
+    assert {r.source_file for r in col.collect()} == {"match.csv", "note.bin"}
+
+
+def test_record_mode_filter_missing_column_drops_all(spark):
+    """Record-mode filter on a nonexistent column: the reference's
+    error->drop path (empty result), with case-insensitive resolution
+    for columns that do exist."""
+    from universal_data_connector_spark.config import TransformationConfig
+    from universal_data_connector_spark.engine import apply_transformations
+    df = spark.createDataFrame([(1, "Alpha"), (2, "beta")], "id bigint, Name string")
+    ok = apply_transformations(df, [TransformationConfig(
+        type="filter", properties={"column": "name", "condition": "Alp"})])
+    assert [r.id for r in ok.collect()] == [1]
+    gone = apply_transformations(df, [TransformationConfig(
+        type="filter", properties={"column": "nope", "condition": "x"})])
+    assert gone.count() == 0

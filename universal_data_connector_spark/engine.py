@@ -48,13 +48,25 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
     column = (props.get("column") or "").strip()
     condition = str(props.get("condition", ""))
     if not column:
-        # whole-item substring (PipelineBuilder.java:83)
+        # whole-item substring (PipelineBuilder.java:83). Cast covers
+        # binary content (directory source): UTF-8 decode, then match.
         target = "content" if "content" in df.columns else df.columns[0]
-        return df.filter(F.col(target).contains(condition))
+        return df.filter(F.col(target).cast("string").contains(condition))
 
     if not _is_file_mode(df):
-        # record-mode: row-level contains on the named column
-        return df.filter(F.col(column).cast("string").contains(condition))
+        # record-mode: row-level contains on the named column,
+        # resolved case-insensitively like the reference's header
+        # matching (PipelineBuilder.java:56-66). A missing column is
+        # the reference's error->drop path (:84-87): empty result,
+        # not an analysis error that kills the pipeline.
+        resolved = next((c for c in df.columns
+                         if c.lower() == column.lower()), None)
+        if resolved is None:
+            log.warning("filter column %r not found in %s — dropping all "
+                        "rows (reference error->drop semantics)",
+                        column, df.columns)
+            return df.limit(0)
+        return df.filter(F.col(resolved).cast("string").contains(condition))
 
     # file-mode: the reference only takes the column-aware CSV branch
     # for TYPE=CSV items (PipelineBuilder.java:42: parts[1].equals
@@ -64,7 +76,8 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
     # `condition`? Missing column / empty file -> no match -> drop,
     # same as the reference's error->drop path (:84-87).
     is_csv = F.col("file_type") == "CSV"
-    non_csv_kept = df.filter(~is_csv).filter(F.col("content").contains(condition))
+    non_csv_kept = df.filter(~is_csv).filter(
+        F.col("content").cast("string").contains(condition))
     rows = (explode_csv_rows(df.filter(is_csv))
             .filter(F.trim(field_value(None, column)).contains(condition)))
     if str(props.get("granularity", "file")).lower() == "file":

@@ -61,7 +61,9 @@ def explode_csv_rows(df: DataFrame, content_col: str = "content") -> DataFrame:
     preserves intra-file order), ``__line`` (the raw CSV line),
     ``__fields`` (map lower(header) -> raw string value).
     """
-    lines = F.split(F.col(content_col), "\r?\n")
+    # cast: directory-source frames carry BinaryType content; CSV
+    # promotion decodes it as UTF-8 (no-op for string content)
+    lines = F.split(F.col(content_col).cast("string"), "\r?\n")
     header = F.transform(csv_fields(F.element_at(lines, 1)),
                          lambda h: F.lower(F.trim(h)))
     data = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
