@@ -31,3 +31,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL if either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize (NULL for zero-norm input). Normalizing each
+    side ONCE turns pairwise cosine into a single dot product — for a
+    candidate join over P pairs this evaluates O(N) norms instead of
+    O(P) norm pairs."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(_as_double(a), lambda x: x / n))

@@ -1367,12 +1367,21 @@ def dedup_embedding_cosine(spark, sf_dir):
     testdata's max pairwise cosine (~0.51 — random vectors, no planted
     dups), so no pair rides a float boundary. The mechanism is proven
     on planted near-dup vectors in tests/test_dedup.py."""
-    from universal_data_connector_spark.functions.vectors import cosine_similarity
+    from universal_data_connector_spark.functions.vectors import (
+        dot_product,
+        l2_normalize,
+    )
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("__e1"))
-    b = e.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("__e2"))
+    # normalize ONCE per vector (O(N) norms), checkpoint so both join
+    # sides reuse it, then a single dot product per pair — 3x less
+    # higher-order-function work than cosine per pair
+    unit = (orel.spread(e, "vec_id")
+            .select("vec_id", l2_normalize(F.col("embedding")).alias("__u"))
+            .localCheckpoint(eager=True))
+    a = unit.select(F.col("vec_id").alias("id_1"), F.col("__u").alias("__u1"))
+    b = unit.select(F.col("vec_id").alias("id_2"), F.col("__u").alias("__u2"))
     return (a.join(b, F.col("id_1") < F.col("id_2"))
-             .filter(cosine_similarity(F.col("__e1"), F.col("__e2")) >= 0.95)
+             .filter(dot_product(F.col("__u1"), F.col("__u2")) >= 0.95)
              .select("id_1", "id_2"))
 
 
@@ -1436,7 +1445,7 @@ def sim_search_ivf_kmeans(spark, sf_dir):
     synthetic embeddings table is near-isotropic, where no list
     assignment can beat random)."""
     e = load(spark, sf_dir, "embeddings")
-    cents = osim.kmeans_centroids(e, n_centroids=8)
+    cents = osim.kmeans_centroids(e, n_centroids=8, max_iter=8)
     out = osim.ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
                         n_centroids=8, n_probe=2, centroids=cents)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
