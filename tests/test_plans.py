@@ -211,3 +211,12 @@ def test_bucketed_join_zero_exchange(spark):
     p = plan_str(df)
     assert "SortMergeJoin" in p
     assert "+- Exchange" not in p and "Exchange hashpartitioning" not in p, p
+
+
+def test_interval_overlap_is_hash_join(spark):
+    """The equi key must carry the join; the overlap range is a
+    post-join condition, never a nested loop over both sides."""
+    p = plan_str(QUERIES["join_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

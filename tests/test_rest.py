@@ -76,3 +76,18 @@ def test_rest_lifecycle(spark, tmp_path):
         assert os.listdir(out) == ["a.txt"]
     finally:
         srv.stop()
+
+
+def test_rest_start_bad_config_returns_500(spark, tmp_path):
+    import urllib.error
+    mgr = PipelineManager(spark)
+    srv = ControlPlaneServer(mgr, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}/api/pipelines"
+    try:
+        try:
+            _req("POST", f"{base}/start?configFilePath=/nonexistent.yaml")
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.stop()
