@@ -121,6 +121,43 @@ def test_embedding_cosine_dedup_planted(spark):
     near_pairs = [(r.id_1, r.id_2) for r in sims.filter(F.col("cos") >= 0.95).collect()]
     assert near_pairs == [(0, 10)]
 
+    # the catalog's candidates-then-verify path must agree with the
+    # exact all-pairs oracle above: planted pair found, nothing else
+    from universal_data_connector_spark.operators.similarity import (
+        lsh_near_dup_pairs)
+    lsh_pairs = [(r.id_1, r.id_2)
+                 for r in lsh_near_dup_pairs(e, threshold=0.95).collect()]
+    assert lsh_pairs == near_pairs
+
+
+def test_embedding_cosine_dedup_lsh_matches_exact_on_cluster(spark):
+    """Recall check at scale-ish: a cluster of 30 noisy copies of one
+    vector plus 200 random vectors — the banded path must return exactly
+    the same pair set as the exact all-pairs oracle (32x12-bit bands put
+    the per-pair miss probability at ~3e-5 at the 0.95 boundary;
+    planted pairs sit ~0.99 where it vanishes)."""
+    import numpy as np
+    from universal_data_connector_spark.functions.vectors import cosine_similarity
+    from universal_data_connector_spark.operators.similarity import (
+        lsh_near_dup_pairs)
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=64)
+    rows = [(i, [float(x) for x in base + rng.normal(scale=0.03, size=64)])
+            for i in range(30)]
+    rows += [(100 + i, [float(x) for x in rng.normal(size=64)])
+             for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a = e.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("e2"))
+    exact = {(r.id_1, r.id_2) for r in
+             a.join(b, F.col("id_1") < F.col("id_2"))
+              .filter(cosine_similarity(F.col("e1"), F.col("e2")) >= 0.95)
+              .collect()}
+    got = {(r.id_1, r.id_2)
+           for r in lsh_near_dup_pairs(e, threshold=0.95).collect()}
+    assert len(exact) >= 400   # 30 noisy copies pair densely
+    assert got == exact
+
 
 def test_connected_components_shapes(spark):
     """Chain, triangle-with-tail, pair, and isolated-from-edges cases:

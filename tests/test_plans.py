@@ -104,6 +104,16 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_embedding_dedup_no_all_pairs_join(spark):
+    """dedup_embedding_cosine must be candidates-then-verify: the band
+    self-join and the verify joins are all equi-joins. A
+    BroadcastNestedLoopJoin or CartesianProduct anywhere means the
+    all-pairs O(n^2) form leaked back into the catalog."""
+    p = plan_str(QUERIES["dedup_embedding_cosine"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_window_topk_single_shuffle(spark):
     """Grouped top-k = one shuffle on the partition keys, then a local
     sort — a global sort (Exchange rangepartitioning over all rows)

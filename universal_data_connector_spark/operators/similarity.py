@@ -184,16 +184,21 @@ def lsh_signatures(df: DataFrame, id_col: str = "vec_id",
     """
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.IntegerType())
+    if not 1 <= n_planes <= 63:
+        # packed into one signed int64; bit 63 would flip the sign and
+        # corrupt shiftright-based band extraction downstream
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
+
+    @F.pandas_udf(T.LongType())
     def sig(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         weights = np.random.default_rng(seed).standard_normal(
             (M.shape[1], n_planes))
         bits = (M @ weights) > 0
-        packed = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-        return pd.Series(packed.astype(np.int32))
+        packed = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
 
     return spread(df, id_col).select(
         F.col(id_col), F.col(vec_col), sig(vec_col).alias("__sig"))
@@ -212,6 +217,10 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     (band_idx, band_value); bucket sizes are balanced because random
     hyperplanes split the space evenly.
     """
+    if n_planes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_planes ({n_planes}); the top "
+            f"{n_planes % bands} bits would silently drop out of every band")
     width = n_planes // bands
     mask = (1 << width) - 1
 
@@ -241,3 +250,87 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         [F.col("cosine").desc(), F.col("neighbor_id").asc()], k,
         rank_alias="rank")
     return ranked.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_planes: int = 384,
+                     bands: int = 32, seed: int = 7) -> DataFrame:
+    """Per-band hyperplane-LSH codes: (id, band_idx, band_val).
+
+    Unlike `lsh_signatures` (one packed int64, <= 63 planes total) each
+    band's `width = n_planes // bands` sign bits are packed into its own
+    int64, so `n_planes` can grow to whatever the recall target needs
+    (only the per-band width is capped at 63). One Arrow matmul per
+    batch, fixed-seed hyperplanes, bounded fan-out of `bands` rows per
+    vector — the pass rides the scan, no shuffle.
+    """
+    from pyspark.sql import types as T
+
+    if n_planes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
+    width = n_planes // bands
+    if not 1 <= width <= 63:
+        raise ValueError(f"bits per band must be in [1, 63], got {width}")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_vals(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        weights = np.random.default_rng(seed).standard_normal(
+            (M.shape[1], n_planes))
+        bits = (M @ weights) > 0                       # (n, n_planes)
+        pack = 1 << np.arange(width, dtype=np.int64)   # (width,)
+        vals = bits.reshape(len(vs), bands, width) @ pack   # (n, bands)
+        return pd.Series(list(vals))
+
+    return (spread(df, id_col)
+            .select(F.col(id_col), band_vals(vec_col).alias("__bands"))
+            .select(id_col, F.posexplode("__bands").alias("band_idx", "band_val")))
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_planes: int = 384, bands: int = 32,
+                       seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) by
+    candidates-then-verify — the same discipline as MinHash dedup,
+    replacing the O(n^2) all-pairs join that cannot survive 100 TB.
+
+    1. band codes per vector (`hyperplane_bands`, projection-only),
+    2. equi-self-join on (band_idx, band_val): a pair is a candidate iff
+       some band matches exactly — cost is sum(bucket^2) per band, not
+       n^2/2 (random hyperplanes keep buckets balanced),
+    3. exact verify: one dot product per candidate over once-normalized
+       vectors.
+
+    Recall at the decision boundary is probabilistic but engineered to
+    ~1: per-bit agreement for cosine 0.95 is 1 - theta/pi ~ 0.899
+    (Charikar), so with the default 32 bands x 12 bits a true pair
+    misses every band with probability (1 - 0.899^12)^32 ~ 3e-5, and
+    vanishes above the threshold. The exact all-pairs form remains the
+    test oracle (tests/test_dedup.py), not a catalog entry.
+    """
+    from universal_data_connector_spark.functions.vectors import (
+        dot_product,
+        l2_normalize,
+    )
+    unit = (spread(df, id_col)
+            .select(F.col(id_col).alias("__id"),
+                    l2_normalize(F.col(vec_col)).alias("__u"))
+            .localCheckpoint(eager=True))   # reused by both verify sides
+    # eager checkpoint: the self-join below would otherwise run the
+    # Arrow signature matmul once per side under AQE
+    b = (hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)
+         .localCheckpoint(eager=True))
+    cand = (b.select(F.col(id_col).alias("id_1"), "band_idx", "band_val")
+             .join(b.select(F.col(id_col).alias("id_2"), "band_idx", "band_val"),
+                   ["band_idx", "band_val"])
+             .filter(F.col("id_1") < F.col("id_2"))
+             .select("id_1", "id_2")
+             .distinct())
+    u1 = unit.select(F.col("__id").alias("id_1"), F.col("__u").alias("__u1"))
+    u2 = unit.select(F.col("__id").alias("id_2"), F.col("__u").alias("__u2"))
+    return (cand.join(u1, "id_1").join(u2, "id_2")
+                .filter(dot_product(F.col("__u1"), F.col("__u2")) >= threshold)
+                .select("id_1", "id_2"))

@@ -1359,30 +1359,19 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.95. Exact pairwise here
-    (the verify primitive); the scale path is the same predicate inside
-    LSH/IVF buckets (operators/similarity.py) — never all-pairs at
-    100 TB. Cosine values are excluded from the output so the check is
+    """Embedding near-dup pairs: cosine >= 0.95, candidates-then-verify
+    (operators/similarity.py:lsh_near_dup_pairs) — hyperplane-LSH band
+    equi-join generates candidates, one dot product over once-normalized
+    vectors verifies each. No all-pairs join anywhere in the plan (the
+    exact pairwise form lives only in tests/test_dedup.py as the
+    oracle). Cosine values are excluded from the output so the check is
     robust to last-ulp float differences; 0.95 sits far above the
     testdata's max pairwise cosine (~0.51 — random vectors, no planted
-    dups), so no pair rides a float boundary. The mechanism is proven
-    on planted near-dup vectors in tests/test_dedup.py."""
-    from universal_data_connector_spark.functions.vectors import (
-        dot_product,
-        l2_normalize,
-    )
+    dups), so no pair rides a float boundary, and banding recall at the
+    boundary (~1 - 3e-5 with 32x12-bit bands) is proven on planted
+    near-dup vectors in tests/test_dedup.py."""
     e = load(spark, sf_dir, "embeddings")
-    # normalize ONCE per vector (O(N) norms), checkpoint so both join
-    # sides reuse it, then a single dot product per pair — 3x less
-    # higher-order-function work than cosine per pair
-    unit = (orel.spread(e, "vec_id")
-            .select("vec_id", l2_normalize(F.col("embedding")).alias("__u"))
-            .localCheckpoint(eager=True))
-    a = unit.select(F.col("vec_id").alias("id_1"), F.col("__u").alias("__u1"))
-    b = unit.select(F.col("vec_id").alias("id_2"), F.col("__u").alias("__u2"))
-    return (a.join(b, F.col("id_1") < F.col("id_2"))
-             .filter(dot_product(F.col("__u1"), F.col("__u2")) >= 0.95)
-             .select("id_1", "id_2"))
+    return osim.lsh_near_dup_pairs(e, threshold=0.95).select("id_1", "id_2")
 
 
 @query(
