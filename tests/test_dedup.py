@@ -70,6 +70,32 @@ def test_minhash_pairs_subset_of_exact_and_high_recall(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+def test_ngram_jaccard_postings_cap(spark):
+    """max_postings drops stop-shingles from the join only: sizes keep
+    every gram, so capped Jaccard underestimates — pairs can drop out
+    but never appear spuriously, and docs sharing only rare shingles
+    are unaffected."""
+    # 4 docs all share one "stop" 3-gram; docs 1/2 also share a rare tail
+    stop = "the common stop phrase here"
+    rows = [(1, stop + " alpha beta gamma delta"),
+            (2, stop + " alpha beta gamma delta"),
+            (3, stop + " epsilon zeta eta theta"),
+            (4, stop + " iota kappa lam mu")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {(r.id_1, r.id_2): r.jaccard for r in
+             ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1).collect()}
+    capped = {(r.id_1, r.id_2): r.jaccard for r in
+              ngram_jaccard_pairs(d, shingle_n=3, threshold=0.1,
+                                  max_postings=3).collect()}
+    assert set(capped) <= set(exact)
+    assert (1, 2) in capped                      # rare-shingle pair survives
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12             # strict underestimate
+    # grams shared by all 4 docs exceed the cap and leave the join, so
+    # pairs that ONLY shared stop-shingles disappear
+    assert (3, 4) in exact and (3, 4) not in capped
+
+
 def test_simhash_planted_near_dup(docs, spark):
     """SimHash distances order near-dups below unrelated docs, and the
     pigeonhole banding finds every pair within the configured ball (on

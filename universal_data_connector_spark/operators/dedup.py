@@ -364,22 +364,43 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 5,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_postings: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted shingle index.
 
     explode shingles -> self-join on shingle -> count shared -> Jaccard.
-    Cost is O(sum of postings^2 per shingle): fine when shingles are
-    discriminative (word 5-grams). At 100 TB use minhash_dedup_pairs —
-    this exact variant is the verify-stage primitive and the oracle.
+    Gram keys are JVM `xxhash64` over the gram string — the whole
+    shingle stage is an expression-tree projection, no Python anywhere
+    (distinct grams map to distinct 64-bit keys w.h.p., ~2^-64 per
+    pair, so posting counts and Jaccard values match the string-gram
+    oracle exactly).
+
+    Cost is O(sum of postings^2 per shingle). `max_postings` caps that
+    quadratic: shingles whose posting list exceeds the cap (stop
+    shingles — "in the middle of the" across millions of docs) are
+    dropped from the JOIN ONLY; document sizes still count every gram,
+    so capped Jaccard is a strict underestimate and pairs never appear
+    spuriously. Defaults to None (exact — required for oracle parity);
+    at 100 TB set a cap or use minhash_dedup_pairs, which is the scale
+    path (this exact variant is the verify-stage primitive).
     """
     grams = spread(df, id_col).select(
         F.col(id_col),
-        F.explode(word_ngram_hashes_udf(shingle_n)(text_col)).alias("g"))
+        F.explode(
+            F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
+                        lambda g: F.xxhash64(g))).alias("g"))
     # consumed three times (both join sides + sizes): compute once,
     # eagerly (lazy caches race under AQE's concurrent stage launch)
     grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
+    joinable = grams
+    if max_postings is not None:
+        hot = (grams.groupBy("g").agg(F.count("*").alias("__p"))
+                    .filter(F.col("__p") > max_postings)
+                    .select("g"))
+        # stop-shingle set is tiny by construction -> broadcast anti-join
+        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
                .groupBy(F.col(f"a.{id_col}").alias("id_1"),
