@@ -42,6 +42,14 @@ def exact_avg(col: Column | str) -> Column:
     return exact_sum(c) / F.count(c)
 
 
+def _max_partition_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    try:
+        return int(raw.lower().rstrip("b"))
+    except ValueError:
+        return 128 << 20
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Raise scan parallelism before a compute-heavy projection.
 
@@ -53,10 +61,38 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     cheap shuffle of the raw rows unlocks full fan-out; when the input
     is already wide (the 100 TB case: thousands of files/row groups)
     this is a no-op.
+
+    The width estimate comes from the scan's file listing + the
+    maxPartitionBytes split arithmetic — metadata only, never a
+    plan->RDD conversion (``df.rdd.getNumPartitions()`` materializes an
+    RDD plan per call, defeating lazy reuse and loading the driver when
+    operators compose). Non-scan inputs (no files: in-memory or
+    post-shuffle plans) are returned unchanged: they already carry
+    defaultParallelism or shuffle.partitions width.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
         return df
+    max_bytes = _max_partition_bytes(spark)
+    est = 0
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                import os
+                from urllib.parse import unquote, urlparse
+                size = os.path.getsize(unquote(urlparse(f).path))
+                # bytes-based splits are an upper bound on real tasks
+                # (single-row-group files never split), so count a file
+                # as extra splits only beyond the first
+                est += max(1, -(-size // max_bytes))
+            except OSError:
+                est += 1
+        else:
+            est += 1
+        if est >= target:
+            return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 

@@ -1462,7 +1462,9 @@ def embedding_normalize(spark, sf_dir):
     — a shuffle-free projection that quantizes 100 TB of vectors at
     scan speed. Zero vectors quantize to zeros rather than dividing by
     zero."""
-    e = orel.spread(load(spark, sf_dir, "embeddings"))
+    # no spread: pure cheap projection — the repartition shuffle of raw
+    # vectors costs more than the fan-out gains (measured at sf0.1)
+    e = load(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = e.select("vec_id", v.alias("__v")).withColumn(
         "__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
@@ -1494,8 +1496,10 @@ def embedding_normalize(spark, sf_dir):
 )
 def text_tokenize_stats(spark, sf_dir):
     """Per-document token statistics (functions/text.py): all
-    higher-order array expressions — a pure projection over 100 TB."""
-    d = orel.spread(load(spark, sf_dir, "documents"))
+    higher-order array expressions — a pure projection over 100 TB.
+    No spread: the projection is cheap enough that the raw-text shuffle
+    never pays for itself (measured at sf0.1)."""
+    d = load(spark, sf_dir, "documents")
     toks = ft.tokenize(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
@@ -1520,8 +1524,9 @@ def text_tokenize_stats(spark, sf_dir):
 )
 def text_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer count: regex over word / number /
-    punctuation classes shared by Java regex and RE2."""
-    d = orel.spread(load(spark, sf_dir, "documents"))
+    punctuation classes shared by Java regex and RE2. No spread:
+    cheap projection, shuffle never pays (measured at sf0.1)."""
+    d = load(spark, sf_dir, "documents")
     return d.select("doc_id", ft.regex_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
@@ -1600,8 +1605,9 @@ def text_quality_score(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    """Deterministic document fingerprint over normalized text."""
-    d = orel.spread(load(spark, sf_dir, "documents"))
+    """Deterministic document fingerprint over normalized text.
+    No spread: cheap projection, shuffle never pays (measured)."""
+    d = load(spark, sf_dir, "documents")
     return d.select("doc_id", ft.text_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -2064,8 +2070,10 @@ def text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: explode tokens -> count -> top-100 (count
     desc, token asc tiebreak). explode + partial-aggregated count is
     the scalable vocab build — token keys are skewed (stopwords), which
-    map-side combine absorbs before the shuffle."""
-    d = orel.spread(load(spark, sf_dir, "documents"))
+    map-side combine absorbs before the shuffle. No pre-spread: the
+    explode feeds a groupBy whose own exchange spreads the work — a
+    repartition before it is a pure extra shuffle (measured)."""
+    d = load(spark, sf_dir, "documents")
     counts = (d.select(F.explode(ft.tokenize(F.col("text"))).alias("token"))
                .groupBy("token").agg(F.count("*").cast("bigint").alias("n")))
     top = orel.top_k_per_group(counts, [], [F.col("n").desc(), F.col("token").asc()], 100)
@@ -2138,8 +2146,10 @@ def text_unigram_logprob(spark, sf_dir):
     Two passes: token counts (map-side combined), then score-join —
     the count table is vocabulary-sized, so it broadcasts at any
     corpus scale. Log-sums are rounded below double addition-order
-    divergence."""
-    d = orel.spread(load(spark, sf_dir, "documents"))
+    divergence. No pre-spread: the tokenize explode feeds shuffling
+    aggregations; a repartition before them is a pure extra shuffle
+    (measured)."""
+    d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(ft.tokenize(F.col("text"))).alias("token"))
     tok = tok.localCheckpoint(eager=True)  # consumed twice (counts + scoring)
     counts = tok.groupBy("token").agg(F.count("*").alias("n"))
