@@ -75,6 +75,32 @@ def test_text_to_text_passthrough(spark, io_dirs):
     assert open(f"{out}/a.txt").read() == TEXT_IMPORTANT
 
 
+def test_batch_archive_moves_consumed_files(spark, io_dirs, tmp_path):
+    """archiveDir in BATCH mode (reference FileSourceContext.java:113-125
+    moves every consumed file to data/processed/): after a successful
+    run the inputs live in the archive dir, and a second run of the
+    same pipeline reads zero files."""
+    inp, out = io_dirs
+    processed = str(tmp_path / "processed")
+    _write(f"{inp}/a.txt", TEXT_IMPORTANT)
+    _write(f"{inp}/b.txt", TEXT_PLAIN)
+    cfg = _pipeline("archiving", {"path": inp, "pattern": "*.txt",
+                                  "archiveDir": processed},
+                    {"path": out, "extension": ".txt"})
+    run(spark, cfg)
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt"]
+    assert sorted(os.listdir(inp)) == []                      # moved out
+    assert sorted(os.listdir(processed)) == ["a.txt", "b.txt"]
+    # re-run: nothing left to consume, output unchanged
+    out2 = str(tmp_path / "out2")
+    os.makedirs(out2)
+    cfg2 = _pipeline("archiving-rerun", {"path": inp, "pattern": "*.txt",
+                                         "archiveDir": processed},
+                     {"path": out2, "extension": ".txt"})
+    run(spark, cfg2)
+    assert os.listdir(out2) == []
+
+
 def test_filter_contains_no_column_drops_files(spark, io_dirs):
     """T1 without a column: whole-item substring match
     (PipelineBuilder.java:83)."""

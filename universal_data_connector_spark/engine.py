@@ -161,8 +161,46 @@ def build(spark: SparkSession, cfg: PipelineConfig,
     return apply_transformations(df, cfg.transformations)
 
 
+def _archive_consumed(files: list[str], archive_dir: str) -> None:
+    """Move consumed batch inputs out of the polling directory
+    (reference ``FileSourceContext.java:113-125``: every consumed file
+    goes to the processed dir under its own name, so a re-run sees an
+    empty source). Local paths only — the streaming path's
+    ``cleanSource=archive`` handles remote filesystems; the reference's
+    own move is java.nio local-only too."""
+    import os
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    os.makedirs(archive_dir, exist_ok=True)
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            log.warning("archiveDir: skipping non-local input %s", uri)
+            continue
+        src = unquote(parsed.path) if parsed.scheme else uri
+        try:
+            shutil.move(src, os.path.join(archive_dir, os.path.basename(src)))
+        except OSError as exc:
+            log.warning("archiveDir: could not move %s: %s", src, exc)
+
+
 def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
     """Build and execute one pipeline. Batch: runs to completion and
-    returns None. Streaming: returns the started StreamingQuery."""
+    returns None. Streaming: returns the started StreamingQuery.
+
+    Batch runs honor the file source's ``archiveDir``: after the sink
+    write succeeds, consumed inputs move to the archive directory — the
+    batch twin of the streaming path's checkpointed
+    ``cleanSource=archive``, and the reference's always-on
+    move-to-processed (``FileSourceContext.java:113-125``). The move
+    happens strictly after the sink returns, so a failed write leaves
+    the inputs in place for a clean re-run."""
     df = build(spark, cfg, streaming)
-    return create_sink(df, cfg.sink, streaming)
+    archive_dir = (None if streaming or cfg.source.type != "file"
+                   else cfg.source.properties.get("archiveDir"))
+    consumed = df.inputFiles() if archive_dir else []
+    result = create_sink(df, cfg.sink, streaming)
+    if archive_dir and consumed:
+        _archive_consumed(consumed, archive_dir)
+    return result

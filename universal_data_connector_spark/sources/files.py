@@ -89,12 +89,17 @@ def directory_source(spark: SparkSession, props: dict, streaming: bool = False) 
     df = reader.load(props["path"])
     # preserveStructure (DirectorySourceContext.java:110-121): keep the
     # path relative to the configured root, else just the basename.
-    # substring_index treats the base as a literal (a configured path
-    # may contain regex metacharacters like '(', '[', '+'), and taking
-    # everything after its last occurrence also drops the URI scheme
-    # Spark prepends (file:/...).
+    # locate() treats the base as a literal (a configured path may
+    # contain regex metacharacters like '(', '[', '+') and finds the
+    # FIRST occurrence — the scheme-qualified prefix Spark prepends
+    # (file:/...) contains the root exactly once before any repeat, so
+    # a root string that reappears deeper in the tree (/a/b holding
+    # /a/b/x/a/b/y.bin) still yields the full relative path.
     base = props["path"].rstrip("/") + "/"
-    rel = F.substring_index(F.col("path"), base, -1)
+    pos = F.locate(base, F.col("path"))
+    rel = F.when(pos > 0,
+                 F.col("path").substr(pos + len(base), F.length("path"))) \
+           .otherwise(F.element_at(F.split(F.col("path"), "/"), -1))
     name = (rel if str(props.get("preserveStructure", "false")).lower() == "true"
             else F.element_at(F.split(F.col("path"), "/"), -1))
     return df.select(
