@@ -51,12 +51,14 @@ def test_rest_lifecycle(spark, tmp_path):
         assert job.startswith("rest-pipe-")
 
         assert mgr.wait(timeout=120)
+        # map keyed by job name (PipelineController.java:45-58)
         status, body = _req("GET", f"{base}/jobs")
-        assert body[0]["name"] == job and body[0]["status"] == "COMPLETED"
-        assert set(body[0]) == {"name", "status", "submissionTime"}
+        assert body[job]["name"] == job and body[job]["status"] == "COMPLETED"
+        assert set(body[job]) == {"name", "status", "submissionTime"}
 
+        # bare boolean body (PipelineController.java:60-75)
         status, body = _req("GET", f"{base}/jobs/{job}/status")
-        assert body == {"jobName": job, "running": False}
+        assert body is False
 
         status, body = _req("GET", f"{base}/status")
         assert body == {"runningCount": 0, "hasRunningPipelines": False}

@@ -127,6 +127,12 @@ class PipelineManager:
                 sc = self.spark.sparkContext
                 sc.setJobGroup(job_name, f"pipeline {cfg.name}",
                                interruptOnCancel=True)
+                if job.status == "CANCELLED":
+                    # stop() landed before the group tag existed; its
+                    # cancelJobGroup hit nothing — bail before the first
+                    # action instead of running the pipeline to
+                    # completion under a CANCELLED status
+                    return
                 try:
                     create_sink(df, cfg.sink, streaming=False)
                     job._finish("COMPLETED")
@@ -157,9 +163,18 @@ class PipelineManager:
         elif job.thread is not None and job.thread.is_alive():
             # Cancel only this pipeline's Spark jobs — other running
             # pipelines keep their isolation (the worker thread tagged
-            # them with setJobGroup(job_name) at start).
+            # them with setJobGroup(job_name) at start). Mark CANCELLED
+            # first: the worker re-checks it after setJobGroup, closing
+            # the stop-before-tag race.
             job._finish("CANCELLED")
-            self.spark.sparkContext.cancelJobGroup(job_name)
+            sc = self.spark.sparkContext
+            try:
+                # a multi-action sink keeps submitting Spark jobs after
+                # the active one dies; cancel future submissions in the
+                # group too (JVM API, Spark >= 4.0)
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(job_name)
+            except Exception:  # noqa: BLE001 - older/py4j-less builds
+                sc.cancelJobGroup(job_name)
         return True
 
     def stop_all(self) -> int:

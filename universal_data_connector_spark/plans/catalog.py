@@ -39,6 +39,19 @@ from universal_data_connector_spark.tables import load
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch dir for sink/stream catalog queries,
+    removed at interpreter exit. A bare mkdtemp per call accumulated
+    dozens of udc_* directories in /tmp across bench/test sessions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, True)
+    return out
+
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -112,8 +125,7 @@ def scan_csv_typed(spark, sf_dir):
     conversion, ParquetSinkContext.java:251-314): round-trip a slice of
     lineitem through a real CSV file and read it back with an explicit
     schema — no inferSchema (a second full scan at 100 TB)."""
-    import tempfile
-    out = tempfile.mkdtemp(prefix="udc_csv_scan_")
+    out = _scratch_dir("udc_csv_scan_")
     (load(spark, sf_dir, "lineitem")
      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
      .write.mode("overwrite").option("header", True).csv(out))
@@ -458,21 +470,30 @@ def join_bucketed_colocated(spark, sf_dir):
     runs with ZERO exchanges — the structural fix when a big join's
     shuffle would dominate at 100 TB and the key is stable enough to
     pre-bucket. tests/test_plans.py asserts the executed plan has no
-    Exchange between the scans and the join. Bucketed tables persist in
-    the session warehouse; creation is idempotent per session."""
-    import uuid
+    Exchange between the scans and the join. Bucketed table names are
+    DETERMINISTIC per sf_dir (md5 suffix) with drop-before-create, so
+    repeated sessions replace rather than accumulate udc_b_* entries in
+    the metastore, and an atexit hook drops the tables and removes the
+    data directory on interpreter exit (best-effort — a fresh session
+    recreates them anyway)."""
     n_buckets = 8
     cache = getattr(spark, "_udc_bucket_tables", None)
     if cache is None:
         cache = spark._udc_bucket_tables = {}
     if sf_dir not in cache:  # one bucketed copy per (session, sf_dir)
+        import atexit
+        import hashlib
         import os
+        import shutil
         import tempfile
-        suffix = uuid.uuid4().hex[:8]
+        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         t_orders, t_lines = f"udc_b_orders_{suffix}", f"udc_b_lineitem_{suffix}"
         # external tables with an explicit location: saveAsTable would
         # otherwise drop a spark-warehouse dir under the CALLER's cwd
-        base = tempfile.mkdtemp(prefix="udc_bucketed_")
+        base = os.path.join(tempfile.gettempdir(), f"udc_bucketed_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lines}")
+        shutil.rmtree(base, ignore_errors=True)
         (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
          .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
          .option("path", os.path.join(base, t_orders))
@@ -482,6 +503,16 @@ def join_bucketed_colocated(spark, sf_dir):
          .option("path", os.path.join(base, t_lines))
          .mode("overwrite").saveAsTable(t_lines))
         cache[sf_dir] = (t_orders, t_lines)
+
+        def _cleanup(tables=(t_orders, t_lines), path=base):
+            try:
+                for t in tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001 - session may be stopped
+                pass
+            shutil.rmtree(path, ignore_errors=True)
+
+        atexit.register(_cleanup)
     t_orders, t_lines = cache[sf_dir]
     o = spark.table(t_orders).filter(F.col("o_totalprice") > 200000)
     li = spark.table(t_lines)
@@ -1766,8 +1797,7 @@ def sink_parquet_snappy(spark, sf_dir):
     assert the files really are snappy-compressed, read them back."""
     import glob
     import os
-    import tempfile
-    out = tempfile.mkdtemp(prefix="udc_sink_parquet_")
+    out = _scratch_dir("udc_sink_parquet_")
     (load(spark, sf_dir, "orders")
      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
      .filter(F.col("o_totalprice") > 150000)
@@ -1794,9 +1824,8 @@ def sink_csv_per_source(spark, sf_dir):
     foreachPartition — then read back with whole-file semantics. The
     25-row nation table stands in for 25 source files; at scale the
     write is embarrassingly parallel (no shuffle, one IO per row)."""
-    import tempfile
     from universal_data_connector_spark.sinks.files import _write_file_mode
-    out = tempfile.mkdtemp(prefix="udc_sink_files_")
+    out = _scratch_dir("udc_sink_files_")
     file_mode = load(spark, sf_dir, "nation").select(
         F.concat(F.col("n_name"), F.lit(".csv")).alias("source_file"),
         F.concat_ws(",", F.col("n_nationkey").cast("string"),
@@ -1820,9 +1849,8 @@ def sink_jdbc_append(spark, sf_dir):
     JDBC. Batched writes (`batchsize` rows per round-trip) and
     per-partition parallelism are the 100 TB posture; partitions are
     coalesced here only because embedded Derby serializes writers."""
-    import tempfile
     from universal_data_connector_spark.sinks.jdbc import jdbc_sink
-    db = tempfile.mkdtemp(prefix="udc_derby_") + "/db"
+    db = _scratch_dir("udc_derby_") + "/db"
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     src = load(spark, sf_dir, "customer").select(
@@ -1851,8 +1879,7 @@ def stream_file_ingest_exactly_once(spark, sf_dir):
     nothing: any reprocessing doubles n_events and breaks the oracle
     hash (n_distinct pins uniqueness explicitly)."""
     import os
-    import tempfile
-    base = tempfile.mkdtemp(prefix="udc_stream_eo_")
+    base = _scratch_dir("udc_stream_eo_")
     indir, outdir, ckpt = (os.path.join(base, d)
                            for d in ("in", "out", "ckpt"))
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -1941,13 +1968,12 @@ def stream_stateful_totals(spark, sf_dir):
     state accumulation is separately pinned in
     tests/test_streaming.py."""
     import os
-    import tempfile
     import uuid
     from universal_data_connector_spark.streaming.windows import (
         stateful_running_totals,
     )
     from pyspark.sql import types as T
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="udc_stream_state_"), "ckpt")
+    ckpt = os.path.join(_scratch_dir("udc_stream_state_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
     # Stream with the RAW schema (ts arrives as bigint nanos under
     # session.pin's nanosAsLong), then restore TimestampType exactly as
@@ -2026,10 +2052,9 @@ def stream_static_enrich_join(spark, sf_dir):
     batch/partition order, so the batch SQL oracle hash-matches the
     streaming output exactly."""
     import os
-    import tempfile
     import uuid
     from pyspark.sql import types as T
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="udc_stream_enrich_"), "ckpt")
+    ckpt = os.path.join(_scratch_dir("udc_stream_enrich_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     stream = (spark.readStream.schema(raw_schema)

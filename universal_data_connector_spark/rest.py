@@ -60,7 +60,9 @@ class ControlPlaneServer:
                 if parts == ["api", "pipelines", "status"]:
                     return self._json(200, m.status())
                 if parts == ["api", "pipelines", "jobs"]:
-                    return self._json(200, m.jobs())
+                    # reference returns Map<String, JobInfo> keyed by
+                    # job name (PipelineController.java:45-58)
+                    return self._json(200, {j["name"]: j for j in m.jobs()})
                 if parts == ["api", "pipelines", "count"]:
                     return self._json(200, {"count": m.count()})
                 if (len(parts) == 5 and parts[:3] == ["api", "pipelines", "jobs"]
@@ -68,8 +70,9 @@ class ControlPlaneServer:
                     name = parts[3]
                     if not any(j["name"] == name for j in m.jobs()):
                         return self._json(404, {"error": f"job {name} not found"})
-                    return self._json(200, {"jobName": name,
-                                            "running": m.is_running(name)})
+                    # reference returns the bare boolean as the body
+                    # (PipelineController.java:60-75)
+                    return self._json(200, m.is_running(name))
                 return self._json(404, {"error": "unknown path"})
 
             def do_POST(self):  # noqa: N802
