@@ -55,13 +55,17 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def run_best(name: str, reps: int = 4) -> float:
-        """Min over reps: the host VM shows transient multi-second CPU
-        starvation spikes that land on random queries; min-of-N measures
-        the engine, not the neighbor. Four reps so operators whose first
-        execution materializes an eager checkpoint still get three
-        clean samples."""
-        return min(run(name) for _ in range(reps))
+    def run_best(name: str, reps: int = 4) -> tuple[float, float]:
+        """(min, median) over reps. The host VM shows transient
+        multi-second CPU starvation spikes that land on random queries;
+        min-of-N measures the engine, not the neighbor, and the median
+        rides along in the artifact so noise is diagnosable from the
+        JSON alone (median >> min across queries = noisy run). Four reps
+        so operators whose first execution materializes an eager
+        checkpoint still get three clean samples."""
+        import statistics
+        ts = sorted(run(name) for _ in range(reps))
+        return ts[0], statistics.median(ts)
 
     run("agg_hash_sum_avg")  # warm-up: JVM, codegen, parquet footer cache
 
@@ -78,9 +82,13 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")) \
          .write.format("noop").mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(run_best(name), 3)
+        best, med = run_best(name, reps)
+        times[name] = round(best, 3)
+        medians[name] = round(med, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -88,6 +96,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "reps": reps,
         "sf": sf,
         "spark_version": spark.version,
         "cpus": int(cpus),

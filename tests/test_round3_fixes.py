@@ -16,6 +16,21 @@ def _write(path: str, content: str) -> str:
     return path
 
 
+def test_s3_content_type_mapping():
+    """Reference S3SinkContext.java:105-115 switch, exactly: CSV ->
+    text/csv, PARQUET -> application/x-parquet, everything else ->
+    application/octet-stream."""
+    from universal_data_connector_spark.sinks.files import content_type_for
+    assert content_type_for("CSV") == "text/csv"
+    assert content_type_for("csv") == "text/csv"
+    assert content_type_for("PARQUET") == "application/x-parquet"
+    assert content_type_for("CRC") == "application/octet-stream"
+    assert content_type_for("BINARY") == "application/octet-stream"
+    assert content_type_for("TEXT") == "application/octet-stream"
+    assert content_type_for("anything") == "application/octet-stream"
+    assert content_type_for(None) == "application/octet-stream"
+
+
 def test_directory_source_root_reappearing_in_tree(spark, tmp_path):
     """preserveStructure must strip only the PREFIX occurrence of the
     configured root: a root /a/b holding /a/b/x/a/b/y.bin yields

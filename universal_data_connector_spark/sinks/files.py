@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from universal_data_connector_spark.config import avro_schema_to_struct
 
 
+def content_type_for(file_type: str | None) -> str:
+    """Per-type S3 object Content-Type, matching the reference's switch
+    (``S3SinkContext.java:105-115``): CSV -> text/csv, PARQUET ->
+    application/x-parquet, everything else (CRC / BINARY / TEXT /
+    unknown) -> application/octet-stream."""
+    return {
+        "CSV": "text/csv",
+        "PARQUET": "application/x-parquet",
+    }.get((file_type or "").upper(), "application/octet-stream")
+
+
 def _swap_extension(filename: str, extension: str) -> str:
     """Output naming of ``FileSinkContext.java:81-93``: swap in the
     configured extension; empty extension keeps the original name."""
@@ -120,9 +131,21 @@ def file_sink(df: DataFrame, props: dict, streaming: bool = False):
 
 def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     """Reference K5 (``factory/sink/S3SinkContext.java``): object per
-    file under ``bucket/prefix``. Content-type selection (`:105-115`)
-    is metadata the S3A connector derives from extensions; credentials
-    go to Hadoop conf like the S3 source."""
+    file under ``bucket/prefix``; credentials go to Hadoop conf like
+    the S3 source.
+
+    Content-Type (`:105-115`): when boto3 is importable and the frame
+    is file-mode batch, each object uploads with the reference's
+    per-type Content-Type (``content_type_for``). Without boto3 the
+    write delegates to S3A, which derives Content-Type from the key
+    extension instead — a documented divergence (the bytes and keys are
+    identical either way)."""
+    if not streaming and "content" in df.columns and "file_type" in df.columns:
+        try:
+            import boto3  # noqa: F401 - optional, absent in CI sandbox
+            return _s3_put_objects_boto3(df, props)
+        except ImportError:
+            pass
     spark = df.sparkSession
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     if props.get("accessKey"):
@@ -135,3 +158,34 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     sub = dict(props)
     sub["path"] = path
     return file_sink(df, sub, streaming)
+
+
+def _s3_put_objects_boto3(df: DataFrame, props: dict) -> None:
+    """Executor-side per-object PUT with reference metadata: one object
+    per file-mode row, Content-Type from ``content_type_for``,
+    ContentLength implicit (``S3SinkContext.java:85-97``). Credentials/
+    endpoint come from props or the default provider chain."""
+    bucket = props["bucketName"]
+    prefix = props.get("prefix", "").strip("/")
+    extension = props.get("extension", "")
+    client_kwargs = {}
+    if props.get("accessKey"):
+        client_kwargs["aws_access_key_id"] = props["accessKey"]
+    if props.get("secretKey"):
+        client_kwargs["aws_secret_access_key"] = props["secretKey"]
+    if props.get("endpoint"):
+        client_kwargs["endpoint_url"] = props["endpoint"]
+    rows = df.select("source_file", "file_type", "content")
+
+    def put_partition(it):
+        import boto3
+        client = boto3.client("s3", **client_kwargs)
+        for row in it:
+            name = _swap_extension(row.source_file, extension)
+            key = f"{prefix}/{name}" if prefix else name
+            body = (row.content if isinstance(row.content, (bytes, bytearray))
+                    else str(row.content).encode())
+            client.put_object(Bucket=bucket, Key=key, Body=body,
+                              ContentType=content_type_for(row.file_type))
+
+    rows.foreachPartition(put_partition)
