@@ -205,6 +205,29 @@ def test_csv_to_parquet_with_schema(spark, io_dirs):
     assert rows[1].project == "Apollo"
 
 
+def test_parquet_per_source_file_naming(spark, io_dirs):
+    """perSourceFile: reference output naming (ParquetSinkContext.java:
+    356-366) — one snappy parquet file per input CSV, named
+    <source-stem>_<yyyyMMdd_HHmmss>.parquet, typed by the Avro schema."""
+    import re
+
+    inp, out = io_dirs
+    _write(f"{inp}/projects.csv", PROJECTS_CSV)
+    _write(f"{inp}/more.csv", PROJECTS_CSV.replace("Apollo", "Zephyr"))
+    cfg = _pipeline("pq-per-source", {"path": inp, "pattern": "*.csv"},
+                    {"path": f"{out}/pq", "format": "parquet",
+                     "schema": AVRO_SCHEMA, "perSourceFile": "true"})
+    run(spark, cfg)
+    names = sorted(os.listdir(f"{out}/pq"))
+    assert len(names) == 2
+    assert all(re.fullmatch(r"(projects|more)_\d{8}_\d{6}\.parquet", n)
+               for n in names), names
+    df = spark.read.parquet(f"{out}/pq")
+    assert df.schema["id"].dataType.typeName() == "integer"
+    assert df.count() == 6
+    assert {r.project for r in df.collect()} >= {"Apollo", "Zephyr"}
+
+
 def test_avro_schema_translation():
     st = avro_schema_to_struct(AVRO_SCHEMA)
     assert [f.name for f in st.fields] == ["id", "project", "status", "assignee", "deadline"]

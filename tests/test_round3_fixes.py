@@ -16,6 +16,66 @@ def _write(path: str, content: str) -> str:
     return path
 
 
+def test_kafka_source_contract_without_broker(spark):
+    """Everything short of the broker I/O: the consumer-option mapping
+    (including the reference's legacy smallest/largest offset values,
+    KafkaSourceContext.java:27-41) and the wire-schema projection run
+    against a synthetic frame with Kafka's exact read schema."""
+    from datetime import datetime
+
+    from universal_data_connector_spark.sources.kafka import (
+        kafka_reader_options,
+        project_kafka,
+    )
+
+    opts = kafka_reader_options({"bootstrapServers": "b1:9092,b2:9092",
+                                 "topic": "events",
+                                 "autoOffsetReset": "smallest",
+                                 "groupId": "cg-1"})
+    assert opts == {"kafka.bootstrap.servers": "b1:9092,b2:9092",
+                    "subscribe": "events",
+                    "startingOffsets": "earliest",   # smallest -> earliest
+                    "kafka.group.id": "cg-1"}
+    assert kafka_reader_options({"bootstrapServers": "b", "topic": "t",
+                                 "autoOffsetReset": "largest"}
+                                )["startingOffsets"] == "latest"
+    assert "kafka.group.id" not in kafka_reader_options(
+        {"bootstrapServers": "b", "topic": "t"})
+
+    wire = spark.createDataFrame(
+        [(b"k1", b"payload", "events", 0, 42, datetime(2026, 1, 1), 0)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int")
+    row = project_kafka(wire).collect()[0]
+    assert row.content == "payload" and row.message_key == "k1"
+    assert (row.topic, row.partition, row.offset) == ("events", 0, 42)
+    assert row.source_file == "KAFKA_SOURCE"
+
+
+def test_kafka_sink_contract_without_broker(spark):
+    """Record shaping per KafkaSinkContext.java:50 — content becomes
+    BOTH key and value; frames already carrying key/value pass through
+    untouched — plus the producer option mapping."""
+    from universal_data_connector_spark.sinks.kafka import (
+        kafka_records,
+        kafka_writer_options,
+    )
+
+    filemode = spark.createDataFrame([("a.txt", "TEXT", "hello")],
+                                     "source_file string, file_type string, "
+                                     "content string")
+    row = kafka_records(filemode).collect()[0]
+    assert row.key == "hello" and row.value == "hello"
+
+    explicit = spark.createDataFrame([("k", "v")], "key string, value string")
+    assert kafka_records(explicit).collect()[0].asDict() == {"key": "k",
+                                                             "value": "v"}
+
+    assert kafka_writer_options({"bootstrapServers": "b:9092",
+                                 "topic": "out"}) == {
+        "kafka.bootstrap.servers": "b:9092", "topic": "out"}
+
+
 def test_s3_content_type_mapping():
     """Reference S3SinkContext.java:105-115 switch, exactly: CSV ->
     text/csv, PARQUET -> application/x-parquet, everything else ->

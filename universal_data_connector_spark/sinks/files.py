@@ -67,7 +67,8 @@ def _write_file_mode(df: DataFrame, out_dir: str, extension: str) -> None:
     rows.foreachPartition(write_partition)
 
 
-def _to_schema_records(df: DataFrame, props: dict) -> DataFrame:
+def _to_schema_records(df: DataFrame, props: dict,
+                       keep_source: bool = False) -> DataFrame:
     """Bind the frame to the sink's declared Avro schema."""
     from universal_data_connector_spark.functions import casts as fc
     from universal_data_connector_spark.sources.records import (
@@ -76,7 +77,8 @@ def _to_schema_records(df: DataFrame, props: dict) -> DataFrame:
     schema = avro_schema_to_struct(props["schema"])
     if "content" in df.columns and "file_type" in df.columns:
         # file-mode CSV blobs -> typed records
-        return csv_blob_to_records(df, schema).drop("source_file", "__line_no")
+        records = csv_blob_to_records(df, schema).drop("__line_no")
+        return records if keep_source else records.drop("source_file")
     # record-mode (e.g. JDBC source): bind by case-insensitive name,
     # lenient-cast to the declared type, apply per-type defaults.
     lower_cols = {c.lower(): c for c in df.columns}
@@ -90,11 +92,51 @@ def _to_schema_records(df: DataFrame, props: dict) -> DataFrame:
     return df.select(*out)
 
 
+def _write_parquet_per_source(records: DataFrame, out_dir: str,
+                              timestamp: str | None = None) -> None:
+    """Reference-faithful parquet output naming
+    (``ParquetSinkContext.java:356-366``): ONE Snappy+dictionary
+    parquet file per source file, named
+    ``<source-stem>_<yyyyMMdd_HHmmss>.parquet``. Each group is written
+    executor-side by pyarrow inside applyInPandas — one shuffle on
+    source_file, no driver loop. The stamp is taken once at plan time
+    (the reference stamps per-writer-creation; a single run producing
+    one consistent stamp is the same contract, deterministic within the
+    run)."""
+    import datetime
+
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = timestamp or datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    data_schema = records.drop("source_file").schema
+
+    def write_group(pdf):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        src = os.path.basename(str(pdf["source_file"].iloc[0]))
+        stem, _, _ = src.rpartition(".")
+        body = pdf.drop(columns=["source_file"])
+        table = pa.Table.from_pandas(body, preserve_index=False)
+        pq.write_table(
+            table, os.path.join(out_dir, f"{stem or src}_{stamp}.parquet"),
+            compression="snappy", use_dictionary=True)
+        return body.head(0)
+
+    (records.groupBy("source_file")
+            .applyInPandas(write_group, schema=data_schema)
+            .write.format("noop").mode("overwrite").save())
+
+
 def file_sink(df: DataFrame, props: dict, streaming: bool = False):
     out_dir = props["path"]
     fmt = str(props.get("format", "")).lower()
 
     if fmt == "parquet":
+        if (not streaming and "source_file" in df.columns
+                and str(props.get("perSourceFile", "false")).lower() == "true"):
+            records = (_to_schema_records(df, props, keep_source=True)
+                       if props.get("schema") else df)
+            _write_parquet_per_source(records, out_dir)
+            return None
         records = _to_schema_records(df, props) if props.get("schema") else df
         writer = records.write.mode(props.get("mode", "append"))
         if props.get("partitionBy"):

@@ -3,7 +3,9 @@
 Reference K4 (``factory/sink/KafkaSinkContext.java:43-56``) sends each
 item as BOTH key and value to one topic, fire-and-forget. Mirrored
 here: ``content`` becomes key and value unless the frame already
-carries explicit ``key``/``value`` columns.
+carries explicit ``key``/``value`` columns. Record shaping and option
+mapping are pure functions, contract-tested without a broker
+(tests/test_round3_fixes.py).
 """
 
 from __future__ import annotations
@@ -12,17 +14,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def kafka_sink(df: DataFrame, props: dict, streaming: bool = False):
+def kafka_records(df: DataFrame) -> DataFrame:
+    """Frame -> kafka record shape: the reference's item-as-key-AND-
+    value contract (``KafkaSinkContext.java:50``) when no explicit
+    key/value columns exist."""
     if "value" not in df.columns:
         src = F.col("content").cast("string")
-        df = df.select(src.alias("key"), src.alias("value"))
-    writer_opts = {
+        return df.select(src.alias("key"), src.alias("value"))
+    return df
+
+
+def kafka_writer_options(props: dict) -> dict:
+    return {
         "kafka.bootstrap.servers": props["bootstrapServers"],
         "topic": props["topic"],
     }
+
+
+def kafka_sink(df: DataFrame, props: dict, streaming: bool = False):
+    df = kafka_records(df)
+    opts = kafka_writer_options(props)
     if streaming:
-        return (df.writeStream.format("kafka").options(**writer_opts)
+        return (df.writeStream.format("kafka").options(**opts)
                 .option("checkpointLocation", props["checkpointLocation"])
                 .start())
-    df.write.format("kafka").options(**writer_opts).save()
+    df.write.format("kafka").options(**opts).save()
     return None
