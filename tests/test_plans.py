@@ -104,6 +104,15 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_pack_sequences_single_shuffle(spark):
+    """Sharded prefix-sum packing = one Exchange (hash on shard) + an
+    in-partition sort. A rangepartitioning Exchange would mean a global
+    sort crept in — the thing the shard formulation exists to avoid."""
+    p = plan_str(QUERIES["reshape_pack_sequences"](spark, SF_DIR))
+    assert p.count("+- Exchange") == 1, p   # one shuffle in the plan tree
+    assert "rangepartitioning" not in p.lower()
+
+
 def test_embedding_dedup_no_all_pairs_join(spark):
     """dedup_embedding_cosine must be candidates-then-verify: the band
     self-join and the verify joins are all equi-joins. A

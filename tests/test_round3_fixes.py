@@ -16,6 +16,31 @@ def _write(path: str, content: str) -> str:
     return path
 
 
+def test_pack_sequences_boundaries(spark):
+    """Concat-and-split contract on planted sizes: within one shard,
+    pack_id/pack_offset advance by exact token counts and documents
+    straddle pack boundaries rather than opening fresh packs."""
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators.packing import pack_sequences
+
+    # one shard (ids all % 16 == 1): token counts 600, 500, 300
+    rows = [(1, "w " * 600), (17, "w " * 500), (33, "w " * 300)]
+    d = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                              "doc_id bigint, text string")
+    got = {r.doc_id: r for r in pack_sequences(d, budget=1024).collect()}
+    assert all(r.shard == 1 for r in got.values())
+    assert (got[1].pack_id, got[1].pack_offset) == (0, 0)
+    assert (got[17].pack_id, got[17].pack_offset) == (0, 600)   # straddles
+    assert (got[33].pack_id, got[33].pack_offset) == (1, 76)    # 1100 % 1024
+    assert [r.n_tokens for r in got.values()] == [600, 500, 300]
+
+    # custom shard expression groups independently
+    by_even = pack_sequences(d, budget=1024,
+                             shard=F.pmod(F.col("doc_id"), F.lit(2)))
+    assert {r.shard for r in by_even.collect()} == {1}
+
+
 def test_kafka_source_contract_without_broker(spark):
     """Everything short of the broker I/O: the consumer-option mapping
     (including the reference's legacy smallest/largest offset values,

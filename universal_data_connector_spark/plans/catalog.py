@@ -2241,6 +2241,37 @@ def reshape_unpivot(spark, sf_dir):
 
 
 @query(
+    "reshape_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '')) AS n_tokens
+        FROM documents)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(c / 1024) AS BIGINT) AS pack_id,
+           CAST(c % 1024 AS BIGINT) AS pack_offset
+    FROM (SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+          FROM t)
+    """,
+)
+def reshape_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (operators/packing.py): every
+    document gets its (shard, pack_id, pack_offset) under a 1024-token
+    budget — the assignment step of GPT-style pretraining packing,
+    expressed as a sharded prefix sum: one shuffle on shard, one
+    in-partition sort, parallelism = n_shards, reproducible across
+    engines and partitionings."""
+    from universal_data_connector_spark.operators.packing import pack_sequences
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=1024, n_shards=16)
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, value,
