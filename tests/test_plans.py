@@ -113,6 +113,15 @@ def test_pack_sequences_single_shuffle(spark):
     assert "rangepartitioning" not in p.lower()
 
 
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast: a SortMergeJoin here
+    means the 100 TB train side shuffles on gram key for an eval-set
+    sized right side."""
+    p = plan_str(QUERIES["dedup_contamination_ngram"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_embedding_dedup_no_all_pairs_join(spark):
     """dedup_embedding_cosine must be candidates-then-verify: the band
     self-join and the verify joins are all equi-joins. A

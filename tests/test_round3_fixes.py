@@ -16,6 +16,28 @@ def _write(path: str, content: str) -> str:
     return path
 
 
+def test_contamination_overlap_planted(spark):
+    """A train doc containing a benchmark passage verbatim flags with
+    the passage's gram count; clean docs and sub-13-word docs don't."""
+    from universal_data_connector_spark.operators.dedup import (
+        contamination_overlap)
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron")                      # 15 words
+    train = spark.createDataFrame(
+        [(1, "intro words here " + passage + " closing words"),  # contains it
+         (2, passage.replace("theta", "SWAPPED")),               # broken grams
+         (3, "totally unrelated text about storage engines and joins"),
+         (4, "short doc")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, passage)],
+                                  "bench_id bigint, text string")
+    got = {r.doc_id: r for r in contamination_overlap(train, bench).collect()}
+    # the 15-word passage has 3 distinct 13-grams, all inside doc 1
+    assert got[1].n_shared_grams == 3 and got[1].n_bench_docs == 1
+    assert set(got) == {1}   # 2's grams all differ; 3 unrelated; 4 too short
+
+
 def test_pack_sequences_boundaries(spark):
     """Concat-and-split contract on planted sizes: within one shard,
     pack_id/pack_offset advance by exact token counts and documents

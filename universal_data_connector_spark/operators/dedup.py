@@ -415,6 +415,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .select("id_1", "id_2", "jaccard"))
 
 
+def contamination_overlap(train: DataFrame, bench: DataFrame,
+                          shingle_n: int = 13, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          bench_id_col: str = "bench_id",
+                          broadcast_bench: bool = True) -> DataFrame:
+    """Train/benchmark decontamination by exact n-gram collision — the
+    GPT-3-style 13-gram overlap check every pretraining pipeline runs
+    before training.
+
+    Both sides shingle to distinct word n-gram keys (JVM xxhash64 over
+    the gram string, same expression tree as ngram_jaccard_pairs); an
+    inner join on the gram key counts, per train document, how many
+    distinct grams and how many distinct benchmark documents it shares.
+    Docs shorter than `shingle_n` words carry no grams and never flag.
+
+    Scale: the benchmark side is tiny by nature (eval sets, not
+    corpora), so it broadcasts and the 100 TB train side never
+    shuffles — the overlap check rides the scan. Set
+    ``broadcast_bench=False`` for an unusually large benchmark and it
+    degrades to a plain shuffled hash join.
+
+    Output: (id_col, n_shared_grams, n_bench_docs) — train docs with at
+    least one collision; join back to `train` for the keep/drop step.
+    """
+    def grams(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        g = F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
+                        lambda s: F.xxhash64(s))
+        return df.select(F.col(idc).alias(out_id), F.explode(g).alias("g"))
+
+    t = grams(spread(train, id_col), id_col, id_col)
+    b = grams(bench, bench_id_col if bench_id_col in bench.columns else id_col,
+              "__bench_id")
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (t.join(b, "g")
+             .groupBy(id_col)
+             .agg(F.countDistinct("g").cast("bigint").alias("n_shared_grams"),
+                  F.countDistinct("__bench_id").cast("bigint")
+                   .alias("n_bench_docs")))
+
+
 def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles as an array<int> of 64 sign bits.
 

@@ -1406,6 +1406,44 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_contamination_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                                     for i in range(1, greatest(len(w)-11, 1))])) AS g
+        FROM toks WHERE len(w) >= 13),
+    bench AS (
+        SELECT doc_id AS bench_id, g FROM grams
+        WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '08')
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM grams t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_contamination_ngram(spark, sf_dir):
+    """GPT-3-style decontamination (operators/dedup.py:
+    contamination_overlap): per train document, distinct 13-gram
+    collisions against a benchmark set — here a deterministic ~3%
+    hash-sample of the corpus stands in for the eval set, so sampled
+    docs flag against themselves and near-dups flag against their
+    twins. Benchmark grams broadcast; the train side rides the scan
+    with no shuffle before the final per-doc aggregation."""
+    d = load(spark, sf_dir, "documents")
+    bench = (d.filter(F.substring(F.sha2(F.col("doc_id").cast("string"), 256),
+                                  1, 2) < "08")
+              .select(F.col("doc_id").alias("bench_id"), "text"))
+    return od.contamination_overlap(d, bench)
+
+
+@query(
     "sim_search_cosine_topk",
     oracle="""
     SELECT query_id, neighbor_id, rank FROM (
