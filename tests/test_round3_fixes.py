@@ -63,6 +63,34 @@ def test_pack_sequences_boundaries(spark):
     assert {r.shard for r in by_even.collect()} == {1}
 
 
+def test_pack_sequences_matches_python_model(spark):
+    """Property-style check against a sequential Python model of
+    concat-and-split packing: for randomized token counts across
+    shards, every (pack_id, pack_offset) equals the model's prefix-sum
+    assignment."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, "w " * rng.randint(0, 700)) for i in range(200)]
+    d = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                              "doc_id bigint, text string")
+    budget, n_shards = 256, 4
+    got = {r.doc_id: (r.shard, r.pack_id, r.pack_offset, r.n_tokens)
+           for r in pack_sequences(d, budget=budget, n_shards=n_shards).collect()}
+
+    cum: dict[int, int] = {}
+    for i, t in rows:                      # ordered by doc_id, like the window
+        n = len(t.split())
+        shard = i % n_shards
+        c = cum.get(shard, 0)
+        assert got[i] == (shard, c // budget, c % budget, n), (i, got[i], c, n)
+        cum[shard] = c + n
+
+
 def test_kafka_source_contract_without_broker(spark):
     """Everything short of the broker I/O: the consumer-option mapping
     (including the reference's legacy smallest/largest offset values,
