@@ -35,7 +35,8 @@ _CHECK_FIRST = [
     "agg_grouped_mad_pandas", "stream_static_enrich_join",
     "text_vocab_topk", "sample_deterministic", "sample_stratified",
     "text_unigram_logprob", "agg_percentile_exact", "reshape_unpivot",
-    "reshape_pack_sequences", "dedup_contamination_ngram",   # new in round 3
+    "reshape_pack_sequences", "dedup_contamination_ngram",
+    "pipeline_training_data",   # new in round 3
     "window_range_frame", "pipeline_clean_corpus",
     "multimodal_decode_features", "sql_full_surface",
     # modified in round 3 -> needs driver re-verification

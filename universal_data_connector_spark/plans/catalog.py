@@ -2394,6 +2394,80 @@ def pipeline_clean_corpus(spark, sf_dir):
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
 
 
+@query(
+    "pipeline_training_data",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round({_Q_SQL}, 6) AS q
+        FROM toked
+    ), kept AS (
+        SELECT * FROM scored WHERE q >= 0.4
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+12], ' ')
+                                     for i in range(1, greatest(len(toks)-11, 1))])) AS g
+        FROM toked WHERE len(toks) >= 13
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM grams t JOIN grams b ON t.g = b.g
+        WHERE substr(sha256(CAST(b.doc_id AS VARCHAR)), 1, 2) < '08'
+    ), clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM clean
+    ), surv AS (
+        SELECT doc_id, n_tokens, doc_id % 16 AS shard FROM dedup WHERE rn = 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(FLOOR(c / 1024) AS BIGINT) AS pack_id,
+           CAST(c % 1024 AS BIGINT) AS pack_offset
+    FROM (SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+          FROM surv)
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """The full training-data preparation composition, every stage an
+    engine operator: quality filter (quality_score >= 0.4) ->
+    13-gram decontamination against a hash-sampled stand-in benchmark
+    (contamination_overlap, benchmark grams broadcast) -> exact dedup
+    (min doc_id per normalized-text fingerprint) -> concat-and-split
+    sequence packing (pack_sequences, 1024-token budget, 16 shards).
+    Output is the per-document pack assignment a downstream tokenizer
+    job would consume. Plan shape: one scan, the contamination
+    broadcast join, one fingerprint window, one packing window — no
+    all-pairs work anywhere."""
+    from universal_data_connector_spark.operators.packing import pack_sequences
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text",
+        F.size(ft.tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.round(ft.quality_score(F.col("text")), 6).alias("q"))
+    kept = scored.filter(F.col("q") >= 0.4)
+    bench = (d.filter(F.substring(F.sha2(F.col("doc_id").cast("string"), 256),
+                                  1, 2) < "08")
+              .select(F.col("doc_id").alias("bench_id"), "text"))
+    contaminated = od.contamination_overlap(kept, bench).select("doc_id")
+    clean = (kept.join(contaminated, "doc_id", "left_anti")
+                 .withColumn("__fp", ft.text_fingerprint(F.col("text"))))
+    surv = orel.top_k_per_group(clean, ["__fp"], [F.col("doc_id").asc()], 1)
+    packed = pack_sequences(surv, budget=1024, n_shards=16,
+                            token_count=F.col("n_tokens"))
+    return packed.select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+
+
 @query("multimodal_decode_features")  # byte-level features -> rows-only
 def multimodal_decode_features(spark, sf_dir):
     """Multimodal decode plumbing through mapInPandas: binary content ->
