@@ -36,7 +36,7 @@ _CHECK_FIRST = [
     "text_vocab_topk", "sample_deterministic", "sample_stratified",
     "text_unigram_logprob", "agg_percentile_exact", "reshape_unpivot",
     "reshape_pack_sequences", "dedup_contamination_ngram",
-    "pipeline_training_data",   # new in round 3
+    "pipeline_training_data", "sample_weighted_mix",   # new in round 3
     "window_range_frame", "pipeline_clean_corpus",
     "multimodal_decode_features", "sql_full_surface",
     # modified in round 3 -> needs driver re-verification

@@ -113,6 +113,24 @@ def test_pack_sequences_single_shuffle(spark):
     assert "rangepartitioning" not in p.lower()
 
 
+def test_training_pipeline_no_all_pairs(spark):
+    """The full prep composition must stay candidates/broadcast-shaped:
+    gram join broadcast, no nested-loop or cartesian anywhere, no
+    global rangepartitioning sort."""
+    p = plan_str(QUERIES["pipeline_training_data"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "BroadcastHashJoin" in p
+
+
+def test_weighted_mix_broadcasts_weights(spark):
+    """The weights dim must broadcast under the corpus join."""
+    p = plan_str(QUERIES["sample_weighted_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark gram set must broadcast: a SortMergeJoin here
     means the 100 TB train side shuffles on gram key for an eval-set

@@ -2164,6 +2164,35 @@ def sample_deterministic(spark, sf_dir):
 
 
 @query(
+    "sample_weighted_mix",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'ff'
+               WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
+               WHEN source LIKE 'src%' THEN '20' END
+    """,
+)
+def sample_weighted_mix(spark, sf_dir):
+    """Corpus mixing: per-SOURCE sampling rates from a weights dim
+    (keep ~100% of the first five sources, ~50% of the next five,
+    ~12.5% of the long tail) — the source-rebalancing step every
+    pretraining mix needs. The weights ride as a broadcast dim table (config-as-
+    data, no hardcoded CASE in the plan), the gate is the same
+    reproducible content-hash predicate as sample_deterministic:
+    identical rows selected on every engine, run, and partitioning."""
+    d = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(f"src{i}", "ff" if i < 5 else "80" if i < 10 else "20")
+         for i in range(20)],
+        "source string, __thr string")
+    gate = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    return (d.join(F.broadcast(weights), "source")
+             .filter(gate < F.col("__thr"))
+             .select("doc_id", "source"))
+
+
+@query(
     "sample_stratified",
     oracle="""
     SELECT event_id, event_type FROM events
