@@ -1278,15 +1278,45 @@ def dedup_exact(spark, sf_dir):
              .agg(F.min("doc_id").cast("bigint").alias("doc_id")))
 
 
-@query("dedup_near_minhash")  # LSH signatures are engine-specific -> rows-only
+@query(
+    "dedup_near_minhash",
+    # The output is NOT the LSH signature set — it's the candidate
+    # pairs *verified by exact Jaccard >= 0.8*, so the exact-Jaccard
+    # SQL is a valid oracle: a true 0.8-pair misses every one of the
+    # 32 bands with probability (1 - 0.8^4)^32 ~= 5e-8, and the verify
+    # stage computes inter/union from the same distinct-gram integer
+    # counts the SQL does (identical IEEE doubles).
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
+    """,
+)
 def dedup_near_minhash(spark, sf_dir):
     """MinHash (128 hashes, 32 bands) + LSH candidate generation +
-    exact-Jaccard verification at 0.8 (operators/dedup.py). The exact
-    same pair set is independently verified against the SQL oracle of
-    `dedup_ngram_jaccard` — see tests/test_dedup.py."""
+    exact-Jaccard verification at 0.8 (operators/dedup.py). Because the
+    verify stage is exact, the output pair set equals the exact-Jaccard
+    oracle (band-miss prob ~5e-8 per true pair); set-equality with
+    `dedup_ngram_jaccard` is also pinned in tests/test_dedup.py."""
     d = load(spark, sf_dir, "documents")
     return od.minhash_dedup_pairs(d, threshold=0.8).select(
-        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+        "id_1", "id_2", "jaccard")
 
 
 @query(
@@ -2497,17 +2527,47 @@ def pipeline_training_data(spark, sf_dir):
     return packed.select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
 
 
-@query("multimodal_decode_features")  # byte-level features -> rows-only
+def _duckdb_byte_at(i: int) -> str:
+    """DuckDB expression for byte `i` (0-based) of encode(text), or 0.0
+    when the blob is shorter — parsed from hex() nibbles (DuckDB has no
+    direct blob-byte-to-int accessor)."""
+    hi, lo = 2 * i + 1, 2 * i + 2
+    return (f"CASE WHEN n >= {i + 1} THEN CAST("
+            f"(strpos('0123456789ABCDEF', substring(h,{hi},1))-1)*16"
+            f" + (strpos('0123456789ABCDEF', substring(h,{lo},1))-1)"
+            f" AS DOUBLE) ELSE 0.0 END")
+
+
+@query(
+    "multimodal_decode_features",
+    # The fake decoder is deterministic byte math ([octet_length,
+    # byte0..byte6] of the UTF-8 text bytes), so a full DuckDB oracle
+    # exists: hex(encode(text)) nibble parsing. Scalar feature columns
+    # (not array<float>) keep the driver comparator hashable.
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, CAST(n AS DOUBLE) AS f0,
+           {bytes}
+    FROM b
+    """.format(bytes=",\n           ".join(
+        f"{_duckdb_byte_at(i)} AS f{i + 1}" for i in range(7))),
+)
 def multimodal_decode_features(spark, sf_dir):
     """Multimodal decode plumbing through mapInPandas: binary content ->
     fixed-dim feature vector (deterministic byte-derived fake — the real
     image decoder slots into the same batch iterator; libraries absent
     in this container, SURVEY.md §2B multimodal). Schema, Arrow batch
-    shape, and partitioning are the real, tested surface."""
+    shape, and partitioning are the real, tested surface. Features are
+    projected to scalar f0..f7 columns so the result is hashable by the
+    driver comparator AND checkable against the byte-math SQL oracle."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content"))
     feats = om.decode_image_batch(d, feature_dim=8, fake=True)
-    return feats.select("doc_id", "features")
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)])
 
 
 @query(
