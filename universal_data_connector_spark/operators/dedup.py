@@ -31,7 +31,10 @@ from universal_data_connector_spark.functions.text import (
     tokenize,
     word_ngrams,
 )
-from universal_data_connector_spark.operators.relational import spread
+from universal_data_connector_spark.operators.relational import (
+    materialize_reliable,
+    spread,
+)
 
 # Mersenne prime 2^31-1; with a,b < p and shingle hashes reduced mod p
 # first, a*h+b stays < 2^62 — no 64-bit overflow, fully portable.
@@ -315,8 +318,9 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
     # Both pair sides read the shingle arrays; materialize eagerly so
     # tokenization runs exactly once (shingling dominates this
-    # operator's cost, and lazy caches race under AQE).
-    grams = grams.localCheckpoint(eager=True)
+    # operator's cost, and lazy caches race under AQE). Corpus-sized ->
+    # recoverable persistence, not localCheckpoint.
+    grams = materialize_reliable(grams)
     return jaccard_verify_grams(grams, pairs, id_col, threshold)
 
 
@@ -349,7 +353,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     itself — and live only for the job.
     """
     gb = shingle_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
-    gb = gb.localCheckpoint(eager=True)
+    gb = materialize_reliable(gb)  # corpus-sized gram arrays
     banded = gb.select(F.col(id_col),
                        F.posexplode("__bands").alias("band_idx", "band_hash"))
     a, b2 = banded.alias("a"), banded.alias("b")
@@ -390,8 +394,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
                         lambda g: F.xxhash64(g))).alias("g"))
     # consumed three times (both join sides + sizes): compute once,
-    # eagerly (lazy caches race under AQE's concurrent stage launch)
-    grams = grams.localCheckpoint(eager=True)
+    # eagerly (lazy caches race under AQE's concurrent stage launch).
+    # Corpus-sized exploded grams -> recoverable persistence.
+    grams = materialize_reliable(grams)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     joinable = grams
     if max_postings is not None:

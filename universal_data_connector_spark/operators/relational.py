@@ -42,6 +42,33 @@ def exact_avg(col: Column | str) -> Column:
     return exact_sum(c) / F.count(c)
 
 
+def materialize_reliable(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a corpus-scale intermediate, recoverably.
+
+    `localCheckpoint(eager=True)` truncates lineage and stores blocks in
+    executor-local, non-replicated storage — on a multi-hour 100 TB run
+    a single lost executor makes the job unrecoverable. For frames whose
+    size is proportional to the corpus (shingle/gram arrays, exploded
+    tokens, normalized embeddings) we instead persist(DISK_ONLY) and
+    force with a count(): every partition is on disk before the
+    consuming join launches (so AQE's concurrent materialization of
+    both join sides reads the cache instead of racing to compute it —
+    the same property the eager checkpoint provided), while lineage is
+    retained so a lost block is recomputed, not fatal. DISK_ONLY (not
+    MEMORY_AND_DESERIALIZED) keeps corpus-scale blocks out of executor
+    heap, where they would evict the working set and thrash GC.
+
+    Tiny frames (banded signatures, edge lists, centroids) keep
+    `localCheckpoint(eager=True)`: recomputation there is trivial and
+    checkpoint avoids the persist bookkeeping.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    df.count()  # force: populate every partition before consumers run
+    return df
+
+
 def _max_partition_bytes(spark) -> int:
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     try:

@@ -315,10 +315,15 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         dot_product,
         l2_normalize,
     )
-    unit = (spread(df, id_col)
-            .select(F.col(id_col).alias("__id"),
-                    l2_normalize(F.col(vec_col)).alias("__u"))
-            .localCheckpoint(eager=True))   # reused by both verify sides
+    from universal_data_connector_spark.operators.relational import (
+        materialize_reliable,
+    )
+    # reused by both verify sides; corpus-sized vectors -> recoverable
+    # persistence (localCheckpoint would truncate lineage)
+    unit = materialize_reliable(
+        spread(df, id_col)
+        .select(F.col(id_col).alias("__id"),
+                l2_normalize(F.col(vec_col)).alias("__u")))
     # eager checkpoint: the self-join below would otherwise run the
     # Arrow signature matmul once per side under AQE
     b = (hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)

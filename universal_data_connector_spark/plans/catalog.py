@@ -2273,7 +2273,9 @@ def text_unigram_logprob(spark, sf_dir):
     (measured)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(ft.tokenize(F.col("text"))).alias("token"))
-    tok = tok.localCheckpoint(eager=True)  # consumed twice (counts + scoring)
+    # consumed twice (counts + scoring); exploded tokens are
+    # corpus-sized -> recoverable persistence, not localCheckpoint
+    tok = orel.materialize_reliable(tok)
     counts = tok.groupBy("token").agg(F.count("*").alias("n"))
     total = tok.count()
     return (tok.join(orel.broadcast_dim(counts), "token")
