@@ -153,21 +153,74 @@ def apply_transformations(df: DataFrame,
     return df
 
 
+def build_parts(spark: SparkSession, cfg: PipelineConfig,
+                streaming: bool = False) -> tuple[DataFrame, DataFrame]:
+    """Config -> (source DataFrame, transformed DataFrame) lineage.
+
+    The source frame is exposed separately because post-run bookkeeping
+    (archiveDir) must enumerate the *source's* input files only: the
+    transformed plan may scan other file-backed tables (a ``sql``
+    transformation joining ``parquet.`/path``` or a registered view),
+    and `inputFiles()` on the final plan would return those too —
+    archiving files the pipeline never owned."""
+    cfg.validate()
+    source_df = create_source(spark, cfg.source, streaming)
+    return source_df, apply_transformations(source_df, cfg.transformations)
+
+
 def build(spark: SparkSession, cfg: PipelineConfig,
           streaming: bool = False) -> DataFrame:
     """Config -> DataFrame lineage (no execution)."""
-    cfg.validate()
-    df = create_source(spark, cfg.source, streaming)
-    return apply_transformations(df, cfg.transformations)
+    return build_parts(spark, cfg, streaming)[1]
 
 
-def _archive_consumed(files: list[str], archive_dir: str) -> None:
+def batch_archive_plan(cfg: PipelineConfig, source_df: DataFrame,
+                       streaming: bool) -> tuple[str | None, list[str], str | None]:
+    """(archive_dir, consumed source files, source root) for a batch
+    file-source pipeline with ``archiveDir`` set; (None, [], None)
+    otherwise. Captured from the SOURCE frame before any
+    transformation — see ``build_parts``."""
+    if streaming or cfg.source.type != "file":
+        return None, [], None
+    archive_dir = cfg.source.properties.get("archiveDir")
+    if not archive_dir:
+        return None, [], None
+    return archive_dir, source_df.inputFiles(), cfg.source.properties.get("path")
+
+
+def _archive_dest(src: str, archive_dir: str, source_root: str | None) -> str:
+    """Archive destination for one consumed file: the path *relative to
+    the source root* when the file sits under it (two inputs a/x.txt and
+    b/x.txt must not collapse onto one archived x.txt), else the
+    basename. On a collision the destination gets a numeric suffix —
+    never a silent overwrite of an already-archived original."""
+    import os
+
+    rel = os.path.basename(src)
+    if source_root:
+        root = os.path.abspath(source_root).rstrip(os.sep)
+        asrc = os.path.abspath(src)
+        if asrc.startswith(root + os.sep):
+            rel = asrc[len(root) + 1:]
+    dest = os.path.join(archive_dir, rel)
+    if os.path.exists(dest):
+        stem, ext = os.path.splitext(dest)
+        i = 1
+        while os.path.exists(f"{stem}-{i}{ext}"):
+            i += 1
+        dest = f"{stem}-{i}{ext}"
+    return dest
+
+
+def _archive_consumed(files: list[str], archive_dir: str,
+                      source_root: str | None = None) -> None:
     """Move consumed batch inputs out of the polling directory
     (reference ``FileSourceContext.java:113-125``: every consumed file
-    goes to the processed dir under its own name, so a re-run sees an
-    empty source). Local paths only — the streaming path's
-    ``cleanSource=archive`` handles remote filesystems; the reference's
-    own move is java.nio local-only too."""
+    goes to the processed dir, so a re-run sees an empty source).
+    Nested inputs keep their path relative to the source root (subdirs
+    are created under the archive dir). Local paths only — the
+    streaming path's ``cleanSource=archive`` handles remote
+    filesystems; the reference's own move is java.nio local-only too."""
     import os
     import shutil
     from urllib.parse import unquote, urlparse
@@ -180,7 +233,9 @@ def _archive_consumed(files: list[str], archive_dir: str) -> None:
             continue
         src = unquote(parsed.path) if parsed.scheme else uri
         try:
-            shutil.move(src, os.path.join(archive_dir, os.path.basename(src)))
+            dest = _archive_dest(src, archive_dir, source_root)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(src, dest)
         except OSError as exc:
             log.warning("archiveDir: could not move %s: %s", src, exc)
 
@@ -196,11 +251,10 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
     move-to-processed (``FileSourceContext.java:113-125``). The move
     happens strictly after the sink returns, so a failed write leaves
     the inputs in place for a clean re-run."""
-    df = build(spark, cfg, streaming)
-    archive_dir = (None if streaming or cfg.source.type != "file"
-                   else cfg.source.properties.get("archiveDir"))
-    consumed = df.inputFiles() if archive_dir else []
+    source_df, df = build_parts(spark, cfg, streaming)
+    archive_dir, consumed, source_root = batch_archive_plan(
+        cfg, source_df, streaming)
     result = create_sink(df, cfg.sink, streaming)
     if archive_dir and consumed:
-        _archive_consumed(consumed, archive_dir)
+        _archive_consumed(consumed, archive_dir, source_root)
     return result

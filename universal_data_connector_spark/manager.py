@@ -108,7 +108,8 @@ class PipelineManager:
         # Build the lineage synchronously: config/connector errors
         # surface at submission (the reference's per-pipeline try/catch
         # boundary, PipelineManager.java:44-50); execution is deferred.
-        df = engine.build(self.spark, cfg, streaming=streaming)
+        source_df, df = engine.build_parts(self.spark, cfg,
+                                           streaming=streaming)
         if streaming:
             from universal_data_connector_spark.sinks import create_sink
             query = create_sink(df, cfg.sink, streaming=True)
@@ -116,6 +117,12 @@ class PipelineManager:
                       "streaming", query=query)
         else:
             job = Job(job_name, cfg.name, int(time.time() * 1000), "batch")
+            # Managed pipelines honor archiveDir exactly like direct
+            # engine.run callers (same helper, same move-after-sink
+            # ordering); the plan is captured here, at submission, from
+            # the SOURCE frame — not the transformed plan.
+            archive_dir, consumed, source_root = engine.batch_archive_plan(
+                cfg, source_df, streaming)
 
             def target() -> None:
                 from universal_data_connector_spark.sinks import create_sink
@@ -135,6 +142,9 @@ class PipelineManager:
                     return
                 try:
                     create_sink(df, cfg.sink, streaming=False)
+                    if archive_dir and consumed and job.status != "CANCELLED":
+                        engine._archive_consumed(consumed, archive_dir,
+                                                 source_root)
                     job._finish("COMPLETED")
                 except Exception as exc:  # noqa: BLE001
                     if job.status == "CANCELLED":

@@ -69,12 +69,22 @@ def materialize_reliable(df: DataFrame) -> DataFrame:
     return df
 
 
+def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-string conf value (JavaUtils.byteStringAs):
+    plain bytes or a k/m/g/t/p suffix with optional trailing 'b'
+    ("128m", "1g", "134217728b")."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", str(raw).strip().lower())
+    if not m:
+        return default
+    mult = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[m.group(2)]
+    return int(m.group(1)) << mult
+
+
 def _max_partition_bytes(spark) -> int:
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    try:
-        return int(raw.lower().rstrip("b"))
-    except ValueError:
-        return 128 << 20
+    return _parse_byte_string(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

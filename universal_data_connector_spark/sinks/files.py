@@ -176,13 +176,20 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     file under ``bucket/prefix``; credentials go to Hadoop conf like
     the S3 source.
 
-    Content-Type (`:105-115`): when boto3 is importable and the frame
-    is file-mode batch, each object uploads with the reference's
-    per-type Content-Type (``content_type_for``). Without boto3 the
-    write delegates to S3A, which derives Content-Type from the key
-    extension instead — a documented divergence (the bytes and keys are
-    identical either way)."""
-    if not streaming and "content" in df.columns and "file_type" in df.columns:
+    Content-Type (`:105-115`): when boto3 is importable and the config
+    is a raw passthrough (no parquet format / no schema binding — those
+    must convert blobs to typed records, which only file_sink does),
+    each object uploads with the reference's per-type Content-Type
+    (``content_type_for``). Without boto3 the write delegates to S3A,
+    which derives Content-Type from the key extension instead — a
+    documented divergence; the bytes and keys are identical either way
+    because both paths keep the raw source filename (the reference's
+    S3 sink does NO extension swap, ``S3SinkContext.java:79`` — unlike
+    its file sink)."""
+    raw_passthrough = (str(props.get("format", "")).lower() != "parquet"
+                       and not props.get("schema"))
+    if (not streaming and raw_passthrough
+            and "content" in df.columns and "file_type" in df.columns):
         try:
             import boto3  # noqa: F401 - optional, absent in CI sandbox
             return _s3_put_objects_boto3(df, props)
@@ -199,6 +206,8 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     path = f"s3a://{props['bucketName']}/{props.get('prefix', '')}"
     sub = dict(props)
     sub["path"] = path
+    # reference S3 keys keep the original filename — no extension swap
+    sub.pop("extension", None)
     return file_sink(df, sub, streaming)
 
 
@@ -209,7 +218,6 @@ def _s3_put_objects_boto3(df: DataFrame, props: dict) -> None:
     endpoint come from props or the default provider chain."""
     bucket = props["bucketName"]
     prefix = props.get("prefix", "").strip("/")
-    extension = props.get("extension", "")
     client_kwargs = {}
     if props.get("accessKey"):
         client_kwargs["aws_access_key_id"] = props["accessKey"]
@@ -223,7 +231,8 @@ def _s3_put_objects_boto3(df: DataFrame, props: dict) -> None:
         import boto3
         client = boto3.client("s3", **client_kwargs)
         for row in it:
-            name = _swap_extension(row.source_file, extension)
+            # raw filename, no extension swap (S3SinkContext.java:79)
+            name = os.path.basename(row.source_file)
             key = f"{prefix}/{name}" if prefix else name
             body = (row.content if isinstance(row.content, (bytes, bytearray))
                     else str(row.content).encode())
