@@ -53,7 +53,15 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # Drop every persisted dataset before the next rep: Spark's
+        # CacheManager substitutes cached plans by logical-plan
+        # equality, so without this a repeat execution of the same
+        # query reads the previous rep's DISK_ONLY blocks and min-of-N
+        # times cached disk reads instead of recomputation. Outside the
+        # timer — cache teardown isn't part of the query.
+        spark.catalog.clearCache()
+        return elapsed
 
     def run_best(name: str, reps: int = 4) -> tuple[float, float]:
         """(min, median) over reps. The host VM shows transient

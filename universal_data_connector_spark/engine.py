@@ -257,4 +257,12 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
     result = create_sink(df, cfg.sink, streaming)
     if archive_dir and consumed:
         _archive_consumed(consumed, archive_dir, source_root)
+    if not streaming:
+        # batch job is complete: free any DISK_ONLY intermediates the
+        # operators pinned, so a long-lived PipelineManager service
+        # doesn't accumulate corpus-sized cache entries per job
+        from universal_data_connector_spark.operators.relational import (
+            release_materialized,
+        )
+        release_materialized()
     return result

@@ -61,12 +61,48 @@ def materialize_reliable(df: DataFrame) -> DataFrame:
     Tiny frames (banded signatures, edge lists, centroids) keep
     `localCheckpoint(eager=True)`: recomputation there is trivial and
     checkpoint avoids the persist bookkeeping.
+
+    Every persisted frame is registered so `release_materialized()` can
+    unpersist it once the consuming job is done. Without that release,
+    corpus-sized cache entries accumulate unboundedly in long-lived
+    sessions (the PipelineManager service, a multi-query correctness
+    sweep), and — because Spark's CacheManager substitutes cached plans
+    by logical-plan equality — a re-execution of the same query silently
+    reads the previous run's cache instead of recomputing.
     """
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.DISK_ONLY)
     df.count()  # force: populate every partition before consumers run
+    _MATERIALIZED.append(df)
     return df
+
+
+# Frames pinned by materialize_reliable(), awaiting release. Module-level
+# (not per-session): this process drives exactly one SparkSession, and
+# unpersist on a frame from a stopped session is a harmless no-op.
+_MATERIALIZED: list[DataFrame] = []
+
+
+def release_materialized() -> int:
+    """Unpersist every frame `materialize_reliable()` has pinned.
+
+    Call once the consuming action has finished — the catalog's query
+    wrapper does this when the NEXT query is built (by which point the
+    previous query's action has completed under the driver / bench /
+    test protocols), and the engine does it after each batch job.
+    Non-blocking: block cleanup proceeds asynchronously while the next
+    query plans. Returns the number of frames released.
+    """
+    n = 0
+    while _MATERIALIZED:
+        d = _MATERIALIZED.pop()
+        try:
+            d.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:

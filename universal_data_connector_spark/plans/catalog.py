@@ -62,6 +62,13 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             udc_session.pin(spark)
+            # Release the PREVIOUS query's materialized intermediates:
+            # by the time the next query is built, the prior one's
+            # action has completed (driver / bench / oracle-sweep all
+            # run build->act->build->act), so its DISK_ONLY pins are
+            # dead weight. Bounds cache growth over an N-query session
+            # to one query's worth instead of the union of all N.
+            orel.release_materialized()
             return fn(spark, sf_dir)
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
