@@ -34,7 +34,7 @@ from universal_data_connector_spark.operators import dedup as od
 from universal_data_connector_spark.operators import multimodal as om
 from universal_data_connector_spark.operators import relational as orel
 from universal_data_connector_spark.operators import similarity as osim
-from universal_data_connector_spark.tables import load
+from universal_data_connector_spark.tables import load, watermarkable_ts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -2050,17 +2050,16 @@ def stream_stateful_totals(spark, sf_dir):
     from pyspark.sql import types as T
     ckpt = os.path.join(_scratch_dir("udc_stream_state_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
-    # Stream with the RAW schema (ts arrives as bigint nanos under
-    # session.pin's nanosAsLong), then restore TimestampType exactly as
-    # tables.load does for the batch path.
+    # Stream with the RAW schema (ts may arrive as bigint nanos or as
+    # TIMESTAMP_NTZ depending on the parquet layout), then normalise to
+    # TimestampType exactly as tables.load does for the batch path —
+    # withWatermark rejects anything else.
     raw_schema = spark.read.parquet(path).schema
     # the file stream source wants a directory: stream the sf dir with
     # a glob pinned to the events table
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    stream = watermarkable_ts(stream, "ts")
     totals = stateful_running_totals(stream)
     sink = f"udc_state_totals_{uuid.uuid4().hex[:8]}"
     q = (totals.writeStream.format("memory").queryName(sink)

@@ -56,10 +56,15 @@ def pin(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
-    # vectorized reader; read as bigint nanos and convert in tables.load
-    # (lossless here: the synthetic data is microsecond-aligned).
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) and as naive
+    # TIMESTAMP(MICROS) across testdata generations. nanosAsLong makes
+    # the nanos layout readable (as bigint, restored in tables.load);
+    # disabling NTZ inference makes the naive-micros layout arrive as
+    # TimestampType directly (value-preserving under UTC), which the
+    # streaming watermark API requires. tables.watermarkable_ts guards
+    # both layouts for sessions that skipped pin().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Size shuffle/state partitions to the local machine: AQE coalesces
     # batch shuffles at runtime, but streaming state stores take the
     # static setting (AQE is disabled for stateful workloads), and a

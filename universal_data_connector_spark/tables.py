@@ -18,20 +18,34 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as bigint
-# (spark.sql.legacy.parquet.nanosAsLong, set in session.pin) and we
-# restore TimestampType here by integer-dividing to microseconds.
-_NANO_TS_COLS = {"events": ("ts",)}
+# ``events.ts`` has shipped in two parquet layouts across testdata
+# generations: TIMESTAMP(NANOS), which Spark reads as bigint nanos under
+# ``spark.sql.legacy.parquet.nanosAsLong`` (session.pin), and naive
+# TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ unless
+# ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (also pinned).
+# Either way the streaming watermark API requires TimestampType (LTZ),
+# so every events read — batch or stream — goes through
+# ``watermarkable_ts``. The NTZ→LTZ cast is value-preserving under the
+# pinned UTC session time zone.
+_TS_COLS = {"events": ("ts",)}
+
+
+def watermarkable_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalise a timestamp column to TimestampType (watermark-legal)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # nanos-as-bigint layout
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dt, T.TimestampNTZType):  # naive-micros layout
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
-        field = df.schema[col]
-        if isinstance(field.dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for col in _TS_COLS.get(name, ()):
+        df = watermarkable_ts(df, col)
     return df
 
 
