@@ -17,35 +17,40 @@ from universal_data_connector_spark.plans.catalog import ORACLES, QUERIES
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
-# iteration order. Rounds 1-2 verified 58 distinct keys; the 34 below
-# never received a driver row (they do pass the in-repo DuckDB harness,
-# tests/test_queries_oracle.py). Surface them first, then the keys whose
-# implementation changed this round (so the driver re-verifies them),
-# then the r1/r2-green remainder in registration order.
+# iteration order. The window below ROTATES per round so no key's most
+# recent driver evidence goes stale (>2 rounds old). Round-6 rotation
+# (VERDICT r5 items 2+4): the 46 keys whose last driver row was r1/r2
+# (the r3-r5 window was byte-identical, so joins/aggs/windows/sorts/
+# set-ops/scalar-fns/filters/casts were never re-checked), plus
+# stream_stateful_totals (broken in r5 by the TIMESTAMP_NTZ testdata
+# change, fixed this round — needs a green row), plus the keys whose
+# implementation changed this round.
 _CHECK_FIRST = [
-    # never driver-checked through round 2 (VERDICT.md r2, item 1)
-    "dedup_cluster_cc", "sim_search_cosine_topk", "sim_search_ivf",
-    "sim_search_lsh", "sim_search_ivf_kmeans", "embedding_normalize",
-    "text_tokenize_stats", "text_token_count_bpe", "text_language_id",
-    "text_quality_score", "text_fingerprint", "text_rolling_hash",
-    "text_pii_redact", "multimodal_binary_meta", "multimodal_frame_sample",
-    "multimodal_resize", "sink_parquet_snappy", "sink_csv_per_source",
-    "sink_jdbc_append", "stream_file_ingest_exactly_once",
-    "stream_late_data_watermark", "stream_stateful_totals",
-    "agg_grouped_mad_pandas", "stream_static_enrich_join",
-    "text_vocab_topk", "sample_deterministic", "sample_stratified",
-    "text_unigram_logprob", "agg_percentile_exact", "reshape_unpivot",
-    "reshape_pack_sequences", "dedup_contamination_ngram",
-    "pipeline_training_data", "sample_weighted_mix",   # new in round 3
-    "window_range_frame", "pipeline_clean_corpus",
-    "multimodal_decode_features", "sql_full_surface",
-    # modified in round 3 -> needs driver re-verification
-    "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "join_bucketed_colocated", "dedup_near_minhash", "dedup_simhash",
-    "dedup_exact",
-    # green only in round 1's window; re-pin while slots remain
-    "stream_session_window", "stream_dedup_first_per_key",
-    "stream_dedup_watermark",
+    # regression fixed this round -> must re-earn a green driver row
+    "stream_stateful_totals",
+    # implementation touched this round (minhash JVM gram hashing)
+    "dedup_near_minhash",
+    # driver evidence stale since r1/r2 (VERDICT r5 item 4)
+    "project_columns", "rename_columns",
+    "filter_contains", "filter_equality", "filter_null_safe",
+    "filter_any_row_per_file",
+    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
+    "defaults_on_null",
+    "join_inner_hash", "join_broadcast", "join_left", "join_semi",
+    "join_anti", "join_range_theta", "join_asof",
+    "join_interval_overlap", "join_salted_skew", "join_full_outer",
+    "agg_hash_sum_avg", "agg_count_distinct", "agg_approx_count_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+    "agg_stats_moments",
+    "window_row_number_topk", "window_running_sum", "window_lag_lead",
+    "window_rank_family", "window_first_last",
+    "sort_multi_key", "limit_topk",
+    "set_union_all", "set_intersect", "set_except",
+    "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
+    "base64_roundtrip", "json_funcs",
+    "stream_tumbling_count", "stream_sliding_agg",
+    # flagship + canary scan: cheap insurance rows each round
+    "pipeline_clean_corpus", "scan_parquet",
 ]
 
 
