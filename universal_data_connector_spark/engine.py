@@ -251,18 +251,26 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
     move-to-processed (``FileSourceContext.java:113-125``). The move
     happens strictly after the sink returns, so a failed write leaves
     the inputs in place for a clean re-run."""
-    source_df, df = build_parts(spark, cfg, streaming)
-    archive_dir, consumed, source_root = batch_archive_plan(
-        cfg, source_df, streaming)
-    result = create_sink(df, cfg.sink, streaming)
-    if archive_dir and consumed:
-        _archive_consumed(consumed, archive_dir, source_root)
-    if not streaming:
-        # batch job is complete: free any DISK_ONLY intermediates the
-        # operators pinned, so a long-lived PipelineManager service
-        # doesn't accumulate corpus-sized cache entries per job
-        from universal_data_connector_spark.operators.relational import (
-            release_materialized,
-        )
-        release_materialized()
+    from universal_data_connector_spark.operators.relational import (
+        pin_scope, release_frames,
+    )
+
+    if streaming:
+        source_df, df = build_parts(spark, cfg, streaming)
+        return create_sink(df, cfg.sink, streaming)
+    # Batch: the build AND its consuming action both complete inside
+    # this call, so scope any DISK_ONLY intermediates the operators pin
+    # to this job and free them on the way out (success or failure) —
+    # a long-lived caller never accumulates corpus-sized cache entries,
+    # and concurrent jobs' pins are untouched (per-build scope).
+    with pin_scope() as pins:
+        try:
+            source_df, df = build_parts(spark, cfg, streaming)
+            archive_dir, consumed, source_root = batch_archive_plan(
+                cfg, source_df, streaming)
+            result = create_sink(df, cfg.sink, streaming)
+            if archive_dir and consumed:
+                _archive_consumed(consumed, archive_dir, source_root)
+        finally:
+            release_frames(pins)
     return result

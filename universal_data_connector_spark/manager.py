@@ -50,6 +50,10 @@ class Job:
     kind: str  # "batch" | "streaming"
     query: StreamingQuery | None = None
     thread: threading.Thread | None = None
+    # DISK_ONLY frames materialize_reliable pinned during THIS job's
+    # build (pin_scope'd at submission); released when the job reaches
+    # a terminal state — never by another job's bookkeeping.
+    pins: list = field(default_factory=list, repr=False)
     _state: str = "RUNNING"
     error: str | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -108,15 +112,22 @@ class PipelineManager:
         # Build the lineage synchronously: config/connector errors
         # surface at submission (the reference's per-pipeline try/catch
         # boundary, PipelineManager.java:44-50); execution is deferred.
-        source_df, df = engine.build_parts(self.spark, cfg,
-                                           streaming=streaming)
+        # Pin-scope the build so any DISK_ONLY intermediates belong to
+        # this job alone and are released at its terminal state.
+        from universal_data_connector_spark.operators.relational import (
+            pin_scope,
+        )
+        with pin_scope() as build_pins:
+            source_df, df = engine.build_parts(self.spark, cfg,
+                                               streaming=streaming)
         if streaming:
             from universal_data_connector_spark.sinks import create_sink
             query = create_sink(df, cfg.sink, streaming=True)
             job = Job(job_name, cfg.name, int(time.time() * 1000),
-                      "streaming", query=query)
+                      "streaming", query=query, pins=build_pins)
         else:
-            job = Job(job_name, cfg.name, int(time.time() * 1000), "batch")
+            job = Job(job_name, cfg.name, int(time.time() * 1000), "batch",
+                      pins=build_pins)
             # Managed pipelines honor archiveDir exactly like direct
             # engine.run callers (same helper, same move-after-sink
             # ordering); the plan is captured here, at submission, from
@@ -125,32 +136,44 @@ class PipelineManager:
                 cfg, source_df, streaming)
 
             def target() -> None:
+                from universal_data_connector_spark.operators.relational import (  # noqa: E501
+                    release_frames,
+                )
                 from universal_data_connector_spark.sinks import create_sink
-                # Tag every Spark job this pipeline submits with its own
-                # job group so stop(job_name) can cancel just this
-                # pipeline (the reference's per-job stopPipeline,
-                # PipelineManager.java:74-81). PySpark's pinned-thread
-                # mode makes the group local to this worker thread.
-                sc = self.spark.sparkContext
-                sc.setJobGroup(job_name, f"pipeline {cfg.name}",
-                               interruptOnCancel=True)
-                if job.status == "CANCELLED":
-                    # stop() landed before the group tag existed; its
-                    # cancelJobGroup hit nothing — bail before the first
-                    # action instead of running the pipeline to
-                    # completion under a CANCELLED status
-                    return
                 try:
-                    create_sink(df, cfg.sink, streaming=False)
-                    if archive_dir and consumed and job.status != "CANCELLED":
-                        engine._archive_consumed(consumed, archive_dir,
-                                                 source_root)
-                    job._finish("COMPLETED")
-                except Exception as exc:  # noqa: BLE001
+                    # Tag every Spark job this pipeline submits with its
+                    # own job group so stop(job_name) can cancel just
+                    # this pipeline (the reference's per-job
+                    # stopPipeline, PipelineManager.java:74-81).
+                    # PySpark's pinned-thread mode makes the group local
+                    # to this worker thread.
+                    sc = self.spark.sparkContext
+                    sc.setJobGroup(job_name, f"pipeline {cfg.name}",
+                                   interruptOnCancel=True)
                     if job.status == "CANCELLED":
-                        return  # stop() already recorded the outcome
-                    log.exception("pipeline %s failed", cfg.name)
-                    job._finish("FAILED", str(exc))
+                        # stop() landed before the group tag existed;
+                        # its cancelJobGroup hit nothing — bail before
+                        # the first action instead of running the
+                        # pipeline to completion under a CANCELLED
+                        # status
+                        return
+                    try:
+                        create_sink(df, cfg.sink, streaming=False)
+                        if archive_dir and consumed \
+                                and job.status != "CANCELLED":
+                            engine._archive_consumed(consumed, archive_dir,
+                                                     source_root)
+                        job._finish("COMPLETED")
+                    except Exception as exc:  # noqa: BLE001
+                        if job.status == "CANCELLED":
+                            return  # stop() already recorded the outcome
+                        log.exception("pipeline %s failed", cfg.name)
+                        job._finish("FAILED", str(exc))
+                finally:
+                    # terminal state (completed / failed / cancelled):
+                    # free exactly this job's pinned intermediates (the
+                    # build ran under pin_scope)
+                    release_frames(job.pins)
                 # No clearJobGroup needed: the group is local to this
                 # dedicated worker thread (pinned-thread mode) and the
                 # thread ends with the pipeline.
@@ -170,6 +193,11 @@ class PipelineManager:
             return False
         if job.query is not None:
             job.query.stop()
+            # the stream is down: its build-time pins have no consumer
+            from universal_data_connector_spark.operators.relational import (
+                release_frames,
+            )
+            release_frames(job.pins)
         elif job.thread is not None and job.thread.is_alive():
             # Cancel only this pipeline's Spark jobs — other running
             # pipelines keep their isolation (the worker thread tagged

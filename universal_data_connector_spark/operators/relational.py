@@ -11,9 +11,16 @@ double sum is order-dependent and shuffles reorder partitions).
 
 from __future__ import annotations
 
+import logging
+import threading
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+log = logging.getLogger(__name__)
 
 # Exact-aggregation scale: all synthetic money/quantity columns carry
 # <= 2 decimal digits; 6 fractional digits absorbs products of them.
@@ -62,47 +69,95 @@ def materialize_reliable(df: DataFrame) -> DataFrame:
     `localCheckpoint(eager=True)`: recomputation there is trivial and
     checkpoint avoids the persist bookkeeping.
 
-    Every persisted frame is registered so `release_materialized()` can
-    unpersist it once the consuming job is done. Without that release,
-    corpus-sized cache entries accumulate unboundedly in long-lived
-    sessions (the PipelineManager service, a multi-query correctness
-    sweep), and — because Spark's CacheManager substitutes cached plans
-    by logical-plan equality — a re-execution of the same query silently
-    reads the previous run's cache instead of recomputing.
+    Every persisted frame is registered — into the innermost active
+    `pin_scope()` on this thread, else the thread's default bucket — so
+    the owning build/job can unpersist exactly its own frames once its
+    consuming action is done. Without that release, corpus-sized cache
+    entries accumulate unboundedly in long-lived sessions (the
+    PipelineManager service, a multi-query correctness sweep), and —
+    because Spark's CacheManager substitutes cached plans by
+    logical-plan equality — a re-execution of the same query silently
+    reads the previous run's cache instead of recomputing. Scoping the
+    registry per build (not one process-global pop-all) means a release
+    on one thread can never unpersist frames a concurrently-running
+    job (PipelineManager worker threads) still depends on.
     """
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.DISK_ONLY)
     df.count()  # force: populate every partition before consumers run
-    _MATERIALIZED.append(df)
+    _pin_sink().append(df)
     return df
 
 
-# Frames pinned by materialize_reliable(), awaiting release. Module-level
-# (not per-session): this process drives exactly one SparkSession, and
-# unpersist on a frame from a stopped session is a harmless no-op.
-_MATERIALIZED: list[DataFrame] = []
+# Pin bookkeeping is thread-local: each build/job registers and releases
+# its own frames; concurrent PipelineManager workers never see (or free)
+# each other's pins. unpersist on a frame from a stopped session is a
+# harmless logged no-op, so no per-session keying is needed.
+_TL = threading.local()
+
+
+def _pin_sink() -> list[DataFrame]:
+    """The list `materialize_reliable` registers into: the innermost
+    active `pin_scope` on this thread, else the thread's default
+    bucket (released by `release_materialized`)."""
+    scopes = getattr(_TL, "scopes", None)
+    if scopes:
+        return scopes[-1]
+    bucket = getattr(_TL, "default", None)
+    if bucket is None:
+        bucket = _TL.default = []
+    return bucket
+
+
+@contextmanager
+def pin_scope() -> Iterator[list[DataFrame]]:
+    """Collect the frames `materialize_reliable` pins during the block.
+
+    The caller owns the yielded list and must `release_frames` it once
+    the consuming action has finished — which may be well after the
+    block exits (a catalog build returns an unexecuted DataFrame; the
+    manager executes a build on a worker thread). Scopes nest: an
+    operator composing other operators releases one combined list.
+    """
+    frames: list[DataFrame] = []
+    scopes = getattr(_TL, "scopes", None)
+    if scopes is None:
+        scopes = _TL.scopes = []
+    scopes.append(frames)
+    try:
+        yield frames
+    finally:
+        scopes.pop()
+
+
+def release_frames(frames: list[DataFrame]) -> int:
+    """Unpersist the given pinned frames (drains the list in place).
+
+    Non-blocking: block cleanup proceeds asynchronously while the
+    caller's next work plans. Returns the number of frames popped —
+    attempts, not successes: a frame whose session already stopped has
+    nothing left to free, and any other unpersist failure is logged at
+    debug rather than masking the caller's own outcome.
+    """
+    n = 0
+    while frames:
+        d = frames.pop()
+        n += 1
+        try:
+            d.unpersist(blocking=False)
+        except Exception:
+            log.debug("unpersist of pinned frame failed "
+                      "(session stopped?)", exc_info=True)
+    return n
 
 
 def release_materialized() -> int:
-    """Unpersist every frame `materialize_reliable()` has pinned.
-
-    Call once the consuming action has finished — the catalog's query
-    wrapper does this when the NEXT query is built (by which point the
-    previous query's action has completed under the driver / bench /
-    test protocols), and the engine does it after each batch job.
-    Non-blocking: block cleanup proceeds asynchronously while the next
-    query plans. Returns the number of frames released.
-    """
-    n = 0
-    while _MATERIALIZED:
-        d = _MATERIALIZED.pop()
-        try:
-            d.unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    return n
+    """Release this thread's *default-bucket* pins — frames pinned by
+    `materialize_reliable` calls that ran outside any `pin_scope`
+    (ad-hoc operator use in tests / notebooks). Builds that need
+    deferred, per-job release use `pin_scope` + `release_frames`."""
+    return release_frames(getattr(_TL, "default", []))
 
 
 def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:

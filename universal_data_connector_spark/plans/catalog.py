@@ -21,6 +21,7 @@ Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,20 +57,32 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
+# Per-thread handle on the pins of the previous catalog build, released
+# when this thread builds its NEXT query (by which point the prior one's
+# action has completed — driver / bench / oracle-sweep all run
+# build->act->build->act). Thread-local so a concurrent build on another
+# thread (PipelineManager worker, parallel test) can never release pins
+# a still-running job depends on.
+_BUILD_TL = threading.local()
+
+
 def query(name: str, oracle: str | None = None):
     """Register a catalog query; `oracle=None` => rows-only check
     (genuinely non-SQL-expressible, e.g. LSH signatures)."""
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             udc_session.pin(spark)
-            # Release the PREVIOUS query's materialized intermediates:
-            # by the time the next query is built, the prior one's
-            # action has completed (driver / bench / oracle-sweep all
-            # run build->act->build->act), so its DISK_ONLY pins are
-            # dead weight. Bounds cache growth over an N-query session
-            # to one query's worth instead of the union of all N.
-            orel.release_materialized()
-            return fn(spark, sf_dir)
+            # Release the PREVIOUS query's materialized intermediates —
+            # exactly the frames pinned during that build on this
+            # thread, nothing else. Bounds cache growth over an N-query
+            # session to one query's worth instead of the union of all N.
+            prev = getattr(_BUILD_TL, "prev_pins", None)
+            if prev:
+                orel.release_frames(prev)
+            with orel.pin_scope() as pins:
+                out = fn(spark, sf_dir)
+            _BUILD_TL.prev_pins = pins
+            return out
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         QUERIES[name] = wrapped
