@@ -165,26 +165,27 @@ def test_max_partition_bytes_reads_suffixed_conf(spark):
 
 def test_s3_sink_strips_extension_swap_for_s3a_fallback(monkeypatch, spark):
     """Both S3 paths must produce the same keys: raw source filename,
-    no extension swap (reference S3SinkContext.java:79)."""
+    no extension swap (reference S3SinkContext.java:79). Without boto3
+    the raw fallback writes through Hadoop's FileSystem at the real
+    s3a:// URI (round-6: no more local dir named after the URI)."""
     import sys
 
     from universal_data_connector_spark.sinks import files as sf
 
-    # force the S3A fallback even where boto3 is installed
+    # force the boto3-free fallback even where boto3 is installed
     monkeypatch.setitem(sys.modules, "boto3", None)
     captured = {}
 
-    def fake_file_sink(df, props, streaming=False):
-        captured.update(props)
+    def fake_hadoop_write(df, base_uri):
+        captured["uri"] = base_uri
 
-    monkeypatch.setattr(sf, "file_sink", fake_file_sink)
+    monkeypatch.setattr(sf, "_hadoop_write_objects", fake_hadoop_write)
     df = spark.createDataFrame(
         [("a.txt", "TEXT", "hello")],
         "source_file string, file_type string, content string")
     sf.s3_sink(df, {"bucketName": "bkt", "prefix": "p",
                     "extension": ".out"}, streaming=False)
-    assert captured["path"] == "s3a://bkt/p"
-    assert "extension" not in captured
+    assert captured["uri"] == "s3a://bkt/p"
 
 
 def test_s3_sink_parquet_schema_never_takes_boto3_path(monkeypatch, spark):

@@ -189,11 +189,20 @@ def batch_archive_plan(cfg: PipelineConfig, source_df: DataFrame,
 
 
 def _archive_dest(src: str, archive_dir: str, source_root: str | None) -> str:
-    """Archive destination for one consumed file: the path *relative to
-    the source root* when the file sits under it (two inputs a/x.txt and
-    b/x.txt must not collapse onto one archived x.txt), else the
-    basename. On a collision the destination gets a numeric suffix —
-    never a silent overwrite of an already-archived original."""
+    """Claim an archive destination for one consumed file: the path
+    *relative to the source root* when the file sits under it (two
+    inputs a/x.txt and b/x.txt must not collapse onto one archived
+    x.txt), else the basename. On a collision the destination gets a
+    numeric suffix — never a silent overwrite of an already-archived
+    original.
+
+    The destination is *claimed atomically* (``O_CREAT|O_EXCL``
+    placeholder), not just probed: two pipelines sharing an archiveDir
+    that consume same-named files concurrently would otherwise both see
+    the name free and the second move would overwrite the first's
+    archived original (check-then-move TOCTOU). The caller's
+    ``shutil.move`` replaces the zero-byte placeholder this claim
+    leaves behind."""
     import os
 
     rel = os.path.basename(src)
@@ -203,13 +212,16 @@ def _archive_dest(src: str, archive_dir: str, source_root: str | None) -> str:
         if asrc.startswith(root + os.sep):
             rel = asrc[len(root) + 1:]
     dest = os.path.join(archive_dir, rel)
-    if os.path.exists(dest):
-        stem, ext = os.path.splitext(dest)
-        i = 1
-        while os.path.exists(f"{stem}-{i}{ext}"):
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    stem, ext = os.path.splitext(dest)
+    i = 0
+    while True:
+        cand = dest if i == 0 else f"{stem}-{i}{ext}"
+        try:
+            os.close(os.open(cand, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return cand
+        except FileExistsError:
             i += 1
-        dest = f"{stem}-{i}{ext}"
-    return dest
 
 
 def _archive_consumed(files: list[str], archive_dir: str,
@@ -234,10 +246,19 @@ def _archive_consumed(files: list[str], archive_dir: str,
         src = unquote(parsed.path) if parsed.scheme else uri
         try:
             dest = _archive_dest(src, archive_dir, source_root)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
+        except OSError as exc:
+            log.warning("archiveDir: could not claim dest for %s: %s",
+                        src, exc)
+            continue
+        try:
+            # replaces the zero-byte placeholder the claim created
             shutil.move(src, dest)
         except OSError as exc:
             log.warning("archiveDir: could not move %s: %s", src, exc)
+            try:
+                os.remove(dest)  # release the unused claim
+            except OSError:
+                pass
 
 
 def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):

@@ -171,6 +171,38 @@ def file_sink(df: DataFrame, props: dict, streaming: bool = False):
     return None
 
 
+def _hadoop_write_objects(df: DataFrame, base_uri: str) -> None:
+    """One object per file-mode row via Hadoop's FileSystem API — the
+    boto3-free S3 write path. Goes through the JVM's S3A client (the
+    same filesystem Spark's own writers use), so a ``s3a://`` URI is a
+    real remote write, never a local directory that happens to be named
+    after the URI. Bytes are written exactly as held — the reference's
+    S3 sink uploads raw content with no trailing newline
+    (``S3SinkContext.java:85-97``), unlike its *file* sink.
+
+    Driver-side iteration (``toLocalIterator`` streams one partition at
+    a time): the FileSystem handle lives in the driver JVM and Python
+    executors cannot reach it. The executor-parallel path is the boto3
+    branch; this is the correctness fallback when boto3 is absent."""
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(base_uri)
+    fs = base.getFileSystem(hconf)
+    fs.mkdirs(base)
+    for row in df.select("source_file", "content").toLocalIterator():
+        # raw filename, no extension swap (S3SinkContext.java:79)
+        name = os.path.basename(row.source_file)
+        body = (row.content if isinstance(row.content, (bytes, bytearray))
+                else str(row.content).encode())
+        out = fs.create(hpath(base, name), True)
+        try:
+            out.write(body)
+        finally:
+            out.close()
+
+
 def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     """Reference K5 (``factory/sink/S3SinkContext.java``): object per
     file under ``bucket/prefix``; credentials go to Hadoop conf like
@@ -180,21 +212,12 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     is a raw passthrough (no parquet format / no schema binding — those
     must convert blobs to typed records, which only file_sink does),
     each object uploads with the reference's per-type Content-Type
-    (``content_type_for``). Without boto3 the write delegates to S3A,
-    which derives Content-Type from the key extension instead — a
-    documented divergence; the bytes and keys are identical either way
-    because both paths keep the raw source filename (the reference's
-    S3 sink does NO extension swap, ``S3SinkContext.java:79`` — unlike
-    its file sink)."""
-    raw_passthrough = (str(props.get("format", "")).lower() != "parquet"
-                       and not props.get("schema"))
-    if (not streaming and raw_passthrough
-            and "content" in df.columns and "file_type" in df.columns):
-        try:
-            import boto3  # noqa: F401 - optional, absent in CI sandbox
-            return _s3_put_objects_boto3(df, props)
-        except ImportError:
-            pass
+    (``content_type_for``). Without boto3 raw objects go through
+    Hadoop's S3A FileSystem instead, which derives Content-Type from
+    the key extension — a documented divergence; bytes and keys are
+    identical either way because both paths write raw content under
+    the raw source filename (the reference's S3 sink does NO extension
+    swap and no trailing newline, ``S3SinkContext.java:79,85-97``)."""
     spark = df.sparkSession
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     if props.get("accessKey"):
@@ -204,6 +227,28 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     if props.get("endpoint"):
         hconf.set("fs.s3a.endpoint", props["endpoint"])
     path = f"s3a://{props['bucketName']}/{props.get('prefix', '')}"
+    raw_passthrough = (str(props.get("format", "")).lower() != "parquet"
+                       and not props.get("schema")
+                       and "content" in df.columns)
+    if raw_passthrough:
+        if not streaming and "file_type" in df.columns:
+            try:
+                import boto3  # noqa: F401 - optional, absent in CI
+                return _s3_put_objects_boto3(df, props)
+            except ImportError:
+                pass
+        if streaming:
+            def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+                _hadoop_write_objects(batch_df, path)
+            return (df.writeStream.foreachBatch(write_batch)
+                    .option("checkpointLocation", props.get(
+                        "checkpointLocation",
+                        path.rstrip("/") + "_checkpoint"))
+                    .start())
+        _hadoop_write_objects(df, path)
+        return None
+    # typed output (parquet / schema-bound): Spark's own writers speak
+    # s3a natively — delegate with the s3a URI as the sink path
     sub = dict(props)
     sub["path"] = path
     # reference S3 keys keep the original filename — no extension swap
