@@ -20,6 +20,7 @@ import time
 import pandas as pd
 
 HEADLINE = [
+    # core relational (rounds 1-2)
     "scan_parquet",
     "agg_hash_sum_avg",
     "agg_count_distinct",
@@ -36,6 +37,20 @@ HEADLINE = [
     "sim_search_cosine_topk",
     "text_tokenize_stats",
     "text_quality_score",
+    # rounds 3-5 operators (custom joins, skew strategy, exact
+    # percentiles, graph dedup, packing, PII, multimodal, composition)
+    "join_asof",
+    "join_salted_skew",
+    "agg_percentile_exact",
+    "window_range_frame",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "sample_stratified",
+    "reshape_pack_sequences",
+    "text_token_count_bpe",
+    "text_pii_redact",
+    "multimodal_decode_features",
+    "pipeline_training_data",
 ]
 
 
