@@ -41,37 +41,6 @@ from universal_data_connector_spark.operators.relational import (
 _MERSENNE = (1 << 31) - 1
 
 
-def _py_ngrams(text: str | None, n: int) -> list[str]:
-    """Distinct word n-grams, mirroring ``word_ngrams(tokenize(text))``
-    exactly: lowercase, whitespace-split, space-joined, first-seen
-    order via dict keys (order is irrelevant to set semantics but kept
-    deterministic)."""
-    toks = (text or "").lower().split()
-    return list(dict.fromkeys(
-        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
-
-
-def word_ngram_hashes_udf(n: int):
-    """Arrow-batched distinct word n-gram hashes -> array<bigint>
-    (blake2b 8-byte, top bit dropped to stay positive). The
-    inverted-index join / set-intersection key: 63-bit space makes a
-    cross-gram collision ~2^-63 per pair (a 2^31 reduction would
-    birthday-collide in the millions-of-shingles regime), so posting
-    counts and Jaccard values match the string-gram oracle exactly,
-    at a fraction of the shuffle bytes."""
-    from hashlib import blake2b
-
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def f(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: [
-            int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
-            >> 1
-            for g in _py_ngrams(t, n)])
-    return f
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text; keeps the minimum id per group.
@@ -96,47 +65,32 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
-def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
-    """Distinct word-shingle hashes (array<bigint>, reduced mod p)."""
-    grams = word_ngrams(tokenize(text), shingle_n)
-    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE)))
-
-
-def _shingle_hash_array(text: str | None, shingle_n: int) -> "np.ndarray":
-    """Distinct word-shingle hashes for one document as int64 numpy
-    (blake2b 8-byte mod p). Empty docs get the sentinel shingle so they
-    group deterministically with other empty docs only."""
-    from hashlib import blake2b
-    toks = (text or "").lower().split()
-    grams = {" ".join(toks[i:i + shingle_n])
-             for i in range(len(toks) - shingle_n + 1)}
-    if not grams:
-        return np.array([_MERSENNE], dtype=np.int64)
-    return np.fromiter(
-        (int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
-         % _MERSENNE for g in grams),
-        dtype=np.int64, count=len(grams))
-
-
 def shingle_hashes_df(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """(id, __g array<bigint>) distinct 63-bit word-shingle hashes —
+    """(id, __g array<bigint>) distinct 64-bit word-shingle hashes —
     the shared input of LSH banding AND exact-Jaccard verification.
-    Tokenization + hashing is the dominant Python cost of the whole
-    dedup pipeline, so callers that need both stages compute this once
-    and checkpoint it."""
-    return spread(df, id_col).select(
-        F.col(id_col), word_ngram_hashes_udf(shingle_n)(text_col).alias("__g"))
+
+    Pure JVM expression tree: ``transform(word_ngrams(tokenize(text)),
+    xxhash64)`` — the same gram keys as ``ngram_jaccard_pairs`` /
+    ``contamination_overlap``, zero Python in the shingle stage (the
+    earlier blake2b-in-Arrow form spent its time hashing gram *strings*
+    in a Python loop; xxhash64 runs inside whole-stage codegen).
+    Distinct grams map to distinct 64-bit keys w.h.p. (~2^-64 per
+    pair), so set Jaccard over keys equals string-gram Jaccard."""
+    g = F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
+                    lambda x: F.xxhash64(x))
+    return spread(df, id_col).select(F.col(id_col), g.alias("__g"))
 
 
-def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
-                       num_hashes: int = 128, bands: int = 32) -> DataFrame:
-    """Banded minhash rows (id, band_idx, band_hash) from shingle-hash
-    arrays: `num_hashes` affine mins + per-band FNV-1a fold, all numpy
-    per Arrow batch. (Folding band hashes here instead of 128 JVM array
-    extracts + string concat + xxhash64 per row removed the second-most
-    expensive projection in the pipeline.) Shuffle-free: a pure map.
-    """
+def _band_fold_udf(num_hashes: int, bands: int):
+    """Arrow-batched (array<bigint> gram hashes) -> (array<bigint> of
+    `bands` folded band hashes): `num_hashes` affine mins + per-band
+    FNV-1a fold, all numpy per batch. (Folding band hashes here instead
+    of 128 JVM array extracts + string concat + xxhash64 per row removed
+    the second-most expensive projection in the pipeline; the numpy
+    broadcast beats 128 interpreted min-aggregates.) Input gram hashes
+    are full 64-bit (xxhash64, possibly negative); numpy `% _MERSENNE`
+    matches `pmod` — non-negative, below 2^31, so a*h + b < 2^63."""
     from pyspark.sql import types as T
 
     coeffs = _minhash_coeffs(num_hashes)
@@ -154,7 +108,6 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
                 h = np.asarray(lst, dtype=np.int64)
                 if h.size == 0:  # no shingles: sentinel bands with other empties
                     h = np.array([_MERSENNE], dtype=np.int64)
-                # reduce 63-bit hashes below 2^31 so a*h + b stays < 2^63
                 h = h % _MERSENNE
                 sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
                 folded = np.full(bands, FNV_OFF, dtype=np.uint64)
@@ -164,6 +117,14 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
                 out.append(folded.astype(np.int64))
         return pd.Series(out)
 
+    return band_udf
+
+
+def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 128, bands: int = 32) -> DataFrame:
+    """Banded minhash rows (id, band_idx, band_hash) from shingle-hash
+    arrays. Shuffle-free: a pure map."""
+    band_udf = _band_fold_udf(num_hashes, bands)
     return (grams.select(F.col(id_col), band_udf("__g").alias("__bands"))
                  .select(F.col(id_col),
                          F.posexplode("__bands").alias("band_idx", "band_hash")))
@@ -172,78 +133,37 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
 def shingle_band_df(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 128,
                     bands: int = 32, shingle_n: int = 5) -> DataFrame:
-    """(id, __g, __bands) in ONE Arrow pass per document.
+    """(id, __g, __bands): shared grams + banded minhash, one projection.
 
     The LSH pipeline needs the shingle-hash arrays twice (banding and
-    Jaccard verification). Computing grams in one UDF and band hashes
-    in a second means serializing every gram array out of and back
-    into Python; fusing tokenize -> gram hash -> affine min-signature
-    -> FNV band fold into a single struct-returning UDF halves the
-    Arrow traffic and removes one Python stage from the critical path.
+    Jaccard verification), so they're computed once here. The gram
+    stage is the pure-JVM ``shingle_hashes_df`` expression tree
+    (xxhash64 inside whole-stage codegen — no per-gram Python hashing;
+    the earlier blake2b-in-Arrow form spent most of its time hashing
+    gram strings in a Python loop). The only Python left is the numpy
+    affine-min + FNV band fold over already-hashed int64 arrays.
     Still a pure projection: no shuffle at any scale.
     """
-    from hashlib import blake2b
-
-    from pyspark.sql import types as T
-
-    coeffs = _minhash_coeffs(num_hashes)
-    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
-    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-    r = num_hashes // bands
-
-    schema = T.StructType([
-        T.StructField("g", T.ArrayType(T.LongType())),
-        T.StructField("bands", T.ArrayType(T.LongType())),
-    ])
-
-    @F.pandas_udf(schema)
-    def f(texts: pd.Series) -> pd.DataFrame:
-        FNV_OFF = np.uint64(14695981039346656037)
-        FNV_P = np.uint64(1099511628211)
-        gs, bs = [], []
-        with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
-            for t in texts:
-                # grams as 63-bit hashes (verify keys, matches
-                # word_ngram_hashes_udf exactly)
-                g = np.array([
-                    int.from_bytes(blake2b(x.encode(), digest_size=8).digest(),
-                                   "big") >> 1
-                    for x in _py_ngrams(t, shingle_n)], dtype=np.int64)
-                gs.append(g)
-                h = g % _MERSENNE if g.size else np.array([_MERSENNE],
-                                                          dtype=np.int64)
-                sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
-                folded = np.full(bands, FNV_OFF, dtype=np.uint64)
-                band_sig = sig.astype(np.uint64).reshape(bands, r)
-                for j in range(r):
-                    folded = (folded ^ band_sig[:, j]) * FNV_P
-                bs.append(folded.astype(np.int64))
-        return pd.DataFrame({"g": gs, "bands": bs})
-
-    return (spread(df, id_col)
-            .select(F.col(id_col), f(text_col).alias("__s"))
-            .select(F.col(id_col), F.col("__s.g").alias("__g"),
-                    F.col("__s.bands").alias("__bands")))
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
+    return grams.withColumn("__bands",
+                            _band_fold_udf(num_hashes, bands)("__g"))
 
 
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 128,
                          shingle_n: int = 5) -> DataFrame:
-    """MinHash signatures as one shuffle-free, Arrow-batched projection.
+    """MinHash signatures as one shuffle-free projection.
 
-    The whole shingle -> signature computation runs in a single Pandas
-    UDF: whitespace tokenization (mirrors ``functions.text.tokenize``),
-    distinct word n-grams, blake2b-8-byte shingle hashing, then the
-    `num_hashes` affine permutations + min-reduction as one numpy
-    broadcast per document — exact integer math (a, h < 2^31 so
-    a*h + b < 2^63, no overflow), deterministic across runs/executors.
-
-    Measured ~10x faster than the pure-expression form (JVM higher-
-    order-function shingling plus 128 interpreted min-aggregates was
-    the bench bottleneck); this is the documented "UDFs are the slow
-    path — EXCEPT vectorized Arrow batches beating interpreted
-    expression trees" trade. No shuffle at all: at 100 TB the
-    signature stage is a pure map over the scan.
+    Shingling is the pure-JVM ``shingle_hashes_df`` expression tree
+    (tokenize -> distinct word n-grams -> xxhash64, all whole-stage
+    codegen); the `num_hashes` affine permutations + min-reduction run
+    as one numpy broadcast per document in an Arrow batch — exact
+    integer math (after `% _MERSENNE`, a, h < 2^31 so a*h + b < 2^63,
+    no overflow), deterministic across runs/executors. This split —
+    JVM for string work, numpy for the 128-way min — beat both the
+    all-Python form (per-gram hashing dominated) and the all-JVM form
+    (128 interpreted min-aggregates per row). No shuffle at all: at
+    100 TB the signature stage is a pure map over the scan.
 
     Docs with no shingles (< shingle_n words) get a sentinel shingle so
     they band deterministically with other empty docs only.
@@ -257,15 +177,18 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def sig_udf(gram_lists: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            h = _shingle_hash_array(t, shingle_n)
+        for lst in gram_lists:
+            h = np.asarray(lst, dtype=np.int64)
+            if h.size == 0:
+                h = np.array([_MERSENNE], dtype=np.int64)
+            h = h % _MERSENNE
             out.append(((A * h[None, :] + B) % _MERSENNE).min(axis=1))
         return pd.Series(out)
 
-    df = spread(df, id_col)  # shingling is the hot loop — use every core
-    return df.select(F.col(id_col), sig_udf(text_col).alias("sig"))
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
+    return grams.select(F.col(id_col), sig_udf("__g").alias("sig"))
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -311,7 +234,7 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     Joins the (small) candidate pair set back to the shingle arrays and
     verifies with array_intersect — the classic LSH verify stage: exact
     where it matters, never O(n^2). Shingles are compared as 64-bit
-    hashes, not strings: set Jaccard over blake2b-8-byte hashes equals
+    xxhash64 keys, not strings: set Jaccard over the keys equals
     string Jaccard up to a ~2^-64 per-pair collision, and long-array
     intersection shuffles/compares a fraction of the bytes.
     """
@@ -466,34 +389,38 @@ def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
 
     Classic Charikar construction: each shingle votes +-1 on each bit
     of its 64-bit hash; the signature is the sign vector of the summed
-    votes. Arrow-batched: the vote matrix for a document is one numpy
-    broadcast (n_grams x 64), deterministic integer math — a pure
-    projection with no shuffle (the JVM higher-order-function form
-    allocated per gram x bit and was ~10x slower). Docs with no
-    shingles sign to all-zero bits.
+    votes. Gram hashing is the pure-JVM xxhash64 expression tree (same
+    keys as every other dedup family — whole-stage codegen, no per-gram
+    Python); only the vote matrix is Python, one numpy broadcast
+    (n_grams x 64) per document per Arrow batch, deterministic integer
+    math — a pure projection with no shuffle (the all-JVM
+    higher-order-function form allocated per gram x bit and was ~10x
+    slower; the all-Python form spent its time hashing strings). Docs
+    with no shingles sign to all-zero bits.
     """
-    from hashlib import blake2b
-
     from pyspark.sql import types as T
 
+    if isinstance(text, str):
+        text = F.col(text)
+    grams = F.transform(word_ngrams(tokenize(text), shingle_n),
+                        lambda g: F.xxhash64(g))
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def f(texts: pd.Series) -> pd.Series:
+    def f(gram_lists: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)[None, :]
         out = []
-        for t in texts:
-            grams = _py_ngrams(t, shingle_n)
-            if not grams:
+        for lst in gram_lists:
+            h = np.asarray(lst, dtype=np.int64)
+            if h.size == 0:
                 out.append([0] * 64)
                 continue
-            h = np.array([int.from_bytes(blake2b(g.encode(), digest_size=8)
-                                         .digest(), "big") for g in grams],
-                         dtype=np.uint64)
-            bits = ((h[:, None] >> shifts) & 1).astype(np.int64)
+            h = h.view(np.uint64)  # reinterpret sign bit, keep all 64
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             votes = (bits * 2 - 1).sum(axis=0)
             out.append((votes > 0).astype(np.int32).tolist())
         return pd.Series(out)
 
-    return f(text)
+    return f(grams)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
