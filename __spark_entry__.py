@@ -28,6 +28,9 @@ SF0001 = "/root/testdata/sf0.001"
 _CHECK_FIRST = [
     # regression fixed this round -> must re-earn a green driver row
     "stream_stateful_totals",
+    # NEW this round: never driver-checked
+    "sample_capped_per_key", "text_repetition_ratio",
+    "stream_stream_interval_join",
     # implementation touched this round (minhash JVM gram hashing)
     "dedup_near_minhash",
     # driver evidence stale since r1/r2 (VERDICT r5 item 4)
@@ -47,8 +50,8 @@ _CHECK_FIRST = [
     "sort_multi_key", "limit_topk",
     "set_union_all", "set_intersect", "set_except",
     "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
-    "base64_roundtrip", "json_funcs",
-    "stream_tumbling_count", "stream_sliding_agg",
+    # (base64_roundtrip, json_funcs, stream_tumbling_count,
+    #  stream_sliding_agg rotate to the r7 window — 50-slot cap)
     # flagship + canary scan: cheap insurance rows each round
     "pipeline_clean_corpus", "scan_parquet",
 ]

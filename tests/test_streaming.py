@@ -223,3 +223,57 @@ def test_stateful_running_totals_across_batches(spark, stream_env):
             latest[r.user_id] = r
     assert latest[1].n_events == 3 and latest[1].total_value == 6.0
     assert latest[2].n_events == 1 and latest[2].total_value == 5.0
+
+
+def test_stream_stream_interval_join_multi_batch(spark, tmp_path):
+    """Real stream-stream inner join with watermarks across
+    micro-batches: in-window pairs emit; once both watermarks advance,
+    buffered state is evicted and a late out-of-window arrival joins
+    nothing (the bounded-state property that lets the join run forever
+    on an unbounded stream — catalog.stream_stream_interval_join checks
+    the single-batch semantics against its SQL oracle)."""
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purch"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+
+    def stream(d, prefix):
+        raw = (spark.readStream.schema(EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", "1").json(str(d)))
+        return (raw.select(F.col("event_id").alias(f"{prefix}_id"),
+                           F.col("user_id").alias(f"{prefix}_user"),
+                           F.col("ts").alias(f"{prefix}_ts"))
+                   .withWatermark(f"{prefix}_ts", "10 minutes"))
+
+    joined = stream(clicks_dir, "click").join(
+        stream(purch_dir, "purchase"),
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+
+    _write_events(f"{clicks_dir}/b1.json", [(100, 1, "2026-01-01 10:00:00", 0.0)])
+    _write_events(f"{purch_dir}/b1.json", [
+        (200, 1, "2026-01-01 10:10:00", 5.0),   # in window  -> pair
+        (201, 1, "2026-01-01 10:50:00", 6.0),   # > 30 min   -> no pair
+    ])
+    q.processAllAvailable()
+    # advance BOTH watermarks far past 10:30 so click 100's buffered
+    # state is evicted (min-of-sides watermark policy)
+    _write_events(f"{clicks_dir}/b2.json", [(101, 2, "2026-01-01 23:00:00", 0.0)])
+    _write_events(f"{purch_dir}/b2.json", [(202, 2, "2026-01-01 23:05:00", 7.0)])
+    q.processAllAvailable()
+    # late purchase behind the watermark: would match click 100 in
+    # batch semantics, but the state is gone and the row is late
+    _write_events(f"{purch_dir}/b3.json", [(203, 1, "2026-01-01 10:20:00", 8.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    pairs = {(r.click_id, r.purchase_id)
+             for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert pairs == {(100, 200), (101, 202)}

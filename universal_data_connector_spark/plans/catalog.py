@@ -2616,3 +2616,145 @@ def sql_full_surface(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         GROUP BY n.n_name
     """)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: per-key corpus caps, Gopher-style repetition
+# quality, and a real stream-stream interval join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_capped_per_key",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents) WHERE rn <= 10
+    """,
+)
+def sample_capped_per_key(spark, sf_dir):
+    """Per-key document cap: keep at most 10 docs per source, chosen
+    by md5(doc_id) order — the per-domain cap every pretraining mix
+    applies so one giant crawl domain can't dominate the corpus.
+    Hash-ordering (not rand()) makes the selection reproducible across
+    engines, runs, and partitionings, and md5-over-decimal-string is
+    bit-identical in Spark and DuckDB so the choice itself is
+    oracle-checkable. One shuffle on the key; the per-group sort is
+    top-k (rank + filter), never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    capped = orel.top_k_per_group(
+        d, ["source"],
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+        10)
+    return capped.select("doc_id", "source")
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN [array_to_string(w[i:i+2], ' ')
+                          for i in range(1, greatest(len(w) - 1, 1))]
+                    ELSE [] END AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS w
+              FROM documents)
+    )
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+           round(CASE WHEN len(grams) > 0
+                      THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signal: per document, the
+    fraction of word 3-grams that are repeats of an earlier 3-gram in
+    the same document ((total - distinct) / total). High-dup_frac docs
+    are boilerplate/spam and get dropped by quality filters before
+    training. Pure JVM higher-order-array expressions (sequence +
+    transform + array_distinct) — no Python, no shuffle: the filter
+    rides the scan at any scale. Docs with < 3 tokens carry no grams
+    and score 0.0."""
+    toks = ft.tokenize(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    ).otherwise(F.array().cast("array<string>"))
+    d = load(spark, sf_dir, "documents").withColumn("__grams", grams)
+    total = F.size("__grams")
+    distinct = F.size(F.array_distinct("__grams"))
+    dup = F.when(total > 0,
+                 (total - distinct).cast("double") / total.cast("double")
+                 ).otherwise(F.lit(0.0))
+    return d.select("doc_id", total.cast("bigint").alias("n_grams"),
+                    F.round(dup, 6).alias("dup_frac"))
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with event-time interval bounds,
+    executed for real: clicks joined to the same user's purchases
+    within the following 30 minutes — the attribution join (Structured
+    Streaming's marquee stateful op; the reference's Jet topology has
+    no joins at all, SURVEY.md §2A). Both sides carry watermarks so
+    the join state is bounded: Spark evicts a buffered click once the
+    purchase-side watermark passes click_ts + 30 min, which is what
+    makes this run forever on an unbounded stream. AvailableNow over
+    the events table -> one micro-batch -> the emitted set equals the
+    batch interval join, so the SQL oracle applies; multi-batch state
+    eviction is pinned live in tests/test_streaming.py."""
+    import os
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = (spark.readStream.schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        s = watermarkable_ts(s, "ts")
+        return (s.filter(F.col("event_type") == event_type)
+                 .select(F.col("event_id").alias(f"{prefix}_id"),
+                         F.col("user_id").alias(f"{prefix}_user"),
+                         F.col("ts").alias(f"{prefix}_ts"),
+                         F.col("value").alias(f"{prefix}_value"))
+                 .withWatermark(f"{prefix}_ts", "1 hour"))
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+
+    ckpt = os.path.join(_scratch_dir("udc_ss_join_"), "ckpt")
+    sink = f"udc_ss_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select(F.col("click_id"), F.col("purchase_id"),
+                    F.col("click_user").alias("user_id"),
+                    F.col("purchase_value").alias("purchase_value")))
