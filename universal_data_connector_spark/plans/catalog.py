@@ -2758,3 +2758,105 @@ def stream_stream_interval_join(spark, sf_dir):
             .select(F.col("click_id"), F.col("purchase_id"),
                     F.col("click_user").alias("user_id"),
                     F.col("purchase_value").alias("purchase_value")))
+
+
+@query(
+    "ts_rollup_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n, {_dsum('value')} AS sv
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(min(h), max(h),
+                                               INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id
+    ), filled AS (
+        SELECT s.user_id, s.h, COALESCE(hr.n, 0) AS n, hr.sv
+        FROM spine s LEFT JOIN hourly hr
+          ON s.user_id = hr.user_id AND s.h = hr.h
+    )
+    SELECT user_id, strftime(h, '{TS_FMT_DUCK}') AS hour, n,
+           round(COALESCE(sv, 0.0), 6) AS sum_value,
+           round(last_value(sv IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY h), 6) AS locf_value
+    FROM filled
+    """,
+)
+def ts_rollup_gapfill(spark, sf_dir):
+    """Hypertable-style time-bucket rollup with gap fill: per-user
+    hourly (count, sum), densified so every hour between a user's
+    first and last event exists — empty buckets get 0 and the
+    last-observation-carried-forward running value (the time_bucket_
+    gapfill + locf pattern of time-series stores, re-expressed as
+    DataFrame ops). Plan: one shuffle for the rollup; the spine is
+    DERIVED from the rollup (per-user min/max + sequence + explode, no
+    second scan) and the gap join is keyed on the same (user, hour)
+    the rollup produced. Spine size is bounded by user_count x span
+    hours — it never explodes past the densified output itself."""
+    e = load(spark, sf_dir, "events")
+    hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    orel.exact_sum("value").alias("sv")))
+    spine = (hourly.groupBy("user_id")
+                   .agg(F.min("h").alias("__lo"), F.max("h").alias("__hi"))
+                   .select("user_id",
+                           F.explode(F.sequence(
+                               "__lo", "__hi",
+                               F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    filled = (spine.join(hourly, ["user_id", "h"], "left")
+                   .withColumn("n", F.coalesce("n", F.lit(0))))
+    locf = Window.partitionBy("user_id").orderBy("h")
+    return filled.select(
+        "user_id", F.date_format("h", TS_FMT_SPARK).alias("hour"), "n",
+        F.round(F.coalesce("sv", F.lit(0.0)), 6).alias("sum_value"),
+        F.round(F.last("sv", ignorenulls=True).over(locf), 6)
+         .alias("locf_value"))
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+           CAST(FLOOR(l_extendedprice / 5000.0) * 5000.0 AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def agg_histogram_bins(spark, sf_dir):
+    """Fixed-width numeric histogram (5000-wide price bins) — the
+    data-profiling scan every ingest pipeline runs before choosing
+    filters/partitioning. floor-bucket keys aggregate with map-side
+    combine into a tiny key domain, so 100 TB reduces to a few dozen
+    rows in one shuffle; the floor expression is engine-portable
+    (identical IEEE division on both sides), unlike width_bucket
+    variants with per-engine edge semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / F.lit(5000.0))
+    return (li.groupBy(b.cast("bigint").alias("bin"),
+                       (b * 5000.0).cast("double").alias("bin_lo"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines format support, proven by round-trip: write the
+    documents table as JSONL to scratch, read it back with an explicit
+    schema (schema inference is a second full scan — never at 100 TB),
+    and hash-match the original parquet. Line-delimited JSON splits by
+    newline, so a 100 TB JSONL corpus parallelizes per-block exactly
+    like text; the explicit-schema read prunes to the projected
+    columns at parse time."""
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(_scratch_dir("udc_jsonl_"),
+                       os.path.basename(sf_dir.rstrip("/")))
+    d.write.mode("overwrite").json(out)
+    return (spark.read.schema(d.schema).json(out)
+                 .select("doc_id", "text", "lang", "source", "n_chars"))
