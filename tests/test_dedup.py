@@ -222,3 +222,37 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(edges, max_iterations=12).collect()
     assert {r.component for r in out} == {0}
     assert {r.node for r in out} == set(range(65))
+
+
+def test_gramless_docs_excluded_from_banding(spark):
+    """Skew guard: docs too short to carry a shingle must produce NO
+    banded rows (they can never verify above a positive Jaccard
+    threshold, and at corpus scale a shared sentinel bucket makes the
+    band self-join quadratic in the empty-doc count). They also must
+    not pair in simhash candidates — identical-content pairs belong to
+    exact_dedup."""
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators.dedup import (
+        _banded_from_grams,
+        minhash_dedup_pairs,
+        shingle_hashes_df,
+        simhash_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "too short"), (4, None),
+         (5, "a proper document with enough words to carry shingles"),
+         (6, "a proper document with enough words to carry shingles")],
+        "doc_id bigint, text string")
+
+    grams = shingle_hashes_df(docs)
+    banded = _banded_from_grams(grams)
+    assert (banded.select("doc_id").distinct().count() == 2)  # only 5, 6
+
+    pairs = {(r.id_1, r.id_2)
+             for r in minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    assert pairs == {(5, 6)}  # empty/short docs never pair via LSH
+
+    sim = {(r.id_1, r.id_2) for r in simhash_candidates(docs).collect()}
+    assert (1, 2) not in sim and (1, 4) not in sim

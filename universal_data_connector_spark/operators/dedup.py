@@ -123,9 +123,18 @@ def _band_fold_udf(num_hashes: int, bands: int):
 def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 128, bands: int = 32) -> DataFrame:
     """Banded minhash rows (id, band_idx, band_hash) from shingle-hash
-    arrays. Shuffle-free: a pure map."""
+    arrays. Shuffle-free: a pure map.
+
+    Gram-less docs (< shingle_n words) are EXCLUDED from banding: an
+    empty shingle set can never verify above a positive Jaccard
+    threshold (union = 0 -> jaccard 0), so banding them is wasted
+    work — and at corpus scale it is a skew bomb: every empty doc
+    would land in the SAME bucket in all `bands` bands, making the
+    band self-join quadratic in the number of empty docs. Identical
+    empty docs are exact_dedup's job, not LSH's."""
     band_udf = _band_fold_udf(num_hashes, bands)
-    return (grams.select(F.col(id_col), band_udf("__g").alias("__bands"))
+    return (grams.filter(F.size("__g") > 0)
+                 .select(F.col(id_col), band_udf("__g").alias("__bands"))
                  .select(F.col(id_col),
                          F.posexplode("__bands").alias("band_idx", "band_hash")))
 
@@ -277,8 +286,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     """
     gb = shingle_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
     gb = materialize_reliable(gb)  # corpus-sized gram arrays
-    banded = gb.select(F.col(id_col),
-                       F.posexplode("__bands").alias("band_idx", "band_hash"))
+    # gram-less docs can't verify above a positive threshold — keep
+    # them out of the band join (skew guard, see _banded_from_grams)
+    banded = gb.filter(F.size("__g") > 0).select(
+        F.col(id_col),
+        F.posexplode("__bands").alias("band_idx", "band_hash"))
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -441,8 +453,14 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     """
     n_chunks = max_hamming + 1
     chunk = 64 // n_chunks
-    sig = spread(df, id_col).select(F.col(id_col),
-                                    simhash64(F.col(text_col), shingle_n).alias("__sig"))
+    # Docs too short to carry a shingle all sign to the identical
+    # all-zero signature: banding them makes every chunk bucket
+    # quadratic in the empty-doc count while exact_dedup already
+    # handles identical-content pairs. Keep them out (skew guard).
+    df = spread(df, id_col).filter(
+        F.size(tokenize(F.col(text_col))) >= shingle_n)
+    sig = df.select(F.col(id_col),
+                    simhash64(F.col(text_col), shingle_n).alias("__sig"))
     chunk_ids = F.sequence(F.lit(0), F.lit(n_chunks - 1))
     banded = sig.select(
         id_col, "__sig",
