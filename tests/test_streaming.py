@@ -277,3 +277,43 @@ def test_stream_stream_interval_join_multi_batch(spark, tmp_path):
     pairs = {(r.click_id, r.purchase_id)
              for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert pairs == {(100, 200), (101, 202)}
+
+
+def test_foreachbatch_upsert_converges_across_batches(spark, tmp_path):
+    """foreachbatch_upsert keeps the newest row per key across
+    micro-batches (maxFilesPerTrigger=1 -> one batch per file), and
+    re-running the stream over the same input (fresh checkpoint, same
+    target) is idempotent — the merge picks the same winners."""
+    from universal_data_connector_spark.streaming import foreachbatch_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    _write_events(f"{src}/b1.json", [
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 8, "2026-01-01 10:01:00", 2.0),
+    ])
+    _write_events(f"{src}/b2.json", [
+        (3, 7, "2026-01-01 11:00:00", 3.0),   # newer -> replaces event 1
+        (4, 9, "2026-01-01 09:00:00", 4.0),
+    ])
+
+    def run(ckpt):
+        raw = (spark.readStream.schema(EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", "1").json(str(src)))
+        raw = raw.withColumn("__ord", F.struct(F.col("ts"),
+                                               F.col("event_id")))
+        q = foreachbatch_upsert(raw, target, keys=["user_id"],
+                                order_col="__ord",
+                                checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    rows = {r.user_id: r.event_id
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {7: 3, 8: 2, 9: 4}
+
+    run("ckpt2")  # replay everything into the existing target
+    rows = {r.user_id: r.event_id
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {7: 3, 8: 2, 9: 4}

@@ -2860,3 +2860,49 @@ def scan_jsonl_roundtrip(spark, sf_dir):
     d.write.mode("overwrite").json(out)
     return (spark.read.schema(d.schema).json(out)
                  .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def stream_upsert_latest(spark, sf_dir):
+    """Streaming upsert sink, executed for real: the events stream
+    merges into a parquet target keeping the newest row per user
+    (foreachbatch_upsert — the CDC keep-latest pattern; on a lakehouse
+    the batch body becomes MERGE INTO). AvailableNow over the events
+    table, then the converged target is read back; with every batch
+    merged idempotently the final state equals the batch
+    latest-per-key query, which is the oracle. Multi-batch
+    convergence and restart idempotence are pinned live in
+    tests/test_streaming.py."""
+    import os
+    import uuid
+
+    from universal_data_connector_spark.streaming.windows import (
+        foreachbatch_upsert,
+    )
+
+    scratch = _scratch_dir("udc_upsert_")
+    target = os.path.join(scratch, f"t_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(scratch, "ckpt_" + os.path.basename(target))
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = watermarkable_ts(stream, "ts")
+    # tiebreak on event_id AFTER ts so equal timestamps resolve
+    # deterministically (the oracle mirrors the same order)
+    stream = stream.withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id")))
+    q = foreachbatch_upsert(stream, target, keys=["user_id"],
+                            order_col="__ord", checkpoint=ckpt)
+    q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select("event_id", "user_id", "event_type", "value"))

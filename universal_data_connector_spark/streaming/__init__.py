@@ -4,6 +4,7 @@ never had — it runs everything ``withoutTimestamps()``,
 ThatNinjaGuy/universal-data-connector)."""
 
 from universal_data_connector_spark.streaming.windows import (
+    foreachbatch_upsert,
     session_agg,
     sliding_agg,
     stateful_running_totals,
@@ -12,4 +13,4 @@ from universal_data_connector_spark.streaming.windows import (
 )
 
 __all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
-           "stateful_running_totals"]
+           "stateful_running_totals", "foreachbatch_upsert"]
