@@ -32,6 +32,7 @@ _CHECK_FIRST = [
     "sample_capped_per_key", "text_repetition_ratio",
     "stream_stream_interval_join", "ts_rollup_gapfill",
     "agg_histogram_bins", "scan_jsonl_roundtrip", "stream_upsert_latest",
+    "reshape_chunk_tokens",
     # implementation touched this round (minhash JVM gram hashing)
     "dedup_near_minhash",
     # driver evidence stale since r1/r2 (VERDICT r5 item 4)

@@ -2906,3 +2906,46 @@ def stream_upsert_latest(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(target)
             .select("event_id", "user_id", "event_type", "value"))
+
+
+@query(
+    "reshape_chunk_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+                   AS s
+        FROM t
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(toks[s:s+63]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s:s+63], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def reshape_chunk_tokens(spark, sf_dir):
+    """Overlapping token chunking (64-token windows, stride 48 — 16
+    tokens of overlap): every embedding / pretraining pipeline splits
+    documents into bounded context windows before the model sees them.
+    Pure JVM expression tree — tokenize once, `sequence` of chunk
+    starts, `slice` per start, one `posexplode`; no Python, no
+    shuffle: chunking rides the scan at 100 TB and output size is
+    len/stride per doc, never quadratic. Short docs yield exactly one
+    (possibly partial) chunk, so no document is silently dropped."""
+    toks = ft.tokenize(F.col("text"))
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", toks.alias("__toks")))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - 16, F.lit(1)), F.lit(48))
+    exploded = d.select(
+        "doc_id", "__toks", F.explode(starts).alias("chunk_start"))
+    chunk = F.slice("__toks", F.col("chunk_start"), 64)
+    return exploded.select(
+        "doc_id", F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))
