@@ -266,3 +266,49 @@ def test_interval_overlap_is_hash_join(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_capped_per_key_partial_topk_before_exchange(spark):
+    """The per-key cap must do map-side partial top-k: a
+    WindowGroupLimit BEFORE the exchange caps each task's output at K
+    per key, so the shuffle carries at most K x keys x tasks rows —
+    not the whole corpus."""
+    p = plan_str(QUERIES["sample_capped_per_key"](spark, SF_DIR))
+    partial = p.find("Partial")
+    exchange = p.find("Exchange")
+    assert "WindowGroupLimit" in p
+    assert partial != -1 and exchange != -1
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema  # 2-column pruned scan
+
+
+@pytest.mark.parametrize("name", ["text_repetition_ratio",
+                                  "reshape_chunk_tokens"])
+def test_text_array_ops_pure_projection(spark, name):
+    """Repetition scoring and token chunking must stay shuffle-free
+    projections riding the scan."""
+    p = plan_str(QUERIES[name](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+def test_histogram_bins_map_side_combine(spark):
+    """Floor-bucket histogram: partial aggregation before the exchange
+    collapses 100 TB into a tiny key domain map-side."""
+    p = plan_str(QUERIES["agg_histogram_bins"](spark, SF_DIR))
+    assert "partial_count" in p or "Partial" in p
+
+
+def test_gapfill_no_cartesian_and_single_scan(spark):
+    """Gap-fill: the rollup is materialized and feeds BOTH the spine
+    derivation and the gap join — the raw events table is scanned
+    once, and the join is an equi-join, never nested-loop."""
+    p = plan_str(QUERIES["ts_rollup_gapfill"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # both join branches read the persisted rollup (InMemoryTableScan);
+    # the only "Scan parquet" lines left are inside the cached
+    # relation's build description, which executes once
+    assert p.count("InMemoryTableScan") >= 2
+    live = p.split("InMemoryRelation")[0]  # plan above the cache
+    assert "Scan parquet" not in live

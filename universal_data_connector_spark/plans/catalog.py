@@ -2789,15 +2789,20 @@ def ts_rollup_gapfill(spark, sf_dir):
     first and last event exists — empty buckets get 0 and the
     last-observation-carried-forward running value (the time_bucket_
     gapfill + locf pattern of time-series stores, re-expressed as
-    DataFrame ops). Plan: one shuffle for the rollup; the spine is
-    DERIVED from the rollup (per-user min/max + sequence + explode, no
-    second scan) and the gap join is keyed on the same (user, hour)
-    the rollup produced. Spine size is bounded by user_count x span
-    hours — it never explodes past the densified output itself."""
+    DataFrame ops). Plan: ONE scan and one shuffle build the rollup,
+    which is then materialized — both the spine derivation (per-user
+    min/max + sequence + explode) and the gap join read the rollup,
+    never the raw table again (unmaterialized, each branch re-scanned
+    events: two full scans of the 100 TB input). Spine size is bounded
+    by user_count x span hours — it never explodes past the densified
+    output itself."""
     e = load(spark, sf_dir, "events")
     hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
                .agg(F.count("*").cast("bigint").alias("n"),
                     orel.exact_sum("value").alias("sv")))
+    # rollup-sized (users x active hours), consumed by two branches:
+    # recoverable persistence, one scan of the raw table
+    hourly = orel.materialize_reliable(hourly)
     spine = (hourly.groupBy("user_id")
                    .agg(F.min("h").alias("__lo"), F.max("h").alias("__hi"))
                    .select("user_id",
