@@ -105,14 +105,33 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")) \
          .write.format("noop").mode("overwrite").save()
 
+    def noise_probe(n: int = 5) -> list[float]:
+        """Fixed CPU-bound task timed n times: a machine-noise canary.
+        The work never changes, so spread across its samples measures
+        the HOST (CPU starvation on the shared VM), not the engine —
+        lets a reader separate real regressions from noisy runs."""
+        import numpy as np
+        a = np.arange(1_000_000, dtype=np.float64)
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                (a * 1.0001 + 1.0).sum()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    noise_before = noise_probe()
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
         best, med = run_best(name, reps)
         times[name] = round(best, 3)
         medians[name] = round(med, 3)
+    noise_after = noise_probe()
 
+    import statistics
+    noise = noise_before + noise_after
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline query set wall-clock (noop-materialized, warm JVM)",
@@ -120,6 +139,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_median": medians,
+        "noise_floor": {"min": round(min(noise), 4),
+                        "median": round(statistics.median(noise), 4),
+                        "max": round(max(noise), 4)},
         "reps": reps,
         "sf": sf,
         "spark_version": spark.version,
