@@ -51,6 +51,11 @@ HEADLINE = [
     "text_pii_redact",
     "multimodal_decode_features",
     "pipeline_training_data",
+    # round 6 (per-key caps, gap-filled rollup, chunking, upsert sink)
+    "sample_capped_per_key",
+    "ts_rollup_gapfill",
+    "reshape_chunk_tokens",
+    "stream_upsert_latest",
 ]
 
 
