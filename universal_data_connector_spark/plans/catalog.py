@@ -2954,3 +2954,98 @@ def reshape_chunk_tokens(spark, sf_dir):
         "doc_id", F.col("chunk_start").cast("bigint").alias("chunk_start"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"))
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+                   (PARTITION BY user_id) AS t1, event_type, ts
+        FROM events
+    ), s2 AS (
+        SELECT user_id, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2, event_type, ts
+        FROM s1
+    ), s3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+           CAST(COUNT(t3) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase, each step
+    strictly after the previous step's FIRST occurrence): the
+    conversion query behind every product-analytics dashboard. One
+    scan, ONE shuffle: the three conditional step-times are window
+    minimums over the same user partitioning (each references the
+    previous step's time, so they stack as sequential projections, not
+    joins), then the per-user rollup reuses that partitioning and a
+    single-row global count ends the plan. The naive form — one
+    filtered scan + join per step — reads the events table three
+    times; this reads it once."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ty, ts = F.col("event_type"), F.col("ts")
+    e = e.withColumn("t1", F.min(F.when(ty == "view", ts)).over(w))
+    e = e.withColumn("t2", F.min(
+        F.when((ty == "click") & (ts > F.col("t1")), ts)).over(w))
+    e = e.withColumn("t3", F.min(
+        F.when((ty == "purchase") & (ts > F.col("t2")), ts)).over(w))
+    per_user = e.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    return per_user.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_view_click"),
+        F.count("t3").cast("bigint").alias("n_view_click_purchase"))
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH cohorted AS (
+        SELECT user_id,
+               date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+                   AS cohort_week,
+               date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT strftime(cohort_week, '{TS_FMT_DUCK}') AS cohort_week,
+           CAST((CAST(active_week AS DATE) - CAST(cohort_week AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM cohorted
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    per week-offset they return — the standard retention triangle.
+    One scan; the cohort week is a window minimum over the user
+    partitioning, then (cohort, offset) aggregation with a distinct
+    count. Week truncation is Monday-start in both engines, and the
+    offset is integer day arithmetic — engine-portable."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    active = F.date_trunc("week", F.col("ts"))
+    c = e.select(
+        "user_id", cohort.alias("cohort_week"), active.alias("active_week"))
+    offset = (F.datediff(F.col("active_week").cast("date"),
+                         F.col("cohort_week").cast("date")) / 7)
+    return (c.groupBy(
+                F.date_format("cohort_week", TS_FMT_SPARK).alias("cohort_week"),
+                offset.cast("bigint").alias("week_offset"))
+             .agg(F.countDistinct("user_id").cast("bigint").alias("n_users")))
