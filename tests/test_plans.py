@@ -312,3 +312,14 @@ def test_gapfill_no_cartesian_and_single_scan(spark):
     assert p.count("InMemoryTableScan") >= 2
     live = p.split("InMemoryRelation")[0]  # plan above the cache
     assert "Scan parquet" not in live
+
+
+def test_funnel_single_data_shuffle(spark):
+    """The ordered funnel must do ONE data-sized shuffle: the windows
+    and the per-user rollup share the user partitioning; the only
+    other exchange is the final single-row global count."""
+    import re
+
+    p = plan_str(QUERIES["events_funnel_steps"](spark, SF_DIR))
+    exchanges = set(re.findall(r"^\((\d+)\) Exchange", p, re.M))
+    assert len(exchanges) <= 2, f"funnel has {len(exchanges)} exchanges"
