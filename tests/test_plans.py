@@ -323,3 +323,23 @@ def test_funnel_single_data_shuffle(spark):
     p = plan_str(QUERIES["events_funnel_steps"](spark, SF_DIR))
     exchanges = set(re.findall(r"^\((\d+)\) Exchange", p, re.M))
     assert len(exchanges) <= 2, f"funnel has {len(exchanges)} exchanges"
+
+
+def test_compaction_collapses_file_count(spark, tmp_path):
+    """Compaction must actually reduce the file count to the byte
+    target (here: everything fits one file) while preserving rows."""
+    import os
+
+    from universal_data_connector_spark.operators.maintenance import (
+        compact_parquet_dir,
+    )
+
+    frag = str(tmp_path / "frag")
+    dest = str(tmp_path / "out")
+    load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice") \
+        .repartition(32).write.parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    out = compact_parquet_dir(spark, frag, dest)
+    n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_before == 32 and n_after == 1
+    assert out.count() == load(spark, SF_DIR, "orders").count()

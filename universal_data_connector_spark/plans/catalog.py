@@ -3049,3 +3049,34 @@ def retention_cohorts(spark, sf_dir):
                 F.date_format("cohort_week", TS_FMT_SPARK).alias("cohort_week"),
                 offset.cast("bigint").alias("week_offset"))
              .agg(F.countDistinct("user_id").cast("bigint").alias("n_users")))
+
+
+@query(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def maintenance_compact_files(spark, sf_dir):
+    """Small-files compaction, executed for real: fragment a lineitem
+    projection into 64 tiny parquet files in scratch, compact the
+    directory to size-targeted files (operators/maintenance.py), and
+    return the compacted content — which must hash-match the original
+    table exactly (compaction changes layout, never results; the
+    file-count collapse itself is asserted in tests/test_plans.py).
+    The reference's append-only parquet sink creates exactly this
+    fragmentation and has no answer to it."""
+    import os
+
+    from universal_data_connector_spark.operators.maintenance import (
+        compact_parquet_dir,
+    )
+
+    scratch = _scratch_dir("udc_compact_")
+    frag = os.path.join(scratch, "frag")
+    dest = os.path.join(scratch, "compacted")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    return compact_parquet_dir(spark, frag, dest)
