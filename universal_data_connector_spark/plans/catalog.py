@@ -3080,3 +3080,133 @@ def maintenance_compact_files(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     li.repartition(64).write.mode("overwrite").parquet(frag)
     return compact_parquet_dir(spark, frag, dest)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality gates: the validation pass every 100 TB ingest runs
+# before data reaches training (null/range/order/uniqueness rules,
+# per-column profiling). The reference validates nothing — malformed
+# rows silently pass through its string envelopes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'l_quantity_in_range' AS rule,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag_in_domain',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                          OR l_returnflag IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice_positive',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 OR l_extendedprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_linenumber_unique',
+           CAST((SELECT COUNT(*) FROM lineitem)
+                - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+                                                l_linenumber FROM lineitem))
+                AS BIGINT)
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectations (Deequ-style): range,
+    domain-membership, positivity, and composite-key uniqueness
+    checks emitting (rule, n_violations). The three row-local rules
+    evaluate as conditional sums in ONE aggregation pass over one
+    scan (adding rules is free); uniqueness is the one rule that
+    genuinely needs a distinct (count minus distinct-count on the key
+    pair — map-side partial distinct keeps the shuffle to unique
+    keys). At 100 TB this is the gate that runs before any training
+    job reads the table."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def viol(name: str, cond) -> DataFrame:
+        return li.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+             .alias("n_violations"))
+
+    q = F.col("l_quantity")
+    row_rules = [
+        ("l_quantity_in_range", (q < 1) | (q > 50)),
+        ("l_returnflag_in_domain",
+         ~F.col("l_returnflag").isin("A", "N", "R")
+         | F.col("l_returnflag").isNull()),
+        ("l_extendedprice_positive",
+         (F.col("l_extendedprice") <= 0)
+         | F.col("l_extendedprice").isNull()),
+    ]
+    checks = viol(*row_rules[0])
+    for name, cond in row_rules[1:]:
+        checks = checks.unionByName(viol(name, cond))
+    uniq = li.agg(
+        F.lit("orderkey_linenumber_unique").alias("rule"),
+        (F.count("*")
+         - F.countDistinct("l_orderkey", "l_linenumber")).cast("bigint")
+         .alias("n_violations"))
+    return checks.unionByName(uniq)
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def dq_column_profile(spark, sf_dir):
+    """Per-column profile (nulls, exact distinct cardinality, min/max)
+    for the columns an ingest contract names — the statistics that
+    drive partition and filter design. All three columns profile from
+    ONE scan: the per-column aggregates compute in a single pass (one
+    multi-distinct aggregation), then unpivot to the (col, stats) rows
+    a catalog stores. Exact countDistinct (not approx) so the result
+    is engine-portable; swap to approx_count_distinct when 2% error
+    is acceptable and cardinalities reach billions."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("col"),
+                 F.col(f"{c}__nulls").alias("n_nulls"),
+                 F.col(f"{c}__distinct").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_val"),
+                 F.col(f"{c}__max").alias("max_val"))
+        for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*rows)).alias("p"))
+                .select("p.col", "p.n_nulls", "p.n_distinct",
+                        "p.min_val", "p.max_val"))
