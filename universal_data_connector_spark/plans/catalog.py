@@ -3210,3 +3210,52 @@ def dq_column_profile(spark, sf_dir):
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
                 .select("p.col", "p.n_nulls", "p.n_distinct",
                         "p.min_val", "p.max_val"))
+
+
+@query(
+    "ts_subsequence_search",
+    oracle=f"""
+    WITH windows AS (
+        SELECT user_id, ts,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                   AS seq
+        FROM events
+    ), scored AS (
+        SELECT user_id, ts,
+               round(sqrt(list_sum(list_transform(
+                   list_zip(seq, [CAST(i * 10 AS DOUBLE) for i in range(16)]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+        FROM windows WHERE len(seq) = 16
+    )
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS window_end, dist
+    FROM scored ORDER BY dist, user_id, ts LIMIT 20
+    """,
+)
+def ts_subsequence_search(spark, sf_dir):
+    """Time-series subsequence similarity search (the distributed
+    streaming-similarity problem of EDBT'19 'Time Series Similarity
+    Search for Streaming Data', recast on DataFrames): slide a
+    16-point window over each user's value series, score Euclidean
+    distance to a fixed query pattern, return the 20 best matches.
+    One shuffle (the per-user window); the pattern rides the plan as a
+    literal array, the distance is a JVM higher-order zip_with fold in
+    the SAME element order on both engines (bit-identical doubles),
+    and the global top-20 is TakeOrdered — never a full sort. At
+    100 TB: windows stream per partition; only k rows leave each."""
+    pattern = [float(i * 10) for i in range(16)]
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-15, 0))
+    seq = F.collect_list("value").over(w)
+    scored = (e.select("user_id", "ts", seq.alias("__seq"))
+               .filter(F.size("__seq") == 16))
+    q = F.array(*[F.lit(v) for v in pattern])
+    sq = F.zip_with("__seq", q, lambda a, b: (a - b) * (a - b))
+    dist = F.round(F.sqrt(F.aggregate(sq, F.lit(0.0),
+                                      lambda acc, v: acc + v)), 6)
+    return (scored.select("user_id",
+                          F.date_format("ts", TS_FMT_SPARK)
+                           .alias("window_end"),
+                          dist.alias("dist"))
+                  .orderBy("dist", "user_id", "window_end").limit(20))
