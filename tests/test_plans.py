@@ -343,3 +343,46 @@ def test_compaction_collapses_file_count(spark, tmp_path):
     n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
     assert n_before == 32 and n_after == 1
     assert out.count() == load(spark, SF_DIR, "orders").count()
+
+
+# Keys whose build EXECUTES work (streams, sink writes, scratch
+# round-trips, compaction): excluded from the lazy plan lint — their
+# plans are asserted by their own tests above / their oracle runs.
+_EAGER_KEYS = {
+    "scan_csv_typed", "scan_jsonl_roundtrip",
+    "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
+    "stream_file_ingest_exactly_once", "stream_stateful_totals",
+    "stream_static_enrich_join", "stream_stream_interval_join",
+    "stream_upsert_latest", "maintenance_compact_files",
+    "join_bucketed_colocated",  # writes bucketed tables at build
+}
+
+# BroadcastNestedLoopJoin is legitimate ONLY where a bounded side is
+# broadcast under a non-equi condition by construction (query batches,
+# centroid tables, range bounds — never a corpus side).
+_BNLJ_ALLOWED = {"sim_search_cosine_topk", "join_range_theta", "join_asof",
+                 "filter_any_row_per_file",
+                 # centroid table (n_centroids rows) broadcast under a
+                 # deliberate cross join for query->probe assignment
+                 "sim_search_ivf", "sim_search_ivf_kmeans"}
+
+
+def test_catalog_wide_plan_lint(spark):
+    """Every lazily-built catalog query must be free of the two
+    unconditional scale-killers: CartesianProduct (a lost join
+    condition) and BatchEvalPython (row-at-a-time Python in the plan;
+    Arrow-batched ArrowEvalPython/FlatMapGroupsInPandas are fine).
+    One sweep over the whole catalog so a future operator can't
+    regress silently."""
+    bad = []
+    for name, fn in QUERIES.items():
+        if name in _EAGER_KEYS:
+            continue
+        p = plan_str(fn(spark, SF_DIR))
+        if "CartesianProduct" in p:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in p:
+            bad.append(f"{name}: BatchEvalPython (row-at-a-time Python)")
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
+            bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not bad, "\n".join(bad)
