@@ -360,11 +360,13 @@ _EAGER_KEYS = {
 # BroadcastNestedLoopJoin is legitimate ONLY where a bounded side is
 # broadcast under a non-equi condition by construction (query batches,
 # centroid tables, range bounds — never a corpus side).
-_BNLJ_ALLOWED = {"sim_search_cosine_topk", "join_range_theta", "join_asof",
-                 "filter_any_row_per_file",
-                 # centroid table (n_centroids rows) broadcast under a
-                 # deliberate cross join for query->probe assignment
-                 "sim_search_ivf", "sim_search_ivf_kmeans"}
+_BNLJ_ALLOWED = {
+    # query batch broadcast under the corpus scan (brute-force top-k)
+    "sim_search_cosine_topk",
+    # centroid table (n_centroids rows) broadcast under a deliberate
+    # cross join for query->probe assignment
+    "sim_search_ivf", "sim_search_ivf_kmeans",
+}
 
 
 def test_catalog_wide_plan_lint(spark):
