@@ -34,7 +34,7 @@ _CHECK_FIRST = [
     "agg_histogram_bins", "scan_jsonl_roundtrip", "stream_upsert_latest",
     "reshape_chunk_tokens", "events_funnel_steps", "retention_cohorts",
     "maintenance_compact_files", "dq_expectations", "dq_column_profile",
-    "ts_subsequence_search",
+    "ts_subsequence_search", "join_star_schema", "scan_partition_pruned",
     # implementation touched this round (minhash JVM gram hashing)
     "dedup_near_minhash",
     # driver evidence stale since r1/r2 (VERDICT r5 item 4)
@@ -50,12 +50,11 @@ _CHECK_FIRST = [
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
     "agg_stats_moments",
     "window_row_number_topk", "window_running_sum",
-    "sort_multi_key", "limit_topk",
     # (str_funcs, date_funcs, math_funcs, csv_parse_rfc4180,
     #  base64_roundtrip, json_funcs, stream_tumbling_count,
     #  stream_sliding_agg, set_union_all, set_intersect, set_except,
-    #  window_rank_family, window_first_last, window_lag_lead rotate to
-    #  the r7 window; 50-slot cap)
+    #  window_rank_family, window_first_last, window_lag_lead,
+    #  sort_multi_key, limit_topk rotate to the r7 window; 50-slot cap)
     # flagship + canary scan: cheap insurance rows each round
     "pipeline_clean_corpus", "scan_parquet",
 ]

@@ -388,3 +388,23 @@ def test_catalog_wide_plan_lint(spark):
         if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
             bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not bad, "\n".join(bad)
+
+
+def test_partition_pruning_resolves_at_planning(spark):
+    """The partitioned scan must show a PartitionFilters entry on the
+    returnflag filter and must NOT carry it as a post-scan Filter —
+    pruned partitions are never read."""
+    p = plan_str(QUERIES["scan_partition_pruned"](spark, SF_DIR))
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf and "R" in pf
+
+
+def test_star_schema_broadcasts_dims(spark):
+    """The star join must broadcast at least one dimension and push the
+    order-status predicate into its scan; the fact side must never
+    cartesian."""
+    p = plan_str(QUERIES["join_star_schema"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert any("PushedFilters" in l and "o_orderstatus" in l
+               for l in p.splitlines())

@@ -3259,3 +3259,69 @@ def ts_subsequence_search(spark, sf_dir):
                            .alias("window_end"),
                           dist.alias("dist"))
                   .orderBy("dist", "user_id", "window_end").limit(20))
+
+
+@query(
+    "join_star_schema",
+    oracle="""
+    SELECT n.n_name AS nation, l.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def join_star_schema(spark, sf_dir):
+    """Four-way star join (fact -> orders -> customer -> nation) with
+    a selective fact-side predicate — the canonical warehouse query
+    shape. Declared as plain joins: Catalyst reorders, pushes the
+    status filter into the orders scan, and broadcasts the dimensions
+    that fit (nation always; customer at small SF) while the fact
+    side streams — at 100 TB the only big shuffle is lineitem joining
+    orders on the shared key. Decimal-exact revenue sum."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.col("l_returnflag").alias("returnflag"))
+              .agg(F.count("*").cast("bigint").alias("n_lines"),
+                   orel.exact_sum("l_extendedprice").alias("revenue")))
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Hive-style partition pruning, executed for real: the lineitem
+    projection is written to scratch partitioned by l_returnflag
+    (directory-per-value layout — how every 100 TB table is stored),
+    then read back filtered to one partition. The filter resolves at
+    PLANNING time from directory names: non-matching partitions are
+    never listed, opened, or read (PartitionFilters in the scan,
+    asserted in test_plans.py) — at scale this is the difference
+    between scanning 1/3 of the table and all of it."""
+    import os
+
+    scratch = _scratch_dir("udc_part_")
+    part_dir = os.path.join(scratch, "lineitem_by_flag")
+    if not os.path.isdir(part_dir):
+        (load(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+         .write.partitionBy("l_returnflag").mode("overwrite")
+         .parquet(part_dir))
+    return (spark.read.parquet(part_dir)
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
