@@ -3325,3 +3325,117 @@ def scan_partition_pruned(spark, sf_dir):
     return (spark.read.parquet(part_dir)
             .filter(F.col("l_returnflag") == "R")
             .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@query(
+    "agg_regression_ols",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+               CAST(round(value * 1e6) AS BIGINT) AS y6
+        FROM events
+    ), sums AS (
+        SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y6) AS sy,
+               SUM(x * y6) AS sxy, SUM(x * x) AS sxx
+        FROM pts GROUP BY user_id
+    )
+    SELECT user_id,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 9) AS slope,
+           round((CAST(sy AS DOUBLE) / 1e6
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM sums
+    """,
+)
+def agg_regression_ols(spark, sf_dir):
+    """Grouped least-squares fit (value-over-time trend per user) as an
+    ORDER-INDEPENDENT aggregation: the same exactness discipline as
+    `exact_sum`, extended to second moments. The built-in regr_slope/
+    regr_intercept accumulate doubles in shuffle order, so two engines
+    (or two runs at scale) disagree in the last bits and the intercept
+    — a cancellation of two huge terms — drifts at the 5th decimal.
+    Here x (seconds, centered on 2024-01-01 so magnitudes stay small)
+    and y (scaled to integer micro-units) are INTEGERS, the five
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) are exact decimal
+    sums — map-side combinable, one shuffle, any partitioning — and
+    the closed-form slope/intercept are computed from those exact
+    integers in identical IEEE steps on both engines. Reproducible at
+    any scale, bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    pts = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).cast(dec).alias("x"),
+        F.round(F.col("value") * 1e6).cast(dec).alias("y6"))
+    sums = pts.groupBy("user_id").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y6").alias("sy"),
+        F.sum(F.col("x") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(1e6)
+    intercept = ((F.col("sy").cast("double") / F.lit(1e6)
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    return sums.select(
+        "user_id", F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "cogroup_asof_merge",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           CAST(c.user_id AS BIGINT) AS user_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+        SELECT value FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON TRUE
+    """,
+)
+def cogroup_asof_merge(spark, sf_dir):
+    """The two-frame grouped Arrow extension point
+    (``groupBy().cogroup().applyInPandas``), exercised with real
+    semantics: per user, pandas ``merge_asof`` aligns each click with
+    the latest preceding purchase value — the point-in-time feature
+    join every feature store runs. One shuffle per side on the group
+    key, then per-group sorted merges in Arrow batches. Same
+    semantics as ``join_asof`` (JVM range-join + argmax) — two
+    implementations of the operator, one per extension point, both
+    oracle-checked. Ties on ts resolve by event_id (merge_asof takes
+    the LAST row of equal keys; the sort makes that the max
+    event_id, matching the oracle's ORDER BY)."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("user_id", "event_id", "ts"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("user_id", "event_id", "ts", "value"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["ts", "event_id"])
+        out = pd.merge_asof(left, right, on="ts", direction="backward",
+                            suffixes=("", "_p"))
+        return pd.DataFrame({
+            "click_id": out["event_id"],
+            "user_id": left["user_id"].iloc[0] if len(left) else None,
+            "purchase_value": out["value"],
+        })
+
+    return (clicks.groupBy("user_id")
+            .cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(
+                merge,
+                "click_id bigint, user_id bigint, purchase_value double"))
