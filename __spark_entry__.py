@@ -18,43 +18,30 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-6 rotation
-# (VERDICT r5 items 2+4): the 46 keys whose last driver row was r1/r2
-# (the r3-r5 window was byte-identical, so joins/aggs/windows/sorts/
-# set-ops/scalar-fns/filters/casts were never re-checked), plus
-# stream_stateful_totals (broken in r5 by the TIMESTAMP_NTZ testdata
-# change, fixed this round — needs a green row), plus the keys whose
-# implementation changed this round.
+# recent driver evidence goes stale (>2 rounds old). Round-7 rotation
+# (VERDICT r6 item 1 + ADVICE r6 item 4): the two keys shipped in the
+# r6 end-of-round snapshot with NO driver row yet, the 16 keys whose
+# last driver row is r2 (scalar fns, set ops, ranking windows, sort/
+# limit, two stream windows), dedup_simhash (its hash function and
+# candidate set changed in r6 after its last driver row), the keys
+# whose implementation is touched this round, and new r7 keys.
 _CHECK_FIRST = [
-    # regression fixed this round -> must re-earn a green driver row
-    "stream_stateful_totals",
-    # NEW this round: never driver-checked
-    "sample_capped_per_key", "text_repetition_ratio",
-    "stream_stream_interval_join", "ts_rollup_gapfill",
-    "agg_histogram_bins", "scan_jsonl_roundtrip", "stream_upsert_latest",
-    "reshape_chunk_tokens", "events_funnel_steps", "retention_cohorts",
-    "maintenance_compact_files", "dq_expectations", "dq_column_profile",
-    "ts_subsequence_search", "join_star_schema", "scan_partition_pruned",
-    # implementation touched this round (minhash JVM gram hashing)
-    "dedup_near_minhash",
-    # driver evidence stale since r1/r2 (VERDICT r5 item 4)
-    "project_columns", "rename_columns",
-    "filter_contains", "filter_equality", "filter_null_safe",
-    "filter_any_row_per_file",
-    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
-    "defaults_on_null",
-    "join_inner_hash", "join_broadcast", "join_left", "join_semi",
-    "join_anti", "join_range_theta", "join_asof",
-    "join_interval_overlap", "join_salted_skew", "join_full_outer",
-    "agg_hash_sum_avg", "agg_count_distinct", "agg_approx_count_distinct",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
-    "agg_stats_moments",
-    "window_row_number_topk", "window_running_sum",
-    # (str_funcs, date_funcs, math_funcs, csv_parse_rfc4180,
-    #  base64_roundtrip, json_funcs, stream_tumbling_count,
-    #  stream_sliding_agg, set_union_all, set_intersect, set_except,
-    #  window_rank_family, window_first_last, window_lag_lead,
-    #  sort_multi_key, limit_topk rotate to the r7 window; 50-slot cap)
+    # NEVER driver-checked (added post-r6-run in db2c11d)
+    "agg_regression_ols", "cogroup_asof_merge",
+    # implementation/output changed in r6 AFTER last driver row
+    # (simhash64 blake2b->xxhash64; candidate set shrunk)
+    "dedup_simhash",
+    # implementation touched this round (r7): minhash banding moved
+    # JVM-side; upsert sink bucket-partitioned rewrite; LSH verified
+    # matches now oracle-checkable
+    "dedup_near_minhash", "stream_upsert_latest", "sim_search_lsh",
+    # driver evidence stale since r2 (VERDICT r6 item 1)
+    "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
+    "base64_roundtrip", "json_funcs",
+    "set_union_all", "set_intersect", "set_except",
+    "sort_multi_key", "limit_topk",
+    "window_rank_family", "window_first_last", "window_lag_lead",
+    "stream_tumbling_count", "stream_sliding_agg",
     # flagship + canary scan: cheap insurance rows each round
     "pipeline_clean_corpus", "scan_parquet",
 ]

@@ -80,7 +80,14 @@ def query(name: str, oracle: str | None = None):
             if prev:
                 orel.release_frames(prev)
             with orel.pin_scope() as pins:
-                out = fn(spark, sf_dir)
+                try:
+                    out = fn(spark, sf_dir)
+                except BaseException:
+                    # A failed build leaves nothing to act on: release
+                    # its pins NOW instead of leaking corpus-sized
+                    # DISK_ONLY entries for the rest of the session.
+                    orel.release_frames(pins)
+                    raise
             _BUILD_TL.prev_pins = pins
             return out
         wrapped.__name__ = fn.__name__

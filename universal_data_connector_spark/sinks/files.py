@@ -203,6 +203,15 @@ def _hadoop_write_objects(df: DataFrame, base_uri: str) -> None:
             out.close()
 
 
+def _s3_default_checkpoint(props: dict) -> str:
+    """Default streaming checkpoint for raw-object S3 writes: a key
+    INSIDE the target bucket. With an empty/absent prefix the sink
+    path is ``s3a://bucket/``; a naive ``rstrip('/') + '_checkpoint'``
+    would name a *different* bucket (``s3a://bucket_checkpoint``)."""
+    base = f"s3a://{props['bucketName']}/{props.get('prefix') or ''}"
+    return base.rstrip("/") + "/_checkpoint"
+
+
 def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
     """Reference K5 (``factory/sink/S3SinkContext.java``): object per
     file under ``bucket/prefix``; credentials go to Hadoop conf like
@@ -243,7 +252,7 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
             return (df.writeStream.foreachBatch(write_batch)
                     .option("checkpointLocation", props.get(
                         "checkpointLocation",
-                        path.rstrip("/") + "_checkpoint"))
+                        _s3_default_checkpoint(props)))
                     .start())
         _hadoop_write_objects(df, path)
         return None
