@@ -408,3 +408,57 @@ def test_star_schema_broadcasts_dims(spark):
     assert "CartesianProduct" not in p
     assert any("PushedFilters" in l and "o_orderstatus" in l
                for l in p.splitlines())
+
+
+def test_driver_materialization_discipline():
+    """Source lint (VERDICT r6 item 8): driver-side materialization
+    (`.collect()` / `.toLocalIterator()` / `.toPandas()`) is allowed
+    ONLY at the known bounded call sites. A new site = a new driver
+    bottleneck at 100 TB; add it here only with a boundedness argument
+    in a comment at the call site."""
+    import pathlib
+
+    import universal_data_connector_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    # file -> exact allowed count of materializing calls, each bounded:
+    #   streaming/windows.py  touched-bucket set, <= num_buckets rows
+    #   operators/dedup.py    CC convergence signature, 1 row/iteration
+    #   operators/similarity.py  ANN query set, small by contract
+    #   sinks/files.py        boto3-free S3 fallback, partition-streamed
+    allowed = {
+        "streaming/windows.py": 1,
+        "operators/dedup.py": 1,
+        "operators/similarity.py": 1,
+        "sinks/files.py": 1,
+    }
+    bad = []
+    for py in root.rglob("*.py"):
+        rel = str(py.relative_to(root))
+        n = 0
+        for line in py.read_text().splitlines():
+            code = line.split("#", 1)[0]
+            n += sum(code.count(tok) for tok in
+                     (".collect()", ".toLocalIterator()", ".toPandas()"))
+        if n > allowed.get(rel, 0):
+            bad.append(f"{rel}: {n} materializing calls "
+                       f"(allowed {allowed.get(rel, 0)})")
+    assert not bad, "\n".join(bad)
+
+
+def test_upsert_sink_never_reads_full_target():
+    """Source lint for VERDICT r6 item 2's regression: the upsert
+    merge must read the parquet target ONLY through the touched-bucket
+    partition filter (per-batch cost O(touched), not O(target)). The
+    behavioral half — untouched bucket files survive byte-identical —
+    is test_foreachbatch_upsert_rewrites_only_touched_buckets."""
+    import inspect
+
+    from universal_data_connector_spark.streaming import windows
+
+    src = inspect.getsource(windows.foreachbatch_upsert)
+    reads = src.count("read.parquet")
+    assert reads == 1, f"expected exactly one target read, got {reads}"
+    assert "_UPSERT_BUCKET_COL).isin(touched)" in src, (
+        "the single target read lost its touched-bucket partition "
+        "filter — that reintroduces the O(target) per-batch rewrite")

@@ -317,3 +317,131 @@ def test_foreachbatch_upsert_converges_across_batches(spark, tmp_path):
     rows = {r.user_id: r.event_id
             for r in spark.read.parquet(target).collect()}
     assert rows == {7: 3, 8: 2, 9: 4}
+
+
+def _upsert_run(spark, src, target, ckpt, num_buckets=4):
+    from universal_data_connector_spark.streaming import foreachbatch_upsert
+
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", "1").json(str(src)))
+    raw = raw.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id")))
+    q = foreachbatch_upsert(raw, target, keys=["user_id"],
+                            order_col="__ord", checkpoint=str(ckpt),
+                            num_buckets=num_buckets)
+    q.awaitTermination()
+
+
+def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A batch whose keys land in one bucket must leave every other
+    bucket directory byte-identical and un-replaced (VERDICT r6 item 2:
+    per-batch cost O(touched), not O(target))."""
+    import glob
+
+    from universal_data_connector_spark.streaming.windows import (
+        _UPSERT_BUCKET_COL,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    # seed: users 1..8 spread over 4 buckets
+    _write_events(f"{src}/b1.json", [
+        (i, i, "2026-01-01 10:00:00", float(i)) for i in range(1, 9)])
+    _upsert_run(spark, src, target, tmp_path / "ckpt1")
+
+    bucket_dirs = sorted(glob.glob(f"{target}/{_UPSERT_BUCKET_COL}=*"))
+    assert len(bucket_dirs) >= 2, "seed should populate several buckets"
+
+    def snapshot(d):
+        return {f: (os.stat(f).st_mtime_ns, open(f, "rb").read())
+                for f in glob.glob(f"{d}/*.parquet")}
+
+    before = {d: snapshot(d) for d in bucket_dirs}
+
+    # second run, SAME checkpoint (so only the new file is consumed):
+    # ONLY user 1 updated -> exactly one bucket touched
+    _write_events(f"{src}/b2.json", [(99, 1, "2026-01-01 12:00:00", 9.0)])
+    _upsert_run(spark, src, target, tmp_path / "ckpt1")
+
+    after = {d: snapshot(d) for d in sorted(
+        glob.glob(f"{target}/{_UPSERT_BUCKET_COL}=*"))}
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) <= 1, (
+        f"one-key batch must touch at most its own bucket, got {changed}")
+    # untouched buckets: identical file list, mtimes and bytes
+    for d in before:
+        if d not in changed:
+            assert before[d] == after[d]
+    # and the merge itself is correct
+    rows = {r.user_id: r.event_id
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {1: 99, **{i: i for i in range(2, 9)}}
+
+
+def test_foreachbatch_upsert_crash_recovery_restores_old_bucket(
+        spark, tmp_path):
+    """Crash between 'live -> old' and 'staged -> live' leaves no live
+    bucket dir; recovery must restore the old copy so previously merged
+    keys survive (ADVICE r6, streaming/windows.py:151)."""
+    import glob
+
+    from universal_data_connector_spark.streaming.windows import (
+        _UPSERT_BUCKET_COL,
+        _UPSERT_OLD_PREFIX,
+        _UPSERT_STAGED_DIR,
+        _upsert_recover,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    _write_events(f"{src}/b1.json", [
+        (i, i, "2026-01-01 10:00:00", float(i)) for i in range(1, 9)])
+    _upsert_run(spark, src, target, tmp_path / "ckpt1")
+    want = {r.user_id: r.event_id
+            for r in spark.read.parquet(target).collect()}
+
+    # simulate the torn swap on one bucket: live renamed away, staged
+    # half-written
+    victim = sorted(glob.glob(f"{target}/{_UPSERT_BUCKET_COL}=*"))[0]
+    bucket = victim.rsplit("=", 1)[1]
+    os.rename(victim, f"{target}/{_UPSERT_OLD_PREFIX}{bucket}")
+    os.makedirs(f"{target}/{_UPSERT_STAGED_DIR}/partial", exist_ok=True)
+
+    _upsert_recover(target)
+    assert os.path.isdir(victim), "old copy must be restored"
+    assert not os.path.isdir(f"{target}/{_UPSERT_STAGED_DIR}")
+    got = {r.user_id: r.event_id
+           for r in spark.read.parquet(target).collect()}
+    assert got == want
+
+    # completed-swap leftover (live present AND old present): old must
+    # be dropped, live kept
+    os.makedirs(f"{target}/{_UPSERT_OLD_PREFIX}{bucket}", exist_ok=True)
+    _upsert_recover(target)
+    assert os.path.isdir(victim)
+    assert not os.path.isdir(f"{target}/{_UPSERT_OLD_PREFIX}{bucket}")
+
+    # end-to-end: a crashed state heals on the NEXT merge, not just via
+    # the helper — replaying a fresh checkpoint over the torn target
+    # converges to the same winners
+    os.rename(victim, f"{target}/{_UPSERT_OLD_PREFIX}{bucket}")
+    _upsert_run(spark, src, target, tmp_path / "ckpt2")
+    got = {r.user_id: r.event_id
+           for r in spark.read.parquet(target).collect()}
+    assert got == want
+
+
+def test_foreachbatch_upsert_rejects_foreign_directory(spark, tmp_path):
+    """A pre-existing non-bucketed directory must be rejected, not
+    silently merged into (the old flat layout is not readable as a
+    bucketed target)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    target = tmp_path / "target"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a bucket layout")
+    _write_events(f"{src}/b1.json", [(1, 1, "2026-01-01 10:00:00", 1.0)])
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises((ValueError, Exception), match="bucketed|_udc_buckets"):
+        _upsert_run(spark, src, target, tmp_path / "ckpt1")

@@ -107,26 +107,74 @@ def stream_dedup(df: DataFrame, keys: tuple[str, ...], ts_col: str = "ts",
               .dropDuplicatesWithinWatermark(list(keys)))
 
 
+_UPSERT_BUCKET_COL = "udc_kb"
+_UPSERT_META_FILE = "_udc_buckets"       # leading "_" => hidden to Spark
+_UPSERT_STAGED_DIR = "_udc_staged"
+_UPSERT_OLD_PREFIX = "_udc_old_"
+
+
+def _upsert_recover(path: str) -> None:
+    """Crash recovery for the per-bucket swap: restore any bucket whose
+    live dir went missing mid-swap, drop completed-swap leftovers and
+    partial staging. Idempotent; runs on every merge() entry so a
+    restarted stream always sees a complete target before re-merging."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    shutil.rmtree(os.path.join(path, _UPSERT_STAGED_DIR),
+                  ignore_errors=True)
+    for name in os.listdir(path):
+        if not name.startswith(_UPSERT_OLD_PREFIX):
+            continue
+        bucket = name[len(_UPSERT_OLD_PREFIX):]
+        live = os.path.join(path, f"{_UPSERT_BUCKET_COL}={bucket}")
+        old = os.path.join(path, name)
+        if os.path.isdir(live):
+            # crash happened after the new bucket went live but before
+            # cleanup — the old copy is superseded
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            # crash happened between "live -> old" and "staged -> live":
+            # the old copy is still the current state — put it back
+            os.rename(old, live)
+
+
 def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
                         order_col: str, checkpoint: str,
-                        trigger_available_now: bool = True):
-    """Streaming upsert (merge-on-key) into a parquet target via
-    ``foreachBatch`` — the keep-latest-row-per-key sink every CDC /
-    state-snapshot pipeline needs. Each micro-batch is reduced to its
-    newest row per key, unioned with the current target, and the
-    winner per key (max `order_col`, key tiebreak on the key columns)
-    is rewritten atomically (write to a side directory, then swap).
+                        trigger_available_now: bool = True,
+                        num_buckets: int = 32):
+    """Streaming upsert (merge-on-key) into a key-bucketed parquet
+    target via ``foreachBatch`` — the keep-latest-row-per-key sink
+    every CDC / state-snapshot pipeline needs.
 
-    ``foreachBatch`` gives at-least-once batch delivery with a batch
-    id the checkpoint tracks, and the merge is idempotent (re-applying
-    a batch picks the same winners), so the target converges to
-    exactly-once semantics across restarts. On a real lakehouse this
-    body becomes a Delta/Iceberg ``MERGE INTO`` and the rewrite cost
-    drops to the touched files; plain-parquet full rewrite is the
-    dependency-free equivalent with identical semantics (the
-    reference's sinks are append-only — this is new surface).
-    Partition discipline: the dedup is one shuffle on the key; the
-    target rewrite parallelizes over the same partitioning.
+    Scale posture: the target is laid out as ``num_buckets`` hash
+    partitions (``udc_kb=pmod(xxhash64(keys), N)`` directories). Each
+    micro-batch is reduced to its newest row per key, the set of
+    TOUCHED buckets is derived from the batch's keys, and only those
+    partitions are read, merged, and rewritten — per-batch cost is
+    O(touched data), not O(target). Untouched bucket directories are
+    never opened (partition pruning on the ``udc_kb`` filter) and
+    never rewritten (pinned by test).
+
+    Crash safety: each touched bucket is staged under the hidden
+    ``_udc_staged`` dir, then swapped live with two renames through a
+    hidden ``_udc_old_<n>`` side dir. ``_upsert_recover`` runs on
+    every batch entry and repairs any interrupted swap (old copy
+    restored if the live dir vanished; superseded copy dropped
+    otherwise), so previously merged keys survive a crash at ANY
+    point and the checkpointed batch replays into a complete target.
+    The merge is idempotent (re-applying a batch picks the same
+    winners), so the target converges to exactly-once semantics.
+
+    Restrictions: the swap uses ``os.rename`` — the target must be a
+    local/POSIX filesystem path (NFS included). On an object store,
+    use a lakehouse table format (Delta/Iceberg ``MERGE INTO``)
+    instead; this sink is the dependency-free plain-parquet
+    equivalent with identical semantics. ``num_buckets`` is fixed at
+    target creation (persisted in ``_udc_buckets``); a pre-existing
+    non-bucketed directory is rejected rather than silently merged.
     """
     import os
     import shutil
@@ -135,22 +183,72 @@ def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _upsert_recover(path)
+
+        meta = os.path.join(path, _UPSERT_META_FILE)
+        if os.path.isdir(path):
+            if os.path.isfile(meta):
+                with open(meta) as fh:
+                    n_buckets = int(fh.read().strip())
+            elif os.listdir(path):
+                raise ValueError(
+                    f"upsert target {path!r} exists but is not a "
+                    "bucketed upsert layout (missing _udc_buckets); "
+                    "rewrite it through this sink into a fresh "
+                    "directory first")
+            else:
+                n_buckets = num_buckets
+        else:
+            n_buckets = num_buckets
+        os.makedirs(path, exist_ok=True)
+        if not os.path.isfile(meta):
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(n_buckets))
+            os.rename(tmp, meta)
+
+        kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
         rank = F.row_number().over(
             W.partitionBy(*keys).orderBy(F.col(order_col).desc(), *keys))
         latest = (batch_df.withColumn("__rn", rank)
-                          .filter(F.col("__rn") == 1).drop("__rn"))
-        if os.path.isdir(path):
-            current = spark.read.parquet(path)
-            latest = current.unionByName(latest)
-            latest = (latest.withColumn("__rn", rank)
+                          .filter(F.col("__rn") == 1).drop("__rn")
+                          .withColumn(_UPSERT_BUCKET_COL, kb))
+        # touched-bucket set: bounded by n_buckets (small by
+        # construction), so the collect is driver-safe at any scale
+        touched = sorted(r[0] for r in
+                         latest.select(_UPSERT_BUCKET_COL)
+                               .distinct().collect())
+        if not touched:
+            return
+
+        live_buckets = [
+            b for b in touched
+            if os.path.isdir(os.path.join(path,
+                                          f"{_UPSERT_BUCKET_COL}={b}"))]
+        if live_buckets:
+            current = (spark.read.parquet(path)
+                       .filter(F.col(_UPSERT_BUCKET_COL).isin(touched)))
+            merged = current.unionByName(latest)
+            merged = (merged.withColumn("__rn", rank)
                             .filter(F.col("__rn") == 1).drop("__rn"))
-        staged = path.rstrip("/") + "__staged"
-        latest.write.mode("overwrite").parquet(staged)
-        old = path.rstrip("/") + "__old"
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
+        else:
+            merged = latest
+
+        staged = os.path.join(path, _UPSERT_STAGED_DIR)
+        (merged.repartition(len(touched), F.col(_UPSERT_BUCKET_COL))
+               .write.mode("overwrite")
+               .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
+        for b in touched:
+            live = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
+            new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
+            if not os.path.isdir(new):
+                continue
+            old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
 
     writer = (stream.writeStream.foreachBatch(merge)
               .option("checkpointLocation", checkpoint))
