@@ -91,7 +91,7 @@ def test_minhash_signatures_shuffle_free(spark):
     # on the skinny (id, text) projection is acceptable — a shuffle of
     # aggregated state (HashAggregate+Exchange) is not.
     assert "HashAggregate" not in p
-    assert "ArrowEvalPython" in p
+    assert "MapInPandas" in p
 
 
 def test_cosine_topk_broadcasts_queries(spark):

@@ -22,6 +22,21 @@ STOPWORDS = {
 }
 
 
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` exactly once per row and pass the bound value
+    to ``build`` (λ-binding via a one-element ``transform``).
+
+    Catalyst collapses adjacent Projects and re-inlines aliased
+    subexpressions, and higher-order array functions run interpreted
+    (outside whole-stage codegen's subexpression elimination) — so an
+    expression like ``word_ngrams(tokenize(text))`` re-runs the full
+    lower/trim/split pipeline once per syntactic reference (4× in the
+    shingle projection). Binding the heavy subexpression as a lambda
+    variable pins single evaluation without a materialization barrier.
+    """
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def tokenize(col: Column, lowercase: bool = True) -> Column:
     """Whitespace tokenization -> array<string> (empty tokens dropped)."""
     c = F.lower(col) if lowercase else col

@@ -27,10 +27,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from universal_data_connector_spark.functions.text import (
+    bind_once,
     text_fingerprint,
     tokenize,
     word_ngrams,
 )
+
+
+def gram_hashes(text: Column, shingle_n: int) -> Column:
+    """64-bit xxhash64 keys of the distinct word ``shingle_n``-grams.
+
+    The token array is λ-bound (``bind_once``) so the lower/trim/split
+    tokenization pipeline evaluates ONCE per row: the naive
+    ``word_ngrams(tokenize(text))`` composition references the token
+    expression four times, and higher-order array functions run
+    interpreted — outside codegen subexpression elimination — so each
+    reference re-split the document. Shared by every shingle consumer
+    (minhash, simhash, exact Jaccard, contamination) so their gram
+    keys stay identical.
+    """
+    return bind_once(
+        tokenize(text),
+        lambda toks: F.transform(word_ngrams(toks, shingle_n),
+                                 lambda g: F.xxhash64(g)))
 from universal_data_connector_spark.operators.relational import (
     materialize_reliable,
     spread,
@@ -77,53 +96,41 @@ def shingle_hashes_df(df: DataFrame, text_col: str = "text",
     in a Python loop; xxhash64 runs inside whole-stage codegen).
     Distinct grams map to distinct 64-bit keys w.h.p. (~2^-64 per
     pair), so set Jaccard over keys equals string-gram Jaccard."""
-    g = F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
-                    lambda x: F.xxhash64(x))
+    g = gram_hashes(F.col(text_col), shingle_n)
     return spread(df, id_col).select(F.col(id_col), g.alias("__g"))
 
 
-def _band_fold_udf(num_hashes: int, bands: int):
-    """Arrow-batched (array<bigint> gram hashes) -> (array<bigint> of
-    `bands` folded band hashes): `num_hashes` affine mins + per-band
-    FNV-1a fold, all numpy per batch. (Folding band hashes here instead
-    of 128 JVM array extracts + string concat + xxhash64 per row removed
-    the second-most expensive projection in the pipeline; the numpy
-    broadcast beats 128 interpreted min-aggregates.) Input gram hashes
-    are full 64-bit (xxhash64, possibly negative); numpy `% _MERSENNE`
-    matches `pmod` — non-negative, below 2^31, so a*h + b < 2^63."""
-    from pyspark.sql import types as T
-
-    coeffs = _minhash_coeffs(num_hashes)
-    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
-    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-    r = num_hashes // bands
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def band_udf(gram_lists: pd.Series) -> pd.Series:
-        FNV_OFF = np.uint64(14695981039346656037)
-        FNV_P = np.uint64(1099511628211)
-        out = []
-        with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
-            for lst in gram_lists:
-                h = np.asarray(lst, dtype=np.int64)
-                if h.size == 0:  # no shingles: sentinel bands with other empties
-                    h = np.array([_MERSENNE], dtype=np.int64)
-                h = h % _MERSENNE
-                sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
-                folded = np.full(bands, FNV_OFF, dtype=np.uint64)
-                band_sig = sig.astype(np.uint64).reshape(bands, r)
-                for j in range(r):
-                    folded = (folded ^ band_sig[:, j]) * FNV_P
-                out.append(folded.astype(np.int64))
-        return pd.Series(out)
-
-    return band_udf
+def _fold_bands(gram_list, A, B, bands: int, r: int):
+    """numpy core of the banding: `bands*r` affine minima + per-band
+    FNV-1a fold over one doc's gram-hash list -> int64[bands]."""
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_P = np.uint64(1099511628211)
+    h = np.asarray(gram_list, dtype=np.int64)
+    if h.size == 0:  # no shingles: sentinel bands with other empties
+        h = np.array([_MERSENNE], dtype=np.int64)
+    h = h % _MERSENNE
+    sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
+    folded = np.full(bands, FNV_OFF, dtype=np.uint64)
+    band_sig = sig.astype(np.uint64).reshape(bands, r)
+    for j in range(r):
+        folded = (folded ^ band_sig[:, j]) * FNV_P
+    return folded.astype(np.int64)
 
 
 def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 128, bands: int = 32) -> DataFrame:
     """Banded minhash rows (id, band_idx, band_hash) from shingle-hash
     arrays. Shuffle-free: a pure map.
+
+    One ``mapInPandas`` pass computes the band minima AND emits the
+    exploded rows. Exploding a pandas-UDF output column with
+    ``posexplode`` instead puts the UDF under a Generate, and the
+    optimizer's inferred generator filters (notnull/size on the
+    generator input) re-reference the UDF — duplicating the banding
+    work per row and, in some session states, leaving a raw PythonUDF
+    in a non-extractable plan position that fails at runtime with
+    INTERNAL_ERROR "Cannot evaluate expression". mapInPandas is a
+    single opaque Arrow node: nothing to infer through, one eval.
 
     Gram-less docs (< shingle_n words) are EXCLUDED from banding: an
     empty shingle set can never verify above a positive Jaccard
@@ -132,47 +139,103 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
     would land in the SAME bucket in all `bands` bands, making the
     band self-join quadratic in the number of empty docs. Identical
     empty docs are exact_dedup's job, not LSH's."""
-    band_udf = _band_fold_udf(num_hashes, bands)
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+    id_type = grams.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ])
+    band_range = np.arange(bands, dtype=np.int32)
+
+    def emit(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            with np.errstate(over="ignore"):
+                for doc, lst in zip(pdf[id_col], pdf["__g"]):
+                    ids.append(np.full(bands, doc))
+                    idxs.append(band_range)
+                    hashes.append(_fold_bands(lst, A, B, bands, r))
+            if ids:
+                yield pd.DataFrame({
+                    id_col: np.concatenate(ids),
+                    "band_idx": np.concatenate(idxs),
+                    "band_hash": np.concatenate(hashes)})
+
     return (grams.filter(F.size("__g") > 0)
-                 .select(F.col(id_col), band_udf("__g").alias("__bands"))
-                 .select(F.col(id_col),
-                         F.posexplode("__bands").alias("band_idx", "band_hash")))
+                 .select(F.col(id_col), "__g")
+                 .mapInPandas(emit, out_schema))
 
 
 def shingle_band_df(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 128,
                     bands: int = 32, shingle_n: int = 5) -> DataFrame:
-    """(id, __g, __bands): shared grams + banded minhash, one projection.
+    """(id, __g, __bands): shared grams + banded minhash, one map pass.
 
     The LSH pipeline needs the shingle-hash arrays twice (banding and
-    Jaccard verification), so they're computed once here. The gram
-    stage is the pure-JVM ``shingle_hashes_df`` expression tree
-    (xxhash64 inside whole-stage codegen — no per-gram Python hashing;
-    the earlier blake2b-in-Arrow form spent most of its time hashing
-    gram strings in a Python loop). The only Python left is the numpy
-    affine-min + FNV band fold over already-hashed int64 arrays.
-    Still a pure projection: no shuffle at any scale.
+    Jaccard verification), so grams and band hashes are produced
+    together: the pure-JVM ``shingle_hashes_df`` expression tree feeds
+    ONE ``mapInPandas`` stage that passes the gram arrays through and
+    appends the numpy affine-min + FNV band fold. mapInPandas (not a
+    pandas_udf projection) because projection collapse would inline
+    the λ-bound gram expression into a UDF argument, which
+    intermittently fails PythonUDF extraction (NamedLambdaVariable
+    canonicalization) and dies at runtime; the pass-through costs one
+    extra Arrow transfer of the gram arrays but keeps the whole
+    pipeline a single map over the scan — no shuffle at any scale.
     """
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    r = num_hashes // bands
     grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
-    return grams.withColumn("__bands",
-                            _band_fold_udf(num_hashes, bands)("__g"))
+    out_schema = T.StructType([
+        T.StructField(id_col, grams.schema[id_col].dataType),
+        T.StructField("__g", T.ArrayType(T.LongType())),
+        T.StructField("__bands", T.ArrayType(T.LongType())),
+    ])
+
+    def emit(batches):
+        for pdf in batches:
+            with np.errstate(over="ignore"):
+                folded = [_fold_bands(lst, A, B, bands, r)
+                          for lst in pdf["__g"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "__g": pdf["__g"],
+                                "__bands": folded})
+
+    return grams.mapInPandas(emit, out_schema)
 
 
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 128,
                          shingle_n: int = 5) -> DataFrame:
-    """MinHash signatures as one shuffle-free projection.
+    """MinHash signatures as one shuffle-free map.
 
     Shingling is the pure-JVM ``shingle_hashes_df`` expression tree
-    (tokenize -> distinct word n-grams -> xxhash64, all whole-stage
-    codegen); the `num_hashes` affine permutations + min-reduction run
-    as one numpy broadcast per document in an Arrow batch — exact
-    integer math (after `% _MERSENNE`, a, h < 2^31 so a*h + b < 2^63,
-    no overflow), deterministic across runs/executors. This split —
-    JVM for string work, numpy for the 128-way min — beat both the
-    all-Python form (per-gram hashing dominated) and the all-JVM form
-    (128 interpreted min-aggregates per row). No shuffle at all: at
-    100 TB the signature stage is a pure map over the scan.
+    (tokenize -> distinct word n-grams -> xxhash64); the `num_hashes`
+    affine permutations + min-reduction run as one numpy broadcast per
+    document in an Arrow batch — exact integer math (after
+    `% _MERSENNE`, a, h < 2^31 so a*h + b < 2^63, no overflow),
+    deterministic across runs/executors. This split — JVM for string
+    work, numpy for the 128-way min — beat both the all-Python form
+    (per-gram hashing dominated) and the all-JVM form (128 interpreted
+    min-aggregates per row). No shuffle at all: at 100 TB the
+    signature stage is a pure map over the scan.
+
+    The Python stage is ``mapInPandas``, NOT a pandas_udf projection:
+    projection collapse would inline the λ-bound gram expression into
+    the UDF argument, and a PythonUDF whose argument carries nested
+    lambda variables intermittently fails extraction (canonicalization
+    of NamedLambdaVariable), leaving a raw PythonUDF the executor
+    cannot evaluate. mapInPandas takes the gram COLUMN as Arrow input
+    — nothing to extract.
 
     Docs with no shingles (< shingle_n words) get a sentinel shingle so
     they band deterministically with other empty docs only.
@@ -184,20 +247,24 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     coeffs = _minhash_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(gram_lists: pd.Series) -> pd.Series:
-        out = []
-        for lst in gram_lists:
-            h = np.asarray(lst, dtype=np.int64)
-            if h.size == 0:
-                h = np.array([_MERSENNE], dtype=np.int64)
-            h = h % _MERSENNE
-            out.append(((A * h[None, :] + B) % _MERSENNE).min(axis=1))
-        return pd.Series(out)
-
     grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
-    return grams.select(F.col(id_col), sig_udf("__g").alias("sig"))
+    out_schema = T.StructType([
+        T.StructField(id_col, grams.schema[id_col].dataType),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def emit(batches):
+        for pdf in batches:
+            sigs = []
+            for lst in pdf["__g"]:
+                h = np.asarray(lst, dtype=np.int64)
+                if h.size == 0:
+                    h = np.array([_MERSENNE], dtype=np.int64)
+                h = h % _MERSENNE
+                sigs.append(((A * h[None, :] + B) % _MERSENNE).min(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return grams.mapInPandas(emit, out_schema)
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -286,8 +353,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     """
     gb = shingle_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
     gb = materialize_reliable(gb)  # corpus-sized gram arrays
+    grams = gb.select(id_col, "__g")
     # gram-less docs can't verify above a positive threshold — keep
-    # them out of the band join (skew guard, see _banded_from_grams)
+    # them out of the band join (skew guard, see _banded_from_grams);
+    # __bands here is a cached ATTRIBUTE, so the explode is safe
     banded = gb.filter(F.size("__g") > 0).select(
         F.col(id_col),
         F.posexplode("__bands").alias("band_idx", "band_hash"))
@@ -298,7 +367,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
              .select(F.col(f"a.{id_col}").alias("id_1"),
                      F.col(f"b.{id_col}").alias("id_2"))
              .distinct())
-    return jaccard_verify_grams(gb.select(id_col, "__g"), cand, id_col, threshold)
+    return jaccard_verify_grams(grams, cand, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -325,9 +394,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     grams = spread(df, id_col).select(
         F.col(id_col),
-        F.explode(
-            F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
-                        lambda g: F.xxhash64(g))).alias("g"))
+        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
     # consumed three times (both join sides + sizes): compute once,
     # eagerly (lazy caches race under AQE's concurrent stage launch).
     # Corpus-sized exploded grams -> recoverable persistence.
@@ -380,8 +447,7 @@ def contamination_overlap(train: DataFrame, bench: DataFrame,
     least one collision; join back to `train` for the keep/drop step.
     """
     def grams(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        g = F.transform(word_ngrams(tokenize(F.col(text_col)), shingle_n),
-                        lambda s: F.xxhash64(s))
+        g = gram_hashes(F.col(text_col), shingle_n)
         return df.select(F.col(idc).alias(out_id), F.explode(g).alias("g"))
 
     t = grams(spread(train, id_col), id_col, id_col)
@@ -414,6 +480,13 @@ def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
 
     if isinstance(text, str):
         text = F.col(text)
+    # Deliberately NOT gram_hashes()/bind_once: this expression is the
+    # ARGUMENT of a pandas UDF, and a PythonUDF whose argument carries
+    # nested lambda variables intermittently fails extraction
+    # (NamedLambdaVariable canonicalization), leaving a raw PythonUDF
+    # the executor cannot evaluate. The plain composition re-evaluates
+    # tokenize per reference but extracts reliably; simhash's 2-gram
+    # shingling is not the pipeline bottleneck.
     grams = F.transform(word_ngrams(tokenize(text), shingle_n),
                         lambda g: F.xxhash64(g))
 
@@ -461,6 +534,17 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         F.size(tokenize(F.col(text_col))) >= shingle_n)
     sig = df.select(F.col(id_col),
                     simhash64(F.col(text_col), shingle_n).alias("__sig"))
+    # Materialize the signatures BEFORE the chunk explode: the explode
+    # is a Generate, and a Generate whose input references a pandas-UDF
+    # output triggers the optimizer's inferred generator filters to
+    # re-reference the UDF — duplicating the signature computation and
+    # (in some session states) leaving a raw PythonUDF in a
+    # non-extractable position that dies at runtime with
+    # INTERNAL_ERROR "Cannot evaluate expression". Checkpointing (id,
+    # __sig) also makes the self-join's two sides share one signature
+    # pass; the chunk explode below is trivial JVM work re-derived per
+    # side from the checkpointed frame.
+    sig = sig.localCheckpoint(eager=True)
     chunk_ids = F.sequence(F.lit(0), F.lit(n_chunks - 1))
     banded = sig.select(
         id_col, "__sig",
@@ -469,9 +553,6 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
             F.concat_ws("", F.transform(F.slice(F.col("__sig"), c * chunk + 1, chunk),
                                         lambda x: x.cast("string"))).alias("chunk_key"),
         ))).alias("ck")).select(id_col, "__sig", "ck.chunk_idx", "ck.chunk_key")
-    # self-joined below: materialize eagerly so the simhash projection
-    # runs exactly once
-    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                    & (F.col("a.chunk_key") == F.col("b.chunk_key"))
