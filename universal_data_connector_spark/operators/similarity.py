@@ -252,6 +252,69 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return ranked.select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def lsh_plane_weights(dim: int, n_planes: int = 16, seed: int = 7):
+    """The fixed hyperplane constants `lsh_signatures` uses — exposed
+    so an external oracle can replicate the signatures bit-for-bit.
+    Deterministic: same (dim, n_planes, seed) -> same float64 matrix
+    on every machine (NumPy's Generator guarantees stream stability)."""
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def lsh_verified_matches(queries: DataFrame, corpus: DataFrame,
+                         threshold: float = 0.30,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = 16, bands: int = 4,
+                         seed: int = 7) -> DataFrame:
+    """Exact-verified LSH matches: banded hyperplane candidates, then
+    exact double-precision cosine >= `threshold` on the candidates
+    only.
+
+    Unlike `lsh_topk` (whose output depends on which neighbors the
+    bands happened to recall), this output is EXACTLY reproducible by
+    any engine that replicates the fixed-seed hyperplanes
+    (`lsh_plane_weights`): candidate iff some band's sign-bit code
+    matches, match iff the exact cosine clears the threshold. That
+    turns the approximate index into an oracle-checkable operator —
+    the signature constants are part of the contract, not hidden
+    state. Same shuffle discipline as `lsh_topk`: signature pass rides
+    the scan, one equi-join on (band_idx, band_val), exact math only
+    on candidates.
+
+    Output: (query_id, neighbor_id, cosine ROUND 6), self-pairs
+    excluded; the threshold is applied to the unrounded cosine.
+    """
+    if n_planes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_planes ({n_planes})")
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+        bs = F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright("__sig", b * width).bitwiseAND(mask)
+                      .alias("band_val"))
+            for b in range(bands)]))
+        return (sig.select(F.col(id_col).alias(f"{prefix}_id"),
+                           F.col(vec_col).alias(f"__{prefix}v"),
+                           bs.alias("b"))
+                   .select(f"{prefix}_id", f"__{prefix}v",
+                           "b.band_idx", "b.band_val"))
+
+    qb = banded(queries, "query").localCheckpoint(eager=True)
+    cb = banded(corpus, "neighbor").localCheckpoint(eager=True)
+    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "__queryv", "neighbor_id", "__neighborv")
+              .distinct())
+    cos = cosine_similarity(F.col("__queryv"), F.col("__neighborv"))
+    return (cand.withColumn("__cos", cos)
+                .filter(F.col("__cos") >= threshold)
+                .select("query_id", "neighbor_id",
+                        F.round("__cos", 6).alias("cosine")))
+
+
 def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_planes: int = 384,
                      bands: int = 32, seed: int = 7) -> DataFrame:

@@ -1537,18 +1537,64 @@ def sim_search_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
-@query("sim_search_lsh")  # approximate by design -> rows-only
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                    seed: int = 7, threshold: float = 0.30) -> str:
+    """DuckDB oracle that replicates hyperplane-LSH banding EXACTLY:
+    the fixed-seed plane constants (`lsh_plane_weights`) are embedded
+    as double literals, so the oracle derives the same sign-bit band
+    codes, the same candidate set, and the same verified matches as
+    the Spark operator — an approximate index made hash-checkable
+    because its randomness is a deterministic, published constant.
+    Sign decisions are safe across engines: min |dot| over the test
+    embeddings is ~2e-5, ten orders above double reordering noise."""
+    from universal_data_connector_spark.operators.similarity import (
+        lsh_plane_weights,
+    )
+
+    W = lsh_plane_weights(dim, n_planes, seed)
+    width = n_planes // bands
+
+    def plane_lit(p: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in W[:, p]) + "]"
+
+    band_cols = ",\n               ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(b * width + i)})"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(width)) + f") AS b{b}"
+        for b in range(bands))
+    on = " OR ".join(f"q.b{b} = c.b{b}" for b in range(bands))
+    cos = ("list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e))"
+           " * sqrt(list_dot_product(c.e, c.e)))")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sigs AS (
+        SELECT vec_id, e,
+               {band_cols}
+        FROM base
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({cos}, 6) AS cosine
+    FROM sigs q JOIN sigs c ON ({on})
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND {cos} >= {threshold}
+    """
+
+
+@query("sim_search_lsh", oracle=_lsh_oracle_sql())
 def sim_search_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (operators/similarity.py:
-    lsh_topk): 16 fixed Gaussian hyperplanes -> sign signature -> 4
-    pigeonhole bands -> candidates -> exact cosine rank. The
-    candidates-then-verify discipline of MinHash dedup applied to
-    vectors; recall on planted clusters is pinned in
-    tests/test_similarity.py."""
+    """Hyperplane-LSH verified matches (operators/similarity.py:
+    lsh_verified_matches): 16 fixed Gaussian hyperplanes -> sign
+    signature -> 4 pigeonhole bands -> candidates -> exact
+    double-precision cosine >= 0.30 on candidates only. The output is
+    EXACTLY reproducible by the oracle because the plane constants are
+    deterministic (fixed seed) and embedded in the SQL — converting
+    the one formerly rows-only LSH row into a hash-checked one
+    (VERDICT r6 item 7). Top-k ranking behavior and recall stay
+    pinned on lsh_topk in tests/test_similarity.py."""
     e = load(spark, sf_dir, "embeddings")
-    out = osim.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5)
-    return out.select("query_id", "neighbor_id",
-                      F.col("rank").cast("bigint").alias("rank"))
+    return osim.lsh_verified_matches(e.filter(F.col("vec_id") < 10), e,
+                                     threshold=0.30)
 
 
 @query("sim_search_ivf_kmeans")  # approximate + trained -> rows-only
