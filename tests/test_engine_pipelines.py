@@ -352,3 +352,57 @@ def test_jdbc_source_to_parquet_pipeline(spark, io_dirs, tmp_path):
     got = {(r.id, r.name, float(r.score))
            for r in spark.read.parquet(out).select("id", "name", "score").collect()}
     assert got == {(2, "bob", 20.25), (3, "carol", 30.0)}
+
+
+def test_batch_manifest_skips_consumed_without_archiving(
+        spark, io_dirs, tmp_path):
+    """manifestDir in BATCH mode (VERDICT r6 item 6): consumed files are
+    logged — not moved — so a re-run over the SAME untouched source dir
+    emits zero rows; files that arrive between runs are picked up."""
+    inp, out = io_dirs
+    manifest = str(tmp_path / "manifest")
+    _write(f"{inp}/a.txt", TEXT_IMPORTANT)
+    _write(f"{inp}/b.txt", TEXT_PLAIN)
+    cfg = _pipeline("manifested", {"path": inp, "pattern": "*.txt",
+                                   "manifestDir": manifest},
+                    {"path": out, "extension": ".txt"})
+    run(spark, cfg)
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt"]
+    assert sorted(os.listdir(inp)) == ["a.txt", "b.txt"]   # NOT moved
+    logs = [f for f in os.listdir(manifest) if f.endswith(".log")]
+    assert len(logs) == 1
+
+    # second run, same source dir: manifest filters everything
+    out2 = str(tmp_path / "out2")
+    os.makedirs(out2)
+    cfg2 = _pipeline("manifested-rerun", {"path": inp, "pattern": "*.txt",
+                                          "manifestDir": manifest},
+                     {"path": out2, "extension": ".txt"})
+    run(spark, cfg2)
+    assert os.listdir(out2) == []
+    # dedupe: the rerun recorded no new entries
+    logs = [f for f in os.listdir(manifest) if f.endswith(".log")]
+    assert len(logs) == 1
+
+    # a NEW file arriving later is consumed by the next run — and only it
+    _write(f"{inp}/c.txt", "late arrival\n")
+    out3 = str(tmp_path / "out3")
+    os.makedirs(out3)
+    cfg3 = _pipeline("manifested-late", {"path": inp, "pattern": "*.txt",
+                                         "manifestDir": manifest},
+                     {"path": out3, "extension": ".txt"})
+    run(spark, cfg3)
+    assert os.listdir(out3) == ["c.txt"]
+
+
+def test_manifest_uri_canonicalization():
+    """inputFiles() says file:///p, _metadata.file_path says file:/p —
+    both must canonicalize to the same key."""
+    from universal_data_connector_spark.sources.files import (
+        canonical_file_uri,
+    )
+
+    assert (canonical_file_uri("file:///tmp/x.txt")
+            == canonical_file_uri("file:/tmp/x.txt") == "file:/tmp/x.txt")
+    assert canonical_file_uri("s3a://bucket/k.txt") == "s3a://bucket/k.txt"
+    assert canonical_file_uri("/plain/path") == "/plain/path"

@@ -188,6 +188,31 @@ def batch_archive_plan(cfg: PipelineConfig, source_df: DataFrame,
     return archive_dir, source_df.inputFiles(), cfg.source.properties.get("path")
 
 
+def batch_manifest_plan(cfg: PipelineConfig, source_df: DataFrame,
+                        streaming: bool) -> tuple[str | None, list[str]]:
+    """(manifest_dir, consumed source files) for a batch file-source
+    pipeline with ``manifestDir`` set; (None, []) otherwise.
+
+    The listing comes from a manifest-free rebuild of the source, NOT
+    from ``source_df``: the filtered frame's ``inputFiles()`` would
+    include the manifest's own log files (the anti-join scans them),
+    and recording those would grow the log every run. The rebuild
+    lists at plan-capture time — files that land in the directory
+    after the sink ran are never marked consumed. Entries a previous
+    run already recorded are harmless: ``manifest_record`` dedupes."""
+    if streaming or cfg.source.type != "file":
+        return None, []
+    manifest_dir = cfg.source.properties.get("manifestDir")
+    if not manifest_dir:
+        return None, []
+    from universal_data_connector_spark.sources.files import file_source
+
+    props = dict(cfg.source.properties)
+    props.pop("manifestDir")
+    raw = file_source(source_df.sparkSession, props, streaming=False)
+    return manifest_dir, raw.inputFiles()
+
+
 def _archive_dest(src: str, archive_dir: str, source_root: str | None) -> str:
     """Claim an archive destination for one consumed file: the path
     *relative to the source root* when the file sits under it (two
@@ -289,9 +314,16 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
             source_df, df = build_parts(spark, cfg, streaming)
             archive_dir, consumed, source_root = batch_archive_plan(
                 cfg, source_df, streaming)
+            manifest_dir, manifest_files = batch_manifest_plan(
+                cfg, source_df, streaming)
             result = create_sink(df, cfg.sink, streaming)
             if archive_dir and consumed:
                 _archive_consumed(consumed, archive_dir, source_root)
+            if manifest_dir and manifest_files:
+                from universal_data_connector_spark.sources.files import (
+                    manifest_record,
+                )
+                manifest_record(manifest_files, manifest_dir)
         finally:
             release_frames(pins)
     return result

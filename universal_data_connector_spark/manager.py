@@ -134,6 +134,8 @@ class PipelineManager:
             # the SOURCE frame — not the transformed plan.
             archive_dir, consumed, source_root = engine.batch_archive_plan(
                 cfg, source_df, streaming)
+            manifest_dir, manifest_files = engine.batch_manifest_plan(
+                cfg, source_df, streaming)
 
             def target() -> None:
                 from universal_data_connector_spark.operators.relational import (  # noqa: E501
@@ -163,6 +165,12 @@ class PipelineManager:
                                 and job.status != "CANCELLED":
                             engine._archive_consumed(consumed, archive_dir,
                                                      source_root)
+                        if manifest_dir and manifest_files \
+                                and job.status != "CANCELLED":
+                            from universal_data_connector_spark.sources.files import (  # noqa: E501
+                                manifest_record,
+                            )
+                            manifest_record(manifest_files, manifest_dir)
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":

@@ -68,11 +68,92 @@ def _text_file_frame(spark: SparkSession, path: str, pattern: str | None,
     )
 
 
+# Collapse ONLY the empty-authority form (3+ slashes): Spark emits
+# file:///p from inputFiles() but file:/p from _metadata.file_path for
+# the same local file. Authority URIs (s3a://bucket/...) keep their
+# two slashes — s3a:/bucket would be a different (wrong) path.
+_URI_SLASH_RE = r"^([A-Za-z][A-Za-z0-9+.-]*):///+"
+
+
+def canonical_file_uri(uri: str) -> str:
+    """One canonical spelling per file (see ``_URI_SLASH_RE``)."""
+    import re
+
+    return re.sub(_URI_SLASH_RE, lambda m: m.group(1) + ":/", uri)
+
+
+def _canonical_uri_col(c: Column) -> Column:
+    return F.regexp_replace(c, _URI_SLASH_RE, "$1:/")
+
+
+def manifest_filter(df: DataFrame, spark: SparkSession, manifest_dir: str,
+                    path_col: str = "source_file") -> DataFrame:
+    """Drop rows whose file already appears in the processed-log dir.
+
+    The batch twin of the streaming file-source checkpoint for sources
+    that cannot be archived (a read-only S3 prefix, a shared drop
+    directory): consumed file URIs are appended to ``manifest_dir``
+    after each successful run (``manifest_record``), and the next run
+    anti-joins the log — distributed, so a manifest with millions of
+    entries never lands in driver memory. URIs are canonicalized on
+    both sides, so the two spellings Spark uses for the same file
+    compare equal. A missing/empty manifest dir means nothing has been
+    consumed yet."""
+    try:
+        seen = (spark.read.format("text")
+                .option("pathGlobFilter", "*.log")  # never torn .tmp files
+                .load(manifest_dir))
+    except Exception:  # no manifest yet (AnalysisException: path missing)
+        return df
+    seen = seen.select(_canonical_uri_col(F.col("value")).alias("__seen_uri"))
+    return (df.join(seen,
+                    _canonical_uri_col(F.col(path_col)) == F.col("__seen_uri"),
+                    "left_anti"))
+
+
+def manifest_record(files: list[str], manifest_dir: str) -> int:
+    """Append newly consumed file URIs to the processed log; returns
+    how many new entries were written.
+
+    Append-only: each run writes ONE new log file (tmp + atomic rename,
+    so a crashed writer never leaves a torn file for readers). Already
+    recorded URIs are skipped to bound manifest growth at one line per
+    distinct consumed file. Local-filesystem manifest dirs only (same
+    stance as archiveDir's move) — the SOURCE may be remote; the log
+    lives wherever the pipeline driver runs."""
+    import os
+    import uuid
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    seen: set[str] = set()
+    for name in os.listdir(manifest_dir):
+        p = os.path.join(manifest_dir, name)
+        if name.endswith(".log") and os.path.isfile(p):
+            with open(p) as fh:
+                seen.update(line.strip() for line in fh)
+    new = sorted({canonical_file_uri(f) for f in files} - seen)
+    if not new:
+        return 0
+    final = os.path.join(manifest_dir, f"processed-{uuid.uuid4().hex}.log")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(new) + "\n")
+    os.rename(tmp, final)
+    return len(new)
+
+
 def file_source(spark: SparkSession, props: dict, streaming: bool = False) -> DataFrame:
     """Reference S1: poll a directory for text/CSV files, one item per
-    whole file (``factory/SourceFactory.java:69-81``)."""
-    return _text_file_frame(spark, props["path"], props.get("pattern"),
-                            streaming, archive_dir=props.get("archiveDir"))
+    whole file (``factory/SourceFactory.java:69-81``). Batch re-runs
+    can skip already-consumed files without moving them: set
+    ``manifestDir`` and the source anti-joins the processed log
+    (``manifest_filter``); the engine appends to the log after the
+    sink succeeds."""
+    df = _text_file_frame(spark, props["path"], props.get("pattern"),
+                          streaming, archive_dir=props.get("archiveDir"))
+    if not streaming and props.get("manifestDir"):
+        df = manifest_filter(df, spark, props["manifestDir"])
+    return df
 
 
 def directory_source(spark: SparkSession, props: dict, streaming: bool = False) -> DataFrame:
