@@ -35,6 +35,9 @@ _CHECK_FIRST = [
     # JVM-side; upsert sink bucket-partitioned rewrite; LSH verified
     # matches now oracle-checkable
     "dedup_near_minhash", "stream_upsert_latest", "sim_search_lsh",
+    # NEW this round (r7): never driver-checked
+    "events_sessionize_gap", "dq_fk_integrity", "ts_moving_window_avg",
+    "events_top_paths", "join_null_safe_eq", "scan_schema_evolution_merge",
     # driver evidence stale since r2 (VERDICT r6 item 1)
     "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
     "base64_roundtrip", "json_funcs",

@@ -355,6 +355,7 @@ _EAGER_KEYS = {
     "stream_static_enrich_join", "stream_stream_interval_join",
     "stream_upsert_latest", "maintenance_compact_files",
     "join_bucketed_colocated",  # writes bucketed tables at build
+    "scan_schema_evolution_merge",  # writes evolution batches at build
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where a bounded side is

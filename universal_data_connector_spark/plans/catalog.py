@@ -3492,3 +3492,283 @@ def cogroup_asof_merge(spark, sf_dir):
             .applyInPandas(
                 merge,
                 "click_id bigint, user_id bigint, purchase_value double"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: sessionization, referential DQ, time-windowed
+# moving aggregates, path analysis, null-safe join, schema evolution.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize_gap(spark, sf_dir):
+    """Gap-based batch sessionization (30-minute inactivity closes a
+    session) — the batch twin of `stream_session_window`, and the
+    canonical lag -> flag -> running-sum pattern. All three window
+    passes (lag, running session index, per-session rollup) share ONE
+    user_id partitioning: a single shuffle of the events table no
+    matter how long the session chain gets. Gap math is integer
+    microseconds end-to-end (`unix_micros`), so there is no float
+    boundary to disagree on across engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    e = e.withColumn(
+        "__new", F.when(prev.isNull() | (us - prev > 1_800_000_000), 1)
+                  .otherwise(0))
+    e = e.withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("bigint"))
+    return (e.groupBy("user_id", "session_idx")
+             .agg(F.date_format(F.min("ts"), TS_FMT_SPARK)
+                   .alias("session_start"),
+                  F.count("*").cast("bigint").alias("n_events"),
+                  (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                   .alias("duration_us")))
+
+
+@query(
+    "dq_fk_integrity",
+    oracle="""
+    SELECT 'nation.n_regionkey -> region' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN p.__pk IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphans
+    FROM nation c LEFT JOIN
+         (SELECT DISTINCT r_regionkey AS __pk FROM region) p
+         ON c.n_regionkey = p.__pk
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.__pk IS NULL THEN 1 END) AS BIGINT)
+    FROM customer c LEFT JOIN
+         (SELECT DISTINCT n_nationkey AS __pk FROM nation) p
+         ON c.c_nationkey = p.__pk
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.__pk IS NULL THEN 1 END) AS BIGINT)
+    FROM orders c LEFT JOIN
+         (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+         ON c.o_custkey = p.__pk
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.__pk IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem c LEFT JOIN
+         (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+         ON c.l_orderkey = p.__pk
+    """,
+)
+def dq_fk_integrity(spark, sf_dir):
+    """Cross-table referential-integrity gate (Deequ-style `isContained
+    In` / foreign-key check, by concept): for each declared FK edge,
+    one LEFT JOIN against the distinct parent keys counts child rows
+    and orphans in a single pass — no second scan per metric, no
+    row-level quarantine materialization unless asked. A NULL child
+    key matches nothing and counts as an orphan. Per edge: distinct on
+    the parent (partial-aggregated) + one shuffle join keyed on the
+    FK; the four edges are independent jobs that parallelize, and each
+    report row is a 1-row aggregate."""
+    def edge(child, ckey, parent, pkey, name):
+        p = parent.select(F.col(pkey).alias("__pk")).distinct()
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left")
+        return (j.agg(F.count("*").cast("bigint").alias("n_rows"),
+                      F.count(F.when(F.col("__pk").isNull(), 1))
+                       .cast("bigint").alias("n_orphans"))
+                 .select(F.lit(name).alias("relationship"),
+                         "n_rows", "n_orphans"))
+
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (edge(nation, "n_regionkey", region, "r_regionkey",
+                 "nation.n_regionkey -> region")
+            .unionByName(edge(customer, "c_nationkey", nation, "n_nationkey",
+                              "customer.c_nationkey -> nation"))
+            .unionByName(edge(orders, "o_custkey", customer, "c_custkey",
+                              "orders.o_custkey -> customer"))
+            .unionByName(edge(lineitem, "l_orderkey", orders, "o_orderkey",
+                              "lineitem.l_orderkey -> orders")))
+
+
+@query(
+    "ts_moving_window_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS sum_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d,
+           CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_moving_window_avg(spark, sf_dir):
+    """Trailing 7-day moving average of daily revenue — the
+    time-RANGE-framed window (frames defined by the time axis, not row
+    counts, so missing days widen nothing). Two window passes but ONE
+    data-sized shuffle: the daily rollup reduces the orders table to
+    one row per day first, and the range frame slides over that tiny
+    series. The windowed sum runs in DECIMAL (exact, order-free) and
+    is cast to double only at the edge; the average divides the two
+    exact operands in double — identical IEEE result in both engines.
+    Spark's rangeBetween needs a numeric axis: days since epoch via
+    datediff, a rank-preserving 1:1 mapping of the date axis."""
+    o = load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                    .alias("rev")))
+    daily = daily.withColumn(
+        "__day_no", F.datediff(F.col("d"), F.lit("1970-01-01")))
+    w = (Window.orderBy("__day_no")
+               .rangeBetween(-6, Window.currentRow))
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("sum_7d"),
+        F.count("*").over(w).cast("bigint").alias("n_days_7d"),
+        (F.sum("rev").over(w).cast("double")
+         / F.count("*").over(w)).alias("avg_7d"))
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top event-type trigrams per user journey (path analysis): the
+    "what do users do next" query. LEAD over the per-user time order
+    forms each 3-step path without self-joins — the naive form joins
+    events to itself twice on (user, seq+1), three shuffles of the
+    full table; this is one shuffle for the window plus one partial-
+    aggregated count. The top-20 is a TakeOrdered (no global sort),
+    with the path itself as the deterministic tiebreak."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+               .groupBy("e1", "e2", "e3")
+               .agg(F.count("*").cast("bigint").alias("n"))
+               .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+               .limit(20))
+
+
+@query(
+    "join_null_safe_eq",
+    oracle=f"""
+    WITH dim AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS s
+                 FROM orders),
+         fact AS (SELECT NULLIF(o_orderstatus, 'O') AS s, o_totalprice
+                  FROM orders)
+    SELECT COALESCE(f.s, '<null>') AS status_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum('f.o_totalprice')} AS total
+    FROM fact f JOIN dim d ON f.s IS NOT DISTINCT FROM d.s
+    GROUP BY 1
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC
+    merge keys and optional dimensions need (a plain equi-join
+    silently drops every NULL-keyed row). The nullable key is derived
+    with NULLIF so the dataset exercises the NULL bucket; the 3-row
+    dim side broadcasts, and `eqNullSafe` stays a hash join (the
+    null-safe comparison is still an equi-condition to Catalyst, not
+    a theta join)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    dim = o.select(s.alias("s")).distinct()
+    fact = o.select(s.alias("fs"), "o_totalprice")
+    return (fact.join(F.broadcast(dim), F.col("fs").eqNullSafe(F.col("s")))
+                .groupBy(F.coalesce("fs", F.lit("<null>"))
+                          .alias("status_key"))
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     orel.exact_sum("o_totalprice").alias("total")))
+
+
+@query(
+    "scan_schema_evolution_merge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(NULL AS DOUBLE) AS l_extendedprice
+    FROM lineitem WHERE l_linenumber <= 3
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_linenumber > 3
+    """,
+)
+def scan_schema_evolution_merge(spark, sf_dir):
+    """Schema-evolution read (`mergeSchema`): a dataset whose later
+    batches gained a column reads back as ONE frame with NULLs where
+    the old files lack it — the lakehouse reality of append-only
+    ingestion. Proven by round-trip: two scratch batches are written
+    with the old and new schema, then read with mergeSchema=true
+    (explicitly, because footer merging is a per-file planning cost —
+    off by default for a reason; at 100 TB you pay it once per
+    evolution boundary, or pin the schema by hand). Column order is
+    normalized by an explicit select, as merged-footers order is not
+    contractual."""
+    import os
+
+    li = load(spark, sf_dir, "lineitem")
+    root = os.path.join(_scratch_dir("udc_evolve_"),
+                        os.path.basename(sf_dir.rstrip("/")))
+    (li.filter(F.col("l_linenumber") <= 3)
+       .select("l_orderkey", "l_linenumber", "l_quantity")
+       .write.mode("overwrite").parquet(os.path.join(root, "batch=1")))
+    (li.filter(F.col("l_linenumber") > 3)
+       .select("l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice")
+       .write.mode("overwrite").parquet(os.path.join(root, "batch=2")))
+    return (spark.read.option("mergeSchema", "true")
+                 .option("recursiveFileLookup", "true").parquet(root)
+                 .select("l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice"))
