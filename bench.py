@@ -56,6 +56,14 @@ HEADLINE = [
     "ts_rollup_gapfill",
     "reshape_chunk_tokens",
     "stream_upsert_latest",
+    # round 7 (sessionization, path analysis, FK gate, moving window,
+    # oracle-checkable LSH; star join joined the set from round 6)
+    "events_sessionize_gap",
+    "events_top_paths",
+    "dq_fk_integrity",
+    "ts_moving_window_avg",
+    "sim_search_lsh",
+    "join_star_schema",
 ]
 
 

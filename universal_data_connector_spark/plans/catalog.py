@@ -3772,3 +3772,188 @@ def scan_schema_evolution_merge(spark, sf_dir):
                  .option("recursiveFileLookup", "true").parquet(root)
                  .select("l_orderkey", "l_linenumber", "l_quantity",
                          "l_extendedprice"))
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY n DESC, o_orderpriority) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Statistical mode per group with a deterministic tiebreak (max
+    count, then lexicographic min value) — built-in `mode()` leaves
+    ties engine-defined, so the catalog form is count + row_number.
+    Two stacked aggregations over the SAME grouping prefix: the pair
+    count partial-aggregates map-side, and the per-status argmax is a
+    window over the (tiny) count table — the events-sized shuffle
+    happens once."""
+    o = load(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+               .agg(F.count("*").cast("bigint").alias("n")))
+    w = (Window.partitionBy("o_orderstatus")
+               .orderBy(F.col("n").desc(), "o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("o_orderstatus",
+                          F.col("o_orderpriority").alias("mode_priority"),
+                          F.col("n").alias("mode_count")))
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH h AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hx, o_totalprice
+               FROM orders)
+    SELECT CASE WHEN substr(hx, 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(hx, 1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum('o_totalprice')} AS total
+    FROM h GROUP BY 1
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (75/12.5/12.5):
+    the split a training pipeline must be able to REPRODUCE months
+    later — membership depends only on the key (md5 hex prefix range,
+    engine-portable), never on row order, partitioning, or a seed
+    table. Rides the scan: the split label is a projection, the
+    per-split audit is one partial-aggregated pass. Row-level
+    assignment is `sample_deterministic`'s territory; this is the
+    split + audit-counts contract."""
+    o = load(spark, sf_dir, "orders")
+    first = F.substring(F.md5(F.col("o_orderkey").cast("string")
+                              .cast("binary")), 1, 1)
+    split = (F.when(first.between("0", "b"), "train")
+              .when(first.isin("c", "d"), "val")
+              .otherwise("test"))
+    return (o.select(split.alias("split"), "o_totalprice")
+             .groupBy("split")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  orel.exact_sum("o_totalprice").alias("total")))
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS g
+        FROM days
+    )
+    SELECT user_id, strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def window_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user streaks of consecutive active days
+    (date minus dense row_number is constant within a run — the
+    classic islands key). Everything shares one user_id partitioning:
+    distinct day, the ranking window, and the streak rollup — a
+    single shuffle end-to-end, no self-join over the gaps."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    return (grp.groupBy("user_id", "g")
+               .agg(F.date_format(F.min("d"), "yyyy-MM-dd")
+                     .alias("streak_start"),
+                    F.date_format(F.max("d"), "yyyy-MM-dd")
+                     .alias("streak_end"),
+                    F.count("*").cast("bigint").alias("streak_days"))
+               .drop("g"))
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, greatest(len(w)-1, 1))])) AS g
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+    )
+    SELECT g AS gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
+    ORDER BY n_docs DESC, gram LIMIT 30
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: word 3-grams shared by many documents
+    (the CCNet/Gopher-style \"repeated across the corpus\" signal that
+    catches headers, footers, and license blurbs). Per-doc distinct
+    grams ride the scan (the same pure-JVM shingle tree as the dedup
+    family), the document-frequency count is one partial-aggregated
+    shuffle on the gram key, and the top-30 is a TakeOrdered with the
+    gram string as deterministic tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    from universal_data_connector_spark.functions.text import (
+        bind_once,
+        tokenize,
+        word_ngrams,
+    )
+
+    grams = bind_once(tokenize(F.col("text")),
+                      lambda toks: word_ngrams(toks, 3))
+    return (orel.spread(d, "doc_id")
+             .select("doc_id", F.explode(grams).alias("gram"))
+             .groupBy("gram")
+             .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+             .filter(F.col("n_docs") >= 5)
+             .orderBy(F.col("n_docs").desc(), "gram")
+             .limit(30))
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (SELECT user_id, median(value) AS m FROM events GROUP BY 1),
+         dev AS (SELECT e.user_id, abs(e.value - med.m) AS d
+                 FROM events e JOIN med USING (user_id)),
+         mad AS (SELECT user_id, median(d) AS mad FROM dev GROUP BY 1)
+    SELECT dev.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN dev.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (user_id)
+    GROUP BY dev.user_id
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust per-key anomaly counts: |value - median| > 3 * MAD — the
+    outlier rule that survives the outliers it hunts (z-scores don't:
+    one spike inflates the stddev that judges it). Exact interpolated
+    medians (`F.percentile`, = quantile_cont) in two grouped passes
+    plus a count pass, all on the SAME user_id key — three
+    aggregations but the wide table shuffles once and the tiny
+    per-user stats broadcast back. The MAD *value* itself is
+    `agg_grouped_mad_pandas`; this key is the applied gate."""
+    e = load(spark, sf_dir, "events")
+    med = (e.groupBy("user_id")
+            .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("m")))
+    dev = (e.join(F.broadcast(med), "user_id")
+            .select("user_id", F.abs(F.col("value") - F.col("m")).alias("d")))
+    mad = (dev.groupBy("user_id")
+              .agg(F.percentile(F.col("d"), F.lit(0.5)).alias("mad")))
+    return (dev.join(F.broadcast(mad), "user_id")
+               .groupBy("user_id")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
+                     .cast("bigint").alias("n_outliers")))
