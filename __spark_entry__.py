@@ -40,6 +40,8 @@ _CHECK_FIRST = [
     "events_top_paths", "join_null_safe_eq", "scan_schema_evolution_merge",
     "agg_mode_per_group", "sample_hash_split", "window_gap_islands",
     "text_boilerplate_ngrams", "ts_anomaly_mad",
+    "join_asof_nearest", "ts_resample_interp", "agg_array_collect",
+    "window_percent_of_total",
     # driver evidence stale since r2 (VERDICT r6 item 1)
     "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
     "base64_roundtrip", "json_funcs",

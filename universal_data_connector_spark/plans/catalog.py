@@ -3957,3 +3957,203 @@ def ts_anomaly_mad(spark, sf_dir):
                .agg(F.count("*").cast("bigint").alias("n"),
                     F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
                      .cast("bigint").alias("n_outliers")))
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT c.click_id, c.user_id, p.purchase_id, p.value,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY c.click_id
+                      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                               p.ts, p.purchase_id) AS rn
+           FROM c JOIN p ON c.user_id = p.user_id
+            AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000
+         )
+    SELECT click_id, user_id, purchase_id, value FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join (either direction, 1-hour
+    tolerance): each click pairs with its time-CLOSEST purchase by the
+    same user — `join_asof` is strictly backward-looking; sensor
+    alignment and attribution both need the nearest variant. The join
+    itself stays an equi-join on user_id (the tolerance is a post-join
+    filter, not a theta condition), then one window argmin per click
+    with integer-microsecond distances — no float boundary, ties
+    resolved by (ts, purchase_id)."""
+    e = load(spark, sf_dir, "events")
+    c = (e.filter(F.col("event_type") == "click")
+          .select("user_id", F.col("event_id").alias("click_id"),
+                  F.unix_micros("ts").alias("c_us")))
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("event_id").alias("purchase_id"),
+                  F.col("ts").alias("p_ts"),
+                  F.unix_micros("ts").alias("p_us"), "value"))
+    dist = F.abs(F.col("c_us") - F.col("p_us"))
+    w = (Window.partitionBy("click_id")
+               .orderBy(dist, "p_ts", "purchase_id"))
+    return (c.join(p, "user_id")
+             .filter(dist <= 3_600_000_000)
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("click_id", "user_id", "purchase_id", "value"))
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+       spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                     AS h FROM bounds),
+       joined AS (SELECT s.h, hv.v FROM spine s LEFT JOIN hourly hv USING (h)),
+       ctx AS (
+         SELECT h, v,
+                last_value(v IGNORE NULLS) OVER
+                    (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS vp,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                    OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS hp,
+                first_value(v IGNORE NULLS) OVER
+                    (ORDER BY h ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS vn,
+                first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                    OVER (ORDER BY h ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS hn
+         FROM joined)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN vp IS NULL OR vn IS NULL THEN NULL
+                      ELSE vp + (vn - vp)
+                               * (epoch_us(h) - epoch_us(hp))
+                               / (epoch_us(hn) - epoch_us(hp)) END,
+                 6) AS v_interp,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN vp IS NULL OR vn IS NULL THEN 'edge'
+                ELSE 'interpolated' END AS kind
+    FROM ctx
+    """,
+)
+def ts_resample_interp(spark, sf_dir):
+    """Hourly resampling with LINEAR interpolation at missing points —
+    the numeric upgrade of `ts_rollup_gapfill`'s LOCF: a gap hour gets
+    the straight line between its observed neighbors, edges stay NULL
+    rather than inventing data. The wide table reduces to one row per
+    hour FIRST (decimal-exact hourly means), so the spine join and the
+    four neighbor windows ride a series bounded by span-hours, not by
+    events. Interpolation arithmetic is mirrored token-for-token
+    (integer-microsecond hour distances, identical op order) and
+    rounded at the edge."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+               .agg((F.sum(F.col("value").cast("decimal(27,6)"))
+                     .cast("double") / F.count("*")).alias("v")))
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx",
+                             F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    joined = spine.join(hourly, "h", "left")
+    wp = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = (joined
+           .withColumn("vp", F.last("v", ignorenulls=True).over(wp))
+           .withColumn("hp", F.last(known_h, ignorenulls=True).over(wp))
+           .withColumn("vn", F.first("v", ignorenulls=True).over(wn))
+           .withColumn("hn", F.first(known_h, ignorenulls=True).over(wn)))
+    interp = (F.col("vp")
+              + (F.col("vn") - F.col("vp"))
+              * (F.unix_micros("h") - F.unix_micros("hp"))
+              / (F.unix_micros("hn") - F.unix_micros("hp")))
+    return ctx.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v"))
+                 .when(F.col("vp").isNull() | F.col("vn").isNull(),
+                       F.lit(None))
+                 .otherwise(interp), 6).alias("v_interp"),
+        F.when(F.col("v").isNotNull(), "observed")
+         .when(F.col("vp").isNull() | F.col("vn").isNull(), "edge")
+         .otherwise("interpolated").alias("kind"))
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_array_collect(spark, sf_dir):
+    """Deterministic grouped collect: each user's full event-type
+    journey in time order. `collect_list` alone is partition-order-
+    dependent — the catalog form collects (ts, event_id, type) structs
+    and sorts IN the aggregate, so the sequence is reproducible under
+    any shuffle schedule; it is emitted '>'-joined because array
+    stringification is engine-specific while string comparison is
+    portable. One shuffle; per-group arrays are bounded by the
+    per-user event count (cap with `sample_capped_per_key` upstream
+    when a key can be unbounded)."""
+    e = load(spark, sf_dir, "events")
+    journey = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"])
+    return (e.groupBy("user_id")
+             .agg(F.array_join(journey, ">").alias("journey"),
+                  F.count("*").cast("bigint").alias("n")))
+
+
+@query(
+    "window_percent_of_total",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+    FROM per_nation
+    """,
+)
+def window_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue. The
+    empty-partition (global) window runs over the 25-row AGGREGATE,
+    never the orders table — reduce first, then normalize; a global
+    window directly over the wide table would serialize it through one
+    task. Revenue sums stay decimal-exact through the window so the
+    share division sees identical operands in both engines. Dimension
+    joins broadcast."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (o.join(F.broadcast(c),
+                         F.col("o_custkey") == F.col("c_custkey"))
+                   .join(F.broadcast(n),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+                   .groupBy("n_name")
+                   .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                         .alias("rev")))
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double")
+         / F.sum("rev").over(w).cast("double")).alias("share"))
