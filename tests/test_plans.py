@@ -463,3 +463,48 @@ def test_upsert_sink_never_reads_full_target():
     assert "_UPSERT_BUCKET_COL).isin(touched)" in src, (
         "the single target read lost its touched-bucket partition "
         "filter — that reintroduces the O(target) per-batch rewrite")
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Gap sessionization must shuffle the events table ONCE: lag,
+    running session index, and the per-session rollup all share the
+    user_id partitioning."""
+    p = plan_str(QUERIES["events_sessionize_gap"](spark, SF_DIR))
+    shuffles = [l for l in p.splitlines()
+                if l.startswith("Arguments: hashpartitioning")]
+    assert len(shuffles) == 1, "expected 1 exchange, got:\n" + "\n".join(shuffles)
+    assert "user_id" in shuffles[0]
+
+
+def test_top_paths_takeordered_no_global_sort(spark):
+    """The path top-20 must be a TakeOrdered (bounded per-partition
+    heaps), never a global Sort of all trigram counts."""
+    p = plan_str(QUERIES["events_top_paths"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [n" not in p
+
+
+def test_moving_window_avg_reduces_before_window(spark):
+    """The 7-day frame must slide over the DAILY aggregate: exactly one
+    scan of orders, and the range-frame window sits above a
+    HashAggregate, not above the raw scan."""
+    p = plan_str(QUERIES["ts_moving_window_avg"](spark, SF_DIR))
+    assert p.count("Location: InMemoryFileIndex") == 1  # one scan of orders
+    assert "RangeFrame" in p  # the 7-day frame is a range frame
+    # tree order: the Window node sits above the HashAggregate
+    tree = p.split("\n\n")[0].splitlines()
+    win_i = next(i for i, l in enumerate(tree) if "Window" in l)
+    assert any("HashAggregate" in l for l in tree[win_i:]), \
+        "window must consume the daily aggregate, not the raw scan"
+
+
+def test_percent_of_total_window_rides_aggregate(spark):
+    """The global (empty-partition) window must consume the 25-row
+    nation aggregate — the plan has a HashAggregate BELOW the Window,
+    and the dims broadcast."""
+    p = plan_str(QUERIES["window_percent_of_total"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    tree = p.split("\n\n")[0].splitlines()
+    win_i = next(i for i, l in enumerate(tree) if "Window" in l)
+    assert any("HashAggregate" in l for l in tree[win_i:]), \
+        "no aggregate below the global window"
