@@ -42,6 +42,12 @@ _CHECK_FIRST = [
     "text_boilerplate_ngrams", "ts_anomaly_mad",
     "join_asof_nearest", "ts_resample_interp", "agg_array_collect",
     "window_percent_of_total",
+    "scan_csv_malformed_permissive", "ts_ewma", "events_dau_wau",
+    # r5-evidence keys rotated in to fill the 50-slot window (their
+    # rows would otherwise age to 3 rounds by r8)
+    "window_range_frame", "agg_percentile_exact",
+    "agg_grouped_mad_pandas", "join_bucketed_colocated",
+    "stream_session_window", "text_vocab_topk",
     # driver evidence stale since r2 (VERDICT r6 item 1)
     "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
     "base64_roundtrip", "json_funcs",

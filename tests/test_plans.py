@@ -356,6 +356,7 @@ _EAGER_KEYS = {
     "stream_upsert_latest", "maintenance_compact_files",
     "join_bucketed_colocated",  # writes bucketed tables at build
     "scan_schema_evolution_merge",  # writes evolution batches at build
+    "scan_csv_malformed_permissive",  # writes the corrupted CSV at build
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where a bounded side is

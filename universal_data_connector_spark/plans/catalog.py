@@ -4157,3 +4157,135 @@ def window_percent_of_total(spark, sf_dir):
         F.col("rev").cast("double").alias("revenue"),
         (F.col("rev").cast("double")
          / F.sum("rev").over(w).cast("double")).alias("share"))
+
+
+@query(
+    "scan_csv_malformed_permissive",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN l_linenumber = 7 THEN 1 END) AS BIGINT)
+               AS n_corrupt,
+           {_dsum("CASE WHEN l_linenumber <> 7 THEN l_quantity END")}
+               AS sum_good_qty
+    FROM lineitem
+    """,
+)
+def scan_csv_malformed_permissive(spark, sf_dir):
+    """Malformed-record handling on CSV ingest: PERMISSIVE mode parses
+    what it can, NULLs what it can't, and captures the raw line in the
+    corrupt-record column — the audit-don't-abort posture (reference
+    T1's error->drop is the whole-item analogue). Proven by
+    round-trip: a scratch CSV is written with every l_linenumber=7
+    row's quantity corrupted to a non-numeric token, read back with an
+    explicit schema + columnNameOfCorruptRecord, and the good/corrupt
+    split plus the good-row quantity sum must match the rule applied
+    to the source table. Malformed rows are COUNTED, never silently
+    dropped (DROPMALFORMED) or fatal (FAILFAST)."""
+    import os
+
+    li = load(spark, sf_dir, "lineitem")
+    root = os.path.join(_scratch_dir("udc_malformed_"),
+                        os.path.basename(sf_dir.rstrip("/")))
+    (li.select("l_orderkey", "l_linenumber",
+               F.when(F.col("l_linenumber") == 7, "corrupt!")
+                .otherwise(F.col("l_quantity").cast("string"))
+                .alias("l_quantity"))
+       .write.mode("overwrite").csv(root))
+    schema = ("l_orderkey bigint, l_linenumber int, l_quantity double, "
+              "_corrupt string")
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(root))
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+        orel.exact_sum(F.when(F.col("_corrupt").isNull(),
+                              F.col("l_quantity"))).alias("sum_good_qty"))
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list_transform(list(value ORDER BY ts, event_id),
+                              x -> CAST(x AS DOUBLE)) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+           round(list_reduce(vals,
+                             (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+                                         + x * CAST(0.2 AS DOUBLE)), 6)
+               AS ewma_last
+    FROM ordered
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per key (alpha = 0.2),
+    final state per user — the recursive fold window functions can't
+    express. The fold runs as a higher-order `aggregate` over the
+    time-sorted value array, seeded with the first element — a
+    sequential in-row reduction, identical operation order in both
+    engines, so the IEEE result matches exactly (rounded at the edge
+    for belt-and-braces). One shuffle to group; per-key arrays are
+    bounded by per-user event counts, the same boundedness contract as
+    `agg_array_collect`. For unbounded streams the same recurrence
+    runs incrementally in `stateful_running_totals`' extension
+    point."""
+    e = load(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"].cast("double"))
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest, F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2))
+    return (e.groupBy("user_id")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.round(ewma, 6).alias("ewma_last"))
+             .select("user_id", "n", "ewma_last"))
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+                 FROM du GROUP BY d),
+         contrib AS (SELECT user_id,
+                            CAST(unnest(generate_series(
+                                d, d + INTERVAL 6 DAY,
+                                INTERVAL 1 DAY)) AS DATE) AS wd
+                     FROM du),
+         wau AS (SELECT wd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS wau
+                 FROM contrib GROUP BY wd)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """Daily + rolling-7-day active users. COUNT(DISTINCT) can't ride
+    a sliding window frame, and the naive day x activity range join
+    degenerates to a nested loop — instead each (user, day) activity
+    row is EXPLODED into the 7 window-end days it contributes to
+    (bounded 7x fan-out of the tiny distinct-day table), turning WAU
+    into a plain equi-grouped distinct count. Everything downstream of
+    the first distinct runs on (users x days), not on events; the join
+    back to DAU days also drops the phantom tail beyond the last
+    observed day."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+         .alias("wd"))
+    wau = (contrib.groupBy(F.col("wd").alias("d"))
+                  .agg(F.countDistinct("user_id").cast("bigint")
+                        .alias("wau")))
+    return (dau.join(wau, "d")
+               .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                       "dau", "wau"))
