@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "join_asof_nearest", "ts_resample_interp", "agg_array_collect",
     "window_percent_of_total",
     "scan_csv_malformed_permissive", "ts_ewma", "events_dau_wau",
+    "stream_agg_state_totals",
     # r5-evidence keys rotated in to fill the 50-slot window (their
     # rows would otherwise age to 3 rounds by r8)
     "window_range_frame", "agg_percentile_exact",

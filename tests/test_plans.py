@@ -353,7 +353,8 @@ _EAGER_KEYS = {
     "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
     "stream_file_ingest_exactly_once", "stream_stateful_totals",
     "stream_static_enrich_join", "stream_stream_interval_join",
-    "stream_upsert_latest", "maintenance_compact_files",
+    "stream_upsert_latest", "stream_agg_state_totals",
+    "maintenance_compact_files",
     "join_bucketed_colocated",  # writes bucketed tables at build
     "scan_schema_evolution_merge",  # writes evolution batches at build
     "scan_csv_malformed_permissive",  # writes the corrupted CSV at build

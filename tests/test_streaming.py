@@ -445,3 +445,95 @@ def test_foreachbatch_upsert_rejects_foreign_directory(spark, tmp_path):
     from py4j.protocol import Py4JJavaError
     with pytest.raises((ValueError, Exception), match="bucketed|_udc_buckets"):
         _upsert_run(spark, src, target, tmp_path / "ckpt1")
+
+
+def _agg_state_run(spark, src, target, ckpt, num_buckets=4):
+    from universal_data_connector_spark.streaming import (
+        foreachbatch_agg_state,
+    )
+
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = foreachbatch_agg_state(raw, target, keys=["user_id"],
+                               value_col="value", checkpoint=str(ckpt),
+                               num_buckets=num_buckets)
+    q.awaitTermination()
+
+
+def test_foreachbatch_agg_state_accumulates(spark, tmp_path):
+    """Additive state accumulates across micro-batches and new files
+    on the SAME checkpoint add increments exactly once."""
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "state")
+    _write_events(f"{src}/b1.json", [
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 7, "2026-01-01 10:01:00", 2.0),
+        (3, 8, "2026-01-01 10:02:00", 5.0),
+    ])
+    _agg_state_run(spark, src, target, tmp_path / "ckpt")
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (2, 3.0), 8: (1, 5.0)}
+
+    _write_events(f"{src}/b2.json", [(4, 7, "2026-01-01 11:00:00", 10.0)])
+    _agg_state_run(spark, src, target, tmp_path / "ckpt")
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (3, 13.0), 8: (1, 5.0)}
+
+
+def test_foreachbatch_agg_state_replay_applies_once(spark, tmp_path):
+    """The non-idempotent additive merge must NOT double-count when a
+    batch replays: buckets whose applied marker >= the batch id skip.
+    Simulated by re-running the same input with a FRESH checkpoint
+    (every batch replays) — all buckets carry markers from the first
+    run, so state is unchanged."""
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "state")
+    _write_events(f"{src}/b1.json", [
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 8, "2026-01-01 10:01:00", 2.0),
+    ])
+    _write_events(f"{src}/b2.json", [(3, 7, "2026-01-01 11:00:00", 4.0)])
+    _agg_state_run(spark, src, target, tmp_path / "ckpt1")
+    want = {r.user_id: (r.n, float(r.total))
+            for r in spark.read.parquet(target).collect()}
+    assert want == {7: (2, 5.0), 8: (1, 2.0)}
+
+    _agg_state_run(spark, src, target, tmp_path / "ckpt2")  # full replay
+    got = {r.user_id: (r.n, float(r.total))
+           for r in spark.read.parquet(target).collect()}
+    assert got == want
+
+
+def test_foreachbatch_agg_state_crash_recovery(spark, tmp_path):
+    """A torn swap (live renamed away, staged half-written) heals on
+    the next run and previously accumulated state survives."""
+    import glob
+
+    from universal_data_connector_spark.streaming.windows import (
+        _UPSERT_BUCKET_COL,
+        _UPSERT_OLD_PREFIX,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "state")
+    _write_events(f"{src}/b1.json", [
+        (i, i, "2026-01-01 10:00:00", float(i)) for i in range(1, 9)])
+    _agg_state_run(spark, src, target, tmp_path / "ckpt1")
+    want = {r.user_id: (r.n, float(r.total))
+            for r in spark.read.parquet(target).collect()}
+
+    victim = sorted(glob.glob(f"{target}/{_UPSERT_BUCKET_COL}=*"))[0]
+    bucket = victim.rsplit("=", 1)[1]
+    os.rename(victim, f"{target}/{_UPSERT_OLD_PREFIX}{bucket}")
+
+    _write_events(f"{src}/b2.json", [(99, 1, "2026-01-01 11:00:00", 10.0)])
+    _agg_state_run(spark, src, target, tmp_path / "ckpt1")
+    got = {r.user_id: (r.n, float(r.total))
+           for r in spark.read.parquet(target).collect()}
+    want[1] = (want[1][0] + 1, want[1][1] + 10.0)
+    assert got == want

@@ -4289,3 +4289,45 @@ def events_dau_wau(spark, sf_dir):
     return (dau.join(wau, "d")
                .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                        "dau", "wau"))
+
+
+@query(
+    "stream_agg_state_totals",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum('value')} AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_agg_state_totals(spark, sf_dir):
+    """Streaming ADDITIVE aggregate state, executed for real: the
+    events stream maintains per-user (count, exact sum) in a
+    key-bucketed parquet state via `foreachbatch_agg_state` —
+    incremental aggregation maintenance with exactly-once additive
+    merges (per-bucket `_applied_<batch_id>` markers travel atomically
+    with each bucket swap, so a replayed batch applies only to buckets
+    that missed it). AvailableNow over the events table, then the
+    converged state reads back equal to the batch GROUP BY — the
+    oracle. Multi-batch accumulation and replay-skip are pinned live
+    in tests/test_streaming.py."""
+    import os
+    import uuid
+
+    from universal_data_connector_spark.streaming.windows import (
+        foreachbatch_agg_state,
+    )
+
+    scratch = _scratch_dir("udc_aggstate_")
+    target = os.path.join(scratch, f"t_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(scratch, "ckpt_" + os.path.basename(target))
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = watermarkable_ts(stream, "ts")
+    q = foreachbatch_agg_state(stream, target, keys=["user_id"],
+                               value_col="value", checkpoint=ckpt)
+    q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select("user_id", "n",
+                    F.col("total").cast("double").alias("total")))

@@ -4,6 +4,7 @@ never had — it runs everything ``withoutTimestamps()``,
 ThatNinjaGuy/universal-data-connector)."""
 
 from universal_data_connector_spark.streaming.windows import (
+    foreachbatch_agg_state,
     foreachbatch_upsert,
     session_agg,
     sliding_agg,
@@ -13,4 +14,5 @@ from universal_data_connector_spark.streaming.windows import (
 )
 
 __all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
-           "stateful_running_totals", "foreachbatch_upsert"]
+           "stateful_running_totals", "foreachbatch_upsert",
+           "foreachbatch_agg_state"]

@@ -141,6 +141,31 @@ def _upsert_recover(path: str) -> None:
             os.rename(old, live)
 
 
+def _upsert_ensure_meta(path: str, num_buckets: int) -> int:
+    """Create/validate the bucketed-layout marker; returns the bucket
+    count persisted at target creation (fixed for the target's life —
+    a changed bucket count would scatter existing keys). A pre-existing
+    non-bucketed directory is rejected rather than silently merged."""
+    import os
+
+    meta = os.path.join(path, _UPSERT_META_FILE)
+    if os.path.isdir(path):
+        if os.path.isfile(meta):
+            with open(meta) as fh:
+                return int(fh.read().strip())
+        if os.listdir(path):
+            raise ValueError(
+                f"upsert target {path!r} exists but is not a bucketed "
+                "upsert layout (missing _udc_buckets); rewrite it "
+                "through this sink into a fresh directory first")
+    os.makedirs(path, exist_ok=True)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(num_buckets))
+    os.rename(tmp, meta)
+    return num_buckets
+
+
 def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
                         order_col: str, checkpoint: str,
                         trigger_available_now: bool = True,
@@ -184,28 +209,7 @@ def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         _upsert_recover(path)
-
-        meta = os.path.join(path, _UPSERT_META_FILE)
-        if os.path.isdir(path):
-            if os.path.isfile(meta):
-                with open(meta) as fh:
-                    n_buckets = int(fh.read().strip())
-            elif os.listdir(path):
-                raise ValueError(
-                    f"upsert target {path!r} exists but is not a "
-                    "bucketed upsert layout (missing _udc_buckets); "
-                    "rewrite it through this sink into a fresh "
-                    "directory first")
-            else:
-                n_buckets = num_buckets
-        else:
-            n_buckets = num_buckets
-        os.makedirs(path, exist_ok=True)
-        if not os.path.isfile(meta):
-            tmp = meta + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(str(n_buckets))
-            os.rename(tmp, meta)
+        n_buckets = _upsert_ensure_meta(path, num_buckets)
 
         kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
         rank = F.row_number().over(
@@ -247,6 +251,115 @@ def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
             if os.path.isdir(live):
                 os.rename(live, old)
             os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    writer = (stream.writeStream.foreachBatch(merge)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_APPLIED_PREFIX = "_applied_"
+
+
+def _bucket_applied_id(bucket_dir: str) -> int:
+    """Highest batch id recorded in a live bucket dir (-1 if none)."""
+    import os
+
+    if not os.path.isdir(bucket_dir):
+        return -1
+    ids = [int(n[len(_APPLIED_PREFIX):]) for n in os.listdir(bucket_dir)
+           if n.startswith(_APPLIED_PREFIX)]
+    return max(ids, default=-1)
+
+
+def foreachbatch_agg_state(stream: DataFrame, path: str, keys: list[str],
+                           value_col: str, checkpoint: str,
+                           trigger_available_now: bool = True,
+                           num_buckets: int = 32):
+    """Streaming ADDITIVE aggregate state (per-key count + exact sum)
+    maintained in the same key-bucketed parquet layout as
+    ``foreachbatch_upsert`` — incremental aggregation maintenance
+    without a lakehouse dependency.
+
+    Keep-latest merges are naturally idempotent; additive merges are
+    NOT (replaying a batch would double-count), so each bucket swap
+    carries an ``_applied_<batch_id>`` marker file INSIDE the bucket
+    directory — it travels atomically with the rename. On entry, a
+    bucket whose live marker is >= the incoming batch id is skipped:
+    after a crash anywhere in the swap loop, the checkpoint replays
+    the batch and exactly the unswapped buckets apply it. foreachBatch
+    at-least-once delivery + per-bucket applied markers = exactly-once
+    additive state.
+
+    Scale posture matches the upsert sink: the batch partial-aggregates
+    per key BEFORE touching state, only touched buckets are read
+    (partition pruning) and rewritten, and sums accumulate in
+    DECIMAL(27,6) so merge order can never change the result.
+    Local-filesystem targets only (os.rename swaps) — on an object
+    store use a lakehouse MERGE instead."""
+    import os
+    import shutil
+
+    _DEC = "decimal(27,6)"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _upsert_recover(path)
+        n_buckets = _upsert_ensure_meta(path, num_buckets)
+
+        kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        part = (batch_df
+                .groupBy(*keys)
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum(F.col(value_col).cast(_DEC)).cast(_DEC)
+                      .alias("total"))
+                .withColumn(_UPSERT_BUCKET_COL, kb))
+        # bounded by n_buckets -> driver-safe at any scale
+        touched = sorted(r[0] for r in
+                         part.select(_UPSERT_BUCKET_COL)
+                             .distinct().collect())
+        pending = [b for b in touched
+                   if _bucket_applied_id(os.path.join(
+                       path, f"{_UPSERT_BUCKET_COL}={b}")) < batch_id]
+        if not pending:
+            return
+        part = part.filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
+
+        live = [b for b in pending
+                if os.path.isdir(os.path.join(
+                    path, f"{_UPSERT_BUCKET_COL}={b}"))]
+        if live:
+            state = (spark.read.parquet(path)
+                     .filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
+                     .select(*keys, F.col("n"),
+                             F.col("total").cast(_DEC).alias("total"),
+                             F.col(_UPSERT_BUCKET_COL)))
+            merged = (state.unionByName(part)
+                      .groupBy(*keys, _UPSERT_BUCKET_COL)
+                      .agg(F.sum("n").cast("bigint").alias("n"),
+                           F.sum("total").cast(_DEC).alias("total")))
+        else:
+            merged = part
+
+        staged = os.path.join(path, _UPSERT_STAGED_DIR)
+        (merged.repartition(len(pending), F.col(_UPSERT_BUCKET_COL))
+               .write.mode("overwrite")
+               .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
+        for b in pending:
+            new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
+            if not os.path.isdir(new):
+                os.makedirs(new, exist_ok=True)  # empty-state bucket
+            # the marker travels with the directory rename
+            open(os.path.join(new, f"{_APPLIED_PREFIX}{batch_id}"),
+                 "w").close()
+            live_dir = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
+            old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
+            if os.path.isdir(live_dir):
+                os.rename(live_dir, old)
+            os.rename(new, live_dir)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
 
