@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "window_range_frame", "agg_percentile_exact",
     "agg_grouped_mad_pandas", "join_bucketed_colocated",
     "stream_session_window", "text_vocab_topk",
+    "stream_late_data_watermark",
     # driver evidence stale since r2 (VERDICT r6 item 1)
     "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
     "base64_roundtrip", "json_funcs",

@@ -67,3 +67,22 @@ def test_failed_catalog_build_releases_pins(spark):
         f"once, got {len(released)} releases")
     assert released[0].storageLevel.useMemory is False
     assert getattr(catalog._BUILD_TL, "prev_pins", None) is None
+
+
+def test_manifest_uri_canon_column_matches_python(spark):
+    """The JVM regexp_replace canonicalization used by the manifest
+    anti-join must agree with the Python canonical_file_uri used when
+    recording — a divergence would silently re-consume or skip files."""
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.sources.files import (
+        _canonical_uri_col,
+        canonical_file_uri,
+    )
+
+    uris = ["file:///a/b.txt", "file:/a/b.txt", "file:////weird",
+            "s3a://bucket/k.txt", "hdfs://nn:8020/x", "/plain/path",
+            "a+b.scheme-x:///y"]
+    df = spark.createDataFrame([(u,) for u in uris], "u string")
+    got = [r[0] for r in df.select(_canonical_uri_col(F.col("u"))).collect()]
+    assert got == [canonical_file_uri(u) for u in uris]
