@@ -430,7 +430,9 @@ def test_driver_materialization_discipline():
     #   operators/similarity.py  ANN query set, small by contract
     #   sinks/files.py        boto3-free S3 fallback, partition-streamed
     allowed = {
-        "streaming/windows.py": 1,
+        # two touched-bucket sets (upsert + additive agg state), each
+        # <= num_buckets rows
+        "streaming/windows.py": 2,
         "operators/dedup.py": 1,
         "operators/similarity.py": 1,
         "sinks/files.py": 1,
