@@ -406,3 +406,90 @@ def test_manifest_uri_canonicalization():
             == canonical_file_uri("file:/tmp/x.txt") == "file:/tmp/x.txt")
     assert canonical_file_uri("s3a://bucket/k.txt") == "s3a://bucket/k.txt"
     assert canonical_file_uri("/plain/path") == "/plain/path"
+
+
+def _events_csv(rows):
+    out = "event_id,user_id,ts,value\n"
+    for r in rows:
+        out += ",".join(map(str, r)) + "\n"
+    return out
+
+
+def test_upsert_sink_type_batch_yaml(spark, tmp_path):
+    """The 'upsert' sink type keeps the newest row per key from a YAML
+    pipeline — batch mode routes through the same idempotent merge
+    body as streaming (one-shot stream replay)."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write(f"{inp}/a.csv", _events_csv([
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 7, "2026-01-01 11:00:00", 2.0),
+        (3, 8, "2026-01-01 10:30:00", 5.0),
+    ]))
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "latest-state",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv"}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": """
+                SELECT CAST(f[0] AS BIGINT) AS event_id,
+                       CAST(f[1] AS BIGINT) AS user_id,
+                       CAST(f[2] AS TIMESTAMP) AS ts,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4"""}},
+        ],
+        "sink": {"type": "upsert",
+                 "properties": {"path": target, "keys": "user_id",
+                                "orderColumn": "ts", "numBuckets": "4"}},
+    }]}).pipelines[0]
+    run(spark, cfg)
+    state = {r.user_id: r.event_id
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: 2, 8: 3}
+
+
+def test_agg_state_sink_type_batch_yaml(spark, tmp_path):
+    """The 'agg_state' sink type maintains per-key (n, total) from a
+    YAML pipeline."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write(f"{inp}/a.csv", _events_csv([
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 7, "2026-01-01 11:00:00", 2.0),
+        (3, 8, "2026-01-01 10:30:00", 5.0),
+    ]))
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "totals-state",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv"}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": """
+                SELECT CAST(f[1] AS BIGINT) AS user_id,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4"""}},
+        ],
+        "sink": {"type": "agg_state",
+                 "properties": {"path": target, "keys": "user_id",
+                                "valueColumn": "value",
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+    run(spark, cfg)
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (2, 3.0), 8: (1, 5.0)}

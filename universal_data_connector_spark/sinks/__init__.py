@@ -17,6 +17,10 @@ from universal_data_connector_spark.sinks.files import file_sink, s3_sink
 from universal_data_connector_spark.sinks.jdbc import jdbc_sink
 from universal_data_connector_spark.sinks.kafka import kafka_sink
 from universal_data_connector_spark.sinks.memory import memory_sink, noop_sink
+from universal_data_connector_spark.sinks.upsert import (
+    agg_state_sink,
+    upsert_sink,
+)
 
 SinkFn = Callable[[DataFrame, dict, bool], object]
 
@@ -27,6 +31,10 @@ SINKS: dict[str, SinkFn] = {
     "kafka": kafka_sink,
     "memory": memory_sink,   # test/debug surface
     "noop": noop_sink,       # benchmarking surface
+    # engine extensions beyond the reference's sink set: keyed state
+    # targets (bucketed parquet, crash-safe per-bucket swaps)
+    "upsert": upsert_sink,
+    "agg_state": agg_state_sink,
 }
 
 
