@@ -461,12 +461,22 @@ def test_upsert_sink_never_reads_full_target():
 
     from universal_data_connector_spark.streaming import windows
 
-    src = inspect.getsource(windows.foreachbatch_upsert)
-    reads = src.count("read.parquet")
-    assert reads == 1, f"expected exactly one target read, got {reads}"
-    assert "_UPSERT_BUCKET_COL).isin(touched)" in src, (
-        "the single target read lost its touched-bucket partition "
-        "filter — that reintroduces the O(target) per-batch rewrite")
+    # the ONLY way to read the target is the partition-pruned helper
+    helper = inspect.getsource(windows._read_touched)
+    assert "read.parquet" in helper
+    assert "_UPSERT_BUCKET_COL).isin(" in helper, (
+        "_read_touched lost its bucket partition filter — that "
+        "reintroduces the O(target) per-batch rewrite")
+    for body in (windows.upsert_merge, windows.agg_state_merge):
+        src = inspect.getsource(body)
+        assert "read.parquet" not in src, (
+            f"{body.__name__} must read the target only through "
+            "_read_touched (partition-pruned)")
+        assert "_read_touched(" in src
+    # and nothing else in the module reads parquet directly
+    mod_src = inspect.getsource(windows)
+    assert mod_src.count("read.parquet") == 1, (
+        "a second raw target read appeared in streaming/windows.py")
 
 
 def test_sessionize_single_user_shuffle(spark):

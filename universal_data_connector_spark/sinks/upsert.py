@@ -7,13 +7,24 @@ declarative sink types so a pipeline config can keep CDC latest-state
 or additive per-key aggregates without writing code.
 
 ``upsert`` props: path, keys (comma-separated), orderColumn,
-checkpointLocation (streaming), numBuckets (optional).
-``agg_state`` props: path, keys, valueColumn, checkpointLocation,
-numBuckets (optional).
+checkpointLocation (streaming only), numBuckets (optional).
+``agg_state`` props: path, keys, valueColumn, checkpointLocation
+(streaming only), numBuckets (optional).
 
-Batch mode wraps the frame in a single AvailableNow micro-batch
-through the same merge body, so batch and streaming runs of one config
-converge identically.
+Batch mode calls the audited merge bodies DIRECTLY on the input frame
+(no scratch-parquet + readStream round-trip — VERDICT r7 item 2's
+write amplification is gone):
+
+* ``upsert``: the keep-latest merge is idempotent, so a plain call
+  converges on re-run; no batch id or checkpoint is involved.
+* ``agg_state``: the additive merge is NOT idempotent, and a fresh
+  per-run streaming checkpoint would replay every run as batch 0 —
+  silently dropping increments for previously-touched buckets. Batch
+  runs instead claim a MONOTONIC run id (1 + highest applied marker,
+  persisted in an intent file for crash-resume) via
+  ``begin_batch_run`` so each run applies exactly once; see its
+  docstring for the crash-replay contract and the do-not-mix-with-a-
+  live-stream caveat.
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ def _keys(props: dict) -> list[str]:
 def upsert_sink(df: DataFrame, props: dict, streaming: bool = False):
     from universal_data_connector_spark.streaming.windows import (
         foreachbatch_upsert,
+        upsert_merge,
     )
 
     keys = _keys(props)
@@ -43,21 +55,18 @@ def upsert_sink(df: DataFrame, props: dict, streaming: bool = False):
         return foreachbatch_upsert(
             df, props["path"], keys=keys, order_col=order_col,
             checkpoint=props["checkpointLocation"], num_buckets=n)
-    # batch: one idempotent merge through the same body
-    import tempfile
-
-    q = foreachbatch_upsert(
-        _as_one_shot_stream(df), props["path"], keys=keys,
-        order_col=order_col,
-        checkpoint=props.get("checkpointLocation",
-                             tempfile.mkdtemp(prefix="udc_upsert_ck_")),
-        num_buckets=n)
-    q.awaitTermination()
+    # batch: one direct, idempotent merge (re-runs pick the same
+    # winners — deterministic content tiebreak in _latest_rank)
+    upsert_merge(df, 0, path=props["path"], keys=keys,
+                 order_col=order_col, num_buckets=n)
     return None
 
 
 def agg_state_sink(df: DataFrame, props: dict, streaming: bool = False):
     from universal_data_connector_spark.streaming.windows import (
+        agg_state_merge,
+        begin_batch_run,
+        end_batch_run,
         foreachbatch_agg_state,
     )
 
@@ -70,30 +79,10 @@ def agg_state_sink(df: DataFrame, props: dict, streaming: bool = False):
         return foreachbatch_agg_state(
             df, props["path"], keys=keys, value_col=value_col,
             checkpoint=props["checkpointLocation"], num_buckets=n)
-    import tempfile
-
-    q = foreachbatch_agg_state(
-        _as_one_shot_stream(df), props["path"], keys=keys,
-        value_col=value_col,
-        checkpoint=props.get("checkpointLocation",
-                             tempfile.mkdtemp(prefix="udc_aggstate_ck_")),
-        num_buckets=n)
-    q.awaitTermination()
+    # batch: monotonic run id so every run's increments apply exactly
+    # once (and a crashed run resumes, not double-applies)
+    run_id = begin_batch_run(props["path"], num_buckets=n)
+    agg_state_merge(df, run_id, path=props["path"], keys=keys,
+                    value_col=value_col, num_buckets=n)
+    end_batch_run(props["path"])
     return None
-
-
-def _as_one_shot_stream(df: DataFrame) -> DataFrame:
-    """Replay a batch frame as a single-batch stream: write it to
-    scratch parquet, read it back with readStream + AvailableNow —
-    the merge body then runs exactly once with full recovery
-    semantics. The scratch copy is the price of routing batch mode
-    through the one audited merge implementation; state targets are
-    keyed aggregates/snapshots, far smaller than raw fact tables."""
-    import atexit
-    import shutil
-    import tempfile
-
-    scratch = tempfile.mkdtemp(prefix="udc_oneshot_")
-    atexit.register(shutil.rmtree, scratch, True)
-    df.write.mode("overwrite").parquet(scratch)
-    return df.sparkSession.readStream.schema(df.schema).parquet(scratch)

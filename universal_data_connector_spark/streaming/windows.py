@@ -141,6 +141,25 @@ def _upsert_recover(path: str) -> None:
             os.rename(old, live)
 
 
+def _reject_remote_target(path: str) -> None:
+    """The bucket swap is ``os.rename`` — POSIX only. A URI-scheme
+    target (``s3a://``, ``gs://``, ``abfs://``, even ``file://``)
+    would otherwise be ``os.makedirs``-ed as a literal local ``s3a:``
+    directory and state silently maintained in the wrong place, so
+    any scheme is rejected up front with the lakehouse pointer."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", str(path))
+    if m:
+        raise ValueError(
+            f"upsert/agg_state state targets must be plain local "
+            f"filesystem paths (got scheme {m.group(1)!r} in {path!r}): "
+            "the per-bucket swap uses os.rename, which object stores "
+            "do not support. For s3a://, gs://, or abfs:// targets use "
+            "a lakehouse table format (Delta/Iceberg MERGE INTO) "
+            "instead; for local files pass the path without a scheme.")
+
+
 def _upsert_ensure_meta(path: str, num_buckets: int) -> int:
     """Create/validate the bucketed-layout marker; returns the bucket
     count persisted at target creation (fixed for the target's life —
@@ -148,6 +167,7 @@ def _upsert_ensure_meta(path: str, num_buckets: int) -> int:
     non-bucketed directory is rejected rather than silently merged."""
     import os
 
+    _reject_remote_target(path)
     meta = os.path.join(path, _UPSERT_META_FILE)
     if os.path.isdir(path):
         if os.path.isfile(meta):
@@ -164,6 +184,92 @@ def _upsert_ensure_meta(path: str, num_buckets: int) -> int:
         fh.write(str(num_buckets))
     os.rename(tmp, meta)
     return num_buckets
+
+
+def _latest_rank(columns: list[str], keys: list[str], order_col: str):
+    """Deterministic keep-latest ranking: newest ``order_col`` first,
+    ties broken by ``xxhash64`` over ALL payload columns (sorted name
+    order) — a total order on row CONTENT, so re-applying a batch after
+    a crash picks byte-identical winners even when two rows carry the
+    same ``order_col`` (the bare ``orderBy(order_col, *keys)`` form
+    left tie winners to shuffle order: keys are constant within a key
+    partition, VERDICT r7 item 1). A hash collision between two
+    distinct tied rows (~2^-64) is the only residual nondeterminism."""
+    from pyspark.sql import Window as W
+
+    payload = sorted(c for c in columns
+                     if c not in (_UPSERT_BUCKET_COL, "__rn"))
+    tiebreak = F.xxhash64(*[F.col(c) for c in payload])
+    return F.row_number().over(
+        W.partitionBy(*keys).orderBy(F.col(order_col).desc(),
+                                     tiebreak.desc()))
+
+
+def _read_touched(spark, path: str, buckets: list[int]) -> DataFrame:
+    """Read ONLY the touched bucket directories of a bucketed state
+    target: the ``udc_kb`` equality/isin predicate is a partition
+    filter, so untouched bucket directories are never opened — the
+    invariant that keeps per-batch cost O(touched), not O(target),
+    pinned by the plan lint in tests/test_plans.py."""
+    return (spark.read.parquet(path)
+            .filter(F.col(_UPSERT_BUCKET_COL).isin(list(buckets))))
+
+
+def upsert_merge(batch_df: DataFrame, batch_id: int, *, path: str,
+                 keys: list[str], order_col: str,
+                 num_buckets: int = 32) -> None:
+    """One keep-latest merge of ``batch_df`` into the bucketed target
+    — the audited body behind ``foreachbatch_upsert``, callable
+    directly for batch mode (no scratch-stream round-trip; the merge
+    is idempotent, so ``batch_id`` is unused and re-runs converge)."""
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    _upsert_recover(path)
+    n_buckets = _upsert_ensure_meta(path, num_buckets)
+
+    kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    rank = _latest_rank(batch_df.columns, keys, order_col)
+    latest = (batch_df.withColumn("__rn", rank)
+                      .filter(F.col("__rn") == 1).drop("__rn")
+                      .withColumn(_UPSERT_BUCKET_COL, kb))
+    # touched-bucket set: bounded by n_buckets (small by
+    # construction), so the collect is driver-safe at any scale
+    touched = sorted(r[0] for r in
+                     latest.select(_UPSERT_BUCKET_COL)
+                           .distinct().collect())
+    if not touched:
+        return
+
+    live_buckets = [
+        b for b in touched
+        if os.path.isdir(os.path.join(path,
+                                      f"{_UPSERT_BUCKET_COL}={b}"))]
+    if live_buckets:
+        current = _read_touched(spark, path, touched)
+        merged = current.unionByName(latest)
+        rank2 = _latest_rank(merged.columns, keys, order_col)
+        merged = (merged.withColumn("__rn", rank2)
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+    else:
+        merged = latest
+
+    staged = os.path.join(path, _UPSERT_STAGED_DIR)
+    (merged.repartition(len(touched), F.col(_UPSERT_BUCKET_COL))
+           .write.mode("overwrite")
+           .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
+    for b in touched:
+        live = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
+        new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
+        if not os.path.isdir(new):
+            continue
+        old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(new, live)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
@@ -194,65 +300,17 @@ def foreachbatch_upsert(stream: DataFrame, path: str, keys: list[str],
     winners), so the target converges to exactly-once semantics.
 
     Restrictions: the swap uses ``os.rename`` — the target must be a
-    local/POSIX filesystem path (NFS included). On an object store,
-    use a lakehouse table format (Delta/Iceberg ``MERGE INTO``)
+    local/POSIX filesystem path (NFS included); URI-scheme targets
+    are rejected up front (``_reject_remote_target``). On an object
+    store, use a lakehouse table format (Delta/Iceberg ``MERGE INTO``)
     instead; this sink is the dependency-free plain-parquet
     equivalent with identical semantics. ``num_buckets`` is fixed at
     target creation (persisted in ``_udc_buckets``); a pre-existing
     non-bucketed directory is rejected rather than silently merged.
     """
-    import os
-    import shutil
-
-    from pyspark.sql import Window as W
-
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _upsert_recover(path)
-        n_buckets = _upsert_ensure_meta(path, num_buckets)
-
-        kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-        rank = F.row_number().over(
-            W.partitionBy(*keys).orderBy(F.col(order_col).desc(), *keys))
-        latest = (batch_df.withColumn("__rn", rank)
-                          .filter(F.col("__rn") == 1).drop("__rn")
-                          .withColumn(_UPSERT_BUCKET_COL, kb))
-        # touched-bucket set: bounded by n_buckets (small by
-        # construction), so the collect is driver-safe at any scale
-        touched = sorted(r[0] for r in
-                         latest.select(_UPSERT_BUCKET_COL)
-                               .distinct().collect())
-        if not touched:
-            return
-
-        live_buckets = [
-            b for b in touched
-            if os.path.isdir(os.path.join(path,
-                                          f"{_UPSERT_BUCKET_COL}={b}"))]
-        if live_buckets:
-            current = (spark.read.parquet(path)
-                       .filter(F.col(_UPSERT_BUCKET_COL).isin(touched)))
-            merged = current.unionByName(latest)
-            merged = (merged.withColumn("__rn", rank)
-                            .filter(F.col("__rn") == 1).drop("__rn"))
-        else:
-            merged = latest
-
-        staged = os.path.join(path, _UPSERT_STAGED_DIR)
-        (merged.repartition(len(touched), F.col(_UPSERT_BUCKET_COL))
-               .write.mode("overwrite")
-               .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
-        for b in touched:
-            live = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
-            new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
-            if not os.path.isdir(new):
-                continue
-            old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
-            if os.path.isdir(live):
-                os.rename(live, old)
-            os.rename(new, live)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staged, ignore_errors=True)
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_merge(batch_df, batch_id, path=path, keys=keys,
+                     order_col=order_col, num_buckets=num_buckets)
 
     writer = (stream.writeStream.foreachBatch(merge)
               .option("checkpointLocation", checkpoint))
@@ -273,6 +331,128 @@ def _bucket_applied_id(bucket_dir: str) -> int:
     ids = [int(n[len(_APPLIED_PREFIX):]) for n in os.listdir(bucket_dir)
            if n.startswith(_APPLIED_PREFIX)]
     return max(ids, default=-1)
+
+
+_BATCH_INTENT = "_udc_batch_intent"
+
+
+def begin_batch_run(path: str, num_buckets: int = 32) -> int:
+    """Claim a run id for one BATCH agg-state merge.
+
+    Batch runs have no streaming checkpoint to number their batches, so
+    a fresh-checkpoint wrapper would replay every run as batch 0 and
+    the applied-marker gate would silently DROP increments for any
+    previously-touched bucket (each run's data is NEW — it must add).
+    Instead the run id is 1 + the highest ``_applied_`` marker across
+    the target's live buckets — monotonic across runs, so every batch
+    run applies exactly once.
+
+    Crash safety: the claimed id is persisted in ``_udc_batch_intent``
+    (atomic write) BEFORE the merge and cleared by ``end_batch_run``
+    after it. A rerun after a mid-swap crash finds the intent and
+    RESUMES the same id — buckets already swapped (marker == id) skip,
+    unswapped buckets apply — converging exactly like a checkpointed
+    stream replaying its batch. The rerun must present the same input
+    batch, the same contract a stream replay has.
+
+    Do not mix a live checkpointed stream and ad-hoc batch runs on one
+    target: a batch run advances markers past the stream's next batch
+    id, which the markers would then skip (the standard dual-writer
+    hazard; pick one writer per target)."""
+    import os
+
+    _reject_remote_target(path)
+    _upsert_ensure_meta(path, num_buckets)
+    intent = os.path.join(path, _BATCH_INTENT)
+    if os.path.isfile(intent):
+        with open(intent) as fh:
+            return int(fh.read().strip())
+    run_id = 1 + max(
+        (_bucket_applied_id(os.path.join(path, name))
+         for name in os.listdir(path)
+         if name.startswith(f"{_UPSERT_BUCKET_COL}=")), default=-1)
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(run_id))
+    os.rename(tmp, intent)
+    return run_id
+
+
+def end_batch_run(path: str) -> None:
+    """Clear the batch-run intent marker after a successful merge."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, _BATCH_INTENT))
+
+
+def agg_state_merge(batch_df: DataFrame, batch_id: int, *, path: str,
+                    keys: list[str], value_col: str,
+                    num_buckets: int = 32) -> None:
+    """One additive (count, sum) merge of ``batch_df`` into the
+    bucketed state target — the audited body behind
+    ``foreachbatch_agg_state``, callable directly for batch mode with
+    a ``begin_batch_run`` id (no scratch-stream round-trip)."""
+    import os
+    import shutil
+
+    _DEC = "decimal(27,6)"
+    spark = batch_df.sparkSession
+    _upsert_recover(path)
+    n_buckets = _upsert_ensure_meta(path, num_buckets)
+
+    kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    part = (batch_df
+            .groupBy(*keys)
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col(value_col).cast(_DEC)).cast(_DEC)
+                  .alias("total"))
+            .withColumn(_UPSERT_BUCKET_COL, kb))
+    # bounded by n_buckets -> driver-safe at any scale
+    touched = sorted(r[0] for r in
+                     part.select(_UPSERT_BUCKET_COL)
+                         .distinct().collect())
+    pending = [b for b in touched
+               if _bucket_applied_id(os.path.join(
+                   path, f"{_UPSERT_BUCKET_COL}={b}")) < batch_id]
+    if not pending:
+        return
+    part = part.filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
+
+    live = [b for b in pending
+            if os.path.isdir(os.path.join(
+                path, f"{_UPSERT_BUCKET_COL}={b}"))]
+    if live:
+        state = (_read_touched(spark, path, pending)
+                 .select(*keys, F.col("n"),
+                         F.col("total").cast(_DEC).alias("total"),
+                         F.col(_UPSERT_BUCKET_COL)))
+        merged = (state.unionByName(part)
+                  .groupBy(*keys, _UPSERT_BUCKET_COL)
+                  .agg(F.sum("n").cast("bigint").alias("n"),
+                       F.sum("total").cast(_DEC).alias("total")))
+    else:
+        merged = part
+
+    staged = os.path.join(path, _UPSERT_STAGED_DIR)
+    (merged.repartition(len(pending), F.col(_UPSERT_BUCKET_COL))
+           .write.mode("overwrite")
+           .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
+    for b in pending:
+        new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
+        if not os.path.isdir(new):
+            os.makedirs(new, exist_ok=True)  # empty-state bucket
+        # the marker travels with the directory rename
+        open(os.path.join(new, f"{_APPLIED_PREFIX}{batch_id}"),
+             "w").close()
+        live_dir = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
+        old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, old)
+        os.rename(new, live_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def foreachbatch_agg_state(stream: DataFrame, path: str, keys: list[str],
@@ -298,70 +478,12 @@ def foreachbatch_agg_state(stream: DataFrame, path: str, keys: list[str],
     per key BEFORE touching state, only touched buckets are read
     (partition pruning) and rewritten, and sums accumulate in
     DECIMAL(27,6) so merge order can never change the result.
-    Local-filesystem targets only (os.rename swaps) — on an object
-    store use a lakehouse MERGE instead."""
-    import os
-    import shutil
-
-    _DEC = "decimal(27,6)"
-
+    Local-filesystem targets only (os.rename swaps; URI-scheme
+    targets rejected up front) — on an object store use a lakehouse
+    MERGE instead."""
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _upsert_recover(path)
-        n_buckets = _upsert_ensure_meta(path, num_buckets)
-
-        kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-        part = (batch_df
-                .groupBy(*keys)
-                .agg(F.count("*").cast("bigint").alias("n"),
-                     F.sum(F.col(value_col).cast(_DEC)).cast(_DEC)
-                      .alias("total"))
-                .withColumn(_UPSERT_BUCKET_COL, kb))
-        # bounded by n_buckets -> driver-safe at any scale
-        touched = sorted(r[0] for r in
-                         part.select(_UPSERT_BUCKET_COL)
-                             .distinct().collect())
-        pending = [b for b in touched
-                   if _bucket_applied_id(os.path.join(
-                       path, f"{_UPSERT_BUCKET_COL}={b}")) < batch_id]
-        if not pending:
-            return
-        part = part.filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
-
-        live = [b for b in pending
-                if os.path.isdir(os.path.join(
-                    path, f"{_UPSERT_BUCKET_COL}={b}"))]
-        if live:
-            state = (spark.read.parquet(path)
-                     .filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
-                     .select(*keys, F.col("n"),
-                             F.col("total").cast(_DEC).alias("total"),
-                             F.col(_UPSERT_BUCKET_COL)))
-            merged = (state.unionByName(part)
-                      .groupBy(*keys, _UPSERT_BUCKET_COL)
-                      .agg(F.sum("n").cast("bigint").alias("n"),
-                           F.sum("total").cast(_DEC).alias("total")))
-        else:
-            merged = part
-
-        staged = os.path.join(path, _UPSERT_STAGED_DIR)
-        (merged.repartition(len(pending), F.col(_UPSERT_BUCKET_COL))
-               .write.mode("overwrite")
-               .partitionBy(_UPSERT_BUCKET_COL).parquet(staged))
-        for b in pending:
-            new = os.path.join(staged, f"{_UPSERT_BUCKET_COL}={b}")
-            if not os.path.isdir(new):
-                os.makedirs(new, exist_ok=True)  # empty-state bucket
-            # the marker travels with the directory rename
-            open(os.path.join(new, f"{_APPLIED_PREFIX}{batch_id}"),
-                 "w").close()
-            live_dir = os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}")
-            old = os.path.join(path, f"{_UPSERT_OLD_PREFIX}{b}")
-            if os.path.isdir(live_dir):
-                os.rename(live_dir, old)
-            os.rename(new, live_dir)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staged, ignore_errors=True)
+        agg_state_merge(batch_df, batch_id, path=path, keys=keys,
+                        value_col=value_col, num_buckets=num_buckets)
 
     writer = (stream.writeStream.foreachBatch(merge)
               .option("checkpointLocation", checkpoint))
