@@ -436,6 +436,10 @@ def test_driver_materialization_discipline():
         "operators/dedup.py": 1,
         "operators/similarity.py": 1,
         "sinks/files.py": 1,
+        # manifest_record's anti-join survivors: bounded by the number
+        # of files consumed THIS run (the unbounded all-history side
+        # stays on executors)
+        "sources/files.py": 1,
     }
     bad = []
     for py in root.rglob("*.py"):

@@ -193,24 +193,32 @@ def batch_manifest_plan(cfg: PipelineConfig, source_df: DataFrame,
     """(manifest_dir, consumed source files) for a batch file-source
     pipeline with ``manifestDir`` set; (None, []) otherwise.
 
-    The listing comes from a manifest-free rebuild of the source, NOT
-    from ``source_df``: the filtered frame's ``inputFiles()`` would
-    include the manifest's own log files (the anti-join scans them),
-    and recording those would grow the log every run. The rebuild
-    lists at plan-capture time — files that land in the directory
-    after the sink ran are never marked consumed. Entries a previous
-    run already recorded are harmless: ``manifest_record`` dedupes."""
+    The consumed list comes from ``source_df.inputFiles()`` — the SAME
+    listing the sink's read used — with the manifest dir's own log
+    files dropped (the anti-join scans them, and recording those would
+    grow the log every run). An earlier version re-listed the source
+    directory with a manifest-free rebuild; a file landing between the
+    sink's listing and the rebuild's was recorded as consumed without
+    its rows ever being written — silent permanent data loss. One
+    listing, one truth. Entries a previous run already recorded are
+    harmless: ``manifest_record`` dedupes."""
     if streaming or cfg.source.type != "file":
         return None, []
     manifest_dir = cfg.source.properties.get("manifestDir")
     if not manifest_dir:
         return None, []
-    from universal_data_connector_spark.sources.files import file_source
+    from universal_data_connector_spark.sources.files import (
+        canonical_file_uri,
+    )
 
-    props = dict(cfg.source.properties)
-    props.pop("manifestDir")
-    raw = file_source(source_df.sparkSession, props, streaming=False)
-    return manifest_dir, raw.inputFiles()
+    import os
+
+    log_root = canonical_file_uri(
+        "file://" + os.path.abspath(manifest_dir)).rstrip("/") + "/"
+    consumed = [
+        f for f in source_df.inputFiles()
+        if not canonical_file_uri(f).startswith(log_root)]
+    return manifest_dir, consumed
 
 
 def _archive_dest(src: str, archive_dir: str, source_root: str | None) -> str:
@@ -323,7 +331,7 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                 from universal_data_connector_spark.sources.files import (
                     manifest_record,
                 )
-                manifest_record(manifest_files, manifest_dir)
+                manifest_record(manifest_files, manifest_dir, spark)
         finally:
             release_frames(pins)
     return result

@@ -98,20 +98,29 @@ def manifest_filter(df: DataFrame, spark: SparkSession, manifest_dir: str,
     entries never lands in driver memory. URIs are canonicalized on
     both sides, so the two spellings Spark uses for the same file
     compare equal. A missing/empty manifest dir means nothing has been
-    consumed yet."""
+    consumed yet — but ONLY that: a permissions failure, corrupt log,
+    or transient FS error propagates instead of silently disabling
+    dedup and double-writing every already-consumed file."""
+    from pyspark.errors import AnalysisException
+
     try:
         seen = (spark.read.format("text")
                 .option("pathGlobFilter", "*.log")  # never torn .tmp files
                 .load(manifest_dir))
-    except Exception:  # no manifest yet (AnalysisException: path missing)
-        return df
+    except AnalysisException as exc:
+        # only the path-missing case means "no manifest yet"
+        if ("PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)):
+            return df
+        raise
     seen = seen.select(_canonical_uri_col(F.col("value")).alias("__seen_uri"))
     return (df.join(seen,
                     _canonical_uri_col(F.col(path_col)) == F.col("__seen_uri"),
                     "left_anti"))
 
 
-def manifest_record(files: list[str], manifest_dir: str) -> int:
+def manifest_record(files: list[str], manifest_dir: str,
+                    spark: SparkSession | None = None) -> int:
     """Append newly consumed file URIs to the processed log; returns
     how many new entries were written.
 
@@ -120,18 +129,41 @@ def manifest_record(files: list[str], manifest_dir: str) -> int:
     recorded URIs are skipped to bound manifest growth at one line per
     distinct consumed file. Local-filesystem manifest dirs only (same
     stance as archiveDir's move) — the SOURCE may be remote; the log
-    lives wherever the pipeline driver runs."""
+    lives wherever the pipeline driver runs.
+
+    Dedup against the existing log is DISTRIBUTED when ``spark`` is
+    passed (the engine always passes it): this run's file list — small,
+    one entry per file consumed THIS run — anti-joins the full log on
+    executors, so driver memory stays O(this run) however many entries
+    the manifest has accumulated. Without a session it falls back to a
+    driver-side read of every log file — O(all files ever consumed)
+    driver memory, acceptable only for small manifests."""
     import os
     import uuid
 
     os.makedirs(manifest_dir, exist_ok=True)
-    seen: set[str] = set()
-    for name in os.listdir(manifest_dir):
-        p = os.path.join(manifest_dir, name)
-        if name.endswith(".log") and os.path.isfile(p):
-            with open(p) as fh:
-                seen.update(line.strip() for line in fh)
-    new = sorted({canonical_file_uri(f) for f in files} - seen)
+    this_run = sorted({canonical_file_uri(f) for f in files})
+    if spark is not None:
+        new_df = spark.createDataFrame(
+            [(u,) for u in this_run], "uri string")
+        # the dir exists (just ensured); an empty/logless dir is an
+        # empty frame for the fixed-schema text format, not an error
+        seen_df = (spark.read.format("text")
+                   .option("pathGlobFilter", "*.log")
+                   .load(manifest_dir)
+                   .select(_canonical_uri_col(F.col("value"))
+                           .alias("uri")))
+        new_df = new_df.join(seen_df, "uri", "left_anti")
+        # bounded by len(this_run): this run's survivors only
+        new = sorted(r.uri for r in new_df.collect())
+    else:
+        seen: set[str] = set()
+        for name in os.listdir(manifest_dir):
+            p = os.path.join(manifest_dir, name)
+            if name.endswith(".log") and os.path.isfile(p):
+                with open(p) as fh:
+                    seen.update(line.strip() for line in fh)
+        new = sorted(set(this_run) - seen)
     if not new:
         return 0
     final = os.path.join(manifest_dir, f"processed-{uuid.uuid4().hex}.log")
