@@ -256,3 +256,31 @@ def test_gramless_docs_excluded_from_banding(spark):
 
     sim = {(r.id_1, r.id_2) for r in simhash_candidates(docs).collect()}
     assert (1, 2) not in sim and (1, 4) not in sim
+
+
+def test_fold_bands_batch_bitwise_equals_per_doc():
+    """The vectorized reduceat band fold (the hot path) must be
+    bitwise-identical to the per-document reference fold, including
+    empty docs (sentinel band) and across chunk boundaries."""
+    import numpy as np
+
+    from universal_data_connector_spark.operators.dedup import (
+        _fold_bands,
+        _fold_bands_batch,
+        _minhash_coeffs,
+    )
+
+    coeffs = _minhash_coeffs(128)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    rng = np.random.default_rng(7)
+    lists = [rng.integers(-2**62, 2**62,
+                          size=int(rng.integers(0, 60))).tolist()
+             for _ in range(300)]
+    lists[0] = []  # explicit empty doc
+    with np.errstate(over="ignore"):
+        ref = np.stack([_fold_bands(l, A, B, 32, 4) for l in lists])
+        # tiny chunk size forces many reduceat chunks incl. 1-doc ones
+        got = _fold_bands_batch(lists, A, B, 32, 4, max_chunk_grams=53)
+        full = _fold_bands_batch(lists, A, B, 32, 4)
+    assert (ref == got).all() and (ref == full).all()

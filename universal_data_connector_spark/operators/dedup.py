@@ -100,21 +100,64 @@ def shingle_hashes_df(df: DataFrame, text_col: str = "text",
     return spread(df, id_col).select(F.col(id_col), g.alias("__g"))
 
 
+_FNV_OFF = np.uint64(14695981039346656037)
+_FNV_P = np.uint64(1099511628211)
+
+
 def _fold_bands(gram_list, A, B, bands: int, r: int):
     """numpy core of the banding: `bands*r` affine minima + per-band
-    FNV-1a fold over one doc's gram-hash list -> int64[bands]."""
-    FNV_OFF = np.uint64(14695981039346656037)
-    FNV_P = np.uint64(1099511628211)
+    FNV-1a fold over one doc's gram-hash list -> int64[bands].
+    Reference semantics for `_fold_bands_batch` (equivalence pinned in
+    tests/test_dedup.py); the batch form is the hot path."""
     h = np.asarray(gram_list, dtype=np.int64)
     if h.size == 0:  # no shingles: sentinel bands with other empties
         h = np.array([_MERSENNE], dtype=np.int64)
     h = h % _MERSENNE
     sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
-    folded = np.full(bands, FNV_OFF, dtype=np.uint64)
+    folded = np.full(bands, _FNV_OFF, dtype=np.uint64)
     band_sig = sig.astype(np.uint64).reshape(bands, r)
     for j in range(r):
-        folded = (folded ^ band_sig[:, j]) * FNV_P
+        folded = (folded ^ band_sig[:, j]) * _FNV_P
     return folded.astype(np.int64)
+
+
+def _fold_bands_batch(gram_lists, A, B, bands: int, r: int,
+                      max_chunk_grams: int = 1 << 17):
+    """Banding for a WHOLE Arrow batch in a few numpy dispatches
+    (VERDICT r7 item 5): all docs' gram arrays are concatenated, the
+    (num_hashes x chunk_grams) affine matrix is built once, and the
+    per-doc minima fall out of one ``np.minimum.reduceat`` over the
+    doc segment offsets — replacing a Python call + a handful of tiny
+    numpy ops PER DOCUMENT with one vectorized pass per ~128k-gram
+    chunk (the chunking bounds the matrix at ~128 MB however large the
+    Arrow batch is). Bitwise-identical to mapping `_fold_bands` over
+    the docs. Returns int64[(n_docs, bands)]."""
+    arrs = [np.asarray(lst, dtype=np.int64) for lst in gram_lists]
+    sentinel = np.array([_MERSENNE], dtype=np.int64)
+    arrs = [a if a.size else sentinel for a in arrs]
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    n = len(arrs)
+    out = np.empty((n, bands), dtype=np.int64)
+    start = 0
+    while start < n:
+        end, total = start, 0
+        while end < n and (end == start or total + lens[end] <= max_chunk_grams):
+            total += lens[end]
+            end += 1
+        h = np.concatenate(arrs[start:end]) % _MERSENNE
+        M = A * h[None, :]          # (num_hashes, total_grams)
+        M += B
+        M %= _MERSENNE
+        offs = np.zeros(end - start, dtype=np.int64)
+        np.cumsum(lens[start:end - 1], out=offs[1:])
+        sig = np.minimum.reduceat(M, offs, axis=1)  # (num_hashes, docs)
+        band_sig = sig.astype(np.uint64).reshape(bands, r, end - start)
+        folded = np.full((bands, end - start), _FNV_OFF, dtype=np.uint64)
+        for j in range(r):
+            folded = (folded ^ band_sig[:, j, :]) * _FNV_P
+        out[start:end] = folded.T.astype(np.int64)
+        start = end
+    return out
 
 
 def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
@@ -155,17 +198,14 @@ def _banded_from_grams(grams: DataFrame, id_col: str = "doc_id",
 
     def emit(batches):
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            if not len(pdf):
+                continue
             with np.errstate(over="ignore"):
-                for doc, lst in zip(pdf[id_col], pdf["__g"]):
-                    ids.append(np.full(bands, doc))
-                    idxs.append(band_range)
-                    hashes.append(_fold_bands(lst, A, B, bands, r))
-            if ids:
-                yield pd.DataFrame({
-                    id_col: np.concatenate(ids),
-                    "band_idx": np.concatenate(idxs),
-                    "band_hash": np.concatenate(hashes)})
+                folded = _fold_bands_batch(pdf["__g"], A, B, bands, r)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                "band_idx": np.tile(band_range, len(pdf)),
+                "band_hash": folded.reshape(-1)})
 
     return (grams.filter(F.size("__g") > 0)
                  .select(F.col(id_col), "__g")
@@ -205,10 +245,9 @@ def shingle_band_df(df: DataFrame, text_col: str = "text",
     def emit(batches):
         for pdf in batches:
             with np.errstate(over="ignore"):
-                folded = [_fold_bands(lst, A, B, bands, r)
-                          for lst in pdf["__g"]]
+                folded = _fold_bands_batch(pdf["__g"], A, B, bands, r)
             yield pd.DataFrame({id_col: pdf[id_col], "__g": pdf["__g"],
-                                "__bands": folded})
+                                "__bands": list(folded)})
 
     return grams.mapInPandas(emit, out_schema)
 
