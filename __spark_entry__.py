@@ -18,47 +18,47 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-7 rotation
-# (VERDICT r6 item 1 + ADVICE r6 item 4): the two keys shipped in the
-# r6 end-of-round snapshot with NO driver row yet, the 16 keys whose
-# last driver row is r2 (scalar fns, set ops, ranking windows, sort/
-# limit, two stream windows), dedup_simhash (its hash function and
-# candidate set changed in r6 after its last driver row), the keys
-# whose implementation is touched this round, and new r7 keys.
+# recent driver evidence goes stale (>2 rounds old). Round-8 rotation
+# (VERDICT r7 item 1): the entire r5-evidence cohort (35 oracled keys,
+# including sim_search_ivf which GAINED an oracle this round via the
+# embedded-centroid pattern) + the 14 new r8 keys + the flagship =
+# exactly 50. The two remaining r5-evidence keys (multimodal_resize,
+# sim_search_ivf_kmeans) are the by-design rows-only stubs whose
+# semantics are pinned by in-repo tests; they rotate in r9.
 _CHECK_FIRST = [
-    # NEVER driver-checked (added post-r6-run in db2c11d)
-    "agg_regression_ols", "cogroup_asof_merge",
-    # implementation/output changed in r6 AFTER last driver row
-    # (simhash64 blake2b->xxhash64; candidate set shrunk)
-    "dedup_simhash",
-    # implementation touched this round (r7): minhash banding moved
-    # JVM-side; upsert sink bucket-partitioned rewrite; LSH verified
-    # matches now oracle-checkable
-    "dedup_near_minhash", "stream_upsert_latest", "sim_search_lsh",
-    # NEW this round (r7): never driver-checked
-    "events_sessionize_gap", "dq_fk_integrity", "ts_moving_window_avg",
-    "events_top_paths", "join_null_safe_eq", "scan_schema_evolution_merge",
-    "agg_mode_per_group", "sample_hash_split", "window_gap_islands",
-    "text_boilerplate_ngrams", "ts_anomaly_mad",
-    "join_asof_nearest", "ts_resample_interp", "agg_array_collect",
-    "window_percent_of_total",
-    "scan_csv_malformed_permissive", "ts_ewma", "events_dau_wau",
-    "stream_agg_state_totals",
-    # r5-evidence keys rotated in to fill the 50-slot window (their
-    # rows would otherwise age to 3 rounds by r8)
-    "window_range_frame", "agg_percentile_exact",
-    "agg_grouped_mad_pandas", "join_bucketed_colocated",
-    "stream_session_window", "text_vocab_topk",
-    "stream_late_data_watermark",
-    # driver evidence stale since r2 (VERDICT r6 item 1)
-    "str_funcs", "date_funcs", "math_funcs", "csv_parse_rfc4180",
-    "base64_roundtrip", "json_funcs",
-    "set_union_all", "set_intersect", "set_except",
-    "sort_multi_key", "limit_topk",
-    "window_rank_family", "window_first_last", "window_lag_lead",
-    "stream_tumbling_count", "stream_sliding_agg",
-    # flagship + canary scan: cheap insurance rows each round
-    "pipeline_clean_corpus", "scan_parquet",
+    # r5-evidence cohort (VERDICT r7 item 1) — dedup family
+    "dedup_exact", "dedup_cluster_cc", "dedup_contamination_ngram",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    # similarity / embeddings (sim_search_ivf: first oracle exposure)
+    "sim_search_cosine_topk", "sim_search_ivf", "embedding_normalize",
+    # text analysis
+    "text_tokenize_stats", "text_token_count_bpe", "text_language_id",
+    "text_quality_score", "text_fingerprint", "text_rolling_hash",
+    "text_pii_redact", "text_unigram_logprob",
+    # multimodal plumbing
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_decode_features",
+    # sinks-as-queries
+    "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
+    # sampling / reshape
+    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
+    "reshape_unpivot", "reshape_pack_sequences",
+    # scans / SQL surface
+    "scan_csv_typed", "scan_glob_filter", "sql_full_surface",
+    # streaming
+    "stream_dedup_first_per_key", "stream_dedup_watermark",
+    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
+    # composition
+    "pipeline_training_data",
+    # NEW this round (r8): never driver-checked
+    "agg_weighted_avg", "agg_argmax_struct", "agg_corr_exact",
+    "window_ntile_quartiles", "ts_cumulative_distinct", "ts_outlier_iqr",
+    "events_rfm_segments", "events_attribution_first_last",
+    "market_basket_pairs", "text_tfidf_topk", "dedup_containment_ngram",
+    "reshape_sliding_windows", "join_asof_tolerance",
+    "dq_uniqueness_orders",
+    # flagship: insurance row each round
+    "pipeline_clean_corpus",
 ]
 
 

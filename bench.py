@@ -64,6 +64,29 @@ HEADLINE = [
     "ts_moving_window_avg",
     "sim_search_lsh",
     "join_star_schema",
+    # round 7 analytics/state keys that previously aged without a
+    # recorded number (VERDICT r7 item 7)
+    "stream_agg_state_totals",
+    "events_dau_wau",
+    "ts_anomaly_mad",
+    "ts_resample_interp",
+    "ts_ewma",
+    "agg_array_collect",
+    # round 8 (weighted/argmax/corr aggregates, quantile segmentation,
+    # IQR fences, attribution, basket pairs, TF-IDF, containment
+    # dedup, sliding windows, tolerance as-of)
+    "agg_weighted_avg",
+    "agg_argmax_struct",
+    "agg_corr_exact",
+    "events_rfm_segments",
+    "ts_outlier_iqr",
+    "events_attribution_first_last",
+    "market_basket_pairs",
+    "text_tfidf_topk",
+    "dedup_containment_ngram",
+    "reshape_sliding_windows",
+    "join_asof_tolerance",
+    "ts_cumulative_distinct",
 ]
 
 

@@ -369,6 +369,10 @@ _BNLJ_ALLOWED = {
     # centroid table (n_centroids rows) broadcast under a deliberate
     # cross join for query->probe assignment
     "sim_search_ivf", "sim_search_ivf_kmeans",
+    # ONE-row aggregate (quantile cutoffs / corpus size / key summary)
+    # broadcast-cross-joined onto the other side — bounded by
+    # construction
+    "events_rfm_segments", "text_tfidf_topk", "dq_uniqueness_orders",
 }
 
 

@@ -461,6 +461,43 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .select("id_1", "id_2", "jaccard"))
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_n: int = 5,
+                            threshold: float = 0.9) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: shared / min(|A|, |B|).
+
+    The subset-duplicate detector Jaccard structurally misses: a short
+    document fully embedded in a much longer one (quote farms, page
+    wrappers, boilerplate-extended rewrites) has Jaccard ~ |A|/|B| —
+    arbitrarily low — but containment ~ 1.0. Same inverted-shingle
+    plan shape as `ngram_jaccard_pairs` (explode -> self-join on gram
+    key -> count shared -> join sizes): one corpus-sized shuffle on
+    the gram key; at 100 TB cap hot shingles or pre-filter candidates
+    with `minhash_dedup_pairs` exactly as the Jaccard variant does.
+    Pairs with an empty smaller side never appear (no grams -> no
+    postings -> no join rows), so the min() division is always > 0.
+    """
+    grams = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
+    grams = materialize_reliable(grams)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
+                        F.col(f"b.{id_col}").alias("id_2"))
+               .agg(F.count("*").alias("shared")))
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    cont = (F.col("shared").cast("double")
+            / F.least("n1", "n2").cast("double"))
+    return (shared.join(s1, "id_1").join(s2, "id_2")
+                  .withColumn("containment", cont)
+                  .filter(F.col("containment") >= threshold)
+                  .select("id_1", "id_2", "containment"))
+
+
 def contamination_overlap(train: DataFrame, bench: DataFrame,
                           shingle_n: int = 13, text_col: str = "text",
                           id_col: str = "doc_id",

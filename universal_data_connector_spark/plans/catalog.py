@@ -4390,3 +4390,596 @@ def stream_agg_state_totals(spark, sf_dir):
     return (spark.read.parquet(target)
             .select("user_id", "n",
                     F.col("total").cast("double").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: aggregation/window/time-series long tail
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               AS w_avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag. Both the
+    weighted numerator and the weight denominator accumulate as exact
+    decimals (per-row double product is IEEE-identical across engines,
+    the SUM is order-free), so the one double division at the edge
+    sees identical operands. Single partial-aggregated shuffle on a
+    3-value key."""
+    li = load(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                .cast("decimal(38,6)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+    return (li.groupBy("l_returnflag")
+              .agg((num / den).alias("w_avg_price"),
+                   F.count("*").cast("bigint").alias("n")))
+
+
+@query(
+    "agg_argmax_struct",
+    oracle="""
+    SELECT c_mktsegment, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax_struct(spark, sf_dir):
+    """Argmax as a SINGLE-PASS aggregate, not a window: the per-segment
+    top customer comes from max(struct(acctbal, -custkey)) — struct
+    ordering gives highest balance with lowest-key tiebreak — which
+    partial-aggregates map-side (one candidate per segment per
+    partition crosses the shuffle) instead of sorting every row
+    through a rank window. The oracle states the same winner with
+    ROW_NUMBER; at 100 TB the agg form moves O(segments) rows where
+    the window form moves O(rows)."""
+    c = load(spark, sf_dir, "customer")
+    best = F.max(F.struct(F.col("c_acctbal").alias("bal"),
+                          (-F.col("c_custkey")).alias("negk")))
+    return (c.groupBy("c_mktsegment").agg(best.alias("__b"))
+             .select("c_mktsegment",
+                     (-F.col("__b.negk")).cast("bigint").alias("top_custkey"),
+                     F.col("__b.bal").alias("top_acctbal")))
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_qty_price,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def agg_corr_exact(spark, sf_dir):
+    """Pearson correlation per group, reproducibly: the five moment
+    sums accumulate as exact decimals (order-free), and the closing
+    formula runs in double with IDENTICAL parenthesization in both
+    engines — unlike built-in corr(), whose streaming update order
+    makes the last bits partition-count-dependent. One shuffle,
+    map-side partials."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum(e, t="decimal(38,6)"):
+        return F.sum(e.cast(t)).cast("double")
+
+    s = (li.groupBy("l_returnflag")
+           .agg(F.count("*").cast("double").alias("n"),
+                dsum(x, "decimal(27,6)").alias("sx"),
+                dsum(y, "decimal(27,6)").alias("sy"),
+                dsum(x * x).alias("sxx"),
+                dsum(y * y).alias("syy"),
+                dsum(x * y).alias("sxy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = ((n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    return s.select("l_returnflag",
+                    F.round(corr, 6).alias("corr_qty_price"),
+                    n.cast("bigint").alias("n"))
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """Equal-count bucketing + cumulative distribution per segment —
+    the remaining distribution-rank window family (rank/dense_rank/
+    percent_rank live in window_rank_family). The (acctbal, custkey)
+    composite gives a total order, so bucket edges are deterministic.
+    One shuffle on the segment key; both functions run in the same
+    window pass."""
+    c = load(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+@query(
+    "ts_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def ts_cumulative_distinct(spark, sf_dir):
+    """Running distinct-user count by day WITHOUT a running-distinct
+    window: each user contributes once at their first-seen day, so
+    cumulative-distinct = prefix sum of first-seen counts — two cheap
+    shuffles (user grouping, then a window over the tiny daily
+    aggregate) instead of per-day distinct state that grows with the
+    user universe. The standard trick for 'users to date' curves on
+    100 TB event logs."""
+    e = load(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                   .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    daily = (first_seen.groupBy("d")
+             .agg(F.count("*").cast("bigint").alias("new_users")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users")))
+
+
+@query(
+    "ts_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+           CAST(COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def ts_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier counts per key (1.5x IQR beyond exact
+    Q1/Q3) — the quartile complement to ts_anomaly_mad's
+    median-absolute-deviation fences. Same two-pass scale shape: the
+    per-key quartiles reduce to one tiny frame that BROADCASTS back
+    onto the events scan, so the wide table shuffles once for the
+    quartiles and streams once for the fence counts. Fence arithmetic
+    is double with identical parenthesization on unrounded quartiles
+    in both engines; the emitted quartiles round at the edge."""
+    e = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.75)))
+    q = (e.groupBy("event_type").agg(pct.alias("__q"))
+          .select("event_type", F.col("__q")[0].alias("q1"),
+                  F.col("__q")[1].alias("q3")))
+    iqr = F.col("q3") - F.col("q1")
+    out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
+           | (F.col("value") > F.col("q3") + 1.5 * iqr))
+    return (e.join(F.broadcast(q), "event_type")
+             .groupBy("event_type", "q1", "q3")
+             .agg(F.count(F.when(out, 1)).cast("bigint").alias("n_outliers"),
+                  F.count("*").cast("bigint").alias("n"))
+             .select("event_type", F.round("q1", 6).alias("q1"),
+                     F.round("q3", 6).alias("q3"), "n_outliers", "n"))
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS m,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT quantile_cont(CAST(f AS DOUBLE), 0.25) AS f25,
+               quantile_cont(CAST(f AS DOUBLE), 0.50) AS f50,
+               quantile_cont(CAST(f AS DOUBLE), 0.75) AS f75,
+               quantile_cont(m, 0.25) AS m25,
+               quantile_cont(m, 0.50) AS m50,
+               quantile_cont(m, 0.75) AS m75
+        FROM rfm
+    )
+    SELECT custkey, f, m, last_order,
+           CAST(1 + CASE WHEN CAST(f AS DOUBLE) > f25 THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(f AS DOUBLE) > f50 THEN 1 ELSE 0 END
+                  + CASE WHEN CAST(f AS DOUBLE) > f75 THEN 1 ELSE 0 END
+                AS BIGINT) AS f_seg,
+           CAST(1 + CASE WHEN m > m25 THEN 1 ELSE 0 END
+                  + CASE WHEN m > m50 THEN 1 ELSE 0 END
+                  + CASE WHEN m > m75 THEN 1 ELSE 0 END
+                AS BIGINT) AS m_seg
+    FROM rfm CROSS JOIN cuts
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """Frequency/monetary customer segmentation via QUANTILE CUTOFFS,
+    not ntile: a global ntile window over millions of per-customer
+    rows serializes the full sort through one task, while three exact
+    quantile cutoffs reduce to ONE row that broadcasts back — the
+    100 TB-safe way to bucket. Segment = 1 + number of quartile
+    cutoffs strictly exceeded (ties share a segment, so the result is
+    order-free). Monetary sums are decimal-exact; recency rides along
+    as the last order date."""
+    o = load(spark, sf_dir, "orders")
+    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").cast("bigint").alias("f"),
+                 orel.exact_sum(F.col("o_totalprice")).alias("m"),
+                 F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+                  .alias("last_order")))
+    fpct = F.percentile(F.col("f").cast("double"),
+                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    mpct = F.percentile(F.col("m"),
+                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    cuts = rfm.agg(fpct.alias("__f"), mpct.alias("__m"))
+
+    def seg(val, arr):
+        return (1 + F.when(val > arr[0], 1).otherwise(0)
+                  + F.when(val > arr[1], 1).otherwise(0)
+                  + F.when(val > arr[2], 1).otherwise(0)).cast("bigint")
+
+    return (rfm.crossJoin(F.broadcast(cuts))
+               .select("custkey", "f", "m", "last_order",
+                       seg(F.col("f").cast("double"),
+                           F.col("__f")).alias("f_seg"),
+                       seg(F.col("m"), F.col("__m")).alias("m_seg")))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: attribution / basket / text / dedup / reshape / join / DQ tail
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_attribution_first_last",
+    oracle=f"""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id)[1] AS first_touch,
+           list(event_type ORDER BY ts, event_id)[-1] AS last_touch,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def events_attribution_first_last(spark, sf_dir):
+    """First-touch / last-touch attribution per user as a single-pass
+    aggregate: min/max over struct(ts, event_id, event_type) — the
+    (ts, event_id) prefix totally orders a user's events, so the
+    struct extremes ARE the first and last touches, partial-aggregated
+    map-side with no rank window and no per-user array. One shuffle on
+    user_id."""
+    e = load(spark, sf_dir, "events")
+    touch = F.struct("ts", "event_id", "event_type")
+    return (e.groupBy("user_id")
+             .agg(F.min(touch).alias("__f"), F.max(touch).alias("__l"),
+                  F.count("*").cast("bigint").alias("n_events"))
+             .select("user_id",
+                     F.col("__f.event_type").alias("first_touch"),
+                     F.col("__l.event_type").alias("last_touch"),
+                     F.date_format(F.col("__f.ts"), TS_FMT_SPARK)
+                      .alias("first_ts"),
+                     "n_events"))
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_1 ASC, part_2 ASC
+    LIMIT 20
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Top co-occurring part pairs across order baskets (market-basket
+    support counts): distinct (order, part) -> within-order self-join
+    with part_1 < part_2 -> pair counts -> deterministic top-20. The
+    per-order fanout is quadratic in BASKET size, not table size —
+    baskets are bounded by the lines-per-order cap (~7 here), the same
+    boundedness argument as the band join in LSH; for heavy-tailed
+    baskets cap or sample the basket first. The (support, part_1,
+    part_2) order is total, so the limit is reproducible."""
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+              .groupBy(F.col("a.l_partkey").alias("part_1"),
+                       F.col("b.l_partkey").alias("part_2"))
+              .agg(F.count("*").cast("bigint").alias("support")))
+    return (pairs.orderBy(F.col("support").desc(), F.col("part_1").asc(),
+                          F.col("part_2").asc())
+                 .limit(20))
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, g AS term
+        FROM (SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                                         '\\s+', ' ', 'g')), ' ')) AS g
+              FROM documents)
+        WHERE g <> ''
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+    )
+    SELECT doc_id, term, tf, df,
+           round(CAST(tf AS DOUBLE)
+                 * ln((nd + 1) / (CAST(df AS DOUBLE) + 1)), 6) AS tfidf
+    FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df, n.nd,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+        FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+        WHERE t.doc_id < 100
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 keyword terms per document by TF-IDF: corpus-wide
+    document frequencies (one shuffle on term), per-doc term counts
+    riding the same exploded scan, rank by the integer pair
+    (tf DESC, df ASC, term) — a total order on exact integers, so the
+    ranking never depends on floating-point log parity; the tfidf
+    VALUE (tf * ln((N+1)/(df+1)), smoothed) is emitted rounded for
+    reporting. The doc_id < 100 cut bounds the OUTPUT only — tf and
+    df are computed over the whole corpus, as a real keyword extractor
+    must."""
+    d = load(spark, sf_dir, "documents")
+    terms = orel.spread(d, "doc_id").select(
+        "doc_id", F.explode(ft.tokenize(F.col("text"))).alias("term"))
+    tf = (terms.groupBy("doc_id", "term")
+               .agg(F.count("*").cast("bigint").alias("tf")))
+    dfq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    scored = (tf.filter(F.col("doc_id") < 100)
+                .join(dfq, "term")
+                .crossJoin(F.broadcast(nd))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= 3))
+    tfidf = (F.col("tf").cast("double")
+             * F.log((F.col("nd") + 1) / (F.col("df").cast("double") + 1)))
+    return scored.select("doc_id", "term", "tf", "df",
+                         F.round(tfidf, 6).alias("tfidf"))
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+                                          '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
+               AS containment
+    FROM shared
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_containment_ngram(spark, sf_dir):
+    """Subset-duplicate pairs by 5-gram CONTAINMENT (shared /
+    min(|A|,|B|) >= 0.9; operators/dedup.py:ngram_containment_pairs):
+    catches a short document embedded in a longer one, where Jaccard
+    ~ |A|/|B| stays under any dedup threshold. Same inverted-shingle
+    join as dedup_ngram_jaccard; gram keys are xxhash64, count-equal
+    to the oracle's string grams w.h.p. (~2^-64/pair)."""
+    d = load(spark, sf_dir, "documents")
+    return od.ngram_containment_pairs(d, threshold=0.9)
+
+
+@query(
+    "reshape_sliding_windows",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               [g for g in string_split(trim(regexp_replace(lower(text),
+                                        '\\s+', ' ', 'g')), ' ')
+                if g <> ''] AS w
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, win_idx,
+           array_to_string(w[CAST(win_idx * 16 + 1 AS BIGINT)
+                             : CAST(win_idx * 16 + 32 AS BIGINT)], ' ')
+               AS window_text
+    FROM (
+        SELECT doc_id, w,
+               unnest(range(0, CAST((len(w) - 32) // 16 + 1 AS BIGINT)))
+                   AS win_idx
+        FROM t WHERE len(w) >= 32
+    )
+    """,
+)
+def reshape_sliding_windows(spark, sf_dir):
+    """Overlapping token windows (size 32, stride 16) per document —
+    the sliding counterpart to reshape_chunk_tokens' disjoint chunks:
+    the context-window shape attention-training and embedding-indexing
+    pipelines feed on. Pure JVM expression tree (tokenize once via
+    λ-binding, windows as transform(sequence)+posexplode), zero
+    Python, no shuffle — window construction runs at scan speed on
+    100 TB. Only FULL windows are emitted; documents shorter than one
+    window contribute none (short docs are reshape_chunk_tokens'
+    regime)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    W, S = 32, 16
+
+    def build(toks):
+        n_wins = F.floor((F.size(toks) - W) / S) + 1
+        idx = F.when(F.size(toks) >= W,
+                     F.sequence(F.lit(0), (n_wins - 1).cast("int"))
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.struct(
+            i.cast("bigint").alias("win_idx"),
+            F.concat_ws(" ", F.slice(toks, i * S + 1, W))
+             .alias("window_text")))
+
+    wins = ft.bind_once(ft.tokenize(F.col("text")), build)
+    return (d.select("doc_id", F.explode(wins).alias("__w"))
+             .select("doc_id", F.col("__w.win_idx").alias("win_idx"),
+                     F.col("__w.window_text").alias("window_text")))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT click_id, last_view_id FROM (
+      SELECT c.event_id AS click_id, v.event_id AS last_view_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST,
+                                         v.event_id DESC NULLS LAST) AS rn
+      FROM events c
+      LEFT JOIN events v
+        ON v.user_id = c.user_id AND v.event_type = 'view'
+       AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+      WHERE c.event_type = 'click'
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness TOLERANCE (pandas merge_asof's
+    `tolerance`): each click matches the latest preceding view within
+    one hour, else NULL — a stale quote/snapshot must not attribute.
+    The tolerance is also the scale lever the unbounded as-of lacks:
+    it caps the range-join fanout per key at one hour of events and
+    makes the join prunable by time bucket."""
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+              .select(F.col("event_id").alias("view_id"),
+                      F.col("user_id").alias("v_user"),
+                      F.col("ts").alias("v_ts")))
+    j = clicks.join(
+        views,
+        (clicks.user_id == views.v_user) & (views.v_ts <= clicks.ts)
+        & (views.v_ts >= clicks.ts - F.expr("INTERVAL 1 HOUR")), "left")
+    w = Window.partitionBy("click_id").orderBy(
+        F.col("v_ts").desc_nulls_last(), F.col("view_id").desc_nulls_last())
+    return (j.withColumn("__rn", F.row_number().over(w))
+             .filter("__rn = 1")
+             .select("click_id", F.col("view_id").alias("last_view_id")))
+
+
+@query(
+    "dq_uniqueness_orders",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_orderkey
+    ), k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS n_dup_keys,
+               CAST(MAX(c) AS BIGINT) AS max_multiplicity
+        FROM per_key
+    ), r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null_custkey,
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_null_date
+        FROM orders
+    )
+    SELECT n_rows, n_keys, n_dup_keys, max_multiplicity,
+           n_null_custkey, n_null_date
+    FROM r CROSS JOIN k
+    """,
+)
+def dq_uniqueness_orders(spark, sf_dir):
+    """Primary-key uniqueness + required-column null audit for orders
+    (the Deequ-style uniqueness constraint dq_expectations doesn't
+    cover): one grouped pass for key multiplicities reduced to a
+    1-row summary, one conditional-aggregate pass for null counts,
+    joined as two single-row frames. Both passes are map-side partial
+    aggregations; nothing wide ever crosses the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_orderkey").agg(F.count("*").alias("c"))
+    k = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col("c") > 1, 1)).cast("bigint")
+         .alias("n_dup_keys"),
+        F.max("c").cast("bigint").alias("max_multiplicity"))
+    r = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).cast("bigint")
+         .alias("n_null_custkey"),
+        (F.count("*") - F.count("o_orderdate")).cast("bigint")
+         .alias("n_null_date"))
+    return r.crossJoin(k).select(
+        "n_rows", "n_keys", "n_dup_keys", "max_multiplicity",
+        "n_null_custkey", "n_null_date")
