@@ -493,3 +493,61 @@ def test_agg_state_sink_type_batch_yaml(spark, tmp_path):
     state = {r.user_id: (r.n, float(r.total))
              for r in spark.read.parquet(target).collect()}
     assert state == {7: (2, 3.0), 8: (1, 5.0)}
+
+
+def test_agg_state_sink_type_batch_yaml_second_run_adds(spark, tmp_path):
+    """A SECOND batch run of an agg_state YAML pipeline must apply its
+    (new) increments — ADVICE r8: the old fresh-checkpoint wrapper
+    silently dropped every run after the first for touched buckets.
+    manifestDir scopes each run to the files it hasn't consumed, so
+    the additive sink sees only new rows."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "totals-state-incr",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv",
+                                  "manifestDir": str(tmp_path / "m")}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": """
+                SELECT CAST(f[1] AS BIGINT) AS user_id,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4"""}},
+        ],
+        "sink": {"type": "agg_state",
+                 "properties": {"path": target, "keys": "user_id",
+                                "valueColumn": "value",
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+
+    _write(f"{inp}/a.csv", _events_csv([
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 8, "2026-01-01 10:30:00", 5.0),
+    ]))
+    run(spark, cfg)
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (1, 1.0), 8: (1, 5.0)}
+
+    # second run: only the new file's rows (manifest) must ADD
+    _write(f"{inp}/b.csv", _events_csv([
+        (3, 7, "2026-01-01 11:00:00", 10.0),
+    ]))
+    run(spark, cfg)
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (2, 11.0), 8: (1, 5.0)}
+
+    # third run with nothing new: a no-op, not a drop or double-count
+    run(spark, cfg)
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (2, 11.0), 8: (1, 5.0)}
