@@ -333,3 +333,173 @@ def test_read_touched_partition_prunes_on_bucket_col(spark, tmp_path):
     full = {r.user_id: r[_UPSERT_BUCKET_COL]
             for r in spark.read.parquet(target).collect()}
     assert got == {u for u, b in full.items() if b in (0, 1)}
+
+
+def test_archive_plan_excludes_manifest_logs(spark, tmp_path):
+    """With archiveDir AND manifestDir both set, the archive step must
+    not move the manifest's own .log files (that would empty the
+    manifest and re-expose every consumed file)."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.txt").write_text("alpha")
+    manifest = tmp_path / "m"
+    archive = tmp_path / "arch"
+    out = tmp_path / "out"
+
+    def cfg(name):
+        return parse_config({"pipelines": [{
+            "name": name,
+            "source": {"type": "file",
+                       "properties": {"path": str(inp), "pattern": "*.txt",
+                                      "manifestDir": str(manifest),
+                                      "archiveDir": str(archive)}},
+            "transformations": [],
+            "sink": {"type": "file",
+                     "properties": {"path": str(out),
+                                    "extension": ".txt"}},
+        }]}).pipelines[0]
+
+    run(spark, cfg("r1"))
+    logs1 = {f for f in os.listdir(manifest) if f.endswith(".log")}
+    assert logs1, "first run must record its consumed file"
+    assert os.path.isfile(archive / "a.txt")
+
+    # second run: nothing new to consume; the manifest log files must
+    # stay exactly where they are, not be archived as bogus inputs
+    (inp / "b.txt").write_text("beta")
+    run(spark, cfg("r2"))
+    logs2 = {f for f in os.listdir(manifest) if f.endswith(".log")}
+    assert logs1 <= logs2, "manifest logs were moved/deleted"
+    archived = set(os.listdir(archive))
+    assert not any(f.endswith(".log") for f in archived), archived
+
+
+def test_begin_batch_run_torn_and_concurrent_claims(spark, tmp_path):
+    """A torn (empty) intent file is repaired and reclaimed; a
+    concurrent claim that loses the O_EXCL race fails loudly instead
+    of silently sharing the winner's run id (shared id = the loser's
+    increments skipped on every bucket the winner touched)."""
+    from universal_data_connector_spark.streaming import windows as W
+
+    target = str(tmp_path / "t")
+    # fresh claim
+    rid = W.begin_batch_run(target, num_buckets=4)
+    assert rid == 0
+    W.end_batch_run(target)
+
+    # torn claim: intent exists but empty -> repaired with the same id
+    open(os.path.join(target, W._BATCH_INTENT), "w").close()
+    assert W.begin_batch_run(target, num_buckets=4) == 0
+    with open(os.path.join(target, W._BATCH_INTENT)) as fh:
+        assert fh.read().strip() == "0"
+    W.end_batch_run(target)
+
+    # lost race: the file appears between the existence check and the
+    # exclusive create
+    real_isfile = os.path.isfile
+
+    def lying_isfile(p):
+        if p.endswith(W._BATCH_INTENT):
+            open(p, "w").write("7")  # the other runner wins here
+            return False
+        return real_isfile(p)
+
+    os.path.isfile, saved = lying_isfile, os.path.isfile
+    try:
+        with pytest.raises(ValueError, match="another batch run"):
+            W.begin_batch_run(target, num_buckets=4)
+    finally:
+        os.path.isfile = saved
+
+
+def test_engine_defers_agg_state_finalize_past_bookkeeping(
+        spark, tmp_path, monkeypatch):
+    """If consumed-file bookkeeping fails AFTER the agg_state merge,
+    the run intent must survive so the rerun (same unrecorded files)
+    RESUMES the same id and skips — not claim a fresh id and
+    double-apply (code-review finding on sinks/upsert.py)."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+    from universal_data_connector_spark.sources import files as src_files
+    from universal_data_connector_spark.streaming import windows as W
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _ = inp
+    (inp / "a.csv").write_text(
+        "event_id,user_id,ts,value\n1,7,2026-01-01 10:00:00,1.0\n")
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "incr",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv",
+                                  "manifestDir": str(tmp_path / "m")}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": """
+                SELECT CAST(f[1] AS BIGINT) AS user_id,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4"""}},
+        ],
+        "sink": {"type": "agg_state",
+                 "properties": {"path": target, "keys": "user_id",
+                                "valueColumn": "value",
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+
+    real_record = src_files.manifest_record
+    calls = {"n": 0}
+
+    def failing_record(files, mdir, sp=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated bookkeeping failure")
+        return real_record(files, mdir, sp)
+
+    monkeypatch.setattr(src_files, "manifest_record", failing_record)
+    with pytest.raises(OSError, match="simulated"):
+        run(spark, cfg)
+    # merge happened, bookkeeping didn't: intent must still be claimed
+    assert os.path.isfile(os.path.join(target, W._BATCH_INTENT))
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (1, 1.0)}
+
+    # rerun: same (unrecorded) file replays, resumes the same run id,
+    # every bucket skips -> no double-count; bookkeeping now succeeds
+    # and the intent clears
+    run(spark, cfg)
+    state = {r.user_id: (r.n, float(r.total))
+             for r in spark.read.parquet(target).collect()}
+    assert state == {7: (1, 1.0)}
+    assert not os.path.isfile(os.path.join(target, W._BATCH_INTENT))
+
+
+def test_fold_bands_batch_oversized_single_doc():
+    """A single document larger than the chunk cap is column-chunked
+    (bounded memory) and still folds bitwise-identically."""
+    import numpy as np
+
+    from universal_data_connector_spark.operators.dedup import (
+        _fold_bands,
+        _fold_bands_batch,
+        _minhash_coeffs,
+    )
+
+    coeffs = _minhash_coeffs(64)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    rng = np.random.default_rng(11)
+    lists = [rng.integers(-2**62, 2**62, size=5000).tolist(),  # oversized
+             rng.integers(-2**62, 2**62, size=10).tolist(),
+             []]
+    with np.errstate(over="ignore"):
+        ref = np.stack([_fold_bands(l, A, B, 16, 4) for l in lists])
+        got = _fold_bands_batch(lists, A, B, 16, 4, max_chunk_grams=700)
+    assert (ref == got).all()

@@ -185,7 +185,29 @@ def batch_archive_plan(cfg: PipelineConfig, source_df: DataFrame,
     archive_dir = cfg.source.properties.get("archiveDir")
     if not archive_dir:
         return None, [], None
-    return archive_dir, source_df.inputFiles(), cfg.source.properties.get("path")
+    consumed = source_df.inputFiles()
+    manifest_dir = cfg.source.properties.get("manifestDir")
+    if manifest_dir:
+        # with manifestDir ALSO set, the anti-join makes the manifest's
+        # own .log files leaves of source_df's plan — archiving them
+        # would empty the manifest and re-expose every consumed file
+        consumed = [f for f in consumed
+                    if not _under_manifest(f, manifest_dir)]
+    return archive_dir, consumed, cfg.source.properties.get("path")
+
+
+def _under_manifest(path: str, manifest_dir: str) -> bool:
+    """True if ``path`` (any URI spelling) lies under the manifest
+    dir — shared by the archive and manifest consumed-file plans."""
+    import os
+
+    from universal_data_connector_spark.sources.files import (
+        canonical_file_uri,
+    )
+
+    log_root = canonical_file_uri(
+        "file://" + os.path.abspath(manifest_dir)).rstrip("/") + "/"
+    return canonical_file_uri(path).startswith(log_root)
 
 
 def batch_manifest_plan(cfg: PipelineConfig, source_df: DataFrame,
@@ -207,17 +229,8 @@ def batch_manifest_plan(cfg: PipelineConfig, source_df: DataFrame,
     manifest_dir = cfg.source.properties.get("manifestDir")
     if not manifest_dir:
         return None, []
-    from universal_data_connector_spark.sources.files import (
-        canonical_file_uri,
-    )
-
-    import os
-
-    log_root = canonical_file_uri(
-        "file://" + os.path.abspath(manifest_dir)).rstrip("/") + "/"
-    consumed = [
-        f for f in source_df.inputFiles()
-        if not canonical_file_uri(f).startswith(log_root)]
+    consumed = [f for f in source_df.inputFiles()
+                if not _under_manifest(f, manifest_dir)]
     return manifest_dir, consumed
 
 
@@ -324,7 +337,22 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                 cfg, source_df, streaming)
             manifest_dir, manifest_files = batch_manifest_plan(
                 cfg, source_df, streaming)
-            result = create_sink(df, cfg.sink, streaming)
+            sink_cfg = cfg.sink
+            defer_state_finalize = (not streaming
+                                    and sink_cfg.type == "agg_state")
+            if defer_state_finalize:
+                # the additive state sink's run intent must outlive the
+                # consumed-file bookkeeping below: if archive/manifest
+                # recording fails, the rerun re-reads the SAME files and
+                # must RESUME the same run id (skip), not claim a fresh
+                # one (double-apply)
+                from dataclasses import replace
+
+                sink_cfg = replace(
+                    sink_cfg,
+                    properties={**sink_cfg.properties,
+                                "_deferFinalize": "true"})
+            result = create_sink(df, sink_cfg, streaming)
             if archive_dir and consumed:
                 _archive_consumed(consumed, archive_dir, source_root)
             if manifest_dir and manifest_files:
@@ -332,6 +360,11 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                     manifest_record,
                 )
                 manifest_record(manifest_files, manifest_dir, spark)
+            if defer_state_finalize:
+                from universal_data_connector_spark.streaming.windows import (
+                    end_batch_run,
+                )
+                end_batch_run(cfg.sink.properties["path"])
         finally:
             release_frames(pins)
     return result

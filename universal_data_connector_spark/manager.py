@@ -170,7 +170,8 @@ class PipelineManager:
                             from universal_data_connector_spark.sources.files import (  # noqa: E501
                                 manifest_record,
                             )
-                            manifest_record(manifest_files, manifest_dir)
+                            manifest_record(manifest_files, manifest_dir,
+                                            source_df.sparkSession)
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":

@@ -129,33 +129,57 @@ def _fold_bands_batch(gram_lists, A, B, bands: int, r: int,
     per-doc minima fall out of one ``np.minimum.reduceat`` over the
     doc segment offsets — replacing a Python call + a handful of tiny
     numpy ops PER DOCUMENT with one vectorized pass per ~128k-gram
-    chunk (the chunking bounds the matrix at ~128 MB however large the
-    Arrow batch is). Bitwise-identical to mapping `_fold_bands` over
-    the docs. Returns int64[(n_docs, bands)]."""
+    chunk. The chunk cap bounds the matrix at ~128 MB for any Arrow
+    batch AND any single document: a doc larger than the cap is folded
+    alone with its gram array column-chunked (min is associative, so
+    piecewise minima compose exactly). Bitwise-identical to mapping
+    `_fold_bands` over the docs. Returns int64[(n_docs, bands)]."""
     arrs = [np.asarray(lst, dtype=np.int64) for lst in gram_lists]
     sentinel = np.array([_MERSENNE], dtype=np.int64)
     arrs = [a if a.size else sentinel for a in arrs]
     lens = np.array([a.size for a in arrs], dtype=np.int64)
     n = len(arrs)
+    num_hashes = A.shape[0]
     out = np.empty((n, bands), dtype=np.int64)
+
+    def affine(h):
+        M = A * h[None, :]          # (num_hashes, n_grams)
+        M += B
+        M %= _MERSENNE
+        return M
+
+    def fold(sig_cols):
+        """(num_hashes, n_docs) minima -> (n_docs, bands) FNV folds."""
+        band_sig = sig_cols.astype(np.uint64).reshape(
+            bands, r, sig_cols.shape[1])
+        folded = np.full((bands, sig_cols.shape[1]), _FNV_OFF,
+                         dtype=np.uint64)
+        for j in range(r):
+            folded = (folded ^ band_sig[:, j, :]) * _FNV_P
+        return folded.T.astype(np.int64)
+
     start = 0
     while start < n:
+        if lens[start] > max_chunk_grams:
+            # oversized single doc: chunk its grams column-wise and
+            # merge the piecewise affine minima
+            sig = np.full((num_hashes,), _MERSENNE, dtype=np.int64)
+            a = arrs[start]
+            for lo in range(0, a.size, max_chunk_grams):
+                piece = a[lo:lo + max_chunk_grams] % _MERSENNE
+                np.minimum(sig, affine(piece).min(axis=1), out=sig)
+            out[start] = fold(sig[:, None])[0]
+            start += 1
+            continue
         end, total = start, 0
-        while end < n and (end == start or total + lens[end] <= max_chunk_grams):
+        while end < n and total + lens[end] <= max_chunk_grams:
             total += lens[end]
             end += 1
         h = np.concatenate(arrs[start:end]) % _MERSENNE
-        M = A * h[None, :]          # (num_hashes, total_grams)
-        M += B
-        M %= _MERSENNE
         offs = np.zeros(end - start, dtype=np.int64)
         np.cumsum(lens[start:end - 1], out=offs[1:])
-        sig = np.minimum.reduceat(M, offs, axis=1)  # (num_hashes, docs)
-        band_sig = sig.astype(np.uint64).reshape(bands, r, end - start)
-        folded = np.full((bands, end - start), _FNV_OFF, dtype=np.uint64)
-        for j in range(r):
-            folded = (folded ^ band_sig[:, j, :]) * _FNV_P
-        out[start:end] = folded.T.astype(np.int64)
+        sig = np.minimum.reduceat(affine(h), offs, axis=1)
+        out[start:end] = fold(sig)
         start = end
     return out
 

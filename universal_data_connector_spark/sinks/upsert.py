@@ -84,5 +84,12 @@ def agg_state_sink(df: DataFrame, props: dict, streaming: bool = False):
     run_id = begin_batch_run(props["path"], num_buckets=n)
     agg_state_merge(df, run_id, path=props["path"], keys=keys,
                     value_col=value_col, num_buckets=n)
-    end_batch_run(props["path"])
+    # The engine's pipeline runner sets _deferFinalize and clears the
+    # intent itself AFTER its consumed-file bookkeeping (archiveDir /
+    # manifestDir): clearing here would let a crash between the merge
+    # and the bookkeeping rerun the SAME unrecorded files under a
+    # fresh run id — double-applying every increment. Direct callers
+    # (no bookkeeping to wait for) finalize immediately.
+    if not props.get("_deferFinalize"):
+        end_batch_run(props["path"])
     return None

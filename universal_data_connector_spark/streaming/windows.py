@@ -242,11 +242,12 @@ def upsert_merge(batch_df: DataFrame, batch_id: int, *, path: str,
     if not touched:
         return
 
-    live_buckets = [
-        b for b in touched
-        if os.path.isdir(os.path.join(path,
-                                      f"{_UPSERT_BUCKET_COL}={b}"))]
-    if live_buckets:
+    any_live = any(
+        os.path.isdir(os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}"))
+        for b in touched)
+    if any_live:
+        # read the full touched set — nonexistent partitions prune to
+        # nothing, and the union with `latest` needs every touched key
         current = _read_touched(spark, path, touched)
         merged = current.unionByName(latest)
         rank2 = _latest_rank(merged.columns, keys, order_col)
@@ -355,26 +356,53 @@ def begin_batch_run(path: str, num_buckets: int = 32) -> int:
     stream replaying its batch. The rerun must present the same input
     batch, the same contract a stream replay has.
 
-    Do not mix a live checkpointed stream and ad-hoc batch runs on one
-    target: a batch run advances markers past the stream's next batch
-    id, which the markers would then skip (the standard dual-writer
-    hazard; pick one writer per target)."""
+    Single-writer contract: the intent is claimed with O_CREAT|O_EXCL,
+    so of two runs that start CONCURRENTLY one wins and the other
+    fails loudly — without the exclusive claim both would compute the
+    same id and the loser's increments would be silently skipped on
+    every bucket the winner touched. A pre-existing intent at entry is
+    treated as a crashed prior run and resumed (liveness cannot be
+    probed from a marker file); do not start a new batch while a prior
+    one may still be running. Do not mix a live checkpointed stream
+    and ad-hoc batch runs on one target either: a batch run advances
+    markers past the stream's next batch id, which the markers would
+    then skip (the standard dual-writer hazard; one writer per
+    target)."""
     import os
 
     _reject_remote_target(path)
     _upsert_ensure_meta(path, num_buckets)
     intent = os.path.join(path, _BATCH_INTENT)
+
+    def next_id() -> int:
+        return 1 + max(
+            (_bucket_applied_id(os.path.join(path, name))
+             for name in os.listdir(path)
+             if name.startswith(f"{_UPSERT_BUCKET_COL}=")), default=-1)
+
     if os.path.isfile(intent):
         with open(intent) as fh:
-            return int(fh.read().strip())
-    run_id = 1 + max(
-        (_bucket_applied_id(os.path.join(path, name))
-         for name in os.listdir(path)
-         if name.startswith(f"{_UPSERT_BUCKET_COL}=")), default=-1)
-    tmp = intent + ".tmp"
-    with open(tmp, "w") as fh:
+            content = fh.read().strip()
+        if content:
+            return int(content)
+        # torn claim: a prior run crashed between creating the intent
+        # and writing the id — its merge never ran, so the markers are
+        # unchanged and recomputing yields the id it would have used
+        run_id = next_id()
+        with open(intent, "w") as fh:
+            fh.write(str(run_id))
+        return run_id
+    run_id = next_id()
+    try:
+        fd = os.open(intent, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"another batch run holds {intent!r}: concurrent batch "
+            "agg_state runs on one target are unsupported (if a prior "
+            "run crashed, rerun after it has fully stopped — it will "
+            "resume its claimed id)") from None
+    with os.fdopen(fd, "w") as fh:
         fh.write(str(run_id))
-    os.rename(tmp, intent)
     return run_id
 
 
