@@ -37,7 +37,9 @@ def model_int(s: str | None) -> int | None:
     if f is None:
         return None
     i = int(f)  # truncation toward zero, like Double.intValue on in-range
-    return i if INT_MIN <= i <= INT_MAX else None
+    # out-of-range saturates, like Java's narrowing Double.intValue()
+    # (the reference's fallback path) — not NULL
+    return min(max(i, INT_MIN), INT_MAX)
 
 
 def model_currency_double(s: str | None) -> float | None:

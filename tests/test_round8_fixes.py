@@ -503,3 +503,151 @@ def test_fold_bands_batch_oversized_single_doc():
         ref = np.stack([_fold_bands(l, A, B, 16, 4) for l in lists])
         got = _fold_bands_batch(lists, A, B, 16, 4, max_chunk_grams=700)
     assert (ref == got).all()
+
+
+def test_lenient_casts_saturate(spark):
+    """Out-of-range numerics saturate (Java narrowing intValue/
+    longValue, the reference's fallback), never silently null->0."""
+    from universal_data_connector_spark.functions import casts as fc
+
+    df = spark.createDataFrame(
+        [("3000000000",), ("-3000000000",), ("NaN",), ("42.7",),
+         ("junk",), ("1e300",)], "s string")
+    got = [(r.i, r.l) for r in df.select(
+        fc.lenient_int(F.col("s")).alias("i"),
+        fc.lenient_long(F.col("s")).alias("l")).collect()]
+    assert got == [
+        (2147483647, 3000000000),
+        (-2147483648, -3000000000),
+        (0, 0),
+        (42, 42),
+        (None, None),
+        (2147483647, 9223372036854775807),
+    ]
+
+
+def test_streaming_parquet_file_sink_works(spark, tmp_path):
+    """The streaming parquet file sink must start and write (review:
+    .write was evaluated on the streaming frame before the branch,
+    raising CALL_ON_STREAMING_DATASET_UNSUPPORTED — the path was
+    dead)."""
+    from universal_data_connector_spark.sinks.files import file_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n')
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema("k bigint, v string")
+              .json(str(src)))
+    q = file_sink(stream, {"path": out, "format": "parquet",
+                           "checkpointLocation": str(tmp_path / "ck")},
+                  streaming=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "x"), (2, "y")}
+
+
+def test_file_sink_binary_content_roundtrip(spark, tmp_path):
+    """A directory source's BINARY content writes byte-for-byte (no
+    text-mode crash, no forced trailing newline)."""
+    from universal_data_connector_spark.sinks.files import _write_file_mode
+
+    payload = bytes([0, 155, 10, 255, 13]) * 3
+    df = spark.createDataFrame(
+        [("blob.bin", bytearray(payload))],
+        "source_file string, content binary")
+    out = tmp_path / "out"
+    _write_file_mode(df, str(out), extension="")
+    assert (out / "blob.bin").read_bytes() == payload
+
+
+def test_as_of_join_keeps_duplicate_left_rows(spark):
+    """Two left rows sharing (key, ts) but differing in payload must
+    BOTH survive with their own match (review: the window partitioned
+    on (key, ts) and collapsed them to one row)."""
+    from universal_data_connector_spark.operators.relational import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "A"), (1, 10, "B"), (1, 20, "C")],
+        "k bigint, lts bigint, payload string")
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 15, "r15")],
+        "k bigint, rts bigint, rval string")
+    out = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     tiebreakers=["rval"])
+    got = sorted((r.payload, r.rval) for r in out.collect())
+    assert got == [("A", "r5"), ("B", "r5"), ("C", "r15")]
+
+
+def test_salted_join_rejects_other_side_outer(spark):
+    """Right/full outer would emit salt-1 null-extended phantom copies
+    per other-side row — rejected loudly."""
+    from universal_data_connector_spark.operators.relational import (
+        salted_join,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, "y")], "k bigint, w string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(a, b, ["k"], how)
+    # the supported shapes still work
+    assert salted_join(a, b, ["k"], "left", salt=4).count() == 1
+
+
+def test_s3_sink_rejects_nonparquet_schema_filemode(spark):
+    """schema/format binding of file-mode blobs to a non-parquet
+    format would fall into file_sink's os.makedirs passthrough and
+    write to a LOCAL './s3a:...' dir — rejected up front."""
+    from universal_data_connector_spark.sinks.files import s3_sink
+
+    df = spark.createDataFrame(
+        [("f.csv", "CSV", "a,b\n1,2\n")],
+        "source_file string, file_type string, content string")
+    with pytest.raises(ValueError, match="parquet"):
+        s3_sink(df, {"bucketName": "b", "format": "csv",
+                     "schema": '{"type":"record","name":"r","fields":[]}'})
+    assert not os.path.isdir("s3a:")
+
+
+def test_manager_job_names_unique_same_millisecond(spark, tmp_path):
+    """Two submissions in the same millisecond must get distinct job
+    names (collision silently orphaned the first job and shared its
+    Spark job group)."""
+    import time as time_mod
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.manager import PipelineManager
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.txt").write_text("hello")
+    mgr = PipelineManager(spark)
+
+    def cfg(i):
+        return parse_config({"pipelines": [{
+            "name": "same-name",
+            "source": {"type": "file",
+                       "properties": {"path": str(inp),
+                                      "pattern": "*.txt"}},
+            "transformations": [],
+            "sink": {"type": "memory",
+                     "properties": {"table": f"mgr_dup_{i}"}},
+        }]}).pipelines[0]
+
+    frozen = time_mod.time()
+    orig = time_mod.time
+    time_mod.time = lambda: frozen
+    try:
+        n1 = mgr.start_pipeline(cfg(1))
+        n2 = mgr.start_pipeline(cfg(2))
+    finally:
+        time_mod.time = orig
+    assert n1 != n2
+    assert mgr.wait(timeout=60)
+    assert {j["name"] for j in mgr.jobs()} == {n1, n2}

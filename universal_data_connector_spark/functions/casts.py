@@ -34,20 +34,37 @@ def _clean_numeric(col: Column) -> Column:
 def lenient_int(col: Column) -> Column:
     """Integer.parseInt, falling back to Double.parseDouble().intValue().
 
-    ``"42" -> 42``, ``"42.7" -> 42`` (truncate toward zero), junk -> NULL.
-    """
-    return F.trim(col).try_cast("double").try_cast("int")
+    ``"42" -> 42``, ``"42.7" -> 42`` (truncate toward zero), junk ->
+    NULL. Out-of-range values SATURATE like Java's narrowing
+    ``Double.intValue()`` (``"3000000000" -> 2147483647``, ``"NaN" ->
+    0``) — ``try_cast('int')`` would instead null them to the per-type
+    default 0, a silent divergence from the reference's Parquet sink
+    (``ParquetSinkContext.java:402-408``)."""
+    d = F.trim(col).try_cast("double")
+    return (F.when(F.isnan(d), F.lit(0))
+             .when(d > 2147483647, F.lit(2147483647))
+             .when(d < -2147483648, F.lit(-2147483648))
+             .otherwise(d.cast("int")))
 
 
 def lenient_long(col: Column) -> Column:
     """Long.parseLong first (exact for the full 64-bit range — routing
     everything through double would lose integers above 2^53), then the
-    Double.parseDouble().longValue() fallback for decimal strings.
-    Remaining documented divergence from the reference: decimal strings
-    ("42.7") are accepted via the fallback where Long.parseLong would
-    reject the whole value, matching lenient_int's truncate behavior."""
+    Double.parseDouble().longValue() fallback for decimal strings,
+    saturating out-of-range doubles like Java's narrowing
+    ``longValue()`` (NaN -> 0). Remaining documented divergence from
+    the reference: decimal strings ("42.7") are accepted via the
+    fallback where Long.parseLong would reject the whole value,
+    matching lenient_int's truncate behavior."""
     t = F.trim(col)
-    return F.coalesce(t.try_cast("bigint"), t.try_cast("double").try_cast("bigint"))
+    d = t.try_cast("double")
+    fallback = (F.when(F.isnan(d), F.lit(0).cast("bigint"))
+                 .when(d >= F.lit(float(2 ** 63)),
+                       F.lit(2 ** 63 - 1).cast("bigint"))
+                 .when(d <= F.lit(-float(2 ** 63)),
+                       F.lit(-(2 ** 63)).cast("bigint"))
+                 .otherwise(d.try_cast("bigint")))
+    return F.coalesce(t.try_cast("bigint"), fallback)
 
 
 def lenient_double(col: Column) -> Column:

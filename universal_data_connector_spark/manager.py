@@ -63,9 +63,25 @@ class Job:
         if self.kind == "streaming" and self.query is not None:
             if self.query.isActive:
                 return "RUNNING"
+            # the stream reached a terminal state on its own (failure /
+            # source exhaustion): its build pins have no consumer left
+            self.release_pins()
             return "FAILED" if self.query.exception() else "COMPLETED"
         with self._lock:
             return self._state
+
+    def release_pins(self) -> None:
+        """Free this job's DISK_ONLY build pins exactly once
+        (idempotent, thread-safe) — called from every terminal path:
+        worker finish, stop(), and terminal-status observation of a
+        self-terminated stream."""
+        with self._lock:
+            pins, self.pins = self.pins, []
+        if pins:
+            from universal_data_connector_spark.operators.relational import (
+                release_frames,
+            )
+            release_frames(pins)
 
     def _finish(self, state: str, error: str | None = None) -> None:
         """Transition to a terminal state exactly once: a stop() that
@@ -91,6 +107,7 @@ class PipelineManager:
         self.spark = spark
         self._jobs: dict[str, Job] = {}
         self._lock = threading.Lock()
+        self._last_ms = 0
 
     # -- start ----------------------------------------------------------
 
@@ -108,7 +125,14 @@ class PipelineManager:
                        streaming: bool | None = None) -> str:
         if streaming is None:
             streaming = _wants_streaming(cfg)
-        job_name = f"{cfg.name}-{int(time.time() * 1000)}"
+        # monotonic submission stamp: two submissions of one pipeline
+        # in the same millisecond would otherwise collide on the job
+        # name, silently orphaning the first job's handle AND sharing
+        # one Spark job group (stop() would cancel both)
+        with self._lock:
+            submit_ms = max(int(time.time() * 1000), self._last_ms + 1)
+            self._last_ms = submit_ms
+        job_name = f"{cfg.name}-{submit_ms}"
         # Build the lineage synchronously: config/connector errors
         # surface at submission (the reference's per-pipeline try/catch
         # boundary, PipelineManager.java:44-50); execution is deferred.
@@ -120,27 +144,36 @@ class PipelineManager:
         with pin_scope() as build_pins:
             source_df, df = engine.build_parts(self.spark, cfg,
                                                streaming=streaming)
-        if streaming:
-            from universal_data_connector_spark.sinks import create_sink
-            query = create_sink(df, cfg.sink, streaming=True)
-            job = Job(job_name, cfg.name, int(time.time() * 1000),
-                      "streaming", query=query, pins=build_pins)
-        else:
-            job = Job(job_name, cfg.name, int(time.time() * 1000), "batch",
-                      pins=build_pins)
-            # Managed pipelines honor archiveDir exactly like direct
-            # engine.run callers (same helper, same move-after-sink
-            # ordering); the plan is captured here, at submission, from
-            # the SOURCE frame — not the transformed plan.
-            archive_dir, consumed, source_root = engine.batch_archive_plan(
-                cfg, source_df, streaming)
-            manifest_dir, manifest_files = engine.batch_manifest_plan(
-                cfg, source_df, streaming)
+        # Anything that raises between here and job registration must
+        # free the build's DISK_ONLY pins — an unregistered job has no
+        # terminal state and no stop() to release them, and stale
+        # cached plans would silently substitute into later builds.
+        try:
+            if streaming:
+                from universal_data_connector_spark.sinks import create_sink
+                query = create_sink(df, cfg.sink, streaming=True)
+                job = Job(job_name, cfg.name, submit_ms,
+                          "streaming", query=query, pins=build_pins)
+            else:
+                job = Job(job_name, cfg.name, submit_ms, "batch",
+                          pins=build_pins)
+                # Managed pipelines honor archiveDir exactly like direct
+                # engine.run callers (same helper, same move-after-sink
+                # ordering); the plan is captured here, at submission,
+                # from the SOURCE frame — not the transformed plan.
+                archive_dir, consumed, source_root = engine.batch_archive_plan(
+                    cfg, source_df, streaming)
+                manifest_dir, manifest_files = engine.batch_manifest_plan(
+                    cfg, source_df, streaming)
+        except BaseException:
+            from universal_data_connector_spark.operators.relational import (
+                release_frames,
+            )
+            release_frames(build_pins)
+            raise
+        if not streaming:
 
             def target() -> None:
-                from universal_data_connector_spark.operators.relational import (  # noqa: E501
-                    release_frames,
-                )
                 from universal_data_connector_spark.sinks import create_sink
                 try:
                     # Tag every Spark job this pipeline submits with its
@@ -182,7 +215,7 @@ class PipelineManager:
                     # terminal state (completed / failed / cancelled):
                     # free exactly this job's pinned intermediates (the
                     # build ran under pin_scope)
-                    release_frames(job.pins)
+                    job.release_pins()
                 # No clearJobGroup needed: the group is local to this
                 # dedicated worker thread (pinned-thread mode) and the
                 # thread ends with the pipeline.
@@ -197,16 +230,14 @@ class PipelineManager:
     # -- stop -----------------------------------------------------------
 
     def stop(self, job_name: str) -> bool:
-        job = self._jobs.get(job_name)
+        with self._lock:
+            job = self._jobs.get(job_name)
         if job is None:
             return False
         if job.query is not None:
             job.query.stop()
             # the stream is down: its build-time pins have no consumer
-            from universal_data_connector_spark.operators.relational import (
-                release_frames,
-            )
-            release_frames(job.pins)
+            job.release_pins()
         elif job.thread is not None and job.thread.is_alive():
             # Cancel only this pipeline's Spark jobs — other running
             # pipelines keep their isolation (the worker thread tagged
@@ -226,36 +257,48 @@ class PipelineManager:
 
     def stop_all(self) -> int:
         n = 0
-        for name in list(self._jobs):
-            if self._jobs[name].is_running and self.stop(name):
+        with self._lock:
+            names = list(self._jobs)
+        for name in names:
+            job = self._jobs.get(name)
+            if job is not None and job.is_running and self.stop(name):
                 n += 1
         return n
 
     # -- introspection ---------------------------------------------------
 
+    def _snapshot(self) -> list[Job]:
+        """Copy under the lock: the ThreadingHTTPServer serves these
+        from handler threads while start_pipeline mutates the dict —
+        unlocked iteration raises 'dictionary changed size during
+        iteration' on a concurrent insert."""
+        with self._lock:
+            return list(self._jobs.values())
+
     def status(self) -> dict:
-        running = sum(1 for j in self._jobs.values() if j.is_running)
+        running = sum(1 for j in self._snapshot() if j.is_running)
         return {"runningCount": running, "hasRunningPipelines": running > 0}
 
     def jobs(self) -> list[dict]:
-        return [j.info() for j in self._jobs.values()]
+        return [j.info() for j in self._snapshot()]
 
     def is_running(self, job_name: str) -> bool:
-        job = self._jobs.get(job_name)
+        with self._lock:
+            job = self._jobs.get(job_name)
         return job is not None and job.is_running
 
     def count(self) -> int:
-        return sum(1 for j in self._jobs.values() if j.is_running)
+        return sum(1 for j in self._snapshot() if j.is_running)
 
     def wait(self, timeout: float | None = None) -> bool:
         """Wait for all batch jobs to reach a terminal state (test /
         --once helper). Returns True if everything finished."""
         deadline = None if timeout is None else time.time() + timeout
-        for job in list(self._jobs.values()):
+        for job in self._snapshot():
             if job.thread is not None:
                 remaining = None if deadline is None else max(0.0, deadline - time.time())
                 job.thread.join(remaining)
-        return all(not j.is_running for j in self._jobs.values()
+        return all(not j.is_running for j in self._snapshot()
                    if j.kind == "batch")
 
 

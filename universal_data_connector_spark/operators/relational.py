@@ -268,8 +268,15 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     same direction as the timestamp) make the winner deterministic when
     several right rows share (key, right_ts); pass a unique right-side
     id for a fully deterministic result.
+
+    Each LEFT row keeps its own match: the argmax window partitions on
+    a synthetic per-row id, so two distinct left rows sharing
+    (key, left_ts) both survive with their payloads (partitioning on
+    (key, ts) alone silently collapsed such duplicates to one output
+    row — r8 review fix).
     """
     backward = direction == "backward"
+    left = left.withColumn("__asof_lid", F.monotonically_increasing_id())
     cmp = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") if backward \
         else F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}")
     j = (left.alias("__l").join(right.alias("__r"),
@@ -278,8 +285,9 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     keys = [right_ts] + list(tiebreakers or [])
     order = [F.col(f"__r.{k}").desc_nulls_last() if backward
              else F.col(f"__r.{k}").asc_nulls_last() for k in keys]
-    w = Window.partitionBy(f"__l.{on}", f"__l.{left_ts}").orderBy(*order)
-    return j.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    w = Window.partitionBy("__l.__asof_lid").orderBy(*order)
+    return (j.withColumn("__rn", F.row_number().over(w))
+             .filter("__rn = 1").drop("__rn", "__asof_lid"))
 
 
 def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
@@ -296,7 +304,22 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
     is replicated `salt` times, fanning each hot key's rows across
     `salt` tasks. Replication costs `salt` x |other|: use for
     fact x dimension shapes, keep `salt` modest.
+
+    Only skewed-side-preserving join types are accepted: the OTHER
+    side is replicated `salt` times, so right/full outer joins would
+    emit salt-1 null-extended phantom copies per unmatched (or
+    partially matched) other-side row — rejected up front rather than
+    silently wrong (r8 review fix).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if str(how).lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the non-skewed "
+            "side is replicated per salt value, so right/full outer "
+            "joins would emit duplicate null-extended rows; use AQE "
+            "skew handling or reverse the sides for those")
     skewed_cols = [c for c in skewed.columns]
     s = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed_cols]),

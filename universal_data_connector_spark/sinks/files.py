@@ -52,16 +52,26 @@ def _swap_extension(filename: str, extension: str) -> str:
 
 
 def _write_file_mode(df: DataFrame, out_dir: str, extension: str) -> None:
-    """One output file per source file, written from executors."""
+    """One output file per source file, written from executors.
+
+    Text content gets the reference's trailing newline
+    (``FileSinkContext.java``); BINARY content (a directory source's
+    bytes) is written byte-for-byte — text-mode write would raise on
+    bytes and a forced newline would corrupt the payload."""
     os.makedirs(out_dir, exist_ok=True)
     rows = df.select("source_file", "content")
 
     def write_partition(it):
         for row in it:
             name = _swap_extension(row.source_file, extension)
+            body = row.content
+            if isinstance(body, (bytes, bytearray)):
+                with open(os.path.join(out_dir, name), "wb") as f:
+                    f.write(body)
+                continue
             with open(os.path.join(out_dir, name), "w") as f:
-                f.write(row.content)
-                if not row.content.endswith("\n"):
+                f.write(body)
+                if not body.endswith("\n"):
                     f.write("\n")  # reference writes content + newline
 
     rows.foreachPartition(write_partition)
@@ -138,23 +148,39 @@ def file_sink(df: DataFrame, props: dict, streaming: bool = False):
             _write_parquet_per_source(records, out_dir)
             return None
         records = _to_schema_records(df, props) if props.get("schema") else df
+        if streaming:
+            # NOTE: branch before ANY .write access — touching .write
+            # on a streaming frame raises immediately
+            # (CALL_ON_STREAMING_DATASET_UNSUPPORTED), which made this
+            # whole path dead until round 8's fix
+            swriter = (records.writeStream
+                       .format("parquet")
+                       .option("path", out_dir)
+                       .option("checkpointLocation", props.get(
+                           "checkpointLocation",
+                           out_dir.rstrip("/") + "_checkpoint")))
+            if props.get("partitionBy"):
+                swriter = swriter.partitionBy(*props["partitionBy"])
+            return swriter.start()
         writer = records.write.mode(props.get("mode", "append"))
         if props.get("partitionBy"):
             writer = writer.partitionBy(*props["partitionBy"])
-        if streaming:
-            return (records.writeStream
-                    .format("parquet")
-                    .option("path", out_dir)
-                    .option("checkpointLocation", props.get(
-                        "checkpointLocation", out_dir.rstrip("/") + "_checkpoint"))
-                    .start())
         writer.parquet(out_dir)
         return None
 
     if fmt == "csv" and "content" not in df.columns:
         # record-mode CSV directory output
+        header = str(props.get("includeHeaders", True)).lower()
+        if streaming:
+            return (df.writeStream.format("csv")
+                    .option("path", out_dir)
+                    .option("header", header)
+                    .option("checkpointLocation", props.get(
+                        "checkpointLocation",
+                        out_dir.rstrip("/") + "_checkpoint"))
+                    .start())
         writer = (df.write.mode(props.get("mode", "append"))
-                  .option("header", str(props.get("includeHeaders", True)).lower()))
+                  .option("header", header))
         writer.csv(out_dir)
         return None
 
@@ -235,7 +261,7 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
         hconf.set("fs.s3a.secret.key", props["secretKey"])
     if props.get("endpoint"):
         hconf.set("fs.s3a.endpoint", props["endpoint"])
-    path = f"s3a://{props['bucketName']}/{props.get('prefix', '')}"
+    path = f"s3a://{props['bucketName']}/{props.get('prefix') or ''}"
     raw_passthrough = (str(props.get("format", "")).lower() != "parquet"
                        and not props.get("schema")
                        and "content" in df.columns)
@@ -257,7 +283,20 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
         _hadoop_write_objects(df, path)
         return None
     # typed output (parquet / schema-bound): Spark's own writers speak
-    # s3a natively — delegate with the s3a URI as the sink path
+    # s3a natively — delegate with the s3a URI as the sink path. ONLY
+    # delegate combinations whose file_sink branch actually uses
+    # Spark writers: the text/CSV-blob passthrough branch writes with
+    # os.makedirs/open, which would create a LOCAL directory literally
+    # named "s3a:" and silently strand the data — reject those up
+    # front instead.
+    delegated_fmt = str(props.get("format", "")).lower()
+    if delegated_fmt != "parquet" and "content" in df.columns:
+        raise ValueError(
+            "s3 sink: schema/format binding for file-mode content is "
+            "only supported with format 'parquet' (Spark's parquet "
+            "writer speaks s3a natively); for raw object passthrough "
+            "drop 'schema'/'format', or convert blobs with a "
+            "transformation first")
     sub = dict(props)
     sub["path"] = path
     # reference S3 keys keep the original filename — no extension swap
@@ -271,7 +310,7 @@ def _s3_put_objects_boto3(df: DataFrame, props: dict) -> None:
     ContentLength implicit (``S3SinkContext.java:85-97``). Credentials/
     endpoint come from props or the default provider chain."""
     bucket = props["bucketName"]
-    prefix = props.get("prefix", "").strip("/")
+    prefix = (props.get("prefix") or "").strip("/")
     client_kwargs = {}
     if props.get("accessKey"):
         client_kwargs["aws_access_key_id"] = props["accessKey"]
