@@ -651,3 +651,124 @@ def test_manager_job_names_unique_same_millisecond(spark, tmp_path):
     assert n1 != n2
     assert mgr.wait(timeout=60)
     assert {j["name"] for j in mgr.jobs()} == {n1, n2}
+
+
+def test_column_filter_streaming_legal(spark, tmp_path):
+    """The file-mode CSV column filter is now a row-local projection,
+    so it runs under Structured Streaming (review: the old distinct +
+    left-semi self-join raised 'stream-stream LeftSemi ... not
+    supported' at query start) — both granularities."""
+    from universal_data_connector_spark.engine import _filter_transform
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "id,status,assignee\n1,important,alice\n2,normal,bob\n")
+    (src / "b.csv").write_text("id,status\n9,normal\n")
+
+    from universal_data_connector_spark.sources.files import file_source
+
+    for gran, want in (("file", {("a.csv", 2)}),
+                       ("row", {("a.csv", 1)})):
+        raw = file_source(spark, {"path": str(src), "pattern": "*.csv"},
+                          streaming=True)
+        out = _filter_transform(raw, {"column": "status",
+                                      "condition": "important",
+                                      "granularity": gran})
+        q = (out.writeStream.format("memory")
+             .queryName(f"filt_{gran}")
+             .option("checkpointLocation", str(tmp_path / f"ck_{gran}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql(f"SELECT * FROM filt_{gran}").collect()
+        got = {(os.path.basename(r.source_file),
+                len([l for l in r.content.split("\n")[1:] if l.strip()]))
+               for r in rows}
+        assert got == want, f"granularity={gran}: {got}"
+
+
+def test_column_filter_batch_semantics_unchanged(spark):
+    """Row-local rewrite keeps the batch semantics: whole-file keep on
+    any matching row; row granularity rebuilds header + matching lines
+    in order; short rows and missing columns never match."""
+    from universal_data_connector_spark.engine import _filter_transform
+
+    df = spark.createDataFrame(
+        [("x.csv", "CSV", "id,status\n1,important\n2,normal\n3,important extra\nshort\n"),
+         ("y.csv", "CSV", "id,status\n7,normal\n"),
+         ("z.csv", "CSV", "id,other\n1,important\n"),  # no status column
+         ("t.txt", "TEXT", "very important note")],
+        "source_file string, file_type string, content string")
+    kept = _filter_transform(df, {"column": "status",
+                                  "condition": "important"})
+    assert {r.source_file for r in kept.collect()} == {"x.csv", "t.txt"}
+
+    rows = _filter_transform(df, {"column": "status",
+                                  "condition": "important",
+                                  "granularity": "row"})
+    got = {r.source_file: r.content for r in rows.collect()}
+    assert set(got) == {"x.csv", "t.txt"}
+    assert got["x.csv"] == "id,status\n1,important\n3,important extra"
+
+
+def test_explode_csv_rows_duplicate_headers_bind_first(spark):
+    """Duplicate header names (after lower/trim) bind to the first
+    occurrence instead of crashing the batch with DUPLICATED_MAP_KEY."""
+    from universal_data_connector_spark.sources.records import (
+        explode_csv_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("d.csv", "CSV", "id,ID,name\n1,2,alice\n")],
+        "source_file string, file_type string, content string")
+    rows = explode_csv_rows(df).collect()
+    assert len(rows) == 1
+    fields = rows[0]["__fields"]
+    assert fields["id"] == "1"      # first occurrence wins
+    assert fields["name"] == "alice"
+
+
+def test_sql_transform_unique_view_no_leftovers(spark):
+    """The sql transform registers a unique per-call view (no fixed
+    '_input' shared across concurrent builds) and drops it after."""
+    from universal_data_connector_spark.engine import _sql_transform
+
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    out = _sql_transform(df, {"query": "SELECT SUM(x) AS s FROM _input"})
+    assert out.collect()[0].s == 3
+    leftover = [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("_input")]
+    assert leftover == [], leftover
+
+
+def test_map_transform_none_and_case_insensitive(spark):
+    from universal_data_connector_spark.engine import _map_transform
+
+    df = spark.createDataFrame([("a", "b")], "Status string, other string")
+    # None column -> default target (first column), no crash
+    out = _map_transform(df, {"column": None, "prefix": "P-"})
+    assert out.collect()[0].Status == "P-a"
+    # case-insensitive resolution
+    out = _map_transform(df, {"column": "status", "suffix": "-S"})
+    assert out.collect()[0].Status == "a-S"
+    # unknown column -> warn + passthrough, not an analysis error
+    out = _map_transform(df, {"column": "nope", "prefix": "x"})
+    assert out.collect()[0].Status == "a"
+
+
+def test_directory_source_preserve_structure_scheme_path(spark, tmp_path):
+    """preserveStructure must survive a scheme-qualified configured
+    path (review: 'file:///x' never matched Spark's 'file:/x' spelling
+    and silently degraded every file to its basename)."""
+    from universal_data_connector_spark.sources.files import (
+        directory_source,
+    )
+
+    root = tmp_path / "data"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "x.bin").write_bytes(b"\x01")
+    (root / "y.bin").write_bytes(b"\x02")
+    df = directory_source(spark, {"path": f"file://{root}",
+                                  "preserveStructure": "true"})
+    names = {r.source_file for r in df.collect()}
+    assert names == {"sub/x.bin", "y.bin"}, names

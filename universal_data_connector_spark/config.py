@@ -133,12 +133,14 @@ def avro_schema_to_struct(schema_json: str) -> T.StructType:
     fields = []
     for f in schema["fields"]:
         avro_type = f["type"]
-        nullable = False
         if isinstance(avro_type, list):  # union: first non-null branch wins
-            nullable = "null" in avro_type
             avro_type = next((t for t in avro_type if t != "null"), "string")
         if not isinstance(avro_type, str) or avro_type not in _AVRO_TO_SPARK:
             raise ValueError(f"unsupported Avro type {avro_type!r} for field {f['name']!r}; "
                              f"supported: {sorted(_AVRO_TO_SPARK)}")
+        # deliberately nullable=True regardless of the Avro union: the
+        # lenient-cast pipeline flows NULLs (unparseable values) into
+        # these fields before with_default closes the null channel, so
+        # a non-nullable StructField would be a lie at that stage
         fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[avro_type], nullable=True))
     return T.StructType(fields)

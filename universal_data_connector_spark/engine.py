@@ -35,7 +35,6 @@ from pyspark.sql.window import Window
 from universal_data_connector_spark.config import PipelineConfig, TransformationConfig
 from universal_data_connector_spark.sinks import create_sink
 from universal_data_connector_spark.sources import create_source
-from universal_data_connector_spark.sources.records import explode_csv_rows, field_value
 
 log = logging.getLogger(__name__)
 
@@ -75,33 +74,53 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
     # For CSV: does any data row's trimmed value in `column` contain
     # `condition`? Missing column / empty file -> no match -> drop,
     # same as the reference's error->drop path (:84-87).
+    #
+    # A file-mode ROW is a whole file, so both granularities are
+    # ROW-LOCAL array expressions over the content string — no
+    # explode, no distinct, no join. That keeps the filter a pure
+    # projection at any scale AND makes it streaming-legal (the old
+    # distinct + left-semi self-join raised 'stream-stream LeftSemi
+    # ... not supported' the moment a streaming pipeline used a column
+    # filter). Duplicate header names bind to their FIRST occurrence
+    # (array_position), where a map build would throw DUPLICATED_MAP_KEY.
+    from universal_data_connector_spark.sources.records import csv_fields
+
     is_csv = F.col("file_type") == "CSV"
     non_csv_kept = df.filter(~is_csv).filter(
         F.col("content").cast("string").contains(condition))
-    rows = (explode_csv_rows(df.filter(is_csv))
-            .filter(F.trim(field_value(None, column)).contains(condition)))
+
+    lines = F.split(F.col("content").cast("string"), "\r?\n")
+    header = F.transform(csv_fields(F.element_at(lines, 1)),
+                         lambda h: F.lower(F.trim(h)))
+    data = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+    idx = F.array_position(header, F.lit(column.strip().lower()))
+
+    def row_match(line):
+        # same per-row rules as explode_csv_rows: blank lines and
+        # short rows (fewer fields than the header) never match
+        fields = csv_fields(line)
+        value_hit = F.when(
+            idx > 0,
+            F.trim(F.element_at(fields, idx.cast("int")))
+             .contains(condition)).otherwise(F.lit(False))
+        return ((F.length(F.trim(line)) > 0)
+                & (F.size(fields) >= F.size(header))
+                & value_hit)
+
     if str(props.get("granularity", "file")).lower() == "file":
         # whole-file keep/drop: reference-faithful default in file-mode
-        matches = rows.select("source_file").distinct()
-        kept_csv = df.filter(is_csv).join(F.broadcast(matches),
-                                          "source_file", "left_semi")
+        kept_csv = df.filter(is_csv).filter(F.exists(data, row_match))
         return kept_csv.unionByName(non_csv_kept)
     # granularity: row — keep only matching data rows, rebuilding each
-    # file's content as header + matching lines in original order (the
-    # scalable upgrade of SURVEY.md §7.4.1, expressed as one grouped
-    # array_sort/array_join — no driver loops).
-    kept = (rows.groupBy("source_file")
-                .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("__line_no", "__line"))),
-                        lambda s: s["__line"]),
-                    "\n").alias("__body")))
-    hdr = df.filter(is_csv).select(
-        "source_file", "file_type",
-        F.substring_index(F.col("content"), "\n", 1).alias("__hdr"))
-    rebuilt = (hdr.join(kept, "source_file")
-                  .select("source_file", "file_type",
-                          F.concat_ws("\n", F.col("__hdr"), F.col("__body")).alias("content")))
+    # file's content as header + matching lines in original order
+    # (SURVEY.md §7.4.1), all inside one projection.
+    kept_lines = F.filter(data, row_match)
+    rebuilt = (df.filter(is_csv)
+                 .filter(F.size(kept_lines) > 0)
+                 .select("source_file", "file_type",
+                         F.concat_ws("\n", F.element_at(lines, 1),
+                                     F.array_join(kept_lines, "\n"))
+                          .alias("content")))
     return rebuilt.unionByName(
         non_csv_kept.select("source_file", "file_type", "content"))
 
@@ -111,16 +130,40 @@ def _map_transform(df: DataFrame, props: dict) -> DataFrame:
         return df  # identity (PipelineBuilder.java:111-114)
     prefix = str(props.get("prefix", ""))
     suffix = str(props.get("suffix", ""))
-    target = props.get("column", "content" if "content" in df.columns else df.columns[0])
+    # None-safe + case-insensitive column resolution, matching
+    # _filter_transform (a YAML 'column:' with no value is None, and
+    # record-mode sources lower-case their names)
+    column = (props.get("column") or "").strip()
+    default = "content" if "content" in df.columns else df.columns[0]
+    target = next((c for c in df.columns
+                   if c.lower() == column.lower()), None) if column else default
+    if target is None:
+        log.warning("map column %r not found in %s — passing through "
+                    "unchanged", column, df.columns)
+        return df
     return df.withColumn(
         target, F.concat(F.lit(prefix), F.col(target).cast("string"), F.lit(suffix)))
 
 
 def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
     """Full SQL over the in-flight frame; the frame is visible as
-    ``_input`` (extended surface — F.expr/spark.sql is free)."""
-    df.createOrReplaceTempView("_input")
-    return df.sparkSession.sql(props["query"])
+    ``_input``.
+
+    The registered view name is UNIQUE per call and ``_input`` in the
+    query is rewritten to it: a fixed session-global name raced across
+    the manager's concurrent pipeline builds (thread B's
+    createOrReplaceTempView landing between thread A's registration
+    and A's spark.sql() made A silently read B's frame)."""
+    import re
+    import uuid
+
+    view = f"_input_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    try:
+        query = re.sub(r"\b_input\b", view, props["query"])
+        return df.sparkSession.sql(query)
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
 
 
 def _project_transform(df: DataFrame, props: dict) -> DataFrame:

@@ -93,8 +93,12 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
 def language_id(col: Column) -> Column:
     """Heuristic language ID: argmax stopword-hit count across languages.
 
-    Ties (including the all-zero case) resolve to 'unknown'. Returns
-    string codes from STOPWORDS plus 'unknown'. This is the cheap
+    A positive-hit tie resolves to the EARLIEST language in STOPWORDS
+    (insertion order = priority); only the all-zero case resolves to
+    'unknown'. Returns string codes from STOPWORDS plus 'unknown' —
+    this exact contract is what the text_language_id oracle mirrors,
+    so do not change the tie rule without changing the oracle.
+    This is the cheap
     n-gram/stopword heuristic a 100 TB pre-filter wants — exact LID is a
     downstream model's job.
     """

@@ -193,7 +193,19 @@ class PipelineManager:
                         # status
                         return
                     try:
-                        create_sink(df, cfg.sink, streaming=False)
+                        # same agg_state intent deferral as engine.run:
+                        # the run id must outlive the bookkeeping below
+                        # so a failed manifest/archive rerun RESUMES
+                        # (skips) instead of double-applying
+                        sink_cfg = cfg.sink
+                        defer_state = sink_cfg.type == "agg_state"
+                        if defer_state:
+                            from dataclasses import replace
+                            sink_cfg = replace(
+                                sink_cfg,
+                                properties={**sink_cfg.properties,
+                                            "_deferFinalize": "true"})
+                        create_sink(df, sink_cfg, streaming=False)
                         if archive_dir and consumed \
                                 and job.status != "CANCELLED":
                             engine._archive_consumed(consumed, archive_dir,
@@ -205,6 +217,11 @@ class PipelineManager:
                             )
                             manifest_record(manifest_files, manifest_dir,
                                             source_df.sparkSession)
+                        if defer_state:
+                            from universal_data_connector_spark.streaming.windows import (  # noqa: E501
+                                end_batch_run,
+                            )
+                            end_batch_run(cfg.sink.properties["path"])
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":

@@ -207,11 +207,16 @@ def directory_source(spark: SparkSession, props: dict, streaming: bool = False) 
     # FIRST occurrence — the scheme-qualified prefix Spark prepends
     # (file:/...) contains the root exactly once before any repeat, so
     # a root string that reappears deeper in the tree (/a/b holding
-    # /a/b/x/a/b/y.bin) still yields the full relative path.
-    base = props["path"].rstrip("/") + "/"
-    pos = F.locate(base, F.col("path"))
+    # /a/b/x/a/b/y.bin) still yields the full relative path. BOTH
+    # sides are URI-canonicalized first: a scheme-qualified configured
+    # path ("file:///root/data") otherwise never matches Spark's
+    # "file:/root/data/..." spelling and every file silently fell
+    # back to basename (structure lost, same-named files collapsed).
+    base = canonical_file_uri(props["path"].rstrip("/") + "/")
+    cpath = _canonical_uri_col(F.col("path"))
+    pos = F.locate(base, cpath)
     rel = F.when(pos > 0,
-                 F.col("path").substr(pos + len(base), F.length("path"))) \
+                 cpath.substr(pos + len(base), F.length(cpath))) \
            .otherwise(F.element_at(F.split(F.col("path"), "/"), -1))
     name = (rel if str(props.get("preserveStructure", "false")).lower() == "true"
             else F.element_at(F.split(F.col("path"), "/"), -1))

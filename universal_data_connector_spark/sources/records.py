@@ -77,13 +77,25 @@ def explode_csv_rows(df: DataFrame, content_col: str = "content") -> DataFrame:
     # below is the *semantic* rule (:273-276), not a safety guard.
     hdr_size = F.size(F.col("__header"))
     padded = F.slice(F.concat(vals, F.array_repeat(F.lit(""), hdr_size)), 1, hdr_size)
+    # Duplicate header names (e.g. 'id,ID,name' after lower/trim) bind
+    # to their FIRST occurrence: a raw map_from_arrays would throw
+    # DUPLICATED_MAP_KEY at runtime (default mapKeyDedupPolicy=
+    # EXCEPTION) and fail the whole batch over one malformed file —
+    # the reference binds one occurrence and continues.
+    pos = F.when(hdr_size >= 1,
+                 F.sequence(F.lit(1), hdr_size)
+                 ).otherwise(F.array().cast("array<int>"))
+    first = F.filter(pos, lambda i: F.array_position(
+        F.col("__header"), F.element_at(F.col("__header"), i)) == i)
+    keys = F.transform(first, lambda i: F.element_at(F.col("__header"), i))
+    fvals = F.transform(first, lambda i: F.element_at(padded, i))
     return (out.filter(F.length(F.trim(F.col("__line"))) > 0)
                # fewer columns than the header -> dropped (:273-276)
                .filter(F.size(vals) >= hdr_size)
                .select("source_file",
                        (F.col("__pos") + 1).alias("__line_no"),
                        "__line",
-                       F.map_from_arrays(F.col("__header"), padded).alias("__fields")))
+                       F.map_from_arrays(keys, fvals).alias("__fields")))
 
 
 _LENIENT = {
