@@ -772,3 +772,99 @@ def test_directory_source_preserve_structure_scheme_path(spark, tmp_path):
                                   "preserveStructure": "true"})
     names = {r.source_file for r in df.collect()}
     assert names == {"sub/x.bin", "y.bin"}, names
+
+
+def test_riff_container_disambiguation(spark):
+    """RIFF is a container magic: WAV, WebP, and AVI share it and are
+    told apart by the format tag at bytes 9-12; an unknown RIFF stays
+    octet-stream instead of mislabeling as audio."""
+    from universal_data_connector_spark.operators.multimodal import (
+        binary_metadata,
+    )
+
+    wav = b"RIFF\x00\x00\x00\x00WAVEfmt "
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+    avi = b"RIFF\x00\x00\x00\x00AVI LIST"
+    riff_unknown = b"RIFF\x00\x00\x00\x00XXXX"
+    df = spark.createDataFrame(
+        [(1, wav), (2, webp), (3, avi), (4, riff_unknown)],
+        "asset_id bigint, content binary")
+    got = {r.asset_id: r.media_type for r in binary_metadata(df).collect()}
+    assert got == {1: "audio/wav", 2: "image/webp", 3: "video/x-msvideo",
+                   4: "application/octet-stream"}
+
+
+def test_sample_frames_boundary_and_nulls(spark):
+    """Exact-multiple lengths do not emit a one-past-end offset, and
+    NULL/empty content keeps its row (NULL frame) instead of silently
+    vanishing from the pipeline."""
+    from universal_data_connector_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 4096), (2, b"x" * 4097), (3, None), (4, b"")],
+        "asset_id bigint, content binary")
+    out = sample_frames(df, every_n_bytes=1024, max_frames=16)
+    frames = {}
+    for r in out.collect():
+        frames.setdefault(r.asset_id, []).append(r.frame_offset)
+    assert sorted(frames[1]) == [0, 1024, 2048, 3072]  # not 4096
+    assert sorted(frames[2]) == [0, 1024, 2048, 3072, 4096]
+    assert frames[3] == [None] and frames[4] == [None]
+
+
+def test_partition_by_content_hash_distribution(spark):
+    """Partitioning keys on the full-entropy hash: with many distinct
+    contents, rows spread across (nearly) all shard partitions instead
+    of the balls-into-bins collapse of re-hashing the shard value."""
+    from universal_data_connector_spark.operators.multimodal import (
+        partition_by_content_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"content-{i}".encode()) for i in range(512)],
+        "asset_id bigint, content binary")
+    out = partition_by_content_hash(df, n_shards=16)
+    sizes = (out.rdd.glom().map(len).collect())
+    assert len(sizes) == 16
+    nonempty = [s for s in sizes if s > 0]
+    assert len(nonempty) == 16, f"empty partitions: {sizes}"
+    assert max(sizes) <= 3 * (512 // 16), f"skewed: {sizes}"
+
+
+def test_cosine_topk_pandas_empty_and_zero_norm(spark):
+    """Empty query sets return empty (no numpy AxisError); zero-norm
+    vectors are excluded instead of ranking NaN first everywhere."""
+    from universal_data_connector_spark.operators.similarity import (
+        cosine_topk_pandas,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    empty_q = corpus.filter("vec_id < 0")
+    assert cosine_topk_pandas(empty_q, corpus, k=2).count() == 0
+
+    queries = corpus.filter("vec_id = 1")
+    got = [(r.neighbor_id, r.rank) for r in
+           cosine_topk_pandas(queries, corpus, k=2)
+           .orderBy("rank").collect()]
+    # zero vector 3 must NOT appear (NaN would have ranked first)
+    assert got == [(2, 1)]
+
+
+def test_kafka_records_preserves_explicit_key(spark):
+    """An explicit key column is the caller's partitioning key — it
+    must survive the content fallback; a frame with no payload fails
+    loudly."""
+    from universal_data_connector_spark.sinks.kafka import kafka_records
+
+    df = spark.createDataFrame(
+        [("route-1", "payload-a")], "key string, content string")
+    row = kafka_records(df).collect()[0]
+    assert (row.key, row.value) == ("route-1", "payload-a")
+
+    nothing = spark.createDataFrame([(1,)], "x bigint")
+    with pytest.raises(ValueError, match="kafka sink needs"):
+        kafka_records(nothing)

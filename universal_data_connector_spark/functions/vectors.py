@@ -37,6 +37,14 @@ def l2_normalize(a: Column) -> Column:
     """Unit-normalize (NULL for zero-norm input). Normalizing each
     side ONCE turns pairwise cosine into a single dot product — for a
     candidate join over P pairs this evaluates O(N) norms instead of
-    O(P) norm pairs."""
-    n = l2_norm(a)
-    return F.when(n > 0, F.transform(_as_double(a), lambda x: x / n))
+    O(P) norm pairs.
+
+    The norm is λ-bound so it evaluates once per ROW: referencing the
+    norm expression directly inside the transform lambda embeds the
+    whole O(d) aggregate subtree per ELEMENT, and higher-order
+    functions run interpreted without subexpression elimination —
+    O(d^2) per row for wide embeddings."""
+    def build(n: Column) -> Column:
+        return F.when(n > 0, F.transform(_as_double(a), lambda x: x / n))
+
+    return F.element_at(F.transform(F.array(l2_norm(a)), build), 1)

@@ -24,13 +24,20 @@ from pyspark.sql import types as T
 
 # Magic-byte sniffing — same spirit as the reference's extension-based
 # type detection (DirectorySourceContext.java:64-74), but content-based.
+# RIFF is handled separately: it is a CONTAINER magic shared by WAV,
+# WebP, and AVI, disambiguated by the format tag at bytes 9-12.
 _MAGIC = [
     ("89504e47", "image/png"),
     ("ffd8ff", "image/jpeg"),
     ("47494638", "image/gif"),
-    ("52494646", "audio/wav"),  # RIFF
     ("494433", "audio/mp3"),    # ID3
     ("1a45dfa3", "video/webm"),
+]
+
+_RIFF_FORMS = [
+    ("57415645", "audio/wav"),      # WAVE
+    ("57454250", "image/webp"),     # WEBP
+    ("41564920", "video/x-msvideo"),  # 'AVI '
 ]
 
 ASSET_SCHEMA = T.StructType([
@@ -45,10 +52,18 @@ ASSET_SCHEMA = T.StructType([
 def binary_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach typed metadata columns to a binary column: byte length,
     sha256, and magic-byte media type. Pure projection."""
-    hexhead = F.lower(F.hex(F.substring(F.col(content_col), 1, 8)))
+    hexhead = F.lower(F.hex(F.substring(F.col(content_col), 1, 12)))
     mt = F.lit("application/octet-stream")
     for magic, mime in reversed(_MAGIC):
-        mt = F.when(hexhead.startswith(magic.upper()) | hexhead.startswith(magic), F.lit(mime)).otherwise(mt)
+        mt = F.when(hexhead.startswith(magic), F.lit(mime)).otherwise(mt)
+    # RIFF container: bytes 1-4 'RIFF', format tag at bytes 9-12 (hex
+    # chars 17-24) decides WAV vs WebP vs AVI; unknown tags stay
+    # octet-stream rather than mislabeling every RIFF as audio
+    riff_tag = F.substring(hexhead, 17, 8)
+    riff_mt = F.lit("application/octet-stream")
+    for tag, mime in reversed(_RIFF_FORMS):
+        riff_mt = F.when(riff_tag == tag, F.lit(mime)).otherwise(riff_mt)
+    mt = F.when(hexhead.startswith("52494646"), riff_mt).otherwise(mt)
     return (df
             .withColumn("byte_length", F.length(F.col(content_col)).cast("bigint"))
             .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
@@ -57,10 +72,20 @@ def binary_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 def partition_by_content_hash(df: DataFrame, n_shards: int = 1024,
                               content_col: str = "content") -> DataFrame:
-    """Repartition assets by a content-hash shard — uniform by
-    construction, so no shard skew at any scale."""
-    shard = F.pmod(F.xxhash64(F.col(content_col)), F.lit(n_shards))
-    return df.withColumn("shard", shard).repartition(n_shards, "shard")
+    """Repartition assets uniformly by content hash; attach the shard
+    id as a column for downstream grouped work.
+
+    The repartition keys on the FULL-entropy 64-bit content hash, not
+    the n_shards-valued ``shard`` column: hash-partitioning a column
+    that already holds only n_shards distinct values re-hashes those
+    few values balls-into-bins style (~1/e of partitions empty, the
+    hottest holding 4-5 shards' data) — the exact skew this operator
+    exists to prevent. With ~unique hash keys, murmur3 spreads rows
+    evenly across all n_shards partitions."""
+    full_hash = F.xxhash64(F.col(content_col))
+    shard = F.pmod(full_hash, F.lit(n_shards))
+    return (df.withColumn("shard", shard)
+              .repartition(n_shards, full_hash))
 
 
 def decode_image_batch(df: DataFrame, content_col: str = "content",
@@ -139,9 +164,20 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                   content_col: str = "content", max_frames: int = 16) -> DataFrame:
     """Frame-sampling plumbing: explode one row per sampled "frame"
     offset. A real video decoder would replace the offset arithmetic;
-    the explode/partition shape is what matters for the pipeline."""
-    n = F.least(F.floor(F.length(F.col(content_col)) / every_n_bytes).cast("int") + 1,
-                F.lit(max_frames))
-    offsets = F.sequence(F.lit(0), n - 1)
-    return (df.withColumn("frame_idx", F.explode(offsets))
+    the explode/partition shape is what matters for the pipeline.
+
+    Every emitted offset addresses a real byte: a ``len`` that is an
+    exact multiple of ``every_n_bytes`` does NOT emit the one-past-end
+    offset (n = floor((len-1)/n)+1, not floor(len/n)+1). NULL or empty
+    content yields one row with NULL frame_idx/offset (explode_outer)
+    so assets are never silently dropped by sampling."""
+    length = F.length(F.col(content_col))
+    n = F.least(
+        F.when(length > 0,
+               F.floor((length - 1) / every_n_bytes).cast("int") + 1
+               ).otherwise(F.lit(0)),
+        F.lit(max_frames))
+    offsets = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.lit(None).cast("array<int>"))
+    return (df.withColumn("frame_idx", F.explode_outer(offsets))
               .withColumn("frame_offset", F.col("frame_idx") * every_n_bytes))

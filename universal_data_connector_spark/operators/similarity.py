@@ -79,15 +79,20 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from universal_data_connector_spark.functions.vectors import l2_norm
+    from universal_data_connector_spark.functions.vectors import l2_normalize
 
     # Spherical k-means: train on L2-normalized vectors so euclidean
     # centroids align with the cosine geometry used for assignment and
     # probing (raw-norm training clusters by magnitude, not direction,
-    # and recall collapses).
-    unit = F.transform(F.col(vec_col).cast("array<double>"),
-                       lambda x: x / l2_norm(F.col(vec_col)))
-    train = corpus.select(array_to_vector(unit).alias("features"))
+    # and recall collapses). l2_normalize binds the norm ONCE per row
+    # (an inline transform lambda re-evaluated the full O(d) norm per
+    # ELEMENT — O(d^2)/row) and yields NULL for zero-norm vectors,
+    # which are filtered out instead of feeding NaN features into the
+    # fit (one NaN centroid would win every cosine comparison and
+    # collapse IVF recall).
+    unit = l2_normalize(F.col(vec_col).cast("array<double>"))
+    train = (corpus.select(array_to_vector(unit).alias("features"))
+                   .filter(F.col("features").isNotNull()))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return corpus.sparkSession.createDataFrame(
@@ -144,16 +149,46 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id bigint, neighbor_id bigint, cosine double"
     qrows = queries.select(id_col, vec_col).collect()  # query set is small by contract
+    if not qrows:
+        # np.linalg.norm on a 0-row matrix raises AxisError; an empty
+        # query set is simply an empty result, like brute_force_topk
+        empty = queries.sparkSession.createDataFrame([], out_schema)
+        return top_k_per_group(
+            empty, ["query_id"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            k, rank_alias="rank")
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm vectors have no cosine: EXCLUDED on both sides (a NaN
+    # row would otherwise rank FIRST under Spark's NaN-largest double
+    # ordering and poison every query's top-1; the JVM path emits NULL
+    # cosine for them, ranked last — documented divergence: this
+    # variant drops them entirely)
+    live = (qn > 0).reshape(-1)
+    qids, qmat, qn = qids[live], qmat[live], qn[live]
+    if not len(qids):
+        empty = queries.sparkSession.createDataFrame([], out_schema)
+        return top_k_per_group(
+            empty, ["query_id"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            k, rank_alias="rank")
+    qnorm = qmat / qn
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            keep = (nrm > 0).reshape(-1)
+            ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+            if not len(ids):
+                continue
+            mat = mat / nrm
             sims = mat @ qnorm.T  # (batch, n_queries)
             out = pd.DataFrame({
                 "query_id": np.repeat(qids, len(ids)),
@@ -162,8 +197,7 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int = 5,
             })
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, cosine double")
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     return top_k_per_group(scored, ["query_id"],
                            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
                            k, rank_alias="rank")
@@ -217,6 +251,31 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     (band_idx, band_value); bucket sizes are balanced because random
     hyperplanes split the space evenly.
     """
+    pairs = _lsh_candidate_pairs(queries, corpus, id_col, vec_col,
+                                 n_planes, bands, seed)
+    scored = _join_pair_vectors(pairs, queries, corpus, id_col, vec_col) \
+        .withColumn("cosine",
+                    cosine_similarity(F.col("__qv"), F.col("__nv")))
+    ranked = top_k_per_group(
+        scored, ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()], k,
+        rank_alias="rank")
+    return ranked.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _lsh_candidate_pairs(queries: DataFrame, corpus: DataFrame,
+                         id_col: str, vec_col: str, n_planes: int,
+                         bands: int, seed: int) -> DataFrame:
+    """Distinct (query_id, neighbor_id) LSH candidates — ids ONLY.
+
+    The band explode, checkpoint, equi-join, and distinct all carry
+    two longs per row; vectors rejoin AFTER candidate selection
+    (``_join_pair_vectors``). Carrying the vectors through instead
+    duplicates every embedding `bands` times through the checkpoint
+    and shuffle and runs distinct over full double arrays — the
+    ids-then-rejoin form is the same discipline lsh_near_dup_pairs
+    uses. Shared by lsh_topk and lsh_verified_matches (previously two
+    hand-kept copies)."""
     if n_planes % bands:
         raise ValueError(
             f"bands ({bands}) must divide n_planes ({n_planes}); the top "
@@ -224,7 +283,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     width = n_planes // bands
     mask = (1 << width) - 1
 
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
+    def codes(df: DataFrame, prefix: str) -> DataFrame:
         sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
         bs = F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
@@ -232,24 +291,30 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       .alias("band_val"))
             for b in range(bands)]))
         return (sig.select(F.col(id_col).alias(f"{prefix}_id"),
-                           F.col(vec_col).alias(f"__{prefix}v"),
                            bs.alias("b"))
-                   .select(f"{prefix}_id", f"__{prefix}v",
-                           "b.band_idx", "b.band_val"))
+                   .select(f"{prefix}_id", "b.band_idx", "b.band_val"))
 
-    qb = banded(queries, "query").localCheckpoint(eager=True)
-    cb = banded(corpus, "neighbor").localCheckpoint(eager=True)
-    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
+    # eager checkpoints so the Arrow signature matmul runs once per
+    # side, not once per AQE-materialized join branch
+    qb = codes(queries, "query").localCheckpoint(eager=True)
+    cb = codes(corpus, "neighbor").localCheckpoint(eager=True)
+    return (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "__queryv", "neighbor_id", "__neighborv")
+              .select("query_id", "neighbor_id")
               .distinct())
-    scored = cand.withColumn(
-        "cosine", cosine_similarity(F.col("__queryv"), F.col("__neighborv")))
-    ranked = top_k_per_group(
-        scored, ["query_id"],
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()], k,
-        rank_alias="rank")
-    return ranked.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _join_pair_vectors(pairs: DataFrame, queries: DataFrame,
+                       corpus: DataFrame, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """Attach raw vectors (__qv, __nv) to candidate id pairs: query
+    side broadcast (small by contract), corpus side joined on the
+    already-small pair set."""
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__nv"))
+    return pairs.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
 
 
 def lsh_plane_weights(dim: int, n_planes: int = 16, seed: int = 7):
@@ -283,32 +348,10 @@ def lsh_verified_matches(queries: DataFrame, corpus: DataFrame,
     Output: (query_id, neighbor_id, cosine ROUND 6), self-pairs
     excluded; the threshold is applied to the unrounded cosine.
     """
-    if n_planes % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide n_planes ({n_planes})")
-    width = n_planes // bands
-    mask = (1 << width) - 1
-
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
-        sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
-        bs = F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.shiftright("__sig", b * width).bitwiseAND(mask)
-                      .alias("band_val"))
-            for b in range(bands)]))
-        return (sig.select(F.col(id_col).alias(f"{prefix}_id"),
-                           F.col(vec_col).alias(f"__{prefix}v"),
-                           bs.alias("b"))
-                   .select(f"{prefix}_id", f"__{prefix}v",
-                           "b.band_idx", "b.band_val"))
-
-    qb = banded(queries, "query").localCheckpoint(eager=True)
-    cb = banded(corpus, "neighbor").localCheckpoint(eager=True)
-    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "__queryv", "neighbor_id", "__neighborv")
-              .distinct())
-    cos = cosine_similarity(F.col("__queryv"), F.col("__neighborv"))
+    pairs = _lsh_candidate_pairs(queries, corpus, id_col, vec_col,
+                                 n_planes, bands, seed)
+    cand = _join_pair_vectors(pairs, queries, corpus, id_col, vec_col)
+    cos = cosine_similarity(F.col("__qv"), F.col("__nv"))
     return (cand.withColumn("__cos", cos)
                 .filter(F.col("__cos") >= threshold)
                 .select("query_id", "neighbor_id",

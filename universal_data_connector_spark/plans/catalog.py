@@ -1947,13 +1947,17 @@ def multimodal_binary_meta(spark, sf_dir):
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
            CAST(i * 256 AS INT) AS frame_offset
     FROM (SELECT doc_id,
-                 unnest(range(0, least(octet_length(encode(text)) // 256 + 1, 8))) AS i
+                 unnest(range(0, least(
+                     greatest((octet_length(encode(text)) - 1) // 256 + 1, 0),
+                     8))) AS i
           FROM documents)
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing (operators/multimodal.py:sample_frames):
-    one row per sampled frame offset, capped per asset. The offset
+    one row per sampled frame offset, capped per asset; every offset
+    addresses a real byte (exact-multiple lengths do not emit the
+    one-past-end offset — r8 fix, mirrored in the oracle). The offset
     arithmetic stands in for a video decoder's keyframe index; the
     explode shape — bounded fan-out per row, no shuffle — is the part
     that must hold at 100 TB."""

@@ -17,11 +17,21 @@ from pyspark.sql import functions as F
 def kafka_records(df: DataFrame) -> DataFrame:
     """Frame -> kafka record shape: the reference's item-as-key-AND-
     value contract (``KafkaSinkContext.java:50``) when no explicit
-    key/value columns exist."""
-    if "value" not in df.columns:
-        src = F.col("content").cast("string")
-        return df.select(src.alias("key"), src.alias("value"))
-    return df
+    key/value columns exist. An explicit ``key`` column is ALWAYS
+    honored (it is the caller's partitioning key — discarding it would
+    silently scatter records across partitions); ``value`` falls back
+    to ``content``. A frame with neither value nor content has no
+    payload to send and is rejected up front with a clear message
+    instead of an AnalysisException from the Kafka writer."""
+    if "value" in df.columns:
+        return df
+    if "content" not in df.columns:
+        raise ValueError(
+            "kafka sink needs a 'value' column or file-mode 'content' "
+            f"to send; frame has {df.columns}")
+    src = F.col("content").cast("string")
+    key = F.col("key").cast("string") if "key" in df.columns else src
+    return df.select(key.alias("key"), src.alias("value"))
 
 
 def kafka_writer_options(props: dict) -> dict:
