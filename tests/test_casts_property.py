@@ -45,6 +45,11 @@ def model_int(s: str | None) -> int | None:
 def model_currency_double(s: str | None) -> float | None:
     if s is None:
         return None
+    # parse first, strip currency noise only on failure — the
+    # reference's order (unconditional stripping corrupted "1e5"->15)
+    direct = model_double(s)
+    if direct is not None:
+        return direct
     return model_double(re.sub(r"[^0-9.\-]", "", s.strip()))
 
 

@@ -868,3 +868,73 @@ def test_kafka_records_preserves_explicit_key(spark):
     nothing = spark.createDataFrame([(1,)], "x bigint")
     with pytest.raises(ValueError, match="kafka sink needs"):
         kafka_records(nothing)
+
+
+def test_currency_double_parse_first(spark):
+    """Scientific notation must survive the currency cast (review:
+    unconditional stripping turned '1e5' into 15.0)."""
+    from universal_data_connector_spark.functions import casts as fc
+
+    df = spark.createDataFrame(
+        [("1e5",), ("2.5E-3",), ("$75,000.00",), ("EUR 1,234.75",),
+         ("junk",)], "s string")
+    got = [r.d for r in df.select(
+        fc.lenient_currency_double(F.col("s")).alias("d")).collect()]
+    assert got[0] == 100000.0
+    assert got[1] == 0.0025
+    assert got[2] == 75000.0
+    assert got[3] == 1234.75
+    assert got[4] is None
+
+
+def test_cc_and_clusters_reject_string_ids(spark):
+    """String ids must raise, not silently NULL out every edge and
+    delete the corpus via is_canonical=NULL."""
+    from universal_data_connector_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "id_1 string, id_2 string")
+    with pytest.raises(TypeError, match="integral id"):
+        connected_components(edges)
+    docs = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        dedup_clusters(docs, edges)
+
+
+def test_as_of_join_key_not_ambiguous(spark):
+    """The join key must appear ONCE in the output (review: both
+    sides' keys survived as duplicate 'k' columns, so select/groupBy/
+    write on the key raised AMBIGUOUS_REFERENCE)."""
+    from universal_data_connector_spark.operators.relational import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k bigint, lts bigint")
+    right = spark.createDataFrame([(1, 5, "r")], "k bigint, rts bigint, v string")
+    out = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     tiebreakers=["rts"])
+    assert out.columns.count("k") == 1
+    assert [(r.k, r.v) for r in out.select("k", "v").collect()] == [(1, "r")]
+
+
+def test_containment_max_postings_underestimates(spark):
+    """The shared inverted-index cap is exposed on containment too:
+    capped scores never ADD pairs (strict underestimate)."""
+    from universal_data_connector_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here entirely")],
+        "doc_id bigint, text string")
+    full = {(r.id_1, r.id_2)
+            for r in ngram_containment_pairs(docs, threshold=0.9).collect()}
+    capped = {(r.id_1, r.id_2)
+              for r in ngram_containment_pairs(
+                  docs, threshold=0.9, max_postings=1).collect()}
+    assert full == {(1, 2)}
+    assert capped <= full

@@ -76,13 +76,17 @@ def lenient_float(col: Column) -> Column:
 
 
 def lenient_currency_double(col: Column) -> Column:
-    """Currency-tolerant double: strip everything but digits/dot/minus.
+    """Currency-tolerant double: parse first, strip currency noise
+    only when the plain parse fails — the reference's order
+    (``ParquetSinkContext.java:411-415``).
 
-    ``"$75,000.00" -> 75000.0`` — the reference applies this whenever a
-    plain parse fails; applying the strip unconditionally is equivalent
-    on parseable input and simpler to codegen.
+    ``"$75,000.00" -> 75000.0`` via the strip path; ``"1e5" ->
+    100000.0`` via the parse path. Stripping UNCONDITIONALLY (the old
+    form) corrupted scientific notation by orders of magnitude
+    ("1e5" -> "15" -> 15.0) on every CSV double/float column.
     """
-    return _clean_numeric(col).try_cast("double")
+    parsed = F.trim(col).try_cast("double")
+    return F.coalesce(parsed, _clean_numeric(col).try_cast("double"))
 
 
 def lenient_bool(col: Column) -> Column:

@@ -433,6 +433,41 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return jaccard_verify_grams(grams, cand, id_col, threshold)
 
 
+def _inverted_shared_counts(df: DataFrame, text_col: str, id_col: str,
+                            shingle_n: int, max_postings: int | None):
+    """Shared inverted-shingle-index core of the exact pair metrics:
+    explode gram keys -> (sizes per doc, shared-gram counts per pair).
+
+    `max_postings` caps the join's per-shingle quadratic cost: shingles
+    whose posting list exceeds the cap (stop shingles) are dropped from
+    the JOIN ONLY; document sizes still count every gram, so capped
+    metrics are strict UNDERESTIMATES — pairs never appear spuriously.
+    Consumed by both jaccard and containment so the cap and the plan
+    stay in one place."""
+    grams = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
+    # consumed three times (both join sides + sizes): compute once,
+    # eagerly (lazy caches race under AQE's concurrent stage launch).
+    # Corpus-sized exploded grams -> recoverable persistence.
+    grams = materialize_reliable(grams)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    joinable = grams
+    if max_postings is not None:
+        hot = (grams.groupBy("g").agg(F.count("*").alias("__p"))
+                    .filter(F.col("__p") > max_postings)
+                    .select("g"))
+        # stop-shingle set is tiny by construction -> broadcast anti-join
+        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
+                        F.col(f"b.{id_col}").alias("id_2"))
+               .agg(F.count("*").alias("shared")))
+    return sizes, shared
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 5,
                         threshold: float = 0.8,
@@ -455,27 +490,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     at 100 TB set a cap or use minhash_dedup_pairs, which is the scale
     path (this exact variant is the verify-stage primitive).
     """
-    grams = spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
-    # consumed three times (both join sides + sizes): compute once,
-    # eagerly (lazy caches race under AQE's concurrent stage launch).
-    # Corpus-sized exploded grams -> recoverable persistence.
-    grams = materialize_reliable(grams)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
-    joinable = grams
-    if max_postings is not None:
-        hot = (grams.groupBy("g").agg(F.count("*").alias("__p"))
-                    .filter(F.col("__p") > max_postings)
-                    .select("g"))
-        # stop-shingle set is tiny by construction -> broadcast anti-join
-        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
-    a, b = joinable.alias("a"), joinable.alias("b")
-    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
-                        F.col(f"b.{id_col}").alias("id_2"))
-               .agg(F.count("*").alias("shared")))
+    sizes, shared = _inverted_shared_counts(df, text_col, id_col,
+                                            shingle_n, max_postings)
     s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
@@ -487,7 +503,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 5,
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            max_postings: int | None = None) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: shared / min(|A|, |B|).
 
     The subset-duplicate detector Jaccard structurally misses: a short
@@ -496,22 +513,15 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     arbitrarily low — but containment ~ 1.0. Same inverted-shingle
     plan shape as `ngram_jaccard_pairs` (explode -> self-join on gram
     key -> count shared -> join sizes): one corpus-sized shuffle on
-    the gram key; at 100 TB cap hot shingles or pre-filter candidates
-    with `minhash_dedup_pairs` exactly as the Jaccard variant does.
+    the gram key; at 100 TB set `max_postings` to cap hot shingles
+    (capped containment is a strict underestimate — pairs never appear
+    spuriously) or pre-filter candidates with `minhash_dedup_pairs`,
+    exactly as the Jaccard variant does.
     Pairs with an empty smaller side never appear (no grams -> no
     postings -> no join rows), so the min() division is always > 0.
     """
-    grams = spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
-    grams = materialize_reliable(grams)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
-                        F.col(f"b.{id_col}").alias("id_2"))
-               .agg(F.count("*").alias("shared")))
+    sizes, shared = _inverted_shared_counts(df, text_col, id_col,
+                                            shingle_n, max_postings)
     s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
     cont = (F.col("shared").cast("double")
@@ -626,6 +636,12 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     """
     n_chunks = max_hamming + 1
     chunk = 64 // n_chunks
+    # distribute the remainder bits across the FIRST (64 % n_chunks)
+    # chunks so all 64 bits are banded: leaving the tail bits out of
+    # every chunk kept recall (pigeonhole still held over the covered
+    # region) but made pairs differing only in those bits collide on
+    # every chunk — pure candidate-set inflation
+    rem = 64 % n_chunks
     # Docs too short to carry a shingle all sign to the identical
     # all-zero signature: banding them makes every chunk bucket
     # quadratic in the empty-doc count while exact_dedup already
@@ -646,13 +662,20 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     # side from the checkpointed frame.
     sig = sig.localCheckpoint(eager=True)
     chunk_ids = F.sequence(F.lit(0), F.lit(n_chunks - 1))
+
+    def chunk_of(c):
+        start = c * chunk + F.least(c, F.lit(rem)) + 1
+        width = F.lit(chunk) + F.when(c < rem, 1).otherwise(0)
+        return F.struct(
+            c.alias("chunk_idx"),
+            F.concat_ws("", F.transform(
+                F.slice(F.col("__sig"), start, width),
+                lambda x: x.cast("string"))).alias("chunk_key"))
+
     banded = sig.select(
         id_col, "__sig",
-        F.explode(F.transform(chunk_ids, lambda c: F.struct(
-            c.alias("chunk_idx"),
-            F.concat_ws("", F.transform(F.slice(F.col("__sig"), c * chunk + 1, chunk),
-                                        lambda x: x.cast("string"))).alias("chunk_key"),
-        ))).alias("ck")).select(id_col, "__sig", "ck.chunk_idx", "ck.chunk_key")
+        F.explode(F.transform(chunk_ids, chunk_of)).alias("ck")
+    ).select(id_col, "__sig", "ck.chunk_idx", "ck.chunk_key")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                    & (F.col("a.chunk_key") == F.col("b.chunk_key"))
@@ -664,6 +687,25 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", simhash_hamming(F.col("__s1"), F.col("__s2")))
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_1", "id_2", "hamming"))
+
+
+def _require_integral_ids(df: DataFrame, cols: list[str],
+                          fn_name: str) -> None:
+    """Raise on non-integral id columns instead of letting a silent
+    bigint cast NULL them out (which would empty the edge set / mark
+    no row canonical with no error). String ids: pre-map with
+    ``F.xxhash64(col)`` (stable int64, ~2^-64 collision per pair) and
+    join the originals back afterwards."""
+    from pyspark.sql import types as T
+
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, ok):
+            raise TypeError(
+                f"{fn_name} requires integral id columns; {c!r} is "
+                f"{dt.simpleString()}. Map non-numeric ids to int64 "
+                "first (e.g. F.xxhash64) and join back after.")
 
 
 def connected_components(edges: DataFrame, src: str = "id_1",
@@ -686,7 +728,13 @@ def connected_components(edges: DataFrame, src: str = "id_1",
 
     Only nodes that appear in `edges` are returned; callers give
     singletons their own id via a left join + coalesce.
+
+    Ids must be integral: a silent cast of string ids would NULL every
+    edge out and return an empty component set (and downstream
+    dedup_clusters would then mark NO row canonical — deleting the
+    corpus with no error), so non-integral id columns raise instead.
     """
+    _require_integral_ids(edges, [src, dst], "connected_components")
     e = (edges.select(F.col(src).cast("bigint").alias("u"),
                       F.col(dst).cast("bigint").alias("v"))
               .filter(F.col("u") != F.col("v"))
@@ -763,6 +811,7 @@ def dedup_clusters(df: DataFrame, dup_pairs: DataFrame,
     the connected component; singletons are their own cluster), and
     whether this row is the cluster's canonical keeper.
     """
+    _require_integral_ids(df, [id_col], "dedup_clusters")
     cc = connected_components(dup_pairs)
     out = (df.select(F.col(id_col).cast("bigint").alias(id_col))
              .join(cc, F.col(id_col) == F.col("node"), "left")

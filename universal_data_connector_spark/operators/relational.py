@@ -287,7 +287,12 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
              else F.col(f"__r.{k}").asc_nulls_last() for k in keys]
     w = Window.partitionBy("__l.__asof_lid").orderBy(*order)
     return (j.withColumn("__rn", F.row_number().over(w))
-             .filter("__rn = 1").drop("__rn", "__asof_lid"))
+             .filter("__rn = 1")
+             # drop the RIGHT side's join key: keeping both left it as
+             # two columns named `on`, making the key AMBIGUOUS for
+             # every select/groupBy/write downstream
+             .drop(F.col(f"__r.{on}"))
+             .drop("__rn", "__asof_lid"))
 
 
 def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],

@@ -16,7 +16,8 @@ Two tiers:
 
 Vector math is `zip_with`/`aggregate` (JVM, sequential, deterministic);
 for very wide vectors swap in the numpy Pandas-UDF variant
-(`cosine_topk_pandas`) — same results, Arrow-batched.
+(`cosine_topk_pandas`) — same rankings, Arrow-batched (one documented
+divergence: zero-norm vectors are excluded there, NULL-cosine here).
 """
 
 from __future__ import annotations

@@ -291,14 +291,18 @@ def cast_lenient_int(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            '$' || printf('%.2f', l_extendedprice) AS price_str,
-           CAST(regexp_replace(trim('$' || printf('%.2f', l_extendedprice)),
-                               '[^0-9.\\-]', '', 'g') AS DOUBLE) AS price_num
+           COALESCE(
+               TRY_CAST(trim('$' || printf('%.2f', l_extendedprice)) AS DOUBLE),
+               TRY_CAST(regexp_replace(trim('$' || printf('%.2f', l_extendedprice)),
+                                       '[^0-9.\\-]', '', 'g') AS DOUBLE))
+               AS price_num
     FROM lineitem
     """,
 )
 def cast_currency_double(spark, sf_dir):
     """Reference currency-tolerant DOUBLE cast ("$75,000.00" -> 75000.0),
-    ParquetSinkContext.java:411-415."""
+    ParquetSinkContext.java:411-415 — parse first, strip on failure
+    (mirrored in the oracle), so scientific notation survives."""
     li = load(spark, sf_dir, "lineitem")
     price_str = F.concat(F.lit("$"), F.format_string("%.2f", F.col("l_extendedprice")))
     return li.select("l_orderkey", "l_linenumber",

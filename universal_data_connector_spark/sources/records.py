@@ -22,6 +22,15 @@ in ThatNinjaGuy/universal-data-connector):
 * quoted values are unquoted with ``""`` -> ``"`` (`:288-291`) — via a
   real RFC-4180 tokenizer, fixing the reference's naive ``split(",")``
   read path (divergence documented in SURVEY.md §7.4.2).
+
+Known limitation (shared with the reference's line-based reader):
+rows are split on newlines BEFORE tokenizing, so a quoted field that
+embeds a newline (legal RFC 4180) is torn across pseudo-rows — the
+fragment with the unbalanced quote parses as a bare field and the
+remainder is dropped by the short-row rule. The reference's
+BufferedReader.readLine() path has exactly this behavior; files with
+embedded-newline fields need the record-mode CSV scan
+(``spark.read.csv(multiLine=true)``) instead of file-mode promotion.
 """
 
 from __future__ import annotations
@@ -144,7 +153,9 @@ def csv_blob_to_records(df: DataFrame, schema: T.StructType,
     return out
 
 
-def field_value(df_or_col, column_name: str) -> Column:
-    """Case-insensitive field lookup on an exploded row (filter T1's
-    header matching, ``PipelineBuilder.java:56-66``)."""
+def field_value(column_name: str) -> Column:
+    """Case-insensitive field lookup on an exploded row's ``__fields``
+    map (filter T1's header matching, ``PipelineBuilder.java:56-66``).
+    Unbound column — resolve it against a frame produced by
+    ``explode_csv_rows``."""
     return F.col("__fields").getItem(column_name.strip().lower())

@@ -74,6 +74,15 @@ def stateful_running_totals(df: DataFrame, key_col: str = "user_id",
     watermark bounds how late input may arrive. Emits one row per key
     per micro-batch that touched it (update mode): the latest row per
     key is the current running total.
+
+    State-bound exception to the module's watermark framing: running
+    totals are forever-state BY DEFINITION, so this operator uses
+    ``NoTimeout`` — per-key state is two scalars but the KEY SET grows
+    with distinct keys seen. On unbounded key cardinality (session
+    ids, request ids) swap ``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp`` into ``update`` to evict idle keys,
+    accepting that an evicted key's total restarts; bounded key
+    universes (users, devices) run as-is.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
