@@ -508,42 +508,15 @@ def join_bucketed_colocated(spark, sf_dir):
     data directory on interpreter exit (best-effort — a fresh session
     recreates them anyway)."""
     n_buckets = 8
-    cache = getattr(spark, "_udc_bucket_tables", None)
-    if cache is None:
-        cache = spark._udc_bucket_tables = {}
-    if sf_dir not in cache:  # one bucketed copy per (session, sf_dir)
-        import atexit
-        import hashlib
-        import os
-        import shutil
-        import tempfile
-        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        t_orders, t_lines = f"udc_b_orders_{suffix}", f"udc_b_lineitem_{suffix}"
-        # external tables with an explicit location: saveAsTable would
-        # otherwise drop a spark-warehouse dir under the CALLER's cwd
-        base = os.path.join(tempfile.gettempdir(), f"udc_bucketed_{suffix}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_lines}")
-        shutil.rmtree(base, ignore_errors=True)
-        (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-         .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
-         .option("path", os.path.join(base, t_orders))
-         .mode("overwrite").saveAsTable(t_orders))
-        (load(spark, sf_dir, "lineitem").select("l_orderkey")
-         .write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
-         .option("path", os.path.join(base, t_lines))
-         .mode("overwrite").saveAsTable(t_lines))
-        cache[sf_dir] = (t_orders, t_lines)
-
-        def _cleanup(tables=(t_orders, t_lines), path=base):
-            try:
-                for t in tables:
-                    spark.sql(f"DROP TABLE IF EXISTS {t}")
-            except Exception:  # noqa: BLE001 - session may be stopped
-                pass
-            shutil.rmtree(path, ignore_errors=True)
-
-        atexit.register(_cleanup)
+    # serialized setup: the check-then-act below (DROP + rmtree +
+    # saveAsTable on deterministic names) would otherwise let two
+    # concurrent builds delete each other's in-flight table data
+    with _BUCKET_SETUP_LOCK:
+        cache = getattr(spark, "_udc_bucket_tables", None)
+        if cache is None:
+            cache = spark._udc_bucket_tables = {}
+        if sf_dir not in cache:  # one bucketed copy per (session, sf_dir)
+            _build_bucket_tables(spark, sf_dir, n_buckets, cache)
     t_orders, t_lines = cache[sf_dir]
     o = spark.table(t_orders).filter(F.col("o_totalprice") > 200000)
     li = spark.table(t_lines)
@@ -554,6 +527,46 @@ def join_bucketed_colocated(spark, sf_dir):
     return (o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
              .groupBy("o_orderkey")
              .agg(F.count("*").cast("bigint").alias("n_lines")))
+
+
+_BUCKET_SETUP_LOCK = threading.Lock()
+
+
+def _build_bucket_tables(spark, sf_dir, n_buckets, cache):
+    """Create the bucketed external tables for one (session, sf_dir);
+    caller holds _BUCKET_SETUP_LOCK."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lines = f"udc_b_orders_{suffix}", f"udc_b_lineitem_{suffix}"
+    # external tables with an explicit location: saveAsTable would
+    # otherwise drop a spark-warehouse dir under the CALLER's cwd
+    base = os.path.join(tempfile.gettempdir(), f"udc_bucketed_{suffix}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_lines}")
+    shutil.rmtree(base, ignore_errors=True)
+    (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+     .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+     .option("path", os.path.join(base, t_orders))
+     .mode("overwrite").saveAsTable(t_orders))
+    (load(spark, sf_dir, "lineitem").select("l_orderkey")
+     .write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+     .option("path", os.path.join(base, t_lines))
+     .mode("overwrite").saveAsTable(t_lines))
+    cache[sf_dir] = (t_orders, t_lines)
+
+    def _cleanup(tables=(t_orders, t_lines), path=base):
+        try:
+            for t in tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:  # noqa: BLE001 - session may be stopped
+            pass
+        shutil.rmtree(path, ignore_errors=True)
+
+    atexit.register(_cleanup)
 
 
 @query(
@@ -744,15 +757,24 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    # unique per-build view name (a fixed session-global name races
+    # across concurrent catalog builds), dropped once analysis has
+    # inlined the plan
+    import uuid
+
     li = load(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("udc_li_gs")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
-        FROM udc_li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """)
+    view = f"udc_li_gs_{uuid.uuid4().hex[:10]}"
+    li.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+            FROM {view}
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @query(
@@ -1309,16 +1331,12 @@ def dedup_exact(spark, sf_dir):
              .agg(F.min("doc_id").cast("bigint").alias("doc_id")))
 
 
-@query(
-    "dedup_near_minhash",
-    # The output is NOT the LSH signature set — it's the candidate
-    # pairs *verified by exact Jaccard >= 0.8*, so the exact-Jaccard
-    # SQL is a valid oracle: a true 0.8-pair misses every one of the
-    # 32 bands with probability (1 - 0.8^4)^32 ~= 5e-8, and the verify
-    # stage computes inter/union from the same distinct-gram integer
-    # counts the SQL does (identical IEEE doubles).
-    oracle="""
-    WITH grams AS (
+# Shared DuckDB prelude of every exact-5-gram pair oracle: distinct
+# word 5-grams per doc -> per-doc sizes -> shared-gram counts per
+# (id_1 < id_2) pair. ONE definition so the four dedup oracles
+# (near_minhash, ngram_jaccard, cluster_cc, containment) can never
+# drift apart — their set-consistency is a pinned contract.
+_SHINGLE_PAIR_CTE = """grams AS (
         SELECT doc_id,
                unnest(list_distinct([array_to_string(w[i:i+4], ' ')
                                      for i in range(1, greatest(len(w)-3, 1))])) AS g
@@ -1330,7 +1348,18 @@ def dedup_exact(spark, sf_dir):
         SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "dedup_near_minhash",
+    # The output is NOT the LSH signature set — it's the candidate
+    # pairs *verified by exact Jaccard >= 0.8*, so the exact-Jaccard
+    # SQL is a valid oracle: a true 0.8-pair misses every one of the
+    # 32 bands with probability (1 - 0.8^4)^32 ~= 5e-8, and the verify
+    # stage computes inter/union from the same distinct-gram integer
+    # counts the SQL does (identical IEEE doubles).
+    oracle="WITH " + _SHINGLE_PAIR_CTE + """
     SELECT id_1, id_2,
            CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
     FROM shared
@@ -1352,20 +1381,7 @@ def dedup_near_minhash(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
-                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
-        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-              FROM documents)
-    ), sizes AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
-    ), shared AS (
-        SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    oracle="WITH " + _SHINGLE_PAIR_CTE + """
     SELECT id_1, id_2,
            CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
     FROM shared
@@ -1384,20 +1400,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_cluster_cc",
-    oracle="""
-    WITH RECURSIVE grams AS (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
-                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
-        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-              FROM documents)
-    ), sizes AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
-    ), shared AS (
-        SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS shared
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), pairs AS (
+    oracle="WITH RECURSIVE " + _SHINGLE_PAIR_CTE + """, pairs AS (
         SELECT id_1, id_2 FROM shared
         JOIN sizes s1 ON id_1 = s1.doc_id
         JOIN sizes s2 ON id_2 = s2.doc_id
@@ -2180,7 +2183,6 @@ def stream_stateful_totals(spark, sf_dir):
     from universal_data_connector_spark.streaming.windows import (
         stateful_running_totals,
     )
-    from pyspark.sql import types as T
     ckpt = os.path.join(_scratch_dir("udc_stream_state_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
     # Stream with the RAW schema (ts may arrive as bigint nanos or as
@@ -2260,7 +2262,6 @@ def stream_static_enrich_join(spark, sf_dir):
     streaming output exactly."""
     import os
     import uuid
-    from pyspark.sql import types as T
     ckpt = os.path.join(_scratch_dir("udc_stream_enrich_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
@@ -2726,16 +2727,29 @@ def sql_full_surface(spark, sf_dir):
     all — TransformationConfig's condition/expression fields are dead,
     SURVEY.md §2A; Spark gives ANSI SQL for free): register tables as
     temp views, run the statement through spark.sql, same Catalyst plan
-    as the DataFrame API."""
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql("""
-        SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
-        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        WHERE c.c_mktsegment = 'BUILDING'
-        GROUP BY n.n_name
-    """)
+    as the DataFrame API. View names are UNIQUE per build and dropped
+    after analysis: session-global names ('customer') raced across
+    concurrent catalog builds on one SparkSession — a second build's
+    createOrReplaceTempView landing before this build's spark.sql()
+    resolution silently fed it the other sf_dir's data."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:10]
+    cust, nat = f"customer_{sfx}", f"nation_{sfx}"
+    load(spark, sf_dir, "customer").createOrReplaceTempView(cust)
+    load(spark, sf_dir, "nation").createOrReplaceTempView(nat)
+    try:
+        return spark.sql(f"""
+            SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+            FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY n.n_name
+        """)
+    finally:
+        # analysis has inlined the view plans; drop the names
+        spark.catalog.dropTempView(cust)
+        spark.catalog.dropTempView(nat)
 
 
 # ---------------------------------------------------------------------------
@@ -3437,11 +3451,12 @@ def scan_partition_pruned(spark, sf_dir):
 
     scratch = _scratch_dir("udc_part_")
     part_dir = os.path.join(scratch, "lineitem_by_flag")
-    if not os.path.isdir(part_dir):
-        (load(spark, sf_dir, "lineitem")
-         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-         .write.partitionBy("l_returnflag").mode("overwrite")
-         .parquet(part_dir))
+    # _scratch_dir is a fresh mkdtemp per call, so every build writes
+    # the partitioned copy (no cross-call cache to guard for)
+    (load(spark, sf_dir, "lineitem")
+     .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+     .write.partitionBy("l_returnflag").mode("overwrite")
+     .parquet(part_dir))
     return (spark.read.parquet(part_dir)
             .filter(F.col("l_returnflag") == "R")
             .select("l_orderkey", "l_linenumber", "l_quantity"))
@@ -4015,8 +4030,12 @@ def ts_anomaly_mad(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     med = (e.groupBy("user_id")
             .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("m")))
-    dev = (e.join(F.broadcast(med), "user_id")
-            .select("user_id", F.abs(F.col("value") - F.col("m")).alias("d")))
+    # dev feeds BOTH the MAD aggregate and the outlier-count pass:
+    # materialize it so the events scan + median join run once, not
+    # once per consuming branch (same discipline as ts_rollup_gapfill)
+    dev = orel.materialize_reliable(
+        e.join(F.broadcast(med), "user_id")
+         .select("user_id", F.abs(F.col("value") - F.col("m")).alias("d")))
     mad = (dev.groupBy("user_id")
               .agg(F.percentile(F.col("d"), F.lit(0.5)).alias("mad")))
     return (dev.join(F.broadcast(mad), "user_id")
@@ -4818,22 +4837,7 @@ def text_tfidf_topk(spark, sf_dir):
 
 @query(
     "dedup_containment_ngram",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(w[i:i+4], ' ')
-                                     for i in range(1, greatest(len(w)-3, 1))])) AS g
-        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-                                          '\\s+', ' ', 'g')), ' ') AS w
-              FROM documents)
-    ), sizes AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id
-    ), shared AS (
-        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-               CAST(COUNT(*) AS BIGINT) AS shared
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    oracle="WITH " + _SHINGLE_PAIR_CTE + """
     SELECT id_1, id_2,
            CAST(shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE)
                AS containment
