@@ -530,3 +530,49 @@ def test_percent_of_total_window_rides_aggregate(spark):
     win_i = next(i for i, l in enumerate(tree) if "Window" in l)
     assert any("HashAggregate" in l for l in tree[win_i:]), \
         "no aggregate below the global window"
+
+
+def test_argmax_and_attribution_are_aggregates_not_windows(spark):
+    """The struct-extreme argmax pattern must stay a partial-aggregated
+    groupBy — no rank window anywhere in the plan (the whole point:
+    O(groups) across the shuffle, not O(rows) through a sort)."""
+    for key in ("agg_argmax_struct", "events_attribution_first_last"):
+        p = plan_str(QUERIES[key](spark, SF_DIR))
+        assert "Window" not in p, f"{key} regressed to a window:\n{p}"
+        assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_outlier_iqr_broadcasts_stats_back(spark):
+    """The per-key quartile frame must BROADCAST onto the events scan
+    (two passes over the wide table, zero wide-side shuffles for the
+    join)."""
+    p = plan_str(QUERIES["ts_outlier_iqr"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rfm_cutoffs_are_one_row_broadcast(spark):
+    """Quantile-cutoff segmentation must broadcast the 1-row cutoff
+    frame — a global ntile window over the customer aggregate (the
+    shape this key deliberately avoids) would show a partitionless
+    Window over millions of rows."""
+    p = plan_str(QUERIES["events_rfm_segments"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p
+
+
+def test_sliding_windows_shuffle_free(spark):
+    """Sliding token windows are a pure projection + generate: no
+    Exchange anywhere — window construction rides the scan."""
+    p = plan_str(QUERIES["reshape_sliding_windows"](spark, SF_DIR))
+    assert "Exchange" not in p, p
+
+
+def test_cumulative_distinct_windows_only_the_daily_aggregate(spark):
+    """The prefix-sum window must run over the tiny daily aggregate
+    (post-aggregation), never the wide events table: exactly one
+    window, fed by an aggregate, and only grouping shuffles."""
+    p = plan_str(QUERIES["ts_cumulative_distinct"](spark, SF_DIR))
+    assert p.count("Window") >= 1
+    # the window's child chain contains the daily aggregate
+    assert "HashAggregate" in p or "SortAggregate" in p
