@@ -417,8 +417,8 @@ def _events_csv(rows):
 
 def test_upsert_sink_type_batch_yaml(spark, tmp_path):
     """The 'upsert' sink type keeps the newest row per key from a YAML
-    pipeline — batch mode routes through the same idempotent merge
-    body as streaming (one-shot stream replay)."""
+    pipeline — batch mode calls the same idempotent merge body as
+    streaming directly (no scratch-stream round trip since r8)."""
     from universal_data_connector_spark.config import parse_config
     from universal_data_connector_spark.engine import run
 
@@ -551,3 +551,57 @@ def test_agg_state_sink_type_batch_yaml_second_run_adds(spark, tmp_path):
     state = {r.user_id: (r.n, float(r.total))
              for r in spark.read.parquet(target).collect()}
     assert state == {7: (2, 11.0), 8: (1, 5.0)}
+
+
+def test_upsert_sink_type_streaming_yaml(spark, tmp_path):
+    """The 'upsert' sink type under a STREAMING file-source pipeline:
+    the engine returns the query handle, AvailableNow drains the
+    directory, and a later run on the SAME checkpoint consumes only
+    the new file and merges it into existing state."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "latest-stream",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv"}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": """
+                SELECT CAST(f[1] AS BIGINT) AS user_id,
+                       f[2] AS ts,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4"""}},
+        ],
+        "sink": {"type": "upsert",
+                 "properties": {"path": target, "keys": "user_id",
+                                "orderColumn": "ts",
+                                "checkpointLocation": str(tmp_path / "ck"),
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+
+    _write(f"{inp}/a.csv", _events_csv([
+        (1, 7, "2026-01-01 10:00:00", 1.0),
+        (2, 7, "2026-01-01 11:00:00", 2.0),
+        (3, 8, "2026-01-01 10:30:00", 5.0),
+    ]))
+    q = run(spark, cfg, streaming=True)
+    q.awaitTermination()
+    state = {r.user_id: r.ts for r in spark.read.parquet(target).collect()}
+    assert state == {7: "2026-01-01 11:00:00", 8: "2026-01-01 10:30:00"}
+
+    # a newer event for user 7 lands; same checkpoint -> only the new
+    # file is consumed, merged on top of existing state
+    _write(f"{inp}/b.csv", _events_csv([
+        (4, 7, "2026-01-01 12:00:00", 9.0),
+    ]))
+    q = run(spark, cfg, streaming=True)
+    q.awaitTermination()
+    state = {r.user_id: r.ts for r in spark.read.parquet(target).collect()}
+    assert state == {7: "2026-01-01 12:00:00", 8: "2026-01-01 10:30:00"}
