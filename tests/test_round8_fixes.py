@@ -938,3 +938,40 @@ def test_containment_max_postings_underestimates(spark):
                   docs, threshold=0.9, max_postings=1).collect()}
     assert full == {(1, 2)}
     assert capped <= full
+
+
+def test_sql_transform_preserves_input_literal(spark):
+    """The per-call view rewrite must not touch the text '_input'
+    inside single-quoted SQL string literals."""
+    from universal_data_connector_spark.engine import _sql_transform
+
+    df = spark.createDataFrame([("_input",), ("other",)], "name string")
+    out = _sql_transform(df, {"query":
+        "SELECT COUNT(*) AS n FROM _input WHERE name = '_input'"})
+    assert out.collect()[0].n == 1
+
+
+def test_s3_sink_rejects_formatless_record_mode(spark):
+    """Record-mode frames with no/unknown format would fall into the
+    local text passthrough — rejected with a clear message."""
+    from universal_data_connector_spark.sinks.files import s3_sink
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    with pytest.raises(ValueError, match="record-mode"):
+        s3_sink(df, {"bucketName": "b"})
+
+
+def test_cc_accepts_scale_zero_decimal_ids(spark):
+    """DECIMAL(p,0) ids (JDBC NUMERIC) cast to bigint losslessly and
+    must stay accepted by the integral-id guard."""
+    from pyspark.sql import functions as SF
+
+    from universal_data_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_1 bigint, id_2 bigint") \
+        .select(SF.col("id_1").cast("decimal(38,0)").alias("id_1"),
+                SF.col("id_2").cast("decimal(38,0)").alias("id_2"))
+    comp = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1)}

@@ -83,44 +83,67 @@ def _filter_transform(df: DataFrame, props: dict) -> DataFrame:
     # ... not supported' the moment a streaming pipeline used a column
     # filter). Duplicate header names bind to their FIRST occurrence
     # (array_position), where a map build would throw DUPLICATED_MAP_KEY.
+    from universal_data_connector_spark.functions.text import bind_once
     from universal_data_connector_spark.sources.records import csv_fields
 
     is_csv = F.col("file_type") == "CSV"
     non_csv_kept = df.filter(~is_csv).filter(
         F.col("content").cast("string").contains(condition))
+    target_lit = column.strip().lower()
+    row_gran = str(props.get("granularity", "file")).lower() == "row"
 
-    lines = F.split(F.col("content").cast("string"), "\r?\n")
-    header = F.transform(csv_fields(F.element_at(lines, 1)),
-                         lambda h: F.lower(F.trim(h)))
-    data = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
-    idx = F.array_position(header, F.lit(column.strip().lower()))
+    # Every derived value is λ-bound to evaluate ONCE at its level
+    # (lines per row; header idx/size per row; fields per line):
+    # higher-order functions run interpreted without subexpression
+    # elimination, so an inline reference would re-tokenize the header
+    # per LINE and each line twice (the l2_normalize pathology).
+    def with_lines(lines):
+        header = F.transform(csv_fields(F.element_at(lines, 1)),
+                             lambda h: F.lower(F.trim(h)))
+        data = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+        meta = F.struct(
+            F.array_position(header, F.lit(target_lit)).alias("idx"),
+            F.size(header).alias("hs"))
 
-    def row_match(line):
-        # same per-row rules as explode_csv_rows: blank lines and
-        # short rows (fewer fields than the header) never match
-        fields = csv_fields(line)
-        value_hit = F.when(
-            idx > 0,
-            F.trim(F.element_at(fields, idx.cast("int")))
-             .contains(condition)).otherwise(F.lit(False))
-        return ((F.length(F.trim(line)) > 0)
-                & (F.size(fields) >= F.size(header))
-                & value_hit)
+        def with_meta(m):
+            def row_match(line):
+                def with_fields(fields):
+                    # same per-row rules as explode_csv_rows: blank
+                    # lines and short rows never match
+                    hit = F.when(
+                        m["idx"] > 0,
+                        F.trim(F.element_at(fields, m["idx"].cast("int")))
+                         .contains(condition)).otherwise(F.lit(False))
+                    return ((F.length(F.trim(line)) > 0)
+                            & (F.size(fields) >= m["hs"]) & hit)
+                return bind_once(csv_fields(line), with_fields)
 
-    if str(props.get("granularity", "file")).lower() == "file":
+            if not row_gran:
+                return F.exists(data, row_match)
+
+            def with_kept(kept):
+                return F.struct(
+                    F.concat_ws("\n", F.element_at(lines, 1),
+                                F.array_join(kept, "\n")).alias("content"),
+                    F.size(kept).alias("nk"))
+
+            return bind_once(F.filter(data, row_match), with_kept)
+
+        return bind_once(meta, with_meta)
+
+    bound = bind_once(F.split(F.col("content").cast("string"), "\r?\n"),
+                      with_lines)
+    if not row_gran:
         # whole-file keep/drop: reference-faithful default in file-mode
-        kept_csv = df.filter(is_csv).filter(F.exists(data, row_match))
-        return kept_csv.unionByName(non_csv_kept)
+        return df.filter(is_csv).filter(bound).unionByName(non_csv_kept)
     # granularity: row — keep only matching data rows, rebuilding each
     # file's content as header + matching lines in original order
     # (SURVEY.md §7.4.1), all inside one projection.
-    kept_lines = F.filter(data, row_match)
     rebuilt = (df.filter(is_csv)
-                 .filter(F.size(kept_lines) > 0)
+                 .withColumn("__kept", bound)
+                 .filter(F.col("__kept.nk") > 0)
                  .select("source_file", "file_type",
-                         F.concat_ws("\n", F.element_at(lines, 1),
-                                     F.array_join(kept_lines, "\n"))
-                          .alias("content")))
+                         F.col("__kept.content").alias("content")))
     return rebuilt.unionByName(
         non_csv_kept.select("source_file", "file_type", "content"))
 
@@ -149,21 +172,26 @@ def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
     """Full SQL over the in-flight frame; the frame is visible as
     ``_input``.
 
-    The registered view name is UNIQUE per call and ``_input`` in the
-    query is rewritten to it: a fixed session-global name raced across
-    the manager's concurrent pipeline builds (thread B's
-    createOrReplaceTempView landing between thread A's registration
-    and A's spark.sql() made A silently read B's frame)."""
+    The registered view name is UNIQUE per call (session.temp_view)
+    and ``_input`` in the query is rewritten to it: a fixed
+    session-global name raced across the manager's concurrent pipeline
+    builds (thread B's createOrReplaceTempView landing between thread
+    A's registration and A's spark.sql() made A silently read B's
+    frame). The rewrite skips single-quoted string LITERALS — a query
+    comparing a column against the text '_input' must keep its
+    literal."""
     import re
-    import uuid
 
-    view = f"_input_{uuid.uuid4().hex[:12]}"
-    df.createOrReplaceTempView(view)
-    try:
-        query = re.sub(r"\b_input\b", view, props["query"])
+    from universal_data_connector_spark.session import temp_view
+
+    with temp_view(df, "_input") as view:
+        # split on single-quoted literals ('' is the SQL escape);
+        # rewrite the _input token only OUTSIDE them
+        parts = re.split(r"('(?:[^']|'')*')", props["query"])
+        query = "".join(
+            p if p.startswith("'") else re.sub(r"\b_input\b", view, p)
+            for p in parts)
         return df.sparkSession.sql(query)
-    finally:
-        df.sparkSession.catalog.dropTempView(view)
 
 
 def _project_transform(df: DataFrame, props: dict) -> DataFrame:

@@ -217,7 +217,11 @@ class PipelineManager:
                             )
                             manifest_record(manifest_files, manifest_dir,
                                             source_df.sparkSession)
-                        if defer_state:
+                        if defer_state and job.status != "CANCELLED":
+                            # a cancel that skipped the bookkeeping must
+                            # keep the intent: clearing it would let the
+                            # rerun of the same unrecorded files claim a
+                            # fresh id and double-apply
                             from universal_data_connector_spark.streaming.windows import (  # noqa: E501
                                 end_batch_run,
                             )

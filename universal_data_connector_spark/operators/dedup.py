@@ -701,6 +701,9 @@ def _require_integral_ids(df: DataFrame, cols: list[str],
     ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for c in cols:
         dt = df.schema[c].dataType
+        # scale-0 decimals (JDBC NUMERIC ids) cast to bigint losslessly
+        if isinstance(dt, T.DecimalType) and dt.scale == 0:
+            continue
         if not isinstance(dt, ok):
             raise TypeError(
                 f"{fn_name} requires integral id columns; {c!r} is "

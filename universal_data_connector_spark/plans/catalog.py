@@ -1957,7 +1957,13 @@ def multimodal_binary_meta(spark, sf_dir):
                  unnest(range(0, least(
                      greatest((octet_length(encode(text)) - 1) // 256 + 1, 0),
                      8))) AS i
-          FROM documents)
+          FROM documents
+          WHERE text IS NOT NULL AND octet_length(encode(text)) > 0)
+    UNION ALL
+    -- explode_outer contract: NULL/empty assets keep one NULL-frame row
+    SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS INT)
+    FROM documents
+    WHERE text IS NULL OR octet_length(encode(text)) = 0
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):

@@ -11,6 +11,7 @@ timestamps (DuckDB, Parquet NTZ).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -74,3 +75,22 @@ def pin(spark: SparkSession) -> SparkSession:
     cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(max(int(cores), 8)))
     return spark
+
+
+@_contextlib.contextmanager
+def temp_view(df, base: str):
+    """Register ``df`` under a UNIQUE temp-view name and drop it after
+    the with-block — the shared form of the per-build-unique-view fix
+    (a fixed session-global name races across concurrent builds on one
+    SparkSession: another build's createOrReplaceTempView landing
+    before this build's spark.sql() resolution silently swaps the
+    data). Dropping after spark.sql() is safe: analysis inlines the
+    view's plan."""
+    import uuid
+
+    name = f"{base}_{uuid.uuid4().hex[:10]}"
+    df.createOrReplaceTempView(name)
+    try:
+        yield name
+    finally:
+        df.sparkSession.catalog.dropTempView(name)

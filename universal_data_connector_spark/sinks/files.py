@@ -297,6 +297,14 @@ def s3_sink(df: DataFrame, props: dict, streaming: bool = False):
             "writer speaks s3a natively); for raw object passthrough "
             "drop 'schema'/'format', or convert blobs with a "
             "transformation first")
+    if delegated_fmt not in ("parquet", "csv") and "content" not in df.columns:
+        # record-mode with no (or an unknown) format would fall into
+        # file_sink's local text passthrough and os.makedirs a literal
+        # './s3a:' directory before failing confusingly
+        raise ValueError(
+            "s3 sink: record-mode frames need format 'parquet' or "
+            f"'csv' (Spark writers speak s3a natively); got "
+            f"{props.get('format')!r}")
     sub = dict(props)
     sub["path"] = path
     # reference S3 keys keep the original filename — no extension swap
