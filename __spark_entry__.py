@@ -18,45 +18,47 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-8 rotation
-# (VERDICT r7 item 1): the entire r5-evidence cohort (35 oracled keys,
-# including sim_search_ivf which GAINED an oracle this round via the
-# embedded-centroid pattern) + the 14 new r8 keys + the flagship =
-# exactly 50. The two remaining r5-evidence keys (multimodal_resize,
-# sim_search_ivf_kmeans) are the by-design rows-only stubs whose
-# semantics are pinned by in-repo tests; they rotate in r9.
+# recent driver evidence goes stale (>2 rounds old). Round-9 rotation
+# (VERDICT r8 item 1): the entire 46-key r6-evidence cohort + the
+# three rows-only keys with the oldest spark_rows evidence
+# (multimodal_resize / sim_search_ivf_kmeans r5, dedup_simhash r7) +
+# the flagship = exactly 50. The catalog (147 keys) now sits at the
+# 3-round rotation capacity (49x3 + the every-round flagship = 148),
+# so this round adds NO new keys — consolidation over scope, per the
+# r8 verdict. The r7-evidence cohort (49 keys) rotates in r10, the
+# r8 cohort in r11.
 _CHECK_FIRST = [
-    # r5-evidence cohort (VERDICT r7 item 1) — dedup family
-    "dedup_exact", "dedup_cluster_cc", "dedup_contamination_ngram",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    # similarity / embeddings (sim_search_ivf: first oracle exposure)
-    "sim_search_cosine_topk", "sim_search_ivf", "embedding_normalize",
-    # text analysis
-    "text_tokenize_stats", "text_token_count_bpe", "text_language_id",
-    "text_quality_score", "text_fingerprint", "text_rolling_hash",
-    "text_pii_redact", "text_unigram_logprob",
-    # multimodal plumbing
-    "multimodal_binary_meta", "multimodal_frame_sample",
-    "multimodal_decode_features",
-    # sinks-as-queries
-    "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
-    # sampling / reshape
-    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
-    "reshape_unpivot", "reshape_pack_sequences",
-    # scans / SQL surface
-    "scan_csv_typed", "scan_glob_filter", "sql_full_surface",
-    # streaming
-    "stream_dedup_first_per_key", "stream_dedup_watermark",
-    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
-    # composition
-    "pipeline_training_data",
-    # NEW this round (r8): never driver-checked
-    "agg_weighted_avg", "agg_argmax_struct", "agg_corr_exact",
-    "window_ntile_quartiles", "ts_cumulative_distinct", "ts_outlier_iqr",
-    "events_rfm_segments", "events_attribution_first_last",
-    "market_basket_pairs", "text_tfidf_topk", "dedup_containment_ngram",
-    "reshape_sliding_windows", "join_asof_tolerance",
-    "dq_uniqueness_orders",
+    # r6-evidence cohort — project / rename / filter / map / casts
+    "project_columns", "rename_columns",
+    "filter_contains", "filter_equality", "filter_null_safe",
+    "filter_any_row_per_file",
+    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
+    "defaults_on_null",
+    # the 11 r6 joins
+    "join_inner_hash", "join_broadcast", "join_left", "join_semi",
+    "join_anti", "join_range_theta", "join_asof",
+    "join_interval_overlap", "join_salted_skew", "join_full_outer",
+    "join_star_schema",
+    # the 9 r6 aggregation keys (incl. the rows-only HLL sketch)
+    "agg_hash_sum_avg", "agg_count_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
+    "agg_histogram_bins", "agg_approx_count_distinct",
+    # windows
+    "window_row_number_topk", "window_running_sum",
+    # r6 streaming / stateful pair
+    "stream_stateful_totals", "stream_stream_interval_join",
+    # text / sampling / reshape
+    "text_repetition_ratio", "sample_capped_per_key",
+    "reshape_chunk_tokens",
+    # r6 analytics four
+    "events_funnel_steps", "retention_cohorts", "ts_rollup_gapfill",
+    "ts_subsequence_search",
+    # DQ / maintenance
+    "dq_expectations", "dq_column_profile", "maintenance_compact_files",
+    # scans
+    "scan_jsonl_roundtrip", "scan_partition_pruned",
+    # rows-only keys re-windowed for spark_rows drift (oldest evidence)
+    "multimodal_resize", "sim_search_ivf_kmeans", "dedup_simhash",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
 ]
