@@ -393,8 +393,8 @@ def test_begin_batch_run_torn_and_concurrent_claims(spark, tmp_path):
     # torn claim: intent exists but empty -> repaired with the same id
     open(os.path.join(target, W._BATCH_INTENT), "w").close()
     assert W.begin_batch_run(target, num_buckets=4) == 0
-    with open(os.path.join(target, W._BATCH_INTENT)) as fh:
-        assert fh.read().strip() == "0"
+    stored = W._intent_load(os.path.join(target, W._BATCH_INTENT))
+    assert stored["run_id"] == 0
     W.end_batch_run(target)
 
     # lost race: the file appears between the existence check and the

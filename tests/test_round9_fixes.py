@@ -1,0 +1,267 @@
+"""Round-9 regression tests (ADVICE r8 items).
+
+1. (medium) A crash between manifest_record and end_batch_run leaves a
+   stale batch intent while the NEXT run's input differs (the manifest
+   now filters the recorded files). begin_batch_run carries an input
+   fingerprint: a changed-input resume after a COMPLETED merge
+   reclaims a fresh id (the new files' increments apply); after an
+   INCOMPLETE merge it raises instead of guessing.
+2. (low) _sql_transform's _input rewrite must also skip double-quoted
+   string literals (Spark's default parsing), while still rewriting a
+   double-quoted IDENTIFIER when spark.sql.ansi.doubleQuotedIdentifiers
+   is on; backslash-escaped quotes stay inside one literal.
+3. (low) The upsert tie-break hash must not explode on unhashable
+   column types (MapType anywhere in the column): those hash their
+   to_json rendering instead.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, value double")
+
+
+def _state(spark, target):
+    return {r.user_id: (r.n, float(r.total))
+            for r in spark.read.parquet(target).collect()}
+
+
+# ---------------------------------------------------------------------------
+# 1. batch intent input fingerprint
+# ---------------------------------------------------------------------------
+
+def test_begin_batch_run_same_fingerprint_resumes(spark, tmp_path):
+    from universal_data_connector_spark.streaming.windows import (
+        begin_batch_run,
+    )
+
+    target = str(tmp_path / "state")
+    rid = begin_batch_run(target, num_buckets=4, fingerprint="fpA")
+    assert begin_batch_run(target, num_buckets=4, fingerprint="fpA") == rid
+    # either side missing a fingerprint also resumes (legacy contract)
+    assert begin_batch_run(target, num_buckets=4) == rid
+
+
+def test_begin_batch_run_changed_fp_after_completed_merge_reclaims(
+        spark, tmp_path):
+    """Crash AFTER the merge but before end_batch_run, then new input:
+    the fingerprint differs, the recorded touched set is fully
+    applied, so a fresh id is claimed and the new increments land
+    (ADVICE r8 medium: the old blind resume skipped every bucket the
+    prior run marked)."""
+    from universal_data_connector_spark.streaming.windows import (
+        _BATCH_INTENT,
+        agg_state_merge,
+        begin_batch_run,
+    )
+
+    target = str(tmp_path / "state")
+    rid = begin_batch_run(target, num_buckets=4, fingerprint="fpA")
+    agg_state_merge(_mk(spark, [(1, 7, 1.0), (2, 8, 5.0)]), rid,
+                    path=target, keys=["user_id"], value_col="value",
+                    num_buckets=4)
+    # intent still present (end_batch_run never ran = the crash window)
+    assert os.path.isfile(os.path.join(target, _BATCH_INTENT))
+
+    rid2 = begin_batch_run(target, num_buckets=4, fingerprint="fpB")
+    assert rid2 > rid
+    # same key 7 -> previously-touched bucket must still apply
+    agg_state_merge(_mk(spark, [(3, 7, 10.0)]), rid2, path=target,
+                    keys=["user_id"], value_col="value", num_buckets=4)
+    assert _state(spark, target) == {7: (2, 11.0), 8: (1, 5.0)}
+
+
+def test_begin_batch_run_changed_fp_incomplete_merge_raises(
+        spark, tmp_path):
+    from universal_data_connector_spark.streaming.windows import (
+        _intent_record_touched,
+        begin_batch_run,
+    )
+
+    target = str(tmp_path / "state")
+    rid = begin_batch_run(target, num_buckets=4, fingerprint="fpA")
+    # the run recorded its planned buckets but swapped none of them
+    # (no markers exist), then crashed; now the input changes
+    _intent_record_touched(target, rid, [0, 1])
+    with pytest.raises(ValueError, match="DIFFERENT input"):
+        begin_batch_run(target, num_buckets=4, fingerprint="fpB")
+    # the same input still resumes fine
+    assert begin_batch_run(target, num_buckets=4, fingerprint="fpA") == rid
+
+
+def test_begin_batch_run_legacy_int_intent_resumes(spark, tmp_path):
+    from universal_data_connector_spark.streaming.windows import (
+        _BATCH_INTENT,
+        begin_batch_run,
+    )
+
+    target = str(tmp_path / "state")
+    begin_batch_run(target, num_buckets=4)  # creates layout + intent
+    with open(os.path.join(target, _BATCH_INTENT), "w") as fh:
+        fh.write("7")  # pre-fingerprint format: bare run id
+    assert begin_batch_run(target, num_buckets=4, fingerprint="X") == 7
+
+
+def _events_csv(rows):
+    body = "\n".join(f"{e},{u},{ts},{v}" for e, u, ts, v in rows)
+    return f"event_id,user_id,ts,value\n{body}\n"
+
+
+def _write(path, content):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def test_engine_crash_after_manifest_then_new_file_applies(
+        spark, tmp_path, monkeypatch):
+    """The exact ADVICE r8 scenario, end-to-end through the YAML
+    engine: run 1 merges and records its manifest, then crashes before
+    end_batch_run; a new file arrives; run 2's input is ONLY the new
+    file (manifest filter), its fingerprint differs, and its
+    increments must apply — the blind-resume bug dropped them for
+    every bucket run 1 touched (same user key = same bucket here)."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+    from universal_data_connector_spark.streaming import windows
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    target = str(tmp_path / "state")
+    cfg = parse_config({"pipelines": [{
+        "name": "fp-crash",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv",
+                                  "manifestDir": str(tmp_path / "m")}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": textwrap.dedent("""
+                SELECT CAST(f[1] AS BIGINT) AS user_id,
+                       CAST(f[3] AS DOUBLE) AS value
+                FROM (SELECT split(line, ',') AS f FROM (
+                        SELECT explode(slice(split(content, '\n'), 2,
+                                             1000000)) AS line
+                        FROM _input))
+                WHERE size(f) >= 4""")}},
+        ],
+        "sink": {"type": "agg_state",
+                 "properties": {"path": target, "keys": "user_id",
+                                "valueColumn": "value",
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+
+    _write(f"{inp}/a.csv", _events_csv([
+        (1, 7, "2026-01-01 10:00:00", 1.0)]))
+    real_end = windows.end_batch_run
+
+    def boom(path):
+        raise RuntimeError("injected crash before end_batch_run")
+
+    monkeypatch.setattr(windows, "end_batch_run", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(spark, cfg)
+    assert _state(spark, target) == {7: (1, 1.0)}
+    assert os.path.isfile(os.path.join(target, windows._BATCH_INTENT))
+
+    monkeypatch.setattr(windows, "end_batch_run", real_end)
+    _write(f"{inp}/b.csv", _events_csv([
+        (2, 7, "2026-01-01 11:00:00", 10.0)]))
+    run(spark, cfg)
+    assert _state(spark, target) == {7: (2, 11.0)}
+    assert not os.path.isfile(os.path.join(target, windows._BATCH_INTENT))
+
+
+# ---------------------------------------------------------------------------
+# 2. _sql_transform literal lexing
+# ---------------------------------------------------------------------------
+
+def test_sql_transform_double_quoted_literal_preserved(spark):
+    from universal_data_connector_spark.engine import _sql_transform
+
+    df = spark.range(3).toDF("id")
+    out = _sql_transform(df, {"query": (
+        'SELECT "has _input inside" AS a, count(*) AS n FROM _input')})
+    row = out.collect()[0]
+    assert row.a == "has _input inside"
+    assert row.n == 3
+
+
+def test_sql_transform_backslash_escaped_quote_stays_in_literal(spark):
+    from universal_data_connector_spark.engine import _sql_transform
+
+    df = spark.range(2).toDF("id")
+    out = _sql_transform(df, {"query": (
+        "SELECT 'it\\'s _input' AS a, count(*) AS n FROM _input")})
+    row = out.collect()[0]
+    assert row.a == "it's _input"
+    assert row.n == 2
+
+
+def test_sql_transform_double_quoted_identifier_mode_rewrites(spark):
+    """Under spark.sql.ansi.doubleQuotedIdentifiers, "_input" is the
+    frame REFERENCE and must be rewritten to the temp view."""
+    from universal_data_connector_spark.engine import _sql_transform
+
+    conf = "spark.sql.ansi.doubleQuotedIdentifiers"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "true")
+    try:
+        df = spark.range(4).toDF("id")
+        out = _sql_transform(
+            df, {"query": 'SELECT count(*) AS n FROM "_input"'})
+        assert out.collect()[0].n == 4
+    finally:
+        spark.conf.set(conf, old)
+
+
+# ---------------------------------------------------------------------------
+# 3. upsert with map-typed payload columns
+# ---------------------------------------------------------------------------
+
+def _map_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, ord bigint, attrs map<string,string>")
+
+
+def test_upsert_map_column_merges(spark, tmp_path):
+    """A map-carrying upsert target must merge (ADVICE r8: xxhash64
+    over a MapType raised at runtime) and keep the latest row."""
+    from universal_data_connector_spark.streaming.windows import (
+        upsert_merge,
+    )
+
+    target = str(tmp_path / "state")
+    upsert_merge(_map_df(spark, [(1, 1, {"v": "old"})]), 0,
+                 path=target, keys=["k"], order_col="ord", num_buckets=4)
+    upsert_merge(_map_df(spark, [(1, 2, {"v": "new"}),
+                                 (2, 1, {"v": "x"})]), 0,
+                 path=target, keys=["k"], order_col="ord", num_buckets=4)
+    rows = {r.k: (r.ord, dict(r.attrs))
+            for r in spark.read.parquet(target).drop("udc_kb").collect()}
+    assert rows == {1: (2, {"v": "new"}), 2: (1, {"v": "x"})}
+
+
+def test_upsert_map_column_tie_deterministic_across_replays(
+        spark, tmp_path):
+    """Equal order_col with map payloads: the to_json tiebreak must
+    pick the same winner on independent merges of the same batch."""
+    from universal_data_connector_spark.streaming.windows import (
+        upsert_merge,
+    )
+
+    batch = [(1, 5, {"v": "aaa"}), (1, 5, {"v": "bbb"})]
+    winners = []
+    for sub in ("t1", "t2"):
+        target = str(tmp_path / sub)
+        upsert_merge(_map_df(spark, batch), 0, path=target, keys=["k"],
+                     order_col="ord", num_buckets=4)
+        rows = spark.read.parquet(target).collect()
+        assert len(rows) == 1
+        winners.append(dict(rows[0].attrs))
+    assert winners[0] == winners[1]

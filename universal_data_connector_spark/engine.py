@@ -177,21 +177,37 @@ def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
     session-global name raced across the manager's concurrent pipeline
     builds (thread B's createOrReplaceTempView landing between thread
     A's registration and A's spark.sql() made A silently read B's
-    frame). The rewrite skips single-quoted string LITERALS — a query
-    comparing a column against the text '_input' must keep its
-    literal."""
+    frame). The rewrite skips string LITERALS — a query comparing a
+    column against the text '_input' must keep its literal. What
+    counts as a literal follows the session's parser: by default
+    double-quoted text is a string literal too (in Spark 4 this holds
+    even under ANSI mode), so ``= "_input"`` is skipped; only under
+    ``spark.sql.ansi.doubleQuotedIdentifiers`` do double quotes
+    delimit IDENTIFIERS, in which case ``FROM "_input"`` is the frame
+    reference and IS rewritten (ADVICE r8). Backslash escapes inside
+    literals are honored ('it\\'s _input' stays one literal)."""
     import re
 
     from universal_data_connector_spark.session import temp_view
 
+    spark = df.sparkSession
+    dq_ident = str(spark.conf.get(
+        "spark.sql.ansi.doubleQuotedIdentifiers",
+        "false")).lower() == "true"
+    # literal lexing: backslash-escaped chars and ''/"" doubling stay
+    # inside the literal (doubled quotes also cover Spark's implicit
+    # adjacent-literal concatenation — either reading keeps the text
+    # un-rewritten)
+    lit = r"'(?:[^'\\]|\\.|'')*'"
+    if not dq_ident:
+        lit += r'|"(?:[^"\\]|\\.|"")*"'
     with temp_view(df, "_input") as view:
-        # split on single-quoted literals ('' is the SQL escape);
-        # rewrite the _input token only OUTSIDE them
-        parts = re.split(r"('(?:[^']|'')*')", props["query"])
+        parts = re.split(f"({lit})", props["query"])
         query = "".join(
-            p if p.startswith("'") else re.sub(r"\b_input\b", view, p)
+            p if p[:1] in ("'", '"') else
+            re.sub(r"\b_input\b", view, p)
             for p in parts)
-        return df.sparkSession.sql(query)
+        return spark.sql(query)
 
 
 def _project_transform(df: DataFrame, props: dict) -> DataFrame:
@@ -416,13 +432,24 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                 # consumed-file bookkeeping below: if archive/manifest
                 # recording fails, the rerun re-reads the SAME files and
                 # must RESUME the same run id (skip), not claim a fresh
-                # one (double-apply)
+                # one (double-apply). The input FINGERPRINT (hash of the
+                # source's canonical file list) travels with the intent
+                # so a crash AFTER manifest_record — which changes the
+                # next run's input — reclaims fresh instead of resuming
+                # onto different data and dropping its increments
+                # (ADVICE r8; begin_batch_run's input-identity guard).
+                import hashlib
                 from dataclasses import replace
 
-                sink_cfg = replace(
-                    sink_cfg,
-                    properties={**sink_cfg.properties,
-                                "_deferFinalize": "true"})
+                try:
+                    in_files = sorted(source_df.inputFiles())
+                except Exception:
+                    in_files = []
+                props = {**sink_cfg.properties, "_deferFinalize": "true"}
+                if in_files:
+                    props["_inputFingerprint"] = hashlib.sha256(
+                        "\n".join(in_files).encode()).hexdigest()
+                sink_cfg = replace(sink_cfg, properties=props)
             result = create_sink(df, sink_cfg, streaming)
             if archive_dir and consumed:
                 _archive_consumed(consumed, archive_dir, source_root)

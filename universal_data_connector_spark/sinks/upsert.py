@@ -80,8 +80,12 @@ def agg_state_sink(df: DataFrame, props: dict, streaming: bool = False):
             df, props["path"], keys=keys, value_col=value_col,
             checkpoint=props["checkpointLocation"], num_buckets=n)
     # batch: monotonic run id so every run's increments apply exactly
-    # once (and a crashed run resumes, not double-applies)
-    run_id = begin_batch_run(props["path"], num_buckets=n)
+    # once (and a crashed run resumes, not double-applies). The engine
+    # passes an input fingerprint so a resume onto DIFFERENT input
+    # (manifest advanced, intent not yet cleared) reclaims fresh
+    # instead of skipping the new files' increments (ADVICE r8).
+    run_id = begin_batch_run(props["path"], num_buckets=n,
+                             fingerprint=props.get("_inputFingerprint"))
     agg_state_merge(df, run_id, path=props["path"], keys=keys,
                     value_col=value_col, num_buckets=n)
     # The engine's pipeline runner sets _deferFinalize and clears the

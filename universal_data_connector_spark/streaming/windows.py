@@ -195,7 +195,21 @@ def _upsert_ensure_meta(path: str, num_buckets: int) -> int:
     return num_buckets
 
 
-def _latest_rank(columns: list[str], keys: list[str], order_col: str):
+def _contains_map(dt) -> bool:
+    """True if the data type has a MapType anywhere in it — the one
+    family ``xxhash64`` cannot hash (HASH_MAP_TYPE analysis error)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _latest_rank(schema, keys: list[str], order_col: str):
     """Deterministic keep-latest ranking: newest ``order_col`` first,
     ties broken by ``xxhash64`` over ALL payload columns (sorted name
     order) — a total order on row CONTENT, so re-applying a batch after
@@ -203,12 +217,22 @@ def _latest_rank(columns: list[str], keys: list[str], order_col: str):
     same ``order_col`` (the bare ``orderBy(order_col, *keys)`` form
     left tie winners to shuffle order: keys are constant within a key
     partition, VERDICT r7 item 1). A hash collision between two
-    distinct tied rows (~2^-64) is the only residual nondeterminism."""
+    distinct tied rows (~2^-64) is the only residual nondeterminism.
+
+    Columns containing a MapType anywhere (bare, in an array, in a
+    struct) are unhashable to ``xxhash64`` — those hash their
+    ``to_json`` rendering instead (ADVICE r8: a map-carrying upsert
+    target must not fail at runtime). A replay reprocesses the same
+    rows through the same plan, so the JSON rendering — and therefore
+    the tie winner — is stable across replays."""
     from pyspark.sql import Window as W
 
-    payload = sorted(c for c in columns
-                     if c not in (_UPSERT_BUCKET_COL, "__rn"))
-    tiebreak = F.xxhash64(*[F.col(c) for c in payload])
+    payload = sorted((f for f in schema.fields
+                      if f.name not in (_UPSERT_BUCKET_COL, "__rn")),
+                     key=lambda f: f.name)
+    hashable = [F.to_json(F.col(f.name)) if _contains_map(f.dataType)
+                else F.col(f.name) for f in payload]
+    tiebreak = F.xxhash64(*hashable) if hashable else F.lit(0)
     return F.row_number().over(
         W.partitionBy(*keys).orderBy(F.col(order_col).desc(),
                                      tiebreak.desc()))
@@ -239,7 +263,7 @@ def upsert_merge(batch_df: DataFrame, batch_id: int, *, path: str,
     n_buckets = _upsert_ensure_meta(path, num_buckets)
 
     kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-    rank = _latest_rank(batch_df.columns, keys, order_col)
+    rank = _latest_rank(batch_df.schema, keys, order_col)
     latest = (batch_df.withColumn("__rn", rank)
                       .filter(F.col("__rn") == 1).drop("__rn")
                       .withColumn(_UPSERT_BUCKET_COL, kb))
@@ -259,7 +283,7 @@ def upsert_merge(batch_df: DataFrame, batch_id: int, *, path: str,
         # nothing, and the union with `latest` needs every touched key
         current = _read_touched(spark, path, touched)
         merged = current.unionByName(latest)
-        rank2 = _latest_rank(merged.columns, keys, order_col)
+        rank2 = _latest_rank(merged.schema, keys, order_col)
         merged = (merged.withColumn("__rn", rank2)
                         .filter(F.col("__rn") == 1).drop("__rn"))
     else:
@@ -346,7 +370,58 @@ def _bucket_applied_id(bucket_dir: str) -> int:
 _BATCH_INTENT = "_udc_batch_intent"
 
 
-def begin_batch_run(path: str, num_buckets: int = 32) -> int:
+def _intent_load(intent: str) -> dict | None:
+    """Parse the intent file. JSON form is current; a bare integer is
+    the pre-fingerprint legacy format (run id only). Returns None for
+    an empty (torn-claim) file."""
+    import json
+
+    with open(intent) as fh:
+        content = fh.read().strip()
+    if not content:
+        return None
+    if content.lstrip().startswith("{"):
+        return json.loads(content)
+    return {"run_id": int(content), "fingerprint": None, "touched": None}
+
+
+def _intent_write(intent: str, run_id: int, fingerprint: str | None,
+                  touched: list[int] | None) -> None:
+    """Atomically (re)write the intent payload (tmp + rename)."""
+    import json
+    import os
+
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"run_id": run_id, "fingerprint": fingerprint,
+                             "touched": touched}))
+    os.rename(tmp, intent)
+
+
+def _intent_record_touched(path: str, run_id: int,
+                           touched: list[int]) -> None:
+    """Record the bucket set a batch merge is ABOUT to swap into the
+    run's intent file (no-op when no intent exists — the streaming
+    path numbers batches from its checkpoint and carries no intent).
+    Written before the first swap, so a later ``begin_batch_run`` can
+    tell a COMPLETED merge (every recorded bucket's marker reached the
+    run id) from a crashed-partway one — the distinction that makes a
+    changed-input resume safe to reclaim fresh (see
+    ``begin_batch_run``)."""
+    import os
+
+    intent = os.path.join(path, _BATCH_INTENT)
+    if not os.path.isfile(intent):
+        return
+    stored = _intent_load(intent)
+    if stored is None or stored["run_id"] != run_id:
+        return
+    _intent_write(intent, run_id, stored.get("fingerprint"),
+                  sorted(touched))
+
+
+def begin_batch_run(path: str, num_buckets: int = 32,
+                    fingerprint: str | None = None) -> int:
     """Claim a run id for one BATCH agg-state merge.
 
     Batch runs have no streaming checkpoint to number their batches, so
@@ -364,6 +439,29 @@ def begin_batch_run(path: str, num_buckets: int = 32) -> int:
     unswapped buckets apply — converging exactly like a checkpointed
     stream replaying its batch. The rerun must present the same input
     batch, the same contract a stream replay has.
+
+    Input-identity guard (ADVICE r8): a resume is only valid for the
+    SAME input batch, but the engine's bookkeeping runs AFTER the
+    merge — a crash between manifest_record and end_batch_run leaves
+    the intent behind while the manifest now filters the recorded
+    files, so the next run's input DIFFERS and a blind resume would
+    skip every bucket the completed merge marked, silently dropping
+    the new files' increments. Callers that can fingerprint their
+    input (the engine hashes the source's canonical file list) pass
+    it here; it is persisted in the intent and compared on resume:
+
+    * fingerprints match (or either side has none) -> resume, as a
+      stream replay would;
+    * fingerprints differ and the prior merge COMPLETED (every bucket
+      in the intent's recorded ``touched`` set carries a marker at or
+      past the run id) -> only bookkeeping crashed; the intent is
+      cleared and a FRESH id claimed so the new input applies;
+    * fingerprints differ but the prior merge is incomplete (or never
+      recorded its touched set yet swaps may have happened) -> raise:
+      resuming would replay the OLD id onto DIFFERENT input and a
+      fresh id would double-apply whatever the crashed run already
+      swapped — no automatic choice is safe, the operator must
+      reconcile (rerun the old input to completion first).
 
     Single-writer contract: the intent is claimed with O_CREAT|O_EXCL,
     so of two runs that start CONCURRENTLY one wins and the other
@@ -390,17 +488,39 @@ def begin_batch_run(path: str, num_buckets: int = 32) -> int:
              if name.startswith(f"{_UPSERT_BUCKET_COL}=")), default=-1)
 
     if os.path.isfile(intent):
-        with open(intent) as fh:
-            content = fh.read().strip()
-        if content:
-            return int(content)
-        # torn claim: a prior run crashed between creating the intent
-        # and writing the id — its merge never ran, so the markers are
-        # unchanged and recomputing yields the id it would have used
-        run_id = next_id()
-        with open(intent, "w") as fh:
-            fh.write(str(run_id))
-        return run_id
+        stored = _intent_load(intent)
+        if stored is None:
+            # torn claim: a prior run crashed between creating the
+            # intent and writing the id — its merge never ran, so the
+            # markers are unchanged and recomputing yields the id it
+            # would have used
+            run_id = next_id()
+            _intent_write(intent, run_id, fingerprint, None)
+            return run_id
+        stored_fp = stored.get("fingerprint")
+        if (fingerprint is None or stored_fp is None
+                or stored_fp == fingerprint):
+            return int(stored["run_id"])
+        # fingerprints present and DIFFERENT: the input changed since
+        # the intent was claimed. Safe to reclaim fresh only if the
+        # prior merge provably completed (all its recorded buckets
+        # reached the run id); otherwise fail loudly.
+        touched = stored.get("touched")
+        run_id = int(stored["run_id"])
+        if touched is not None and all(
+                _bucket_applied_id(os.path.join(
+                    path, f"{_UPSERT_BUCKET_COL}={b}")) >= run_id
+                for b in touched):
+            os.remove(intent)
+        else:
+            raise ValueError(
+                f"batch intent {intent!r} (run {run_id}) was claimed "
+                "for a DIFFERENT input batch than the one presented "
+                "now, and that run did not complete its merge: "
+                "resuming would misapply, reclaiming would "
+                "double-apply. Rerun the original input to completion "
+                "first (or remove the intent after manual "
+                "reconciliation).")
     run_id = next_id()
     try:
         fd = os.open(intent, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -410,8 +530,10 @@ def begin_batch_run(path: str, num_buckets: int = 32) -> int:
             "agg_state runs on one target are unsupported (if a prior "
             "run crashed, rerun after it has fully stopped — it will "
             "resume its claimed id)") from None
+    import json
     with os.fdopen(fd, "w") as fh:
-        fh.write(str(run_id))
+        fh.write(json.dumps({"run_id": run_id, "fingerprint": fingerprint,
+                             "touched": None}))
     return run_id
 
 
@@ -453,6 +575,10 @@ def agg_state_merge(batch_df: DataFrame, batch_id: int, *, path: str,
     pending = [b for b in touched
                if _bucket_applied_id(os.path.join(
                    path, f"{_UPSERT_BUCKET_COL}={b}")) < batch_id]
+    # record BEFORE the early return and the first swap: an empty
+    # pending set recorded = "this run's merge is complete", so a
+    # later changed-input resume can reclaim fresh instead of raising
+    _intent_record_touched(path, batch_id, pending)
     if not pending:
         return
     part = part.filter(F.col(_UPSERT_BUCKET_COL).isin(pending))
