@@ -444,6 +444,10 @@ def test_driver_materialization_discipline():
         # of files consumed THIS run (the unbounded all-history side
         # stays on executors)
         "sources/files.py": 1,
+        # rank-selection metadata: per-(slice, group) counts guarded
+        # by max_meta_rows, and the picked interpolation endpoints
+        # (<= 2 * |ps| * |groups| rows)
+        "operators/quantiles.py": 2,
     }
     bad = []
     for py in root.rglob("*.py"):
@@ -543,21 +547,32 @@ def test_argmax_and_attribution_are_aggregates_not_windows(spark):
 
 
 def test_outlier_iqr_broadcasts_stats_back(spark):
-    """The per-key quartile frame must BROADCAST onto the events scan
-    (two passes over the wide table, zero wide-side shuffles for the
-    join)."""
+    """The quartiles come from eager distributed rank-selection
+    (operators/quantiles.py) and land in the fence-count plan as a
+    LITERAL frame — so the final plan must show a broadcast join
+    against a local scan, no percentile aggregate (the unbounded
+    per-group buffer, VERDICT r8 item 2), and no wide-side merge
+    join."""
     p = plan_str(QUERIES["ts_outlier_iqr"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, \
+        "quartiles are not a literal frame"
+    assert "percentile" not in p.lower(), \
+        "unbounded percentile aggregate is back in the plan"
 
 
 def test_rfm_cutoffs_are_one_row_broadcast(spark):
-    """Quantile-cutoff segmentation must broadcast the 1-row cutoff
-    frame — a global ntile window over the customer aggregate (the
-    shape this key deliberately avoids) would show a partitionless
-    Window over millions of rows."""
+    """Quantile-cutoff segmentation must broadcast the 1-row literal
+    cutoff frame (eager rank-selection output) — no percentile
+    aggregate (one buffer holding every customer's value) and no
+    window over the per-customer rows anywhere in the plan."""
     p = plan_str(QUERIES["events_rfm_segments"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, \
+        "cutoffs are not a literal frame"
+    assert "percentile" not in p.lower(), \
+        "unbounded percentile aggregate is back in the plan"
     assert "Window" not in p
 
 

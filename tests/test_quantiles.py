@@ -1,0 +1,85 @@
+"""exact_group_percentiles: bit-parity with the percentile aggregate.
+
+The helper exists so the two quantile-cutoff catalog keys can keep
+their hash-green DuckDB oracles (which match ``F.percentile``) while
+dropping the unbounded per-group aggregation buffer (VERDICT r8 item
+2). Parity therefore has to be BIT-exact — repr-compare the doubles,
+no tolerance.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_data_connector_spark.operators.quantiles import (
+    exact_group_percentiles,
+)
+
+PS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+NAMES = ["p0", "p25", "p50", "p75", "p90", "p100"]
+
+
+def _ref(df, group_cols):
+    pct = F.percentile(F.col("v"), F.array(*[F.lit(p) for p in PS]))
+    base = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return (base.agg(pct.alias("q"))
+                .select(*group_cols,
+                        *[F.col("q")[i].alias(NAMES[i])
+                          for i in range(len(PS))]))
+
+
+def _assert_bit_equal(spark, df, group_cols):
+    ref = _ref(df, group_cols)
+    got = exact_group_percentiles(df, group_cols, "v", PS, NAMES)
+    key = (lambda r: tuple(r[c] for c in group_cols)) if group_cols \
+        else (lambda r: ())
+    r = {key(row): [row[n] for n in NAMES] for row in ref.collect()}
+    h = {key(row): [row[n] for n in NAMES] for row in got.collect()}
+    assert set(r) == set(h)
+    for k in r:
+        for a, b, n in zip(r[k], h[k], NAMES):
+            assert repr(a) == repr(b), (k, n, repr(a), repr(b))
+
+
+def test_grouped_parity_mixed_shapes(spark):
+    """Ties, negatives, a single-element group, a two-element group,
+    an integer-heavy skewed group — across more slices than rows in
+    some groups."""
+    random.seed(7)
+    rows = [("A", float(random.choice(
+        [1.5, 2.25, -3.0, 7.125, random.random() * 100])))
+        for _ in range(1200)]
+    rows.append(("B", 42.0))
+    rows += [("C", 1.0), ("C", 2.0)]
+    rows += [("D", float(int(random.expovariate(0.01))))
+             for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _assert_bit_equal(spark, df, ["g"])
+
+
+def test_global_parity_and_null_values_ignored(spark):
+    random.seed(11)
+    rows = [(random.random() * 1e6 - 5e5,) for _ in range(900)]
+    rows += [(None,)] * 50
+    df = spark.createDataFrame(rows, "v double")
+    _assert_bit_equal(spark, df, [])
+
+
+def test_all_null_group_absent(spark):
+    """Documented divergence from the aggregate form: a group whose
+    values are all null produces NO row (the aggregate would emit a
+    null-percentile row)."""
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", None)], "g string, v double")
+    out = exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"])
+    rows = {r.g: r.p50 for r in out.collect()}
+    assert rows == {"A": 1.5}
+
+
+def test_out_cols_must_pair_with_ps(spark):
+    df = spark.createDataFrame([("A", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="pair up"):
+        exact_group_percentiles(df, ["g"], "v", [0.5], ["a", "b"])

@@ -4623,17 +4623,26 @@ def ts_cumulative_distinct(spark, sf_dir):
 def ts_outlier_iqr(spark, sf_dir):
     """Tukey-fence outlier counts per key (1.5x IQR beyond exact
     Q1/Q3) — the quartile complement to ts_anomaly_mad's
-    median-absolute-deviation fences. Same two-pass scale shape: the
-    per-key quartiles reduce to one tiny frame that BROADCASTS back
-    onto the events scan, so the wide table shuffles once for the
-    quartiles and streams once for the fence counts. Fence arithmetic
+    median-absolute-deviation fences. The per-key quartiles reduce to
+    one tiny frame that BROADCASTS back onto the events scan for the
+    fence counts. Scale posture (VERDICT r8 item 2): event_type has a
+    HANDFUL of groups each holding a constant fraction of the table,
+    so a ``percentile`` AGGREGATE would buffer billions of doubles in
+    one task at 100x — the quartiles instead come from
+    ``exact_group_percentiles`` (operators/quantiles.py): distributed
+    rank-selection over a range partition, bit-identical to the
+    aggregate's interpolation, no unbounded buffer (plan-asserted:
+    RangePartitioning present, no percentile agg). Fence arithmetic
     is double with identical parenthesization on unrounded quartiles
     in both engines; the emitted quartiles round at the edge."""
+    from universal_data_connector_spark.operators.quantiles import (
+        exact_group_percentiles,
+    )
+
     e = load(spark, sf_dir, "events")
-    pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.75)))
-    q = (e.groupBy("event_type").agg(pct.alias("__q"))
-          .select("event_type", F.col("__q")[0].alias("q1"),
-                  F.col("__q")[1].alias("q3")))
+    q = exact_group_percentiles(e, ["event_type"], "value",
+                                [0.25, 0.75], ["q1", "q3"],
+                                persist_input=False)  # plain scan proj
     iqr = F.col("q3") - F.col("q1")
     out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
            | (F.col("value") > F.col("q3") + 1.5 * iqr))
@@ -4678,34 +4687,51 @@ def ts_outlier_iqr(spark, sf_dir):
 def events_rfm_segments(spark, sf_dir):
     """Frequency/monetary customer segmentation via QUANTILE CUTOFFS,
     not ntile: a global ntile window over millions of per-customer
-    rows serializes the full sort through one task, while three exact
-    quantile cutoffs reduce to ONE row that broadcasts back — the
-    100 TB-safe way to bucket. Segment = 1 + number of quartile
-    cutoffs strictly exceeded (ties share a segment, so the result is
-    order-free). Monetary sums are decimal-exact; recency rides along
-    as the last order date."""
+    rows serializes the full sort through one task, while six exact
+    quantile cutoffs reduce to ONE row that broadcasts back. Scale
+    posture (VERDICT r8 item 2): the cutoffs are over a SINGLE global
+    group of per-customer rows — a ``percentile`` AGGREGATE would
+    buffer every customer's value in one task at 100x — so they come
+    from ``exact_group_percentiles`` (operators/quantiles.py) over the
+    unpivoted (metric, value) pairs: one distributed rank-selection
+    pass for both metrics, bit-identical to the aggregate's
+    interpolation, no unbounded buffer. Segment = 1 + number of
+    quartile cutoffs strictly exceeded (ties share a segment, so the
+    result is order-free). Monetary sums are decimal-exact; recency
+    rides along as the last order date."""
+    from universal_data_connector_spark.operators.quantiles import (
+        exact_group_percentiles,
+    )
+
     o = load(spark, sf_dir, "orders")
     rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.count("*").cast("bigint").alias("f"),
                  orel.exact_sum(F.col("o_totalprice")).alias("m"),
                  F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
                   .alias("last_order")))
-    fpct = F.percentile(F.col("f").cast("double"),
-                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    mpct = F.percentile(F.col("m"),
-                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    cuts = rfm.agg(fpct.alias("__f"), mpct.alias("__m"))
+    long = rfm.select(F.explode(F.array(
+        F.struct(F.lit("f").alias("metric"),
+                 F.col("f").cast("double").alias("value")),
+        F.struct(F.lit("m").alias("metric"),
+                 F.col("m").alias("value")))).alias("mv")) \
+        .select("mv.metric", "mv.value")
+    qs = exact_group_percentiles(long, ["metric"], "value",
+                                 [0.25, 0.5, 0.75], ["q25", "q50", "q75"])
+    cuts = qs.groupBy().agg(*[
+        F.max(F.when(F.col("metric") == m, F.col(q)))
+         .alias(f"{m}{q[1:]}")
+        for m in ("f", "m") for q in ("q25", "q50", "q75")])
 
-    def seg(val, arr):
-        return (1 + F.when(val > arr[0], 1).otherwise(0)
-                  + F.when(val > arr[1], 1).otherwise(0)
-                  + F.when(val > arr[2], 1).otherwise(0)).cast("bigint")
+    def seg(val, pre):
+        return (1 + F.when(val > F.col(f"{pre}25"), 1).otherwise(0)
+                  + F.when(val > F.col(f"{pre}50"), 1).otherwise(0)
+                  + F.when(val > F.col(f"{pre}75"), 1).otherwise(0)
+                ).cast("bigint")
 
     return (rfm.crossJoin(F.broadcast(cuts))
                .select("custkey", "f", "m", "last_order",
-                       seg(F.col("f").cast("double"),
-                           F.col("__f")).alias("f_seg"),
-                       seg(F.col("m"), F.col("__m")).alias("m_seg")))
+                       seg(F.col("f").cast("double"), "f").alias("f_seg"),
+                       seg(F.col("m"), "m").alias("m_seg")))
 
 
 # ---------------------------------------------------------------------------
