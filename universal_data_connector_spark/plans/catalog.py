@@ -4769,11 +4769,32 @@ def events_attribution_first_last(spark, sf_dir):
                      "n_events"))
 
 
+MARKET_BASKET_CAP = 64  # deterministic per-basket item cap
+
+
+def _capped_basket(order_part: DataFrame,
+                   cap: int = None) -> DataFrame:
+    """Distinct (order, part) pairs, capped to the ``cap`` LOWEST part
+    keys per order — a deterministic, order-free cut (no sampling
+    seed, no shuffle-order dependence), so replays and the oracle pick
+    the same survivors. One row_number window per basket; the window
+    partition is a single basket, bounded by the basket itself."""
+    cap = MARKET_BASKET_CAP if cap is None else cap
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (order_part.distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap).drop("__rn"))
+
+
 @query(
     "market_basket_pairs",
-    oracle="""
+    oracle=f"""
     WITH basket AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        SELECT l_orderkey, l_partkey FROM (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ) QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_partkey)
+                  <= {MARKET_BASKET_CAP}
     )
     SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
            CAST(COUNT(*) AS BIGINT) AS support
@@ -4786,15 +4807,20 @@ def events_attribution_first_last(spark, sf_dir):
 )
 def market_basket_pairs(spark, sf_dir):
     """Top co-occurring part pairs across order baskets (market-basket
-    support counts): distinct (order, part) -> within-order self-join
-    with part_1 < part_2 -> pair counts -> deterministic top-20. The
-    per-order fanout is quadratic in BASKET size, not table size —
-    baskets are bounded by the lines-per-order cap (~7 here), the same
-    boundedness argument as the band join in LSH; for heavy-tailed
-    baskets cap or sample the basket first. The (support, part_1,
-    part_2) order is total, so the limit is reproducible."""
+    support counts): distinct (order, part) -> deterministic
+    per-basket cap -> within-order self-join with part_1 < part_2 ->
+    pair counts -> deterministic top-20. The per-order fanout is
+    quadratic in BASKET size, not table size; the cap (the
+    MARKET_BASKET_CAP lowest part keys per order — order-free and
+    replayable) bounds it at C(cap, 2) pairs even for a degenerate
+    10k-item basket, closing the heavy-tail hazard the r8 verdict
+    flagged (one such basket = 5e7 pairs through a single key).
+    TPC-H baskets (~7 lines/order) never reach the cap, and the
+    oracle applies the identical cap, so results are unchanged where
+    the cap doesn't bind. The (support, part_1, part_2) order is
+    total, so the limit is reproducible."""
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    basket = _capped_basket(li.select("l_orderkey", "l_partkey"))
     a = basket.alias("a")
     b = basket.alias("b")
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
