@@ -114,6 +114,17 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    # multi-job queries (iterative convergence loops, foreachBatch
+    # stream sinks, eager rank-selection) launch many short Spark jobs
+    # per rep — each job boundary is a fresh chance for a host
+    # CPU-starvation spike to land, so their MEDIANS are far noisier
+    # than single-plan queries (r8: dedup_cluster_cc driver median
+    # 1.9x its min from one starved rep). Two extra reps so one spike
+    # cannot move the median (VERDICT r8 item 6).
+    MULTI_JOB = {"dedup_cluster_cc", "stream_upsert_latest",
+                 "stream_agg_state_totals", "ts_outlier_iqr",
+                 "events_rfm_segments"}
+
     def run_best(name: str, reps: int = 4) -> tuple[float, float]:
         """(min, median) over reps. The host VM shows transient
         multi-second CPU starvation spikes that land on random queries;
@@ -121,8 +132,11 @@ def main() -> None:
         rides along in the artifact so noise is diagnosable from the
         JSON alone (median >> min across queries = noisy run). Four reps
         so operators whose first execution materializes an eager
-        checkpoint still get three clean samples."""
+        checkpoint still get three clean samples; multi-job keys get
+        two more so a single starved rep can't be the median."""
         import statistics
+        if name in MULTI_JOB:
+            reps += 2
         ts = sorted(run(name) for _ in range(reps))
         return ts[0], statistics.median(ts)
 

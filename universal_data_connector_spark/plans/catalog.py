@@ -1670,7 +1670,19 @@ def sim_search_ivf_kmeans(spark, sf_dir):
     corpus has (on clustered corpora probe-1 recall is near-total —
     asserted on planted clusters in tests/test_similarity.py; the
     synthetic embeddings table is near-isotropic, where no list
-    assignment can beat random)."""
+    assignment can beat random).
+
+    PERMANENTLY rows-only — decision recorded per VERDICT r8 item 4:
+    the oracle SQL is a static string fixed at import time, but the
+    centroids are TRAINED on whatever ``sf_dir`` the driver passes,
+    so they cannot be embedded in the SQL (the route ``sim_search_ivf``
+    took works only because its centroids are deterministic
+    first-n-rows, data-independent given the convention). Freezing
+    trained centroids as a fixture would make this key a second copy
+    of ``sim_search_ivf`` and drop the thing it exists to cover — the
+    MLlib training integration. Evidence: the planted-cluster recall
+    pin and determinism test in tests/test_similarity.py, plus the
+    driver's rows-count check."""
     e = load(spark, sf_dir, "embeddings")
     cents = osim.kmeans_centroids(e, n_centroids=8, max_iter=8)
     out = osim.ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
