@@ -79,6 +79,39 @@ def test_all_null_group_absent(spark):
     assert rows == {"A": 1.5}
 
 
+def test_rank_selection_shape_lint():
+    """The helper's scale mechanism runs eagerly, so no downstream
+    plan can pin it — lint the source instead: the big side must go
+    through repartitionByRange (the rank-selection shuffle), never a
+    percentile aggregate, and the metadata bound must be enforced by
+    a count() BEFORE the collect() materializes on the driver."""
+    import ast
+    import inspect
+
+    from universal_data_connector_spark.operators import quantiles
+
+    src = inspect.getsource(quantiles)
+    tree = ast.parse(src)
+    calls = [n.func.attr for n in ast.walk(tree)
+             if isinstance(n, ast.Call)
+             and isinstance(n.func, ast.Attribute)]
+    assert "repartitionByRange" in calls
+    assert "percentile" not in calls, \
+        "percentile aggregate crept into the rank-selection module"
+    body = src[src.index("def exact_group_percentiles"):]
+    assert body.index("slice_counts.count()") \
+        < body.index("slice_counts.collect()")
+
+
+def test_meta_rows_guard_raises_before_collect(spark):
+    df = spark.createDataFrame(
+        [("g%d" % i, float(i)) for i in range(200)],
+        "g string, v double")
+    with pytest.raises(ValueError, match="max_meta_rows"):
+        exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"],
+                                max_meta_rows=10)
+
+
 def test_out_cols_must_pair_with_ps(spark):
     df = spark.createDataFrame([("A", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="pair up"):

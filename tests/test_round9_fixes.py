@@ -96,6 +96,30 @@ def test_begin_batch_run_changed_fp_incomplete_merge_raises(
     assert begin_batch_run(target, num_buckets=4, fingerprint="fpA") == rid
 
 
+def test_begin_batch_run_changed_fp_never_swapped_reclaims(
+        spark, tmp_path):
+    """touched still None means the crashed run never reached its
+    record-before-swap point, so zero buckets swapped — a changed
+    input reclaims fresh instead of wedging the pipeline behind a
+    manual intent delete (review finding on the raise branch)."""
+    from universal_data_connector_spark.streaming.windows import (
+        begin_batch_run,
+    )
+
+    from universal_data_connector_spark.streaming.windows import (
+        _BATCH_INTENT,
+        _intent_load,
+    )
+
+    target = str(tmp_path / "state")
+    rid = begin_batch_run(target, num_buckets=4, fingerprint="fpA")
+    # crash before the merge recorded anything; input then changes
+    rid2 = begin_batch_run(target, num_buckets=4, fingerprint="fpB")
+    assert rid2 == rid  # no markers advanced -> same next id, fresh claim
+    stored = _intent_load(os.path.join(target, _BATCH_INTENT))
+    assert stored["fingerprint"] == "fpB"  # re-CLAIMED, not resumed
+
+
 def test_begin_batch_run_legacy_int_intent_resumes(spark, tmp_path):
     from universal_data_connector_spark.streaming.windows import (
         _BATCH_INTENT,
@@ -204,7 +228,8 @@ def test_sql_transform_backslash_escaped_quote_stays_in_literal(spark):
 
 
 def test_sql_transform_double_quoted_identifier_mode_rewrites(spark):
-    """Under spark.sql.ansi.doubleQuotedIdentifiers, "_input" is the
+    """Under spark.sql.ansi.doubleQuotedIdentifiers (+ ANSI mode,
+    which Spark requires for it to take effect), "_input" is the
     frame REFERENCE and must be rewritten to the temp view."""
     from universal_data_connector_spark.engine import _sql_transform
 
@@ -218,6 +243,31 @@ def test_sql_transform_double_quoted_identifier_mode_rewrites(spark):
         assert out.collect()[0].n == 4
     finally:
         spark.conf.set(conf, old)
+
+
+def test_sql_transform_dqi_without_ansi_keeps_literal(spark):
+    """doubleQuotedIdentifiers=true with ANSI mode OFF is inert to
+    Spark's lexer (double-quoted text stays a string literal), so the
+    rewriter must keep skipping it — the review repro showed the temp
+    view name leaking into literal content otherwise."""
+    from universal_data_connector_spark.engine import _sql_transform
+
+    ansi, dqi = "spark.sql.ansi.enabled", \
+        "spark.sql.ansi.doubleQuotedIdentifiers"
+    old_ansi, old_dqi = spark.conf.get(ansi), spark.conf.get(dqi)
+    spark.conf.set(ansi, "false")
+    spark.conf.set(dqi, "true")
+    try:
+        df = spark.range(2).toDF("id")
+        out = _sql_transform(df, {"query": (
+            'SELECT "has _input inside" AS a, count(*) AS n '
+            'FROM _input')})
+        row = out.collect()[0]
+        assert row.a == "has _input inside"
+        assert row.n == 2
+    finally:
+        spark.conf.set(ansi, old_ansi)
+        spark.conf.set(dqi, old_dqi)
 
 
 # ---------------------------------------------------------------------------

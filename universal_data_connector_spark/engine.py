@@ -191,9 +191,20 @@ def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
     from universal_data_connector_spark.session import temp_view
 
     spark = df.sparkSession
-    dq_ident = str(spark.conf.get(
-        "spark.sql.ansi.doubleQuotedIdentifiers",
-        "false")).lower() == "true"
+    # Spark honors doubleQuotedIdentifiers only when ANSI mode is ALSO
+    # on — with ANSI off the text is a literal regardless, and
+    # treating it as an identifier here would rewrite literal content.
+    # conf.get must be called WITHOUT a fallback: a fallback masks the
+    # session's EFFECTIVE value for confs the user never set
+    # explicitly (ansi.enabled defaults to true on Spark 4)
+    def _on(conf):
+        try:
+            return str(spark.conf.get(conf)).lower() == "true"
+        except Exception:
+            return False  # conf unknown to this Spark version
+
+    dq_ident = (_on("spark.sql.ansi.enabled")
+                and _on("spark.sql.ansi.doubleQuotedIdentifiers"))
     # literal lexing: backslash-escaped chars and ''/"" doubling stay
     # inside the literal (doubled quotes also cover Spark's implicit
     # adjacent-literal concatenation — either reading keeps the text

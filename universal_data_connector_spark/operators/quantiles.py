@@ -120,17 +120,22 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
                    .persist(StorageLevel.DISK_ONLY))
     g_fields = [f for f in df.select(*g).schema.fields]
     try:
-        # bounded collect: n_slices x |groups| metadata rows
-        sc_rows = (indexed.groupBy("__pid", *g)
-                          .agg(F.count("*").alias("__c"),
-                               F.min("__pofs").alias("__pbase"))
-                          .collect())
-        if len(sc_rows) > max_meta_rows:
+        # bounded collect: n_slices x |groups| metadata rows. The
+        # bound is enforced BEFORE materializing on the driver — a
+        # count over the (persisted) big side is cheap, a collect of
+        # billions of metadata rows would OOM the driver before any
+        # after-the-fact length check ran
+        slice_counts = (indexed.groupBy("__pid", *g)
+                               .agg(F.count("*").alias("__c"),
+                                    F.min("__pofs").alias("__pbase")))
+        n_meta = slice_counts.count()
+        if n_meta > max_meta_rows:
             raise ValueError(
-                f"{len(sc_rows)} (slice, group) metadata rows exceed "
+                f"{n_meta} (slice, group) metadata rows exceed "
                 f"max_meta_rows={max_meta_rows}: too many groups for "
                 "rank-selection — use the percentile aggregate for "
                 "many small groups")
+        sc_rows = slice_counts.collect()
         # driver arithmetic on the metadata: per-group totals, then
         # the (slice, in-slice ordinal) of each interpolation endpoint
         by_group: dict[tuple, list] = {}
@@ -141,8 +146,7 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
         for gkey, slices in by_group.items():
             slices.sort(key=lambda r: r["__pid"])
             n = sum(r["__c"] for r in slices)
-            info = {"n": n, "ends": {}}
-            targets[gkey] = info
+            targets[gkey] = {"n": n}
             ranks = {}                    # global 1-based rank -> sides
             for pi, p in enumerate(ps):
                 position = float(p) * (n - 1)

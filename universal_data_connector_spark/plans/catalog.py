@@ -4642,9 +4642,10 @@ def ts_outlier_iqr(spark, sf_dir):
     so a ``percentile`` AGGREGATE would buffer billions of doubles in
     one task at 100x — the quartiles instead come from
     ``exact_group_percentiles`` (operators/quantiles.py): distributed
-    rank-selection over a range partition, bit-identical to the
-    aggregate's interpolation, no unbounded buffer (plan-asserted:
-    RangePartitioning present, no percentile agg). Fence arithmetic
+    rank-selection over a range partition (an EAGER side computation;
+    its shuffle shape is pinned by the helper's own tests), landing
+    in this plan as a literal broadcast frame — plan-asserted: local
+    scan broadcast, no percentile aggregate. Fence arithmetic
     is double with identical parenthesization on unrounded quartiles
     in both engines; the emitted quartiles round at the edge."""
     from universal_data_connector_spark.operators.quantiles import (

@@ -452,16 +452,18 @@ def begin_batch_run(path: str, num_buckets: int = 32,
 
     * fingerprints match (or either side has none) -> resume, as a
       stream replay would;
-    * fingerprints differ and the prior merge COMPLETED (every bucket
-      in the intent's recorded ``touched`` set carries a marker at or
-      past the run id) -> only bookkeeping crashed; the intent is
+    * fingerprints differ and the prior run provably left the target
+      consistent — its merge COMPLETED (every bucket in the recorded
+      ``touched`` set carries a marker at or past the run id) or it
+      NEVER SWAPPED (``touched`` still null: the merge records its
+      planned set atomically before the first swap) -> the intent is
       cleared and a FRESH id claimed so the new input applies;
-    * fingerprints differ but the prior merge is incomplete (or never
-      recorded its touched set yet swaps may have happened) -> raise:
-      resuming would replay the OLD id onto DIFFERENT input and a
-      fresh id would double-apply whatever the crashed run already
-      swapped — no automatic choice is safe, the operator must
-      reconcile (rerun the old input to completion first).
+    * fingerprints differ and the recorded set is only partially
+      applied -> raise: resuming would replay the OLD id onto
+      DIFFERENT input and a fresh id would double-apply whatever the
+      crashed run already swapped — no automatic choice is safe, the
+      operator must reconcile (rerun the old input to completion
+      first).
 
     Single-writer contract: the intent is claimed with O_CREAT|O_EXCL,
     so of two runs that start CONCURRENTLY one wins and the other
@@ -502,12 +504,16 @@ def begin_batch_run(path: str, num_buckets: int = 32,
                 or stored_fp == fingerprint):
             return int(stored["run_id"])
         # fingerprints present and DIFFERENT: the input changed since
-        # the intent was claimed. Safe to reclaim fresh only if the
-        # prior merge provably completed (all its recorded buckets
-        # reached the run id); otherwise fail loudly.
+        # the intent was claimed. Safe to reclaim fresh in exactly two
+        # provable states: the prior merge COMPLETED (all recorded
+        # buckets reached the run id), or it NEVER SWAPPED (touched is
+        # still None — _intent_record_touched persists the planned set
+        # atomically before the first swap, so no record = no swaps).
+        # The remaining state — recorded but not fully applied — is a
+        # genuine partial apply of the old input; fail loudly.
         touched = stored.get("touched")
         run_id = int(stored["run_id"])
-        if touched is not None and all(
+        if touched is None or all(
                 _bucket_applied_id(os.path.join(
                     path, f"{_UPSERT_BUCKET_COL}={b}")) >= run_id
                 for b in touched):
@@ -516,7 +522,7 @@ def begin_batch_run(path: str, num_buckets: int = 32,
             raise ValueError(
                 f"batch intent {intent!r} (run {run_id}) was claimed "
                 "for a DIFFERENT input batch than the one presented "
-                "now, and that run did not complete its merge: "
+                "now, and that run partially applied its merge: "
                 "resuming would misapply, reclaiming would "
                 "double-apply. Rerun the original input to completion "
                 "first (or remove the intent after manual "
