@@ -84,7 +84,7 @@ def test_rank_selection_shape_lint():
     plan can pin it — lint the source instead: the big side must go
     through repartitionByRange (the rank-selection shuffle), never a
     percentile aggregate, and the metadata bound must be enforced by
-    a count() BEFORE the collect() materializes on the driver."""
+    a limit() INSIDE the collect that materializes on the driver."""
     import ast
     import inspect
 
@@ -99,8 +99,8 @@ def test_rank_selection_shape_lint():
     assert "percentile" not in calls, \
         "percentile aggregate crept into the rank-selection module"
     body = src[src.index("def exact_group_percentiles"):]
-    assert body.index("slice_counts.count()") \
-        < body.index("slice_counts.collect()")
+    assert "slice_counts.limit(max_meta_rows + 1).collect()" in body, \
+        "metadata collect lost its driver-side materialization bound"
 
 
 def test_meta_rows_guard_raises_before_collect(spark):

@@ -121,21 +121,21 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     g_fields = [f for f in df.select(*g).schema.fields]
     try:
         # bounded collect: n_slices x |groups| metadata rows. The
-        # bound is enforced BEFORE materializing on the driver — a
-        # count over the (persisted) big side is cheap, a collect of
-        # billions of metadata rows would OOM the driver before any
-        # after-the-fact length check ran
+        # bound is enforced IN the collect — limit(max + 1) caps what
+        # can ever reach the driver (a naked collect of billions of
+        # metadata rows would OOM the driver before any after-the-fact
+        # length check ran), and one extra row is enough to prove the
+        # overflow
         slice_counts = (indexed.groupBy("__pid", *g)
                                .agg(F.count("*").alias("__c"),
                                     F.min("__pofs").alias("__pbase")))
-        n_meta = slice_counts.count()
-        if n_meta > max_meta_rows:
+        sc_rows = slice_counts.limit(max_meta_rows + 1).collect()
+        if len(sc_rows) > max_meta_rows:
             raise ValueError(
-                f"{n_meta} (slice, group) metadata rows exceed "
-                f"max_meta_rows={max_meta_rows}: too many groups for "
-                "rank-selection — use the percentile aggregate for "
-                "many small groups")
-        sc_rows = slice_counts.collect()
+                f"over {max_meta_rows} (slice, group) metadata rows "
+                f"(max_meta_rows): too many groups for rank-selection "
+                "— use the percentile aggregate for many small "
+                "groups")
         # driver arithmetic on the metadata: per-group totals, then
         # the (slice, in-slice ordinal) of each interpolation endpoint
         by_group: dict[tuple, list] = {}

@@ -2454,11 +2454,16 @@ def text_unigram_logprob(spark, sf_dir):
     """,
 )
 def agg_percentile_exact(spark, sf_dir):
-    """Grouped exact percentiles (linear interpolation, matching
-    quantile_cont). Exact percentile shuffles per-group value
-    multisets — right for bounded group counts; the sketch-based
-    scale-out variant is approx_percentile (use when groups x values
-    no longer fit an executor)."""
+    """Grouped exact percentiles via the percentile AGGREGATE (linear
+    interpolation, matching quantile_cont) — the catalog's entry for
+    the aggregate form itself. The aggregate buffers each group's
+    value multiset in one task: right for bounded group sizes only.
+    When a group's values no longer fit an executor, pick by what you
+    need: exact values -> ``operators.quantiles.
+    exact_group_percentiles`` (distributed rank-selection,
+    bit-identical result — what ``ts_outlier_iqr`` /
+    ``events_rfm_segments`` use); a tolerance -> ``approx_percentile``
+    (mergeable sketch, cheapest)."""
     e = load(spark, sf_dir, "events")
     pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (e.groupBy("event_type")
