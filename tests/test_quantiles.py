@@ -68,6 +68,40 @@ def test_global_parity_and_null_values_ignored(spark):
     _assert_bit_equal(spark, df, [])
 
 
+def test_parity_non_representable_fractions(spark):
+    """ps like 0.33 exercise the position arithmetic (p * (n-1) in
+    doubles, floor/ceil split, two-product interpolation) where a
+    formula-order mismatch with Percentile.getPercentile would show
+    up as a 1-ulp drift."""
+    random.seed(3)
+    rows = [("A", random.random()) for _ in range(641)]   # prime n
+    rows += [("B", float(i % 7)) for i in range(123)]     # heavy ties
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.33, 0.123, 0.667, 0.999]
+    names = ["a", "b", "c", "d"]
+    pct = F.percentile(F.col("v"), F.array(*[F.lit(p) for p in ps]))
+    ref = {r.g: [r["q"][i] for i in range(4)]
+           for r in df.groupBy("g").agg(pct.alias("q")).collect()}
+    got = {r.g: [r[n] for n in names]
+           for r in exact_group_percentiles(
+               df, ["g"], "v", ps, names).collect()}
+    for k in ref:
+        for a, b in zip(ref[k], got[k]):
+            assert repr(a) == repr(b), (k, repr(a), repr(b))
+
+
+def test_parity_degenerate_value_distributions(spark):
+    """All-equal groups (every pick hits the same value, the
+    equal-endpoint short-circuit everywhere), a two-value group tied
+    exactly at the cut, and huge-magnitude doubles (interpolation
+    products near overflow-sensitive territory)."""
+    rows = [("same", 4.25)] * 97
+    rows += [("two", 1.0)] * 50 + [("two", 2.0)] * 50
+    rows += [("big", (-1) ** i * 1e300 * (1 + i / 97)) for i in range(53)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _assert_bit_equal(spark, df, ["g"])
+
+
 def test_all_null_group_absent(spark):
     """Documented divergence from the aggregate form: a group whose
     values are all null produces NO row (the aggregate would emit a
