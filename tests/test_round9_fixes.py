@@ -201,6 +201,70 @@ def test_engine_crash_after_manifest_then_new_file_applies(
     assert not os.path.isfile(os.path.join(target, windows._BATCH_INTENT))
 
 
+def test_changed_fp_after_real_partial_swap_raises_then_recovers(
+        spark, tmp_path, monkeypatch):
+    """Drive the guard's raise branch with a REAL partial apply: a
+    rename failure mid-swap leaves one bucket marked and one not.
+    A changed-input rerun must refuse (either resume or fresh-claim
+    would corrupt); the SAME input resumes, completes exactly-once,
+    and only then does new input get a fresh id."""
+    import os as os_mod
+
+    from universal_data_connector_spark.streaming import windows as W
+
+    target = str(tmp_path / "state")
+    # run 0: baseline over users 1..8 (all 4 buckets live)
+    rid0 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp0")
+    W.agg_state_merge(_mk(spark, [(i, i, float(i)) for i in range(1, 9)]),
+                      rid0, path=target, keys=["user_id"],
+                      value_col="value", num_buckets=4)
+    W.end_batch_run(target)
+    base = _state(spark, target)
+
+    # run 1: crash after the FIRST bucket's swap completes (each live
+    # bucket costs two renames: live->old, staged->live)
+    calls = {"n": 0}
+    real_rename = os_mod.rename
+
+    def flaky_rename(src, dst):
+        if f"{W._UPSERT_BUCKET_COL}=" in str(dst) or \
+                W._UPSERT_OLD_PREFIX in str(dst):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise OSError("injected mid-swap crash")
+        return real_rename(src, dst)
+
+    batch1 = _mk(spark, [(100 + i, i, 10.0) for i in range(1, 9)])
+    rid1 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp1")
+    monkeypatch.setattr(os_mod, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        W.agg_state_merge(batch1, rid1, path=target, keys=["user_id"],
+                          value_col="value", num_buckets=4)
+    monkeypatch.setattr(os_mod, "rename", real_rename)
+
+    # changed input on a partially-applied run: no safe choice -> raise
+    with pytest.raises(ValueError, match="partially applied"):
+        W.begin_batch_run(target, num_buckets=4, fingerprint="fp2")
+
+    # the SAME input resumes the claimed id and converges exactly-once
+    assert W.begin_batch_run(target, num_buckets=4,
+                             fingerprint="fp1") == rid1
+    W.agg_state_merge(batch1, rid1, path=target, keys=["user_id"],
+                      value_col="value", num_buckets=4)
+    W.end_batch_run(target)
+    want = {u: (n + 1, t + 10.0) for u, (n, t) in base.items()}
+    assert _state(spark, target) == want
+
+    # and only now does the new input claim fresh and apply
+    rid2 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp2")
+    assert rid2 > rid1
+    W.agg_state_merge(_mk(spark, [(200, 1, 1.0)]), rid2, path=target,
+                      keys=["user_id"], value_col="value", num_buckets=4)
+    W.end_batch_run(target)
+    want[1] = (want[1][0] + 1, want[1][1] + 1.0)
+    assert _state(spark, target) == want
+
+
 # ---------------------------------------------------------------------------
 # 2. _sql_transform literal lexing
 # ---------------------------------------------------------------------------
