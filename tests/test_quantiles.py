@@ -102,6 +102,27 @@ def test_parity_degenerate_value_distributions(spark):
     _assert_bit_equal(spark, df, ["g"])
 
 
+def test_parity_survives_aqe_partition_coalescing(spark):
+    """The helper's in-slice ordinals come from
+    monotonically_increasing_id AFTER the range exchange; its
+    correctness argument says AQE may coalesce range partitions
+    because coalescing merges CONTIGUOUS indices, preserving the
+    order between surviving slice ids. Force that regime: many more
+    shuffle partitions than the data can fill, so AQE's coalescer
+    actually rewrites the exchange, and require bit-parity still."""
+    conf = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "64")
+    try:
+        random.seed(23)
+        rows = [("A", random.random() * 50) for _ in range(400)]
+        rows += [("B", float(i)) for i in range(37)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        _assert_bit_equal(spark, df, ["g"])
+    finally:
+        spark.conf.set(conf, old)
+
+
 def test_all_null_group_absent(spark):
     """Documented divergence from the aggregate form: a group whose
     values are all null produces NO row (the aggregate would emit a
