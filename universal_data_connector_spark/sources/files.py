@@ -233,8 +233,33 @@ def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> Data
     """Reference S5: S3 object listing + whole-object read
     (``factory/SourceFactory.java:116-134``). Spark + Hadoop S3A does
     listing/pagination natively; credentials go to Hadoop conf (never
-    in-band — SURVEY.md §7.4.8 deliberately diverges from YAML secrets)."""
+    in-band — SURVEY.md §7.4.8 deliberately diverges from YAML secrets).
+
+    When the S3A filesystem is NOT on the classpath (pyspark ships
+    without hadoop-aws) and boto3 is importable, BATCH reads fall back
+    to a boto3-backed path with identical output shape: driver-side
+    paginated ``ListObjectsV2`` + basename glob (the reference's own
+    listing loop, ``S3SourceContext.java:98-156``), object bodies
+    fetched EXECUTOR-side via ``mapInPandas`` (Arrow-batched, one
+    client per partition — the read twin of the sink's
+    ``_s3_put_objects_boto3``). The listing is driver-side metadata
+    bounded by the object count under the prefix — the same class of
+    driver state as Spark's own file index. Streaming requires S3A
+    (the file-stream checkpoint needs a Hadoop filesystem)."""
     bucket, prefix = props["bucketName"], props.get("prefix", "")
+    if not _s3a_on_classpath(spark):
+        if streaming:
+            raise ValueError(
+                "s3 source in streaming mode requires the Hadoop S3A "
+                "filesystem on the classpath (hadoop-aws); batch mode "
+                "can fall back to boto3")
+        try:
+            import boto3  # noqa: F401 - optional
+        except ImportError:
+            raise ValueError(
+                "s3 source: neither Hadoop S3A (hadoop-aws jar) nor "
+                "boto3 is available in this environment") from None
+        return _s3_source_boto3(spark, props)
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     if props.get("accessKey"):
         hconf.set("fs.s3a.access.key", props["accessKey"])
@@ -244,3 +269,77 @@ def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> Data
         hconf.set("fs.s3a.endpoint", props["endpoint"])
     path = f"s3a://{bucket}/{prefix}"
     return _text_file_frame(spark, path, props.get("pattern"), streaming)
+
+
+def _s3a_on_classpath(spark: SparkSession) -> bool:
+    """True if the JVM can load the S3A filesystem class."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem")
+        return True
+    except Exception:
+        return False
+
+
+def _s3_client_kwargs(props: dict) -> dict:
+    kwargs = {}
+    if props.get("accessKey"):
+        kwargs["aws_access_key_id"] = props["accessKey"]
+    if props.get("secretKey"):
+        kwargs["aws_secret_access_key"] = props["secretKey"]
+    if props.get("endpoint"):
+        kwargs["endpoint_url"] = props["endpoint"]
+    return kwargs
+
+
+def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
+    """boto3-backed batch twin of the S3A whole-object read: same
+    (source_file, file_type, content) shape, same ``s3a://`` URI
+    spelling (so archiveDir/manifestDir bookkeeping and the sink's
+    basename keying behave identically on either path)."""
+    import fnmatch
+    import os.path
+
+    bucket = props["bucketName"]
+    prefix = (props.get("prefix") or "").lstrip("/")
+    pattern = props.get("pattern")
+    client_kwargs = _s3_client_kwargs(props)
+
+    import boto3
+    client = boto3.client("s3", **client_kwargs)
+    keys = []
+    for page in client.get_paginator("list_objects_v2").paginate(
+            Bucket=bucket, Prefix=prefix):
+        for obj in page.get("Contents", []):
+            key = obj["Key"]
+            if key.endswith("/"):
+                continue  # zero-byte "directory" markers
+            if pattern and not fnmatch.fnmatch(
+                    os.path.basename(key), pattern):
+                continue
+            keys.append(key)
+    keys.sort()
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    if keys:
+        kdf = kdf.repartition(
+            min(len(keys), spark.sparkContext.defaultParallelism))
+
+    def fetch(batches):
+        import boto3
+        import pandas as pd
+        cl = boto3.client("s3", **client_kwargs)
+        for pdf in batches:
+            rows = [(f"s3a://{bucket}/{k}",
+                     cl.get_object(Bucket=bucket, Key=k)["Body"]
+                       .read().decode("utf-8", "replace"))
+                    for k in pdf["key"]]
+            yield pd.DataFrame(rows, columns=["source_file", "content"])
+
+    df = kdf.mapInPandas(fetch, "source_file string, content string")
+    first_line = F.substring_index(F.col("content"), "\n", 1)
+    return df.select(
+        "source_file",
+        sniff_file_type(F.col("source_file"), first_line)
+            .alias("file_type"),
+        "content")
