@@ -112,6 +112,45 @@ def test_sink_boto3_object_per_file_roundtrip(spark, s3_endpoint):
     assert b["ContentType"] == "text/csv"
 
 
+def test_s3_source_manifest_skips_consumed_objects(
+        spark, s3_endpoint, tmp_path):
+    """manifestDir on the s3 source makes the reference's per-JVM
+    processedFiles set durable: run 1 consumes object A and records
+    it; run 2 (object B added) reads ONLY B. Verified at the sink —
+    outputs cleared between runs, so any reprocessing of A would
+    reappear there."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    token = uuid.uuid4().hex[:8]
+    src_prefix, dst_prefix = f"min-{token}", f"mout-{token}"
+    c = _client(s3_endpoint)
+    c.put_object(Bucket=BUCKET, Key=f"{src_prefix}/a.txt", Body=b"alpha")
+
+    cfg = parse_config({"pipelines": [{
+        "name": f"s3-manifest-{token}",
+        "source": {"type": "s3",
+                   "properties": _props(s3_endpoint, src_prefix,
+                                        pattern="*.txt",
+                                        manifestDir=str(tmp_path / "m"))},
+        "sink": {"type": "s3",
+                 "properties": _props(s3_endpoint, dst_prefix)},
+    }]}).pipelines[0]
+
+    run(spark, cfg)
+    out = [o["Key"] for o in c.list_objects_v2(
+        Bucket=BUCKET, Prefix=dst_prefix).get("Contents", [])]
+    assert out == [f"{dst_prefix}/a.txt"]
+
+    c.delete_object(Bucket=BUCKET, Key=f"{dst_prefix}/a.txt")
+    c.put_object(Bucket=BUCKET, Key=f"{src_prefix}/b.txt", Body=b"beta")
+    run(spark, cfg)
+    out = [o["Key"] for o in c.list_objects_v2(
+        Bucket=BUCKET, Prefix=dst_prefix).get("Contents", [])]
+    assert out == [f"{dst_prefix}/b.txt"], \
+        "already-consumed object a.txt was reprocessed (or b missed)"
+
+
 def test_yaml_pipeline_s3_to_s3(spark, s3_endpoint):
     """Full engine pass: s3 source (boto3 fallback) -> filter
     transformation -> s3 sink (boto3 PUT), driven by the same YAML

@@ -321,13 +321,22 @@ def batch_manifest_plan(cfg: PipelineConfig, source_df: DataFrame,
     sink's listing and the rebuild's was recorded as consumed without
     its rows ever being written — silent permanent data loss. One
     listing, one truth. Entries a previous run already recorded are
-    harmless: ``manifest_record`` dedupes."""
-    if streaming or cfg.source.type != "file":
+    harmless: ``manifest_record`` dedupes.
+
+    The s3 source supports the same contract: its S3A branch exposes
+    inputFiles() like any file scan, and its boto3 fallback (whose
+    mapInPandas plan has no inputFiles) hands over the exact listing
+    its plan embeds via ``_udc_input_files`` — the same
+    one-listing-one-truth property."""
+    if streaming or cfg.source.type not in ("file", "s3"):
         return None, []
     manifest_dir = cfg.source.properties.get("manifestDir")
     if not manifest_dir:
         return None, []
-    consumed = [f for f in source_df.inputFiles()
+    listed = getattr(source_df, "_udc_input_files", None)
+    if listed is None:
+        listed = source_df.inputFiles()
+    consumed = [f for f in listed
                 if not _under_manifest(f, manifest_dir)]
     return manifest_dir, consumed
 

@@ -245,7 +245,14 @@ def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> Data
     ``_s3_put_objects_boto3``). The listing is driver-side metadata
     bounded by the object count under the prefix — the same class of
     driver state as Spark's own file index. Streaming requires S3A
-    (the file-stream checkpoint needs a Hadoop filesystem)."""
+    (the file-stream checkpoint needs a Hadoop filesystem).
+
+    ``manifestDir`` (batch only) works like the file source's: the
+    processed-object log is anti-joined away, making the reference's
+    per-JVM ``processedFiles`` set (``S3SourceContext.java:29-30``)
+    DURABLE — a rerun skips objects a previous successful run already
+    consumed, without deleting anything from the bucket (the
+    reference's S3 source never deletes either)."""
     bucket, prefix = props["bucketName"], props.get("prefix", "")
     if not _s3a_on_classpath(spark):
         if streaming:
@@ -268,7 +275,10 @@ def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> Data
     if props.get("endpoint"):
         hconf.set("fs.s3a.endpoint", props["endpoint"])
     path = f"s3a://{bucket}/{prefix}"
-    return _text_file_frame(spark, path, props.get("pattern"), streaming)
+    df = _text_file_frame(spark, path, props.get("pattern"), streaming)
+    if not streaming and props.get("manifestDir"):
+        df = manifest_filter(df, spark, props["manifestDir"])
+    return df
 
 
 def _s3a_on_classpath(spark: SparkSession) -> bool:
@@ -338,8 +348,16 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
 
     df = kdf.mapInPandas(fetch, "source_file string, content string")
     first_line = F.substring_index(F.col("content"), "\n", 1)
-    return df.select(
+    df = df.select(
         "source_file",
         sniff_file_type(F.col("source_file"), first_line)
             .alias("file_type"),
         "content")
+    if props.get("manifestDir"):
+        df = manifest_filter(df, spark, props["manifestDir"])
+    # a mapInPandas plan has no inputFiles(); hand the engine's
+    # consumed-file bookkeeping the listing this plan was built from
+    # (one listing, one truth — the keys are literals in the plan, so
+    # nothing can land between "what was read" and "what is recorded")
+    df._udc_input_files = [f"s3a://{bucket}/{k}" for k in keys]
+    return df
