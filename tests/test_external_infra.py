@@ -133,3 +133,36 @@ def test_s3_sink_object_per_file_roundtrip(spark):
     assert b["Body"].read() == b"x,y\n1,2"
     assert a["ContentType"] == "application/octet-stream"
     assert b["ContentType"] == "text/csv"
+
+
+@s3_required
+def test_s3_source_whole_object_read(spark):
+    """Seed objects with boto3, read through the s3 source (boto3
+    fallback here, S3A where hadoop-aws is present): s3a:// URIs,
+    whole-object content, basename glob. The loopback twin lives in
+    tests/test_s3_loopback.py; this one proves the same contract
+    against a real endpoint when the environment provides one."""
+    boto3 = pytest.importorskip("boto3")
+    from universal_data_connector_spark.sources.files import s3_source
+
+    prefix = f"udc-src-e2e/{uuid.uuid4().hex[:12]}"
+    client = boto3.client(
+        "s3", endpoint_url=S3_ENDPOINT,
+        aws_access_key_id=os.environ.get("UDC_S3_ACCESS_KEY"),
+        aws_secret_access_key=os.environ.get("UDC_S3_SECRET_KEY"))
+    client.put_object(Bucket=S3_BUCKET, Key=f"{prefix}/a.txt",
+                      Body=b"real endpoint")
+    client.put_object(Bucket=S3_BUCKET, Key=f"{prefix}/skip.bin",
+                      Body=b"\x00")
+    try:
+        df = s3_source(spark, {
+            "bucketName": S3_BUCKET, "prefix": prefix,
+            "pattern": "*.txt", "endpoint": S3_ENDPOINT,
+            "accessKey": os.environ.get("UDC_S3_ACCESS_KEY"),
+            "secretKey": os.environ.get("UDC_S3_SECRET_KEY")})
+        rows = df.collect()
+        assert [(r.source_file, r.content) for r in rows] == [
+            (f"s3a://{S3_BUCKET}/{prefix}/a.txt", "real endpoint")]
+    finally:
+        client.delete_object(Bucket=S3_BUCKET, Key=f"{prefix}/a.txt")
+        client.delete_object(Bucket=S3_BUCKET, Key=f"{prefix}/skip.bin")

@@ -265,6 +265,38 @@ def test_changed_fp_after_real_partial_swap_raises_then_recovers(
     assert _state(spark, target) == want
 
 
+def test_cli_once_nonzero_when_a_pipeline_fails_to_build(spark, tmp_path):
+    """--once must exit non-zero when a configured pipeline never
+    started (build failure is isolated per-pipeline, mirroring the
+    reference — but a batch invocation reporting success after a
+    config typo would look like a clean no-op to schedulers)."""
+    import yaml
+
+    from universal_data_connector_spark import cli
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write(f"{inp}/a.txt", "hello")
+    good = {"name": "good",
+            "source": {"type": "file",
+                       "properties": {"path": str(inp),
+                                      "pattern": "*.txt"}},
+            "sink": {"type": "file",
+                     "properties": {"path": str(tmp_path / "out")}}}
+    bad = {"name": "bad",
+           "source": {"type": "file", "properties": {}},  # no path
+           "sink": {"type": "file",
+                    "properties": {"path": str(tmp_path / "out2")}}}
+
+    cfg_ok = tmp_path / "ok.yaml"
+    cfg_ok.write_text(yaml.safe_dump({"pipelines": [good]}))
+    assert cli.main(["--config", str(cfg_ok), "--once"]) == 0
+
+    cfg_mixed = tmp_path / "mixed.yaml"
+    cfg_mixed.write_text(yaml.safe_dump({"pipelines": [good, bad]}))
+    assert cli.main(["--config", str(cfg_mixed), "--once"]) == 1
+
+
 # ---------------------------------------------------------------------------
 # 2. _sql_transform literal lexing
 # ---------------------------------------------------------------------------

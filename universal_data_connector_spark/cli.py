@@ -44,7 +44,15 @@ def main(argv: list[str] | None = None) -> int:
             q.processAllAvailable()
             q.stop()
         print(json.dumps({"jobs": mgr.jobs()}))
-        return 0 if ok and all(j["status"] != "FAILED" for j in mgr.jobs()) else 1
+        # a pipeline that failed at BUILD never started (per-pipeline
+        # isolation in start_all, mirroring the reference's try/catch
+        # boundary) — a batch invocation must still exit non-zero, or
+        # a config typo looks like a clean no-op run to schedulers
+        from universal_data_connector_spark.config import load_config
+        all_started = len(started) == len(load_config(args.config).pipelines)
+        return 0 if (ok and all_started
+                     and all(j["status"] != "FAILED"
+                             for j in mgr.jobs())) else 1
 
     try:
         while True:
