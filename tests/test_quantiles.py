@@ -102,6 +102,24 @@ def test_parity_degenerate_value_distributions(spark):
     _assert_bit_equal(spark, df, ["g"])
 
 
+def test_duplicate_heavy_run_splits_across_slices(spark):
+    """One dominant value must NOT collapse into a single range slice
+    (the single-task degradation the salt key exists to prevent):
+    with the pre-shuffle ordinal as the last range key, a 10k-row
+    equal-value run spreads over multiple partitions — and parity
+    still holds (positional selection among equals is value-blind)."""
+    from pyspark.sql import functions as F
+
+    rows = [("D", 7.0)] * 10_000 + [("D", 1.0), ("D", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    salted = df.withColumn("__salt", F.monotonically_increasing_id())
+    n_slices = (salted.repartitionByRange(8, "g", "v", "__salt")
+                      .select(F.spark_partition_id().alias("p"))
+                      .distinct().count())
+    assert n_slices > 1, "equal-value run collapsed into one slice"
+    _assert_bit_equal(spark, df, ["g"])
+
+
 def test_parity_survives_aqe_partition_coalescing(spark):
     """The helper's in-slice ordinals come from
     monotonically_increasing_id AFTER the range exchange; its

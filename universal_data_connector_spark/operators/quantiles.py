@@ -105,19 +105,32 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
 
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     mid = F.monotonically_increasing_id()
+    # duplicate-heavy guard: range partitioning alone sends an entire
+    # run of EQUAL values to one slice (boundaries are values), so a
+    # column where one value dominates would degrade to a single-task
+    # sort of that run. A pre-shuffle ordinal as the LAST range key
+    # splits equal-value runs across slices; positional selection
+    # among equal values returns the same value no matter which
+    # copies land where, so correctness is untouched. The ordinal is
+    # deterministic for a fixed input layout (scan order), so a
+    # lineage recompute of a lost cached partition routes rows
+    # identically — unlike rand(), which would re-salt on recompute
+    # and silently desynchronize the collected slice metadata from
+    # the pick join's view of the data.
+    salted = vals.withColumn("__salt", F.monotonically_increasing_id())
     # slice index + in-slice ordinal from ONE nondeterministic
     # expression so they can never disagree; range partition indices
     # ascend with the range order (AQE coalescing merges contiguous
     # indices, preserving it), the counter is consecutive in sorted
     # row order
-    indexed = (vals.repartitionByRange(nparts, *g, "__v")
-                   .sortWithinPartitions(*g, "__v")
-                   .withColumn("__mid", mid)
-                   .select(*g, "__v",
-                           F.shiftright("__mid", 33).alias("__pid"),
-                           F.col("__mid").bitwiseAND(F.lit(_LOW_BITS))
-                            .alias("__pofs"))
-                   .persist(StorageLevel.DISK_ONLY))
+    indexed = (salted.repartitionByRange(nparts, *g, "__v", "__salt")
+                     .sortWithinPartitions(*g, "__v")
+                     .withColumn("__mid", mid)
+                     .select(*g, "__v",
+                             F.shiftright("__mid", 33).alias("__pid"),
+                             F.col("__mid").bitwiseAND(F.lit(_LOW_BITS))
+                              .alias("__pofs"))
+                     .persist(StorageLevel.DISK_ONLY))
     g_fields = [f for f in df.select(*g).schema.fields]
     try:
         # bounded collect: n_slices x |groups| metadata rows. The
