@@ -113,6 +113,10 @@ def test_duplicate_heavy_run_splits_across_slices(spark):
     rows = [("D", 7.0)] * 10_000 + [("D", 1.0), ("D", 99.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     salted = df.withColumn("__salt", F.monotonically_increasing_id())
+    # explicit count in THIS probe: the property under test is the
+    # range PARTITIONER's boundary behavior with the salt key; a
+    # count-free exchange would let AQE legitimately coalesce 10k
+    # tiny rows into one partition and mask it
     n_slices = (salted.repartitionByRange(8, "g", "v", "__salt")
                       .select(F.spark_partition_id().alias("p"))
                       .distinct().count())
@@ -125,9 +129,15 @@ def test_parity_survives_aqe_partition_coalescing(spark):
     monotonically_increasing_id AFTER the range exchange; its
     correctness argument says AQE may coalesce range partitions
     because coalescing merges CONTIGUOUS indices, preserving the
-    order between surviving slice ids. Force that regime: many more
-    shuffle partitions than the data can fill, so AQE's coalescer
-    actually rewrites the exchange, and require bit-parity still."""
+    order between surviving slice ids. Force that regime: far more
+    shuffle partitions than tiny data can fill — and FIRST prove the
+    regime is real (an explicit repartition count would pin the
+    exchange and make this vacuous): the same count-free
+    repartitionByRange the helper issues must come back with fewer
+    occupied partitions than the conf asked for. Then require
+    bit-parity."""
+    from pyspark.sql import functions as F
+
     conf = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf)
     spark.conf.set(conf, "64")
@@ -136,6 +146,13 @@ def test_parity_survives_aqe_partition_coalescing(spark):
         rows = [("A", random.random() * 50) for _ in range(400)]
         rows += [("B", float(i)) for i in range(37)]
         df = spark.createDataFrame(rows, "g string, v double")
+        salted = df.withColumn("__salt", F.monotonically_increasing_id())
+        n_seen = (salted.repartitionByRange("g", "v", "__salt")
+                        .select(F.spark_partition_id().alias("p"))
+                        .distinct().count())
+        assert n_seen < 64, \
+            "AQE did not coalesce the count-free range exchange — " \
+            "the regime this test exists to pin is not being exercised"
         _assert_bit_equal(spark, df, ["g"])
     finally:
         spark.conf.set(conf, old)

@@ -60,8 +60,9 @@ def test_source_boto3_fallback_lists_globs_and_sniffs(spark, s3_endpoint):
         s3_source,
     )
 
-    assert not _s3a_on_classpath(spark), \
-        "sandbox unexpectedly has hadoop-aws; fallback not under test"
+    if _s3a_on_classpath(spark):
+        pytest.skip("hadoop-aws present: the S3A branch would serve "
+                    "this read; the boto3 fallback is not under test")
     prefix = f"in-{uuid.uuid4().hex[:8]}"
     c = _client(s3_endpoint)
     c.put_object(Bucket=BUCKET, Key=f"{prefix}/a.txt", Body=b"hello world")

@@ -35,7 +35,9 @@ def main(argv: list[str] | None = None) -> int:
         from universal_data_connector_spark.rest import serve
         server = serve(mgr, port=args.serve)
         print(json.dumps({"control_plane": f"http://127.0.0.1:{server.port}"}))
-    started = mgr.start_all(args.config)
+    from universal_data_connector_spark.config import load_config
+    cfg = load_config(args.config)
+    started = mgr.start_all(cfg)
     print(json.dumps({"started": started}))
 
     if args.once:
@@ -47,9 +49,11 @@ def main(argv: list[str] | None = None) -> int:
         # a pipeline that failed at BUILD never started (per-pipeline
         # isolation in start_all, mirroring the reference's try/catch
         # boundary) — a batch invocation must still exit non-zero, or
-        # a config typo looks like a clean no-op run to schedulers
-        from universal_data_connector_spark.config import load_config
-        all_started = len(started) == len(load_config(args.config).pipelines)
+        # a config typo looks like a clean no-op run to schedulers.
+        # Count from the SAME parse start_all used: a re-read here
+        # would race a concurrent config edit (mask a failure, fail a
+        # success, or traceback on a deleted file).
+        all_started = len(started) == len(cfg.pipelines)
         return 0 if (ok and all_started
                      and all(j["status"] != "FAILED"
                              for j in mgr.jobs())) else 1

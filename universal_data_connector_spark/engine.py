@@ -461,10 +461,19 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                 import hashlib
                 from dataclasses import replace
 
-                try:
-                    in_files = sorted(source_df.inputFiles())
-                except Exception:
-                    in_files = []
+                # same listing source as batch_manifest_plan: a
+                # mapInPandas-backed source (s3 boto3 fallback) has no
+                # inputFiles() but hands over its embedded listing —
+                # without this, such pipelines get NO fingerprint and
+                # the changed-input crash guard is silently inert
+                listed = getattr(source_df, "_udc_input_files", None)
+                if listed is not None:
+                    in_files = sorted(listed)
+                else:
+                    try:
+                        in_files = sorted(source_df.inputFiles())
+                    except Exception:
+                        in_files = []
                 props = {**sink_cfg.properties, "_deferFinalize": "true"}
                 if in_files:
                     props["_inputFingerprint"] = hashlib.sha256(

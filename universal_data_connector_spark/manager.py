@@ -111,8 +111,13 @@ class PipelineManager:
 
     # -- start ----------------------------------------------------------
 
-    def start_all(self, config_path: str) -> list[str]:
-        cfg = load_config(config_path)
+    def start_all(self, config) -> list[str]:
+        """Start every pipeline in a YAML path or an already-parsed
+        EngineConfig (callers who need the pipeline COUNT for exit
+        semantics pass the parsed config so count and start see one
+        read — a re-read races concurrent config edits)."""
+        cfg = config if hasattr(config, "pipelines") else \
+            load_config(config)
         started = []
         for p in cfg.pipelines:
             try:

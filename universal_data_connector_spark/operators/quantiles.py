@@ -103,7 +103,6 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     if persist_input:
         vals = vals.persist(StorageLevel.DISK_ONLY)
 
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     mid = F.monotonically_increasing_id()
     # duplicate-heavy guard: range partitioning alone sends an entire
     # run of EQUAL values to one slice (boundaries are values), so a
@@ -122,8 +121,12 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     # expression so they can never disagree; range partition indices
     # ascend with the range order (AQE coalescing merges contiguous
     # indices, preserving it), the counter is consecutive in sorted
-    # row order
-    indexed = (salted.repartitionByRange(nparts, *g, "__v", "__salt")
+    # row order. No explicit partition count: the conf default sizes
+    # the shuffle, and leaving the count unspecified keeps the
+    # exchange ELIGIBLE for AQE's coalescer (an explicit count pins
+    # it), so undersized slices merge at runtime instead of paying
+    # per-slice overheads
+    indexed = (salted.repartitionByRange(*g, "__v", "__salt")
                      .sortWithinPartitions(*g, "__v")
                      .withColumn("__mid", mid)
                      .select(*g, "__v",

@@ -275,7 +275,16 @@ def s3_source(spark: SparkSession, props: dict, streaming: bool = False) -> Data
     if props.get("endpoint"):
         hconf.set("fs.s3a.endpoint", props["endpoint"])
     path = f"s3a://{bucket}/{prefix}"
-    df = _text_file_frame(spark, path, props.get("pattern"), streaming)
+    # recursive: the reference lists EVERY key under the prefix
+    # (ListObjectsV2 has no directory notion); without this the S3A
+    # branch would silently skip "nested" objects the boto3 fallback
+    # (and the reference) read. Residual divergence, documented: S3A
+    # treats the prefix as a directory path, so a prefix matching a
+    # SIBLING prefix by raw string ("data" vs "data-archive/...") lists
+    # fewer objects here than raw ListObjectsV2 prefix matching —
+    # reference-faithful behavior needs the boto3 path.
+    df = _text_file_frame(spark, path, props.get("pattern"), streaming,
+                          recursive=True)
     if not streaming and props.get("manifestDir"):
         df = manifest_filter(df, spark, props["manifestDir"])
     return df
@@ -306,7 +315,14 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
     """boto3-backed batch twin of the S3A whole-object read: same
     (source_file, file_type, content) shape, same ``s3a://`` URI
     spelling (so archiveDir/manifestDir bookkeeping and the sink's
-    basename keying behave identically on either path)."""
+    basename keying behave identically on either path).
+
+    The listing is RAW ``ListObjectsV2`` prefix matching — exactly the
+    reference's loop (``S3SourceContext.java:98-156``), so
+    ``prefix=data`` also matches a ``data-archive/...`` sibling, by
+    string. The S3A branch treats the prefix as a directory path and
+    would not; use a trailing ``/`` in the prefix to get directory
+    semantics on both paths."""
     import fnmatch
     import os.path
 
@@ -330,20 +346,30 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
             keys.append(key)
     keys.sort()
 
-    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    kdf = spark.createDataFrame(
+        [(f"s3a://{bucket}/{k}",) for k in keys], "source_file string")
+    if props.get("manifestDir"):
+        # anti-join the KEY frame, before any fetch: already-consumed
+        # objects must not be re-downloaded on every run just to be
+        # dropped afterwards (unbounded transfer growth on a long-
+        # lived drop prefix)
+        kdf = manifest_filter(kdf, spark, props["manifestDir"])
     if keys:
         kdf = kdf.repartition(
             min(len(keys), spark.sparkContext.defaultParallelism))
+
+    uri_prefix = f"s3a://{bucket}/"
 
     def fetch(batches):
         import boto3
         import pandas as pd
         cl = boto3.client("s3", **client_kwargs)
         for pdf in batches:
-            rows = [(f"s3a://{bucket}/{k}",
-                     cl.get_object(Bucket=bucket, Key=k)["Body"]
+            rows = [(uri,
+                     cl.get_object(Bucket=bucket,
+                                   Key=uri[len(uri_prefix):])["Body"]
                        .read().decode("utf-8", "replace"))
-                    for k in pdf["key"]]
+                    for uri in pdf["source_file"]]
             yield pd.DataFrame(rows, columns=["source_file", "content"])
 
     df = kdf.mapInPandas(fetch, "source_file string, content string")
@@ -353,8 +379,6 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
         sniff_file_type(F.col("source_file"), first_line)
             .alias("file_type"),
         "content")
-    if props.get("manifestDir"):
-        df = manifest_filter(df, spark, props["manifestDir"])
     # a mapInPandas plan has no inputFiles(); hand the engine's
     # consumed-file bookkeeping the listing this plan was built from
     # (one listing, one truth — the keys are literals in the plan, so
