@@ -18,47 +18,46 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-9 rotation
-# (VERDICT r8 item 1): the entire 46-key r6-evidence cohort + the
-# three rows-only keys with the oldest spark_rows evidence
-# (multimodal_resize / sim_search_ivf_kmeans r5, dedup_simhash r7) +
-# the flagship = exactly 50. The catalog (147 keys) now sits at the
-# 3-round rotation capacity (49x3 + the every-round flagship = 148),
-# so this round adds NO new keys — consolidation over scope, per the
-# r8 verdict. The r7-evidence cohort (49 keys) rotates in r10, the
-# r8 cohort in r11.
+# recent driver evidence goes stale (>2 rounds old). Round-10 rotation
+# (VERDICT r9 item 1): the entire 48-key cohort whose latest driver
+# evidence is r7 (verified by union over CORRECTNESS_r01..r09: the
+# latest-evidence split is r9:50 / r8:49 / r7:48) + the flagship +
+# `events_rfm_segments` in the one spare slot — its plan is rewritten
+# this round (single-materialization rfm aggregate, VERDICT r9 item 4)
+# so the touched code gets fresh driver evidence under the lockstep
+# rule. No new oracled keys this round: the catalog (147) sits at the
+# 3-round rotation capacity. The r8 cohort rotates in r11.
 _CHECK_FIRST = [
-    # r6-evidence cohort — project / rename / filter / map / casts
-    "project_columns", "rename_columns",
-    "filter_contains", "filter_equality", "filter_null_safe",
-    "filter_any_row_per_file",
-    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
-    "defaults_on_null",
-    # the 11 r6 joins
-    "join_inner_hash", "join_broadcast", "join_left", "join_semi",
-    "join_anti", "join_range_theta", "join_asof",
-    "join_interval_overlap", "join_salted_skew", "join_full_outer",
-    "join_star_schema",
-    # the 9 r6 aggregation keys (incl. the rows-only HLL sketch)
-    "agg_hash_sum_avg", "agg_count_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
-    "agg_histogram_bins", "agg_approx_count_distinct",
-    # windows
-    "window_row_number_topk", "window_running_sum",
-    # r6 streaming / stateful pair
-    "stream_stateful_totals", "stream_stream_interval_join",
-    # text / sampling / reshape
-    "text_repetition_ratio", "sample_capped_per_key",
-    "reshape_chunk_tokens",
-    # r6 analytics four
-    "events_funnel_steps", "retention_cohorts", "ts_rollup_gapfill",
-    "ts_subsequence_search",
-    # DQ / maintenance
-    "dq_expectations", "dq_column_profile", "maintenance_compact_files",
-    # scans
-    "scan_jsonl_roundtrip", "scan_partition_pruned",
-    # rows-only keys re-windowed for spark_rows drift (oldest evidence)
-    "multimodal_resize", "sim_search_ivf_kmeans", "dedup_simhash",
+    # r7-evidence joins
+    "join_bucketed_colocated", "join_null_safe_eq", "join_asof_nearest",
+    # r7 aggregation five
+    "agg_percentile_exact", "agg_grouped_mad_pandas",
+    "agg_regression_ols", "agg_mode_per_group", "agg_array_collect",
+    # r7 window six
+    "window_rank_family", "window_first_last", "window_range_frame",
+    "window_lag_lead", "window_gap_islands", "window_percent_of_total",
+    # sort / limit / set ops
+    "sort_multi_key", "limit_topk",
+    "set_union_all", "set_intersect", "set_except",
+    # scalar function families
+    "str_funcs", "date_funcs", "math_funcs",
+    "csv_parse_rfc4180", "base64_roundtrip", "json_funcs",
+    # the six r7 streaming keys
+    "stream_tumbling_count", "stream_sliding_agg",
+    "stream_session_window", "stream_late_data_watermark",
+    "stream_upsert_latest", "stream_agg_state_totals",
+    # dedup / similarity / text r7 cohort
+    "dedup_near_minhash", "sim_search_lsh",
+    "text_vocab_topk", "text_boilerplate_ngrams",
+    # r7 analytics nine
+    "events_sessionize_gap", "events_top_paths", "events_dau_wau",
+    "ts_moving_window_avg", "ts_anomaly_mad", "ts_resample_interp",
+    "ts_ewma", "cogroup_asof_merge", "dq_fk_integrity",
+    # r7 scans + sampling
+    "scan_parquet", "scan_schema_evolution_merge",
+    "scan_csv_malformed_permissive", "sample_hash_split",
+    # spare slot: plan touched this round (VERDICT r9 item 4)
+    "events_rfm_segments",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
 ]

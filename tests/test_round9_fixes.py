@@ -80,7 +80,14 @@ def test_begin_batch_run_changed_fp_after_completed_merge_reclaims(
 
 def test_begin_batch_run_changed_fp_incomplete_merge_raises(
         spark, tmp_path):
+    """Contract updated per ADVICE r9: recorded-but-ZERO-swapped is
+    provably untouched state (each swap stamps its marker atomically
+    with the bucket rename), so a changed input reclaims fresh; the
+    raise is reserved for a genuine MIXED apply (some recorded
+    buckets carry the run's marker, some don't)."""
     from universal_data_connector_spark.streaming.windows import (
+        _APPLIED_PREFIX,
+        _UPSERT_BUCKET_COL,
         _intent_record_touched,
         begin_batch_run,
     )
@@ -88,12 +95,20 @@ def test_begin_batch_run_changed_fp_incomplete_merge_raises(
     target = str(tmp_path / "state")
     rid = begin_batch_run(target, num_buckets=4, fingerprint="fpA")
     # the run recorded its planned buckets but swapped none of them
-    # (no markers exist), then crashed; now the input changes
+    # (no markers exist), then crashed; a changed input reclaims
     _intent_record_touched(target, rid, [0, 1])
-    with pytest.raises(ValueError, match="DIFFERENT input"):
-        begin_batch_run(target, num_buckets=4, fingerprint="fpB")
+    assert begin_batch_run(target, num_buckets=4, fingerprint="fpB") == rid
+
+    # now run rid is recorded again with ONE of two buckets marked
+    # applied — a true partial apply — and the changed input refuses
+    _intent_record_touched(target, rid, [0, 1])
+    bdir = os.path.join(target, f"{_UPSERT_BUCKET_COL}=0")
+    os.makedirs(bdir, exist_ok=True)
+    open(os.path.join(bdir, f"{_APPLIED_PREFIX}{rid}"), "w").close()
+    with pytest.raises(ValueError, match="partially applied"):
+        begin_batch_run(target, num_buckets=4, fingerprint="fpC")
     # the same input still resumes fine
-    assert begin_batch_run(target, num_buckets=4, fingerprint="fpA") == rid
+    assert begin_batch_run(target, num_buckets=4, fingerprint="fpB") == rid
 
 
 def test_begin_batch_run_changed_fp_never_swapped_reclaims(

@@ -213,11 +213,18 @@ def _sql_transform(df: DataFrame, props: dict) -> DataFrame:
     if not dq_ident:
         lit += r'|"(?:[^"\\]|\\.|"")*"'
     with temp_view(df, "_input") as view:
+        # re.split with ONE capture group alternates non-literal (even
+        # index) / captured literal (odd index) segments. Parity, not
+        # first-character sniffing, decides what to skip: under
+        # doubleQuotedIdentifiers a NON-literal segment can itself
+        # start with a double quote (e.g. a query opening with
+        # `"_input"` or text abutting a single-quoted literal), and a
+        # first-char test would wrongly leave its `_input` unrewritten
+        # (ADVICE r9).
         parts = re.split(f"({lit})", props["query"])
         query = "".join(
-            p if p[:1] in ("'", '"') else
-            re.sub(r"\b_input\b", view, p)
-            for p in parts)
+            p if i % 2 else re.sub(r"\b_input\b", view, p)
+            for i, p in enumerate(parts))
         return spark.sql(query)
 
 
@@ -492,6 +499,13 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                     end_batch_run,
                 )
                 end_batch_run(cfg.sink.properties["path"])
+            # loopback-kafka consumer-group commit: strictly after the
+            # sink succeeded (the manifest_record discipline) — a
+            # failed write leaves offsets unmoved, so the rerun
+            # re-polls the same records (at-least-once)
+            kafka_commit = getattr(source_df, "_udc_kafka_commit", None)
+            if kafka_commit is not None:
+                kafka_commit()
         finally:
             release_frames(pins)
     return result

@@ -91,6 +91,14 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
 
     if len(ps) != len(out_cols):
         raise ValueError("ps and out_cols must pair up")
+    # bounds up front: an out-of-range p would compute a global rank
+    # beyond the group's extent, the pick join would find no row, and
+    # the failure would surface later as an opaque KeyError — the
+    # F.percentile aggregate this claims bit-parity with raises a
+    # bounds error instead (ADVICE r9)
+    bad = [p for p in ps if not 0.0 <= float(p) <= 1.0]
+    if bad:
+        raise ValueError(f"percentile fractions outside [0, 1]: {bad}")
     spark = df.sparkSession
     g = list(group_cols)
     const = not g

