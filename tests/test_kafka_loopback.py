@@ -1,0 +1,271 @@
+"""In-sandbox Kafka e2e against the loopback broker (VERDICT r9
+item 2 — graduate S4/K4 the way moto graduated S5/K5).
+
+``tests/test_external_infra.py`` keeps the env-gated REAL-broker tests
+(actual-infra proof); these run on every test run with no broker: the
+directory-backed loopback in ``kafka_loopback.py`` gives the engine's
+kafka source/sink code paths — option mapping, value-first projection,
+metadata columns, key-AND-value record shaping, DefaultPartitioner
+keyed routing, consumer-group offset commits — a full produce/consume
+round-trip, including YAML kafka -> filter -> kafka through the CLI
+and the commit-after-sink-success at-least-once contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _props(dir_, topic, **extra):
+    return {"bootstrapServers": f"loopback://{dir_}", "topic": topic,
+            **extra}
+
+
+# ---------------------------------------------------------------------------
+# broker primitives
+# ---------------------------------------------------------------------------
+
+def test_murmur2_matches_32bit_reference_properties():
+    """Structural pins on the partitioner hash: stable, signed-32-bit,
+    sensitive to every byte, and the empty input hashes to the seeded
+    finalizer value the Java algorithm produces for length 0."""
+    from universal_data_connector_spark.kafka_loopback import (
+        murmur2,
+        partition_for,
+    )
+
+    vals = [murmur2(k.encode()) for k in
+            ("", "a", "ab", "abc", "abcd", "kafka", "kafka-loopback")]
+    assert all(-(2 ** 31) <= v < 2 ** 31 for v in vals)
+    assert len(set(vals)) == len(vals)  # byte-sensitive
+    assert murmur2(b"kafka") == murmur2(b"kafka")  # deterministic
+    # keyed routing is non-negative and stable across calls
+    for n in (1, 3, 16):
+        p = partition_for(b"user-42", n)
+        assert 0 <= p < n
+        assert p == partition_for(b"user-42", n)
+    # null key round-robins on the producer counter
+    assert [partition_for(None, 3, counter=i) for i in range(4)] \
+        == [0, 1, 2, 0]
+
+
+def test_append_read_offsets_and_group_commit(tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path)
+    KL.ensure_topic(d, "t", 2)
+    KL.append_records(d, "t", [(b"k1", b"v1"), (b"k1", b"v2"),
+                               (None, b"v3")], 2)
+    ends = KL.end_offsets(d, "t")
+    assert sum(ends.values()) == 3
+    # same key -> same partition, consecutive offsets in append order
+    p = KL.partition_for(b"k1", 2)
+    recs = KL.read_slice(d, "t", p, 0, ends[p])
+    k1 = [(r[1], r[4]) for r in recs if r[0] == b"k1"]
+    assert k1 == [(b"v1", 0), (b"v2", 1)]
+
+    KL.commit_offsets(d, "g1", {"t/0": ends[0]})
+    KL.commit_offsets(d, "g1", {"t/1": ends[1]})  # merge, not replace
+    assert KL.committed_offsets(d, "g1") == {"t/0": ends[0],
+                                             "t/1": ends[1]}
+
+
+# ---------------------------------------------------------------------------
+# source: poll semantics
+# ---------------------------------------------------------------------------
+
+def test_source_reads_values_with_metadata_columns(spark, tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    KL.ensure_topic(d, "in", 3)
+    KL.append_records(d, "in", [(f"k{i}".encode(), f"m{i}".encode())
+                                for i in range(6)], 3)
+
+    df = kafka_source(spark, _props(d, "in"), streaming=False)
+    rows = df.collect()
+    assert {r.content for r in rows} == {f"m{i}" for i in range(6)}
+    for r in rows:
+        assert r.message_key == "k" + r.content[1:]
+        assert r.topic == "in"
+        assert r.partition == KL.partition_for(
+            r.message_key.encode(), 3)
+        assert r.source_file == "KAFKA_SOURCE"
+        assert r.ts is not None
+    # per-partition offsets are dense from 0
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_source_group_offsets_make_runs_incremental(spark, tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    KL.append_records(d, "t", [(None, b"a"), (None, b"b")], 1)
+    props = _props(d, "t", groupId="g")
+
+    df1 = kafka_source(spark, props, streaming=False)
+    assert sorted(r.content for r in df1.collect()) == ["a", "b"]
+    # engine commits only after the sink succeeds; simulate success
+    df1._udc_kafka_commit()
+
+    KL.append_records(d, "t", [(None, b"c")], 1)
+    df2 = kafka_source(spark, props, streaming=False)
+    assert [r.content for r in df2.collect()] == ["c"]
+    df2._udc_kafka_commit()
+
+    # nothing new -> empty poll
+    df3 = kafka_source(spark, props, streaming=False)
+    assert df3.collect() == []
+
+
+def test_source_latest_reset_skips_backlog(spark, tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    KL.append_records(d, "t", [(None, b"old")], 1)
+    # reference spelling "largest" must translate like the real path
+    df = kafka_source(spark, _props(d, "t", autoOffsetReset="largest"),
+                      streaming=False)
+    assert df.collect() == []
+
+
+def test_source_streaming_loopback_rejected(spark, tmp_path):
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    with pytest.raises(ValueError, match="batch-only"):
+        kafka_source(spark, _props(str(tmp_path), "t"), streaming=True)
+
+
+# ---------------------------------------------------------------------------
+# sink: record shaping + keyed routing
+# ---------------------------------------------------------------------------
+
+def test_sink_content_as_key_and_value(spark, tmp_path):
+    """The reference's item-as-key-AND-value contract
+    (KafkaSinkContext.java:50) through the loopback produce path."""
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sinks.kafka import kafka_sink
+
+    d = str(tmp_path)
+    df = spark.createDataFrame([("hello",), ("world",)],
+                               "content string")
+    kafka_sink(df, _props(d, "out", numPartitions="2"))
+
+    ends = KL.end_offsets(d, "out")
+    recs = [r for p, e in ends.items()
+            for r in KL.read_slice(d, "out", p, 0, e)]
+    assert sorted((r[0], r[1]) for r in recs) == [
+        (b"hello", b"hello"), (b"world", b"world")]
+    # keyed routing matches DefaultPartitioner
+    for r in recs:
+        assert r[3] == KL.partition_for(r[0], 2)
+
+
+def test_sink_explicit_key_value_columns_honored(spark, tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sinks.kafka import kafka_sink
+
+    d = str(tmp_path)
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2")],
+                               "key string, value string")
+    kafka_sink(df, _props(d, "out"))
+    recs = KL.read_slice(d, "out", 0, 0,
+                         KL.end_offsets(d, "out")[0])
+    assert sorted((r[0], r[1]) for r in recs) == [
+        (b"k1", b"v1"), (b"k2", b"v2")]
+
+
+# ---------------------------------------------------------------------------
+# engine e2e: YAML kafka -> filter -> kafka via the CLI, exactly-once
+# across runs through group offsets, commit only after sink success
+# ---------------------------------------------------------------------------
+
+def _pipeline_yaml(tmp_path, d, group="cli-g"):
+    import yaml
+
+    cfg = {"pipelines": [{
+        "name": "kafka-loop",
+        "source": {"type": "kafka", "properties": {
+            "bootstrapServers": f"loopback://{d}", "topic": "src",
+            "groupId": group}},
+        "transformations": [{"type": "filter", "properties": {
+            "condition": "keep"}}],
+        "sink": {"type": "kafka", "properties": {
+            "bootstrapServers": f"loopback://{d}", "topic": "dst"}},
+    }]}
+    path = tmp_path / "kafka.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+def test_cli_kafka_to_kafka_roundtrip_incremental(spark, tmp_path):
+    from universal_data_connector_spark import cli
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path / "broker")
+    KL.append_records(d, "src", [(None, b"keep me"), (None, b"drop me"),
+                                 (None, b"also keep")], 1)
+    cfg = _pipeline_yaml(tmp_path, d)
+
+    assert cli.main(["--config", cfg, "--once"]) == 0
+    ends = KL.end_offsets(d, "dst")
+    vals = sorted(r[1] for p, e in ends.items()
+                  for r in KL.read_slice(d, "dst", p, 0, e))
+    assert vals == [b"also keep", b"keep me"]
+
+    # second run: group offsets committed -> no duplicates
+    assert cli.main(["--config", cfg, "--once"]) == 0
+    ends2 = KL.end_offsets(d, "dst")
+    assert sum(ends2.values()) == 2
+
+    # new records picked up incrementally
+    KL.append_records(d, "src", [(None, b"keep too")], 1)
+    assert cli.main(["--config", cfg, "--once"]) == 0
+    ends3 = KL.end_offsets(d, "dst")
+    vals3 = sorted(r[1] for p, e in ends3.items()
+                   for r in KL.read_slice(d, "dst", p, 0, e))
+    assert vals3 == [b"also keep", b"keep me", b"keep too"]
+
+
+def test_failed_sink_leaves_offsets_uncommitted(spark, tmp_path):
+    """Commit-after-sink-success: a failing sink must NOT advance the
+    group, so the rerun re-polls the same records (at-least-once) —
+    the manifest-record ordering applied to kafka."""
+    from universal_data_connector_spark import engine
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.config import (
+        PipelineConfig,
+        SinkConfig,
+        SourceConfig,
+    )
+
+    d = str(tmp_path / "broker")
+    KL.append_records(d, "src", [(None, b"keep me")], 1)
+    cfg = PipelineConfig(
+        name="p",
+        source=SourceConfig("kafka", {
+            "bootstrapServers": f"loopback://{d}", "topic": "src",
+            "groupId": "g"}),
+        sink=SinkConfig("jdbc", {}))  # no url/table -> sink raises
+    with pytest.raises(Exception):
+        engine.run(spark, cfg, streaming=False)
+    assert KL.committed_offsets(d, "g") == {}
+
+    # healthy rerun delivers the record and commits
+    cfg2 = PipelineConfig(
+        name="p",
+        source=SourceConfig("kafka", {
+            "bootstrapServers": f"loopback://{d}", "topic": "src",
+            "groupId": "g"}),
+        sink=SinkConfig("kafka", {
+            "bootstrapServers": f"loopback://{d}", "topic": "dst"}))
+    engine.run(spark, cfg2, streaming=False)
+    assert KL.end_offsets(d, "dst") == {0: 1}
+    assert KL.committed_offsets(d, "g") == {"src/0": 1}

@@ -1,0 +1,238 @@
+"""In-process loopback Kafka broker: the sandbox e2e double for S4/K4.
+
+The reference's Kafka pair (``factory/source/KafkaSourceContext.java:
+48-56`` — a ``KafkaConsumer`` poll loop that keeps record VALUES;
+``factory/sink/KafkaSinkContext.java:43-56`` — each item produced as
+key AND value) needs a broker to prove end-to-end. This container has
+none, and no kafka client library either — so, the way moto graduated
+the S3 pair to every-run loopback e2e (``tests/test_s3_loopback.py``),
+this module emulates just enough broker for the engine's own code
+paths to run for real: topics, partitions, offsets, consumer-group
+commits, keyed partitioning. It is a TEST DOUBLE with faithful
+semantics, not a wire-protocol Kafka; real deployments use Spark's
+``format("kafka")`` connector (the unchanged primary path in
+``sources/kafka.py`` / ``sinks/kafka.py``), and the env-gated
+real-broker tests in ``tests/test_external_infra.py`` remain the
+actual-infra proof.
+
+Activation: ``bootstrapServers: "loopback:///abs/dir"`` — a scheme no
+real ``host:port`` list can collide with. Loopback pipelines run BATCH
+(one poll per run, the reference's loop body): a consumer group's
+committed offsets make successive runs incremental, exactly the
+static-set/manifest discipline the file and S3 sources use.
+
+Broker layout under the directory::
+
+    <topic>/.meta.json      {"partitions": N}   (created on demand)
+    <topic>/p<k>.jsonl      partition log; OFFSET = line number
+    _groups/<groupId>.json  {"<topic>/<p>": next offset to read}
+
+One JSON record per line: ``{"k": b64|null, "v": b64, "ts": ms}`` —
+base64 so arbitrary key/value bytes survive the text log. Appends are
+single ``write()`` calls under an ``flock``: per-partition produce
+order is append order, as on a real broker.
+
+Partitioning replicates Kafka's ``DefaultPartitioner``: murmur2 of the
+key bytes (the exact public algorithm from
+``org.apache.kafka.common.utils.Utils.murmur2``), masked positive,
+mod partition count; a null key falls to round-robin over partitions.
+
+Scale posture: the loopback is sandbox-sized by design — the listing
+is bounded metadata (topic partitions), and record bytes flow through
+``mapInPandas`` slice reads on executors (the ``_s3_source_boto3``
+pattern), never through the driver; but a directory on one filesystem
+is not a distributed log, and nothing here replaces the Kafka
+connector at scale.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+_META = ".meta.json"
+_GROUPS = "_groups"
+
+
+def is_loopback(props: dict) -> bool:
+    return str(props.get("bootstrapServers", "")).startswith("loopback:")
+
+
+def broker_dir(props: dict) -> str:
+    """``loopback:///abs/dir`` -> ``/abs/dir``."""
+    raw = str(props["bootstrapServers"])
+    path = raw.split(":", 1)[1]
+    if path.startswith("//"):
+        path = path[2:]
+        # loopback://host/path has no meaning; the "authority" is the
+        # first path segment only when it is empty (loopback:///x)
+    if not path.startswith("/"):
+        path = "/" + path
+    return path
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (``Utils.murmur2``), bit-exact in 32-bit
+    two's-complement arithmetic — so a key routes to the SAME
+    partition here as under a real broker with default partitioning."""
+    def _i32(x: int) -> int:
+        x &= 0xFFFFFFFF
+        return x - 0x100000000 if x >= 0x80000000 else x
+
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    r = 24
+    h = _i32(seed ^ length)
+    i = 0
+    for _ in range(length // 4):
+        k = int.from_bytes(data[i:i + 4], "little", signed=True)
+        i += 4
+        k = _i32(k * m)
+        k = _i32(k ^ ((k & 0xFFFFFFFF) >> r))
+        k = _i32(k * m)
+        h = _i32(h * m)
+        h = _i32(h ^ k)
+    left = length & 3
+    if left == 3:
+        h = _i32(h ^ ((data[i + 2] & 0xFF) << 16))
+    if left >= 2:
+        h = _i32(h ^ ((data[i + 1] & 0xFF) << 8))
+    if left >= 1:
+        h = _i32(h ^ (data[i] & 0xFF))
+        h = _i32(h * m)
+    h = _i32(h ^ ((h & 0xFFFFFFFF) >> 13))
+    h = _i32(h * m)
+    h = _i32(h ^ ((h & 0xFFFFFFFF) >> 15))
+    return h
+
+
+def partition_for(key: bytes | None, n_partitions: int,
+                  counter: int = 0) -> int:
+    """DefaultPartitioner: keyed -> toPositive(murmur2(key)) % n;
+    null key -> round-robin on the producer's counter."""
+    if key is None:
+        return counter % n_partitions
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+def ensure_topic(dir_: str, topic: str, n_partitions: int = 1) -> int:
+    """Auto-create (the broker default) and return the partition
+    count; an existing topic keeps its count, like a real broker."""
+    tdir = os.path.join(dir_, topic)
+    meta = os.path.join(tdir, _META)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return int(json.load(fh)["partitions"])
+    os.makedirs(tdir, exist_ok=True)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"partitions": int(n_partitions)}, fh)
+    try:
+        # atomic claim: concurrent creators converge on one meta
+        os.rename(tmp, meta)
+    except OSError:
+        os.remove(tmp)
+    with open(meta) as fh:
+        return int(json.load(fh)["partitions"])
+
+
+def _log_path(dir_: str, topic: str, partition: int) -> str:
+    return os.path.join(dir_, topic, f"p{partition}.jsonl")
+
+
+def append_records(dir_: str, topic: str,
+                   records: list[tuple[bytes | None, bytes]],
+                   n_partitions: int = 1) -> None:
+    """Produce a batch: route each (key, value) to its partition and
+    append one JSON line per record. The per-partition flock serializes
+    concurrent producers (Spark tasks), keeping offsets = line numbers
+    consistent; each line lands in ONE write call."""
+    import fcntl
+
+    n = ensure_topic(dir_, topic, n_partitions)
+    ts = int(time.time() * 1000)
+    by_part: dict[int, list[str]] = {}
+    for i, (key, value) in enumerate(records):
+        p = partition_for(key, n, counter=i)
+        line = json.dumps({
+            "k": None if key is None
+            else base64.b64encode(key).decode(),
+            "v": base64.b64encode(value).decode(),
+            "ts": ts,
+        })
+        by_part.setdefault(p, []).append(line)
+    for p, lines in by_part.items():
+        with open(_log_path(dir_, topic, p), "a") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            try:
+                fh.write("".join(line + "\n" for line in lines))
+                fh.flush()
+            finally:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+
+
+def end_offsets(dir_: str, topic: str) -> dict[int, int]:
+    """Per-partition end offset (= line count) — bounded metadata."""
+    tdir = os.path.join(dir_, topic)
+    if not os.path.isdir(tdir):
+        return {}
+    out = {}
+    for p in range(ensure_topic(dir_, topic)):
+        path = _log_path(dir_, topic, p)
+        n = 0
+        if os.path.isfile(path):
+            with open(path, "rb") as fh:
+                n = sum(1 for _ in fh)
+        out[p] = n
+    return out
+
+
+def _group_path(dir_: str, group: str) -> str:
+    return os.path.join(dir_, _GROUPS, f"{group}.json")
+
+
+def committed_offsets(dir_: str, group: str) -> dict[str, int]:
+    path = _group_path(dir_, group)
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def commit_offsets(dir_: str, group: str, offsets: dict[str, int]) -> None:
+    """Merge-commit ``{"topic/partition": next_offset}`` atomically
+    (write-then-rename, the state sinks' crash contract)."""
+    os.makedirs(os.path.join(dir_, _GROUPS), exist_ok=True)
+    path = _group_path(dir_, group)
+    merged = {**committed_offsets(dir_, group), **offsets}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh)
+    os.replace(tmp, path)
+
+
+def read_slice(dir_: str, topic: str, partition: int,
+               start: int, end: int) -> list[tuple]:
+    """Records [start, end) of one partition log as
+    (key, value, topic, partition, offset, ts_ms) tuples — called on
+    EXECUTORS by the source's mapInPandas fetch."""
+    path = _log_path(dir_, topic, partition)
+    out = []
+    if start >= end or not os.path.isfile(path):
+        return out
+    with open(path) as fh:
+        for offset, line in enumerate(fh):
+            if offset >= end:
+                break
+            if offset < start:
+                continue
+            rec = json.loads(line)
+            out.append((
+                None if rec["k"] is None else base64.b64decode(rec["k"]),
+                base64.b64decode(rec["v"]),
+                topic, partition, offset, int(rec["ts"]),
+            ))
+    return out

@@ -231,6 +231,13 @@ class PipelineManager:
                                 end_batch_run,
                             )
                             end_batch_run(cfg.sink.properties["path"])
+                        # loopback-kafka group commit after sink
+                        # success (engine.run's ordering, same reason)
+                        kafka_commit = getattr(
+                            source_df, "_udc_kafka_commit", None)
+                        if kafka_commit is not None \
+                                and job.status != "CANCELLED":
+                            kafka_commit()
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":
@@ -335,4 +342,12 @@ def _wants_streaming(cfg: PipelineConfig) -> bool:
     batch, the semantically honest mode."""
     if str(cfg.source.properties.get("streaming", "")).lower() == "true":
         return True
-    return cfg.source.type == "kafka"
+    if cfg.source.type == "kafka":
+        # loopback brokers (bootstrapServers: loopback:///dir) are
+        # batch-only: one poll per run, consumer-group offsets for
+        # incrementality (sources/kafka.py)
+        from universal_data_connector_spark.kafka_loopback import (
+            is_loopback,
+        )
+        return not is_loopback(cfg.source.properties)
+    return False

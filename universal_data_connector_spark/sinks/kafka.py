@@ -41,8 +41,44 @@ def kafka_writer_options(props: dict) -> dict:
     }
 
 
+def _kafka_sink_loopback(df: DataFrame, props: dict) -> None:
+    """Produce to the loopback broker (``kafka_loopback.py``):
+    executor-side appends via ``foreachPartition`` (the S3 sink's
+    distributed-PUT shape), keyed partitioning bit-compatible with
+    Kafka's DefaultPartitioner (murmur2). ``numPartitions`` sizes the
+    topic at auto-create; an existing topic keeps its count."""
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    dir_ = KL.broker_dir(props)
+    topic = props["topic"]
+    n_parts = KL.ensure_topic(dir_, topic,
+                              int(props.get("numPartitions", 1)))
+    key = (F.col("key").cast("binary") if "key" in df.columns
+           else F.lit(None).cast("binary"))
+    shaped = df.select(key.alias("key"),
+                       F.col("value").cast("binary").alias("value"))
+
+    def send(rows) -> None:
+        from universal_data_connector_spark import kafka_loopback as kl
+        batch = [(bytes(r.key) if r.key is not None else None,
+                  bytes(r.value)) for r in rows]
+        if batch:
+            kl.append_records(dir_, topic, batch, n_parts)
+
+    shaped.foreachPartition(send)
+
+
 def kafka_sink(df: DataFrame, props: dict, streaming: bool = False):
+    from universal_data_connector_spark.kafka_loopback import is_loopback
+
     df = kafka_records(df)
+    if is_loopback(props):
+        if streaming:
+            raise ValueError(
+                "the loopback broker is batch-only; streaming needs a "
+                "real broker via Spark's kafka connector")
+        _kafka_sink_loopback(df, props)
+        return None
     opts = kafka_writer_options(props)
     if streaming:
         return (df.writeStream.format("kafka").options(**opts)
