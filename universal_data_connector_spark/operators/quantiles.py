@@ -111,6 +111,24 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     if persist_input:
         vals = vals.persist(StorageLevel.DISK_ONLY)
 
+    # AQE may only coalesce an exchange that feeds a CACHED plan when
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is on
+    # (off by default); without it the range exchange keeps the conf
+    # default's partition count even when every slice is tiny, and the
+    # count + pick jobs pay per-slice scheduling for nothing (measured
+    # at sf0.1: 32 near-empty slices -> ~1 right-sized one, ~30% off
+    # the helper's wall clock; VERDICT r9 item 5). Scoped to this
+    # eager computation and restored in the finally below: output
+    # partitioning of OTHER cached plans is not this helper's call.
+    _cached_part_conf = \
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        _cached_part_old = spark.conf.get(_cached_part_conf)
+    except Exception:
+        _cached_part_old = None  # conf unknown to this Spark version
+    if _cached_part_old is not None:
+        spark.conf.set(_cached_part_conf, "true")
+
     mid = F.monotonically_increasing_id()
     # duplicate-heavy guard: range partitioning alone sends an entire
     # run of EQUAL values to one slice (boundaries are values), so a
@@ -207,6 +225,8 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
                          .select(*g, "__v", "__sides")
                          .collect())
     finally:
+        if _cached_part_old is not None:
+            spark.conf.set(_cached_part_conf, _cached_part_old)
         indexed.unpersist(blocking=False)
         if persist_input:
             vals.unpersist(blocking=False)
