@@ -100,3 +100,56 @@ def test_resize_media_batch_requires_fake(spark):
     with pytest.raises(Exception) as exc:
         resize_media_batch(df, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "resize requires" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# real codec path (round 10): activates wherever pillow exists; in a
+# codec-less container these SKIP and the NotImplementedError contract
+# above is the evidence (SURVEY §2B r10 permanence decision)
+# ---------------------------------------------------------------------------
+
+def _real_png(px=8) -> bytes:
+    """A genuine PNG via pillow (env-gated callers only)."""
+    import io
+
+    from PIL import Image
+    im = Image.new("RGB", (px, px), (255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_decode_real_path_with_pillow(spark):
+    pytest.importorskip("PIL")
+    df = spark.createDataFrame(
+        [(1, _real_png(8)), (2, b"not an image")],
+        "asset_id bigint, content binary")
+    rows = {r.asset_id: r.features
+            for r in decode_image_batch(df, feature_dim=6).collect()}
+    # real decode: width, height, channels, then channel means
+    assert rows[1][:3] == [8.0, 8.0, 3.0]
+    assert rows[1][3] == pytest.approx(255.0)   # solid red
+    assert rows[1][4] == pytest.approx(0.0)
+    # undecodable payload -> NULL features, not a task failure
+    assert rows[2] is None
+
+
+def test_resize_real_path_with_pillow(spark):
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from universal_data_connector_spark.operators.multimodal import (
+        resize_media_batch,
+    )
+    df = spark.createDataFrame(
+        [(1, _real_png(64)), (2, b"junk")],
+        "asset_id bigint, content binary")
+    rows = {r.asset_id: r for r in
+            resize_media_batch(df, target_px=16).collect()}
+    out = Image.open(io.BytesIO(bytes(rows[1].content_resized)))
+    assert out.size == (16, 16)
+    assert rows[1].resized_length == len(bytes(rows[1].content_resized))
+    assert rows[2].content_resized is None
+    assert rows[2].resized_length is None

@@ -1,12 +1,14 @@
 """Multimodal (image / audio / video) column plumbing.
 
 Design: media are opaque `binary` columns plus typed metadata — the
-schema, partitioning, and Pandas-UDF batch shapes are real and tested;
-only the codec step is stubbed (no image/audio libraries in this
-container). `decode_image_batch` raises `NotImplementedError` unless
-`fake=True`, in which case it produces a deterministic fake feature
-vector so the end-to-end plumbing (mapInPandas over binary columns,
-Arrow batch transfer, output schema) is exercised by tests.
+schema, partitioning, and Pandas-UDF batch shapes are real and tested.
+The codec step resolves per executor: a REAL pillow-backed decode /
+resize when the public `PIL` package imports, the deterministic
+`fake=True` seam for plumbing tests, and a clear `NotImplementedError`
+when neither applies (this container ships no codec, so the catalog's
+multimodal keys run the fake path and stay rows-only by recorded
+decision — SURVEY §2B r10; the real path's tests are env-gated via
+``pytest.importorskip("PIL")`` and activate wherever pillow exists).
 
 Scale notes: binary payloads ride inside the row (Spark's binaryFile
 source caps single files via `spark.sql.sources.binaryFile.maxLength`);
@@ -88,15 +90,33 @@ def partition_by_content_hash(df: DataFrame, n_shards: int = 1024,
               .repartition(n_shards, full_hash))
 
 
+def _pil_image():
+    """The public pillow codec if importable, else None — resolved on
+    the EXECUTOR inside the UDF (the decision must be made where the
+    decode runs, not on the driver)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_batch(df: DataFrame, content_col: str = "content",
                        feature_dim: int = 8, fake: bool = False) -> DataFrame:
     """Decode/feature-extract images via mapInPandas.
 
-    Real decode needs an image library that is not in this container —
-    without `fake=True` the returned plan raises NotImplementedError at
-    execution. With `fake=True` features are a deterministic function
-    of the bytes (length + first bytes), so schema/partitioning/batch
-    shape are fully testable.
+    Three execution modes, resolved per batch on the executor:
+    ``fake=True`` -> deterministic byte-derived features (length +
+    first bytes), the plumbing-test seam; otherwise, if pillow imports,
+    a REAL decode (``PIL.Image.open`` -> RGB; features = width, height,
+    channel count, then per-channel means, zero-padded/truncated to
+    ``feature_dim``); otherwise ``NotImplementedError`` at execution —
+    this container ships no codec, so the driver records this key
+    rows-only on the fake path (permanence decision, SURVEY §2B r10;
+    the real path is env-gated-tested via ``pytest.importorskip``).
+    An undecodable payload on the real path yields NULL features
+    rather than killing the task (the filter-don't-fail discipline of
+    the corpus pipeline).
     """
     # Build a NEW StructType: StructType.add mutates in place, and
     # df.schema is a cached object — mutating it corrupts df.columns.
@@ -105,18 +125,40 @@ def decode_image_batch(df: DataFrame, content_col: str = "content",
                                      T.StructField("features",
                                                    T.ArrayType(T.DoubleType()))]))
 
+    def real_features(image_mod, raw: bytes) -> list | None:
+        import io
+        try:
+            with image_mod.open(io.BytesIO(raw)) as im:
+                im = im.convert("RGB")
+                w, h = im.size
+                # channel means over a bounded thumbnail: feature
+                # cost must not scale with megapixels
+                im.thumbnail((64, 64))
+                px = list(im.getdata())
+                n = max(1, len(px))
+                means = [sum(c[i] for c in px) / n for i in range(3)]
+        except Exception:
+            return None
+        feats = [float(w), float(h), 3.0, *means]
+        return (feats + [0.0] * feature_dim)[:feature_dim]
+
     def run(batches: Iterator) -> Iterator:
+        image_mod = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if not fake and image_mod is None:
                 raise NotImplementedError(
-                    "image decode requires PIL/opencv — not available; "
-                    "pass fake=True for deterministic plumbing tests")
+                    "image decode requires a codec (pip install pillow) "
+                    "— not available; pass fake=True for deterministic "
+                    "plumbing tests")
             feats = []
             for raw in pdf[content_col]:
                 raw = bytes(raw or b"")
-                feats.append([float(len(raw))] +
-                             [float(b) for b in raw[: feature_dim - 1]] +
-                             [0.0] * max(0, feature_dim - 1 - len(raw)))
+                if fake:
+                    feats.append([float(len(raw))] +
+                                 [float(b) for b in raw[: feature_dim - 1]] +
+                                 [0.0] * max(0, feature_dim - 1 - len(raw)))
+                else:
+                    feats.append(real_features(image_mod, raw))
             pdf = pdf.assign(features=feats)
             yield pdf
 
@@ -125,37 +167,61 @@ def decode_image_batch(df: DataFrame, content_col: str = "content",
 
 def resize_media_batch(df: DataFrame, target_bytes: int = 64,
                        content_col: str = "content",
-                       fake: bool = False) -> DataFrame:
+                       fake: bool = False, target_px: int = 32) -> DataFrame:
     """Resize/resample plumbing via mapInPandas: binary in, binary out
     (`content_resized`) plus `resized_length`.
 
-    A real implementation would decode, resize (image) or resample
-    (audio), and re-encode; that needs codec libraries this container
-    lacks, so without `fake=True` execution raises NotImplementedError.
-    With `fake=True` the output is deterministic nearest-neighbor byte
-    sampling to exactly `target_bytes` — the Arrow batch shape, binary
-    output schema, and per-row size contract are the real, tested part.
+    With ``fake=True`` (the plumbing-test seam, and what the catalog's
+    rows-only key runs in codec-less containers) the output is
+    deterministic nearest-neighbor byte sampling to exactly
+    `target_bytes` — the Arrow batch shape, binary output schema, and
+    per-row size contract are the real, tested part. Otherwise, if
+    pillow imports on the executor, a REAL image resize runs: decode,
+    thumbnail to fit ``target_px`` square, re-encode as PNG (a
+    lossless, always-available encoder), with undecodable payloads
+    mapping to NULL output rather than task failure; without a codec,
+    ``NotImplementedError`` at execution (permanence decision, SURVEY
+    §2B r10 — env-gated real-path tests via ``pytest.importorskip``).
     """
     out_schema = T.StructType([*df.schema.fields,
                                T.StructField("content_resized", T.BinaryType()),
                                T.StructField("resized_length", T.LongType())])
 
+    def real_resize(image_mod, raw: bytes) -> bytes | None:
+        import io
+        try:
+            with image_mod.open(io.BytesIO(raw)) as im:
+                im = im.convert("RGB")
+                im.thumbnail((target_px, target_px))
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
+
     def run(batches: Iterator) -> Iterator:
+        image_mod = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if not fake and image_mod is None:
                 raise NotImplementedError(
-                    "media resize requires codec libraries — not available; "
-                    "pass fake=True for deterministic plumbing tests")
+                    "media resize requires a codec (pip install pillow) "
+                    "— not available; pass fake=True for deterministic "
+                    "plumbing tests")
             resized = []
             for raw in pdf[content_col]:
                 raw = bytes(raw or b"")
-                if not raw:
-                    resized.append(bytes(target_bytes))
-                    continue
-                resized.append(bytes(raw[(i * len(raw)) // target_bytes]
-                                     for i in range(target_bytes)))
-            yield pdf.assign(content_resized=resized,
-                             resized_length=[len(r) for r in resized])
+                if fake:
+                    if not raw:
+                        resized.append(bytes(target_bytes))
+                        continue
+                    resized.append(bytes(raw[(i * len(raw)) // target_bytes]
+                                         for i in range(target_bytes)))
+                else:
+                    resized.append(real_resize(image_mod, raw))
+            yield pdf.assign(
+                content_resized=resized,
+                resized_length=[len(r) if r is not None else None
+                                for r in resized])
 
     return df.mapInPandas(run, schema=out_schema)
 
