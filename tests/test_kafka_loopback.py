@@ -269,3 +269,65 @@ def test_failed_sink_leaves_offsets_uncommitted(spark, tmp_path):
     engine.run(spark, cfg2, streaming=False)
     assert KL.end_offsets(d, "dst") == {0: 1}
     assert KL.committed_offsets(d, "g") == {"src/0": 1}
+
+
+# ---------------------------------------------------------------------------
+# round-10 review hardening: independent murmur2 cross-check, absent
+# topic, empty-commit
+# ---------------------------------------------------------------------------
+
+def test_murmur2_cross_checked_against_unsigned_formulation():
+    """The broker's signed-32-bit transcription of Kafka's murmur2 is
+    pinned against an INDEPENDENT unsigned-arithmetic formulation of
+    the same public algorithm — a transcription bug in either sign
+    handling, the logical shifts, or the tail bytes would diverge on
+    random inputs."""
+    import random
+
+    from universal_data_connector_spark.kafka_loopback import murmur2
+
+    def unsigned(data: bytes) -> int:
+        m32, m, r = 0xFFFFFFFF, 0x5BD1E995, 24
+        h = (0x9747B28C ^ len(data)) & m32
+        i = 0
+        for _ in range(len(data) // 4):
+            k = int.from_bytes(data[i:i + 4], "little")
+            i += 4
+            k = (k * m) & m32
+            k ^= k >> r
+            k = (k * m) & m32
+            h = ((h * m) & m32) ^ k
+        left = len(data) & 3
+        if left == 3:
+            h ^= data[i + 2] << 16
+        if left >= 2:
+            h ^= data[i + 1] << 8
+        if left >= 1:
+            h = ((h ^ data[i]) * m) & m32
+        h ^= h >> 13
+        h = (h * m) & m32
+        h ^= h >> 15
+        return h - 0x100000000 if h >= 0x80000000 else h
+
+    rng = random.Random(7)
+    for _ in range(500):
+        b = bytes(rng.randrange(256)
+                  for _ in range(rng.randrange(0, 40)))
+        assert murmur2(b) == unsigned(b)
+
+
+def test_source_absent_topic_reads_empty(spark, tmp_path):
+    """Polling a topic nobody has produced to yields an empty frame
+    with the full projection schema — not an error — and a group
+    commit on it is a harmless no-op."""
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    df = kafka_source(spark, _props(d, "ghost", groupId="g"),
+                      streaming=False)
+    assert df.columns == ["content", "message_key", "topic",
+                          "partition", "offset", "ts", "source_file"]
+    assert df.collect() == []
+    df._udc_kafka_commit()
+    assert KL.committed_offsets(d, "g") == {}
