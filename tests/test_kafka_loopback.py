@@ -331,3 +331,103 @@ def test_source_absent_topic_reads_empty(spark, tmp_path):
     assert df.collect() == []
     df._udc_kafka_commit()
     assert KL.committed_offsets(d, "g") == {}
+
+
+def test_sink_null_value_tombstone_roundtrip(spark, tmp_path):
+    """A NULL record value is a Kafka TOMBSTONE (compacted-topic
+    delete); Spark's real kafka writer produces it, so the loopback
+    must round-trip it instead of crashing the task (r10 review)."""
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sinks.kafka import kafka_sink
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    df = spark.createDataFrame([("k1", "v1"), ("k2", None)],
+                               "key string, value string")
+    kafka_sink(df, _props(d, "out"))
+    recs = KL.read_slice(d, "out", 0, 0, KL.end_offsets(d, "out")[0])
+    assert sorted((r[0], r[1]) for r in recs) == [
+        (b"k1", b"v1"), (b"k2", None)]
+    rows = {r.message_key: r.content
+            for r in kafka_source(spark, _props(d, "out"),
+                                  streaming=False).collect()}
+    assert rows == {"k1": "v1", "k2": None}
+
+
+def test_source_timestamp_is_an_instant_not_wall_clock(spark, tmp_path):
+    """The stored epoch millis must surface as the same INSTANT under
+    any session time zone — a tz-naive pandas hop would shift it by
+    the session offset (r10 review)."""
+    import calendar
+
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.sources.kafka import kafka_source
+
+    d = str(tmp_path)
+    KL.append_records(d, "t", [(None, b"x")], 1)
+    raw = KL.read_slice(d, "t", 0, 0, 1)[0]
+    produced_ms = raw[5]
+
+    from pyspark.sql import functions as F
+
+    tz_conf = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_conf)
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set(tz_conf, tz)
+            # JVM-side epoch extraction: tz-independent reading of the
+            # stored instant (python collect() renders naive local
+            # datetimes, which would re-smuggle a tz into the check)
+            got_ms = (kafka_source(spark, _props(d, "t"),
+                                   streaming=False)
+                      .select(F.unix_millis("ts").alias("ms"))
+                      .collect()[0].ms)
+            assert got_ms == produced_ms, (tz, got_ms, produced_ms)
+    finally:
+        spark.conf.set(tz_conf, old_tz)
+
+
+def test_ensure_topic_exclusive_claim_keeps_first_count(tmp_path):
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path)
+    assert KL.ensure_topic(d, "t", 1) == 1
+    # a concurrent creator with a different count LOSES the claim and
+    # adopts the winner's partitioning (os.link, not rename-replace)
+    assert KL.ensure_topic(d, "t", 4) == 1
+    KL.append_records(d, "t", [(b"k", b"v")], 4)
+    assert KL.end_offsets(d, "t") == {0: 1}
+
+
+def test_end_offsets_sidecar_self_heals(tmp_path):
+    """end_offsets is O(1) via the .idx sidecar, and a missing, stale,
+    or corrupt sidecar (crash between append and idx update) falls
+    back to a recount — the count can lag, never lie (r10 review)."""
+    import json as json_mod
+    import os as os_mod
+
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path)
+    KL.append_records(d, "t", [(None, b"a"), (None, b"b")], 1)
+    log = os_mod.path.join(d, "t", "p0.jsonl")
+    assert KL.end_offsets(d, "t") == {0: 2}
+
+    os_mod.remove(log + ".idx")            # missing -> recount
+    assert KL.end_offsets(d, "t") == {0: 2}
+
+    with open(log, "a") as fh:             # crash-simulated raw append
+        fh.write(json_mod.dumps({"k": None, "v": None, "ts": 0}) + "\n")
+    assert KL.end_offsets(d, "t") == {0: 3}  # stale idx -> recount
+
+    with open(log + ".idx", "w") as fh:
+        fh.write("not json")               # corrupt -> recount
+    assert KL.end_offsets(d, "t") == {0: 3}
+
+    # the next locked append repairs the sidecar
+    KL.append_records(d, "t", [(None, b"c")], 1)
+    with open(log + ".idx") as fh:
+        rec = json_mod.load(fh)
+    assert rec["lines"] == 4
+    assert rec["bytes"] == os_mod.path.getsize(log)
+    assert KL.end_offsets(d, "t") == {0: 4}

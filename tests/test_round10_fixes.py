@@ -206,3 +206,79 @@ def test_s3_boto3_source_decodes_invalid_utf8_with_replacement(spark):
         server.stop()
     assert got["good.txt"] == "héllo"
     assert got["bad.txt"] == "ok�� tail"
+
+
+def test_begin_batch_run_recovers_before_zero_swap_proof(
+        spark, tmp_path, monkeypatch):
+    """r10 review (severe): a crash BETWEEN a bucket's two swap
+    renames (live -> old done, staged -> live not) hides that bucket's
+    markers from begin_batch_run. Without recovery-at-entry, the
+    changed-input reclaim reads 'zero swaps' from a blind state and
+    next_id() can hand out an id at or below the hidden bucket's
+    highest marker — the subsequent merge then skips the bucket and
+    silently DROPS its increments. begin_batch_run now runs
+    _upsert_recover first, so the proof reads restored state."""
+    import os as os_mod
+
+    from universal_data_connector_spark.streaming import windows as W
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, value double")
+
+    def _state(target):
+        return {r.user_id: (r.n, float(r.total))
+                for r in spark.read.parquet(target).collect()}
+
+    target = str(tmp_path / "state")
+    # run 0: all four buckets live at marker rid0
+    rid0 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp0")
+    W.agg_state_merge(mk([(i, i, 1.0) for i in range(1, 9)]), rid0,
+                      path=target, keys=["user_id"], value_col="value",
+                      num_buckets=4)
+    W.end_batch_run(target)
+
+    # run 1: only user 1's bucket advances to marker rid1
+    rid1 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp1")
+    W.agg_state_merge(mk([(100, 1, 10.0)]), rid1, path=target,
+                      keys=["user_id"], value_col="value", num_buckets=4)
+    W.end_batch_run(target)
+    base = _state(target)
+    assert base[1] == (2, 11.0)
+
+    # run 2 crashes between the SAME bucket's live->old and
+    # staged->live renames: the bucket's live dir (holding the
+    # target's HIGHEST marker, rid1) vanishes into _udc_old_
+    calls = {"n": 0}
+    real_rename = os_mod.rename
+
+    def flaky_rename(src, dst):
+        if f"{W._UPSERT_BUCKET_COL}=" in str(dst) or \
+                W._UPSERT_OLD_PREFIX in str(dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # live->old ok, staged->live fails
+                raise OSError("injected between-renames crash")
+        return real_rename(src, dst)
+
+    rid2 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp2")
+    monkeypatch.setattr(os_mod, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        W.agg_state_merge(mk([(200, 1, 100.0)]), rid2, path=target,
+                          keys=["user_id"], value_col="value",
+                          num_buckets=4)
+    monkeypatch.setattr(os_mod, "rename", real_rename)
+
+    # changed input: recovery restores the bucket (markers visible
+    # again), zero swaps of rid2 remain -> reclaim re-derives rid2,
+    # NOT an id at/below the hidden marker rid1
+    rid3 = W.begin_batch_run(target, num_buckets=4, fingerprint="fp3")
+    assert rid3 == rid2
+    assert rid3 > rid1
+    W.agg_state_merge(mk([(300, 1, 1000.0)]), rid3, path=target,
+                      keys=["user_id"], value_col="value", num_buckets=4)
+    W.end_batch_run(target)
+    # the new input's increment LANDED (the old bug dropped it)
+    got = _state(target)
+    assert got[1] == (3, 1011.0)
+    for u in range(2, 9):
+        assert got[u] == base[u]

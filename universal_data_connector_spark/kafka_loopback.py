@@ -25,12 +25,16 @@ Broker layout under the directory::
 
     <topic>/.meta.json      {"partitions": N}   (created on demand)
     <topic>/p<k>.jsonl      partition log; OFFSET = line number
+    <topic>/p<k>.jsonl.idx  {"lines": n, "bytes": b} — O(1) end
+                            offsets, recount fallback on mismatch
     _groups/<groupId>.json  {"<topic>/<p>": next offset to read}
 
-One JSON record per line: ``{"k": b64|null, "v": b64, "ts": ms}`` —
-base64 so arbitrary key/value bytes survive the text log. Appends are
-single ``write()`` calls under an ``flock``: per-partition produce
-order is append order, as on a real broker.
+One JSON record per line: ``{"k": b64|null, "v": b64|null, "ts": ms}``
+— base64 so arbitrary key/value bytes survive the text log; a null
+value is a TOMBSTONE, which Kafka's wire format and Spark's connector
+both accept (compacted-topic deletes). Appends are single ``write()``
+calls under an ``flock``: per-partition produce order is append order,
+as on a real broker.
 
 Partitioning replicates Kafka's ``DefaultPartitioner``: murmur2 of the
 key bytes (the exact public algorithm from
@@ -120,27 +124,59 @@ def partition_for(key: bytes | None, n_partitions: int,
 
 def ensure_topic(dir_: str, topic: str, n_partitions: int = 1) -> int:
     """Auto-create (the broker default) and return the partition
-    count; an existing topic keeps its count, like a real broker."""
+    count; an existing topic keeps its count, like a real broker.
+
+    The claim is EXCLUSIVE via ``os.link`` (rename would silently
+    REPLACE an existing meta, letting two concurrent creators with
+    different counts clobber each other — r10 review): exactly one
+    creator's count wins, every loser reads the winner's."""
     tdir = os.path.join(dir_, topic)
     meta = os.path.join(tdir, _META)
-    if os.path.isfile(meta):
-        with open(meta) as fh:
-            return int(json.load(fh)["partitions"])
-    os.makedirs(tdir, exist_ok=True)
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"partitions": int(n_partitions)}, fh)
-    try:
-        # atomic claim: concurrent creators converge on one meta
-        os.rename(tmp, meta)
-    except OSError:
-        os.remove(tmp)
+    if not os.path.isfile(meta):
+        os.makedirs(tdir, exist_ok=True)
+        tmp = f"{meta}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"partitions": int(n_partitions)}, fh)
+        try:
+            os.link(tmp, meta)  # fails if meta exists: true claim
+        except FileExistsError:
+            pass  # another creator won; its count is the topic's
+        finally:
+            os.remove(tmp)
     with open(meta) as fh:
         return int(json.load(fh)["partitions"])
 
 
 def _log_path(dir_: str, topic: str, partition: int) -> str:
     return os.path.join(dir_, topic, f"p{partition}.jsonl")
+
+
+def _sidecar_lines(log_path: str, expect_bytes: int) -> int:
+    """Line count of a partition log in O(1): the ``.idx`` sidecar
+    (written atomically under the append flock) records
+    ``{"lines": n, "bytes": b}``. A byte-size mismatch — a crash
+    between log append and sidecar update, or a hand-edited log —
+    falls back to a full recount, so the sidecar can lag but never
+    lie (r10 review: the old per-call full read made every poll
+    O(total record bytes) of driver I/O)."""
+    idx = log_path + ".idx"
+    try:
+        with open(idx) as fh:
+            rec = json.load(fh)
+        if int(rec["bytes"]) == expect_bytes:
+            return int(rec["lines"])
+    except (OSError, ValueError, KeyError):
+        pass
+    with open(log_path, "rb") as fh:
+        return sum(1 for _ in fh)
+
+
+def _sidecar_write(log_path: str, lines: int, nbytes: int) -> None:
+    idx = log_path + ".idx"
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"lines": lines, "bytes": nbytes}, fh)
+    os.replace(tmp, idx)
 
 
 def append_records(dir_: str, topic: str,
@@ -160,33 +196,40 @@ def append_records(dir_: str, topic: str,
         line = json.dumps({
             "k": None if key is None
             else base64.b64encode(key).decode(),
-            "v": base64.b64encode(value).decode(),
+            "v": None if value is None
+            else base64.b64encode(value).decode(),
             "ts": ts,
         })
         by_part.setdefault(p, []).append(line)
     for p, lines in by_part.items():
-        with open(_log_path(dir_, topic, p), "a") as fh:
+        log = _log_path(dir_, topic, p)
+        with open(log, "a") as fh:
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
             try:
-                fh.write("".join(line + "\n" for line in lines))
+                start_bytes = os.fstat(fh.fileno()).st_size
+                n0 = _sidecar_lines(log, start_bytes)
+                payload = "".join(line + "\n" for line in lines)
+                fh.write(payload)
                 fh.flush()
+                _sidecar_write(log, n0 + len(lines),
+                               start_bytes + len(payload.encode()))
             finally:
                 fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
 
 
 def end_offsets(dir_: str, topic: str) -> dict[int, int]:
-    """Per-partition end offset (= line count) — bounded metadata."""
+    """Per-partition end offset (= line count) — O(partitions) via the
+    ``.idx`` sidecars, with a recount fallback on mismatch."""
     tdir = os.path.join(dir_, topic)
     if not os.path.isdir(tdir):
         return {}
     out = {}
     for p in range(ensure_topic(dir_, topic)):
         path = _log_path(dir_, topic, p)
-        n = 0
         if os.path.isfile(path):
-            with open(path, "rb") as fh:
-                n = sum(1 for _ in fh)
-        out[p] = n
+            out[p] = _sidecar_lines(path, os.path.getsize(path))
+        else:
+            out[p] = 0
     return out
 
 
@@ -232,7 +275,7 @@ def read_slice(dir_: str, topic: str, partition: int,
             rec = json.loads(line)
             out.append((
                 None if rec["k"] is None else base64.b64decode(rec["k"]),
-                base64.b64decode(rec["v"]),
+                None if rec["v"] is None else base64.b64decode(rec["v"]),
                 topic, partition, offset, int(rec["ts"]),
             ))
     return out

@@ -58,12 +58,18 @@ the aggregate call sites' ``cast("double")``.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOW_BITS = (1 << 33) - 1  # monotonically_increasing_id layout
+
+# serializes the scoped canChangeCachedPlanOutputPartitioning toggle:
+# session confs are global, so concurrent helper calls must not read
+# each other's temporary value as the one to restore
+_CACHED_PART_LOCK = threading.Lock()
 
 
 def exact_group_percentiles(df: DataFrame, group_cols: list[str],
@@ -111,24 +117,6 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     if persist_input:
         vals = vals.persist(StorageLevel.DISK_ONLY)
 
-    # AQE may only coalesce an exchange that feeds a CACHED plan when
-    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is on
-    # (off by default); without it the range exchange keeps the conf
-    # default's partition count even when every slice is tiny, and the
-    # count + pick jobs pay per-slice scheduling for nothing (measured
-    # at sf0.1: 32 near-empty slices -> ~1 right-sized one, ~30% off
-    # the helper's wall clock; VERDICT r9 item 5). Scoped to this
-    # eager computation and restored in the finally below: output
-    # partitioning of OTHER cached plans is not this helper's call.
-    _cached_part_conf = \
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    try:
-        _cached_part_old = spark.conf.get(_cached_part_conf)
-    except Exception:
-        _cached_part_old = None  # conf unknown to this Spark version
-    if _cached_part_old is not None:
-        spark.conf.set(_cached_part_conf, "true")
-
     mid = F.monotonically_increasing_id()
     # duplicate-heavy guard: range partitioning alone sends an entire
     # run of EQUAL values to one slice (boundaries are values), so a
@@ -161,7 +149,32 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
                               .alias("__pofs"))
                      .persist(StorageLevel.DISK_ONLY))
     g_fields = [f for f in df.select(*g).schema.fields]
+    # AQE may only coalesce an exchange that feeds a CACHED plan when
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is on
+    # (off by default); without it the range exchange keeps the conf
+    # default's partition count even when every slice is tiny, and the
+    # count + pick jobs pay per-slice scheduling for nothing (measured
+    # at sf0.1: 32 near-empty slices -> ~1 right-sized one, ~30% off
+    # the helper's wall clock; VERDICT r9 item 5). Scoped to this
+    # eager computation and restored in the finally below. Session
+    # confs are session-GLOBAL, so the read-set-restore runs under a
+    # module lock: two concurrent helper calls would otherwise race,
+    # one reading the other's temporary "true" as the value to restore
+    # and leaving the optimizer conf flipped for the whole session
+    # (r10 review). The residual exposure — unrelated queries planned
+    # DURING the window see "true" — only lets AQE re-balance their
+    # cached plans' output partitioning, a perf knob, not correctness.
+    _cached_part_conf = \
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    _CACHED_PART_LOCK.acquire()
+    _cached_part_old = None
     try:
+        try:
+            _cached_part_old = spark.conf.get(_cached_part_conf)
+        except Exception:
+            _cached_part_old = None  # conf unknown to this Spark version
+        if _cached_part_old is not None:
+            spark.conf.set(_cached_part_conf, "true")
         # bounded collect: n_slices x |groups| metadata rows. The
         # bound is enforced IN the collect — limit(max + 1) caps what
         # can ever reach the driver (a naked collect of billions of
@@ -227,6 +240,7 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     finally:
         if _cached_part_old is not None:
             spark.conf.set(_cached_part_conf, _cached_part_old)
+        _CACHED_PART_LOCK.release()
         indexed.unpersist(blocking=False)
         if persist_input:
             vals.unpersist(blocking=False)

@@ -60,8 +60,12 @@ def _kafka_sink_loopback(df: DataFrame, props: dict) -> None:
 
     def send(rows) -> None:
         from universal_data_connector_spark import kafka_loopback as kl
+        # null values pass through as TOMBSTONES — Spark's real kafka
+        # writer produces them too (compacted-topic deletes), so the
+        # loopback must not diverge by crashing on them (r10 review)
         batch = [(bytes(r.key) if r.key is not None else None,
-                  bytes(r.value)) for r in rows]
+                  bytes(r.value) if r.value is not None else None)
+                 for r in rows]
         if batch:
             kl.append_records(dir_, topic, batch, n_parts)
 

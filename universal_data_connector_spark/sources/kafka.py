@@ -110,7 +110,13 @@ def _kafka_source_loopback(spark: SparkSession, props: dict) -> DataFrame:
                                   pdf["start"], pdf["end"]):
                 rows.extend(kl.read_slice(dir_, t, int(p), int(s), int(e)))
             out = pd.DataFrame(rows, columns=cols)
-            out["timestamp"] = pd.to_datetime(out.pop("ts"), unit="ms")
+            # utc=True: the stored epoch millis are an INSTANT. A
+            # tz-naive pandas timestamp would be reinterpreted in the
+            # session time zone on the Arrow hop, shifting every
+            # record by the tz offset vs the real connector on any
+            # non-UTC session (r10 review)
+            out["timestamp"] = pd.to_datetime(out.pop("ts"), unit="ms",
+                                              utc=True)
             yield out[["key", "value", "topic", "partition", "offset",
                        "timestamp"]]
 

@@ -480,6 +480,16 @@ def begin_batch_run(path: str, num_buckets: int = 32,
     import os
 
     _reject_remote_target(path)
+    # Recover BEFORE reading any marker state: a crash between a
+    # bucket's two swap renames (live -> old done, staged -> live not)
+    # leaves the live dir missing, which would make both next_id() and
+    # the zero-swaps reclaim proof below blind to that bucket's
+    # markers — next_id could then hand out an id at or below an
+    # already-applied one and the merge would silently skip the
+    # bucket's increments (round-10 review finding). After recovery
+    # every marker is back in a live dir and "zero markers at the run
+    # id = zero swaps" is actually provable.
+    _upsert_recover(path)
     _upsert_ensure_meta(path, num_buckets)
     intent = os.path.join(path, _BATCH_INTENT)
 
