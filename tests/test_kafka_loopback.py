@@ -431,3 +431,76 @@ def test_end_offsets_sidecar_self_heals(tmp_path):
     assert rec["lines"] == 4
     assert rec["bytes"] == os_mod.path.getsize(log)
     assert KL.end_offsets(d, "t") == {0: 4}
+
+
+def test_kafka_aggstate_crash_between_commit_and_intent_reclaims(
+        spark, tmp_path, monkeypatch):
+    """r10 review (second pass): the offset commit sits in the
+    manifest_record slot — AFTER the sink, BEFORE end_batch_run — and
+    the loopback source supplies an input fingerprint (its polled
+    offset slices). A crash between commit and intent-clear therefore
+    pairs the old run id with a CHANGED next poll, which the
+    fingerprint guard turns into a clean reclaim; nothing is double-
+    applied and nothing is dropped."""
+    from universal_data_connector_spark import engine
+    from universal_data_connector_spark import kafka_loopback as KL
+    from universal_data_connector_spark.config import (
+        PipelineConfig,
+        SinkConfig,
+        SourceConfig,
+        TransformationConfig,
+    )
+    from universal_data_connector_spark.streaming import windows as W
+
+    d = str(tmp_path / "broker")
+    state = str(tmp_path / "state")
+    KL.append_records(d, "src", [(b"a", b"1"), (b"a", b"2"),
+                                 (b"b", b"5")], 1)
+
+    def cfg():
+        return PipelineConfig(
+            name="p",
+            source=SourceConfig("kafka", {
+                "bootstrapServers": f"loopback://{d}", "topic": "src",
+                "groupId": "g"}),
+            sink=SinkConfig("agg_state", {
+                "path": state, "keys": "message_key",
+                "valueColumn": "val", "numBuckets": 4}),
+            transformations=[TransformationConfig("sql", {
+                "query": "SELECT message_key, CAST(content AS DOUBLE) "
+                         "AS val FROM _input"})],
+        )
+
+    def st():
+        return {r.message_key: (r.n, float(r.total))
+                for r in spark.read.parquet(state).collect()}
+
+    engine.run(spark, cfg(), streaming=False)
+    assert st() == {"a": (2, 3.0), "b": (1, 5.0)}
+    assert KL.committed_offsets(d, "g") == {"src/0": 3}
+
+    # run 2 crashes AFTER the offset commit, BEFORE the intent clears
+    KL.append_records(d, "src", [(b"a", b"10")], 1)
+    real_end = W.end_batch_run
+
+    def boom(path):
+        raise OSError("injected crash before intent clear")
+
+    monkeypatch.setattr(W, "end_batch_run", boom)
+    with pytest.raises(OSError, match="injected"):
+        engine.run(spark, cfg(), streaming=False)
+    monkeypatch.setattr(W, "end_batch_run", real_end)
+    # the merge and the commit both landed before the crash
+    assert st() == {"a": (3, 13.0), "b": (1, 5.0)}
+    assert KL.committed_offsets(d, "g") == {"src/0": 4}
+
+    # rerun: the next poll (empty) fingerprints differently from the
+    # stored intent; the old run is fully applied -> reclaim, no
+    # double-apply, no drop
+    engine.run(spark, cfg(), streaming=False)
+    assert st() == {"a": (3, 13.0), "b": (1, 5.0)}
+
+    # and a further record still lands exactly once
+    KL.append_records(d, "src", [(b"b", b"7")], 1)
+    engine.run(spark, cfg(), streaming=False)
+    assert st() == {"a": (3, 13.0), "b": (2, 12.0)}

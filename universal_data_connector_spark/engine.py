@@ -456,35 +456,21 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                                     and sink_cfg.type == "agg_state")
             if defer_state_finalize:
                 # the additive state sink's run intent must outlive the
-                # consumed-file bookkeeping below: if archive/manifest
-                # recording fails, the rerun re-reads the SAME files and
-                # must RESUME the same run id (skip), not claim a fresh
-                # one (double-apply). The input FINGERPRINT (hash of the
-                # source's canonical file list) travels with the intent
-                # so a crash AFTER manifest_record — which changes the
-                # next run's input — reclaims fresh instead of resuming
-                # onto different data and dropping its increments
-                # (ADVICE r8; begin_batch_run's input-identity guard).
-                import hashlib
+                # consumed-input bookkeeping below: if archive/manifest/
+                # offset recording fails, the rerun re-reads the SAME
+                # input and must RESUME the same run id (skip), not
+                # claim a fresh one (double-apply). The input
+                # FINGERPRINT travels with the intent so a crash AFTER
+                # the recording — which changes the next run's input —
+                # reclaims fresh instead of resuming onto different
+                # data and dropping its increments (ADVICE r8;
+                # begin_batch_run's input-identity guard).
                 from dataclasses import replace
 
-                # same listing source as batch_manifest_plan: a
-                # mapInPandas-backed source (s3 boto3 fallback) has no
-                # inputFiles() but hands over its embedded listing —
-                # without this, such pipelines get NO fingerprint and
-                # the changed-input crash guard is silently inert
-                listed = getattr(source_df, "_udc_input_files", None)
-                if listed is not None:
-                    in_files = sorted(listed)
-                else:
-                    try:
-                        in_files = sorted(source_df.inputFiles())
-                    except Exception:
-                        in_files = []
                 props = {**sink_cfg.properties, "_deferFinalize": "true"}
-                if in_files:
-                    props["_inputFingerprint"] = hashlib.sha256(
-                        "\n".join(in_files).encode()).hexdigest()
+                fp = batch_input_fingerprint(source_df)
+                if fp is not None:
+                    props["_inputFingerprint"] = fp
                 sink_cfg = replace(sink_cfg, properties=props)
             result = create_sink(df, sink_cfg, streaming)
             if archive_dir and consumed:
@@ -494,18 +480,53 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                     manifest_record,
                 )
                 manifest_record(manifest_files, manifest_dir, spark)
+            # loopback-kafka consumer-group commit sits in the
+            # manifest_record slot: strictly AFTER the sink succeeded
+            # (a failed write leaves offsets unmoved, so the rerun
+            # re-polls the same records — at-least-once) and strictly
+            # BEFORE end_batch_run clears the agg_state intent — a
+            # crash between commit and intent-clear leaves the old run
+            # id paired with a CHANGED next poll, which the input
+            # fingerprint turns into a reclaim instead of a blind
+            # resume that would skip every marked bucket (r10 review).
+            kafka_commit = getattr(source_df, "_udc_kafka_commit", None)
+            if kafka_commit is not None:
+                kafka_commit()
             if defer_state_finalize:
                 from universal_data_connector_spark.streaming.windows import (
                     end_batch_run,
                 )
                 end_batch_run(cfg.sink.properties["path"])
-            # loopback-kafka consumer-group commit: strictly after the
-            # sink succeeded (the manifest_record discipline) — a
-            # failed write leaves offsets unmoved, so the rerun
-            # re-polls the same records (at-least-once)
-            kafka_commit = getattr(source_df, "_udc_kafka_commit", None)
-            if kafka_commit is not None:
-                kafka_commit()
         finally:
             release_frames(pins)
     return result
+
+
+def batch_input_fingerprint(source_df: DataFrame) -> str | None:
+    """Identity of a batch source's consumed input, for the agg_state
+    intent's changed-input crash guard (``begin_batch_run``).
+
+    Resolution order: an explicit ``_udc_input_fingerprint`` the
+    source attached (the loopback kafka source hashes its polled
+    offset slices — no file list exists); the ``_udc_input_files``
+    listing a mapInPandas-backed source embeds (the s3 boto3
+    fallback); ``inputFiles()`` on a file-backed plan. None when no
+    identity is derivable — the guard is then inert (legacy resume
+    semantics), which is why sources without inputFiles() should
+    attach one of the two attributes."""
+    import hashlib
+
+    explicit = getattr(source_df, "_udc_input_fingerprint", None)
+    if explicit is not None:
+        return str(explicit)
+    listed = getattr(source_df, "_udc_input_files", None)
+    if listed is not None:
+        in_files = sorted(listed)
+    else:
+        try:
+            in_files = sorted(source_df.inputFiles())
+        except Exception:
+            in_files = []
+    if not in_files:
+        return None
+    return hashlib.sha256("\n".join(in_files).encode()).hexdigest()

@@ -151,14 +151,23 @@ def _log_path(dir_: str, topic: str, partition: int) -> str:
     return os.path.join(dir_, topic, f"p{partition}.jsonl")
 
 
-def _sidecar_lines(log_path: str, expect_bytes: int) -> int:
+def _sidecar_lines(log_path: str, expect_bytes: int,
+                   already_locked: bool = False) -> int:
     """Line count of a partition log in O(1): the ``.idx`` sidecar
     (written atomically under the append flock) records
     ``{"lines": n, "bytes": b}``. A byte-size mismatch — a crash
     between log append and sidecar update, or a hand-edited log —
     falls back to a full recount, so the sidecar can lag but never
     lie (r10 review: the old per-call full read made every poll
-    O(total record bytes) of driver I/O)."""
+    O(total record bytes) of driver I/O).
+
+    The recount takes LOCK_SH so a concurrent multi-OS-write append
+    cannot expose a torn final line mid-flush — UNLESS the caller
+    already holds the append LOCK_EX (``already_locked=True``):
+    flock conflicts across fds even within one process, so taking
+    LOCK_SH there would self-deadlock."""
+    import fcntl
+
     idx = log_path + ".idx"
     try:
         with open(idx) as fh:
@@ -168,7 +177,13 @@ def _sidecar_lines(log_path: str, expect_bytes: int) -> int:
     except (OSError, ValueError, KeyError):
         pass
     with open(log_path, "rb") as fh:
-        return sum(1 for _ in fh)
+        if not already_locked:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+        try:
+            return sum(1 for _ in fh)
+        finally:
+            if not already_locked:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
 
 
 def _sidecar_write(log_path: str, lines: int, nbytes: int) -> None:
@@ -207,7 +222,8 @@ def append_records(dir_: str, topic: str,
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
             try:
                 start_bytes = os.fstat(fh.fileno()).st_size
-                n0 = _sidecar_lines(log, start_bytes)
+                n0 = _sidecar_lines(log, start_bytes,
+                                    already_locked=True)
                 payload = "".join(line + "\n" for line in lines)
                 fh.write(payload)
                 fh.flush()
@@ -262,20 +278,32 @@ def read_slice(dir_: str, topic: str, partition: int,
     """Records [start, end) of one partition log as
     (key, value, topic, partition, offset, ts_ms) tuples — called on
     EXECUTORS by the source's mapInPandas fetch."""
+    import fcntl
+
     path = _log_path(dir_, topic, partition)
     out = []
     if start >= end or not os.path.isfile(path):
         return out
+    # LOCK_SH: an in-flight append larger than the IO buffer flushes
+    # in several OS writes, and an unlocked reader could see a torn
+    # JSON prefix as its last line (r10 review). Shared readers
+    # proceed concurrently; only the LOCK_EX appender excludes.
     with open(path) as fh:
-        for offset, line in enumerate(fh):
-            if offset >= end:
-                break
-            if offset < start:
-                continue
-            rec = json.loads(line)
-            out.append((
-                None if rec["k"] is None else base64.b64decode(rec["k"]),
-                None if rec["v"] is None else base64.b64decode(rec["v"]),
-                topic, partition, offset, int(rec["ts"]),
-            ))
+        fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+        try:
+            for offset, line in enumerate(fh):
+                if offset >= end:
+                    break
+                if offset < start:
+                    continue
+                rec = json.loads(line)
+                out.append((
+                    None if rec["k"] is None
+                    else base64.b64decode(rec["k"]),
+                    None if rec["v"] is None
+                    else base64.b64decode(rec["v"]),
+                    topic, partition, offset, int(rec["ts"]),
+                ))
+        finally:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
     return out

@@ -206,10 +206,19 @@ class PipelineManager:
                         defer_state = sink_cfg.type == "agg_state"
                         if defer_state:
                             from dataclasses import replace
-                            sink_cfg = replace(
-                                sink_cfg,
-                                properties={**sink_cfg.properties,
-                                            "_deferFinalize": "true"})
+
+                            # same input-identity guard as engine.run:
+                            # without the fingerprint a crash after the
+                            # consumed-input recording blind-resumes
+                            # the old run id onto changed input
+                            props = {**sink_cfg.properties,
+                                     "_deferFinalize": "true"}
+                            fp = engine.batch_input_fingerprint(
+                                source_df)
+                            if fp is not None:
+                                props["_inputFingerprint"] = fp
+                            sink_cfg = replace(sink_cfg,
+                                               properties=props)
                         create_sink(df, sink_cfg, streaming=False)
                         if archive_dir and consumed \
                                 and job.status != "CANCELLED":
@@ -222,6 +231,17 @@ class PipelineManager:
                             )
                             manifest_record(manifest_files, manifest_dir,
                                             source_df.sparkSession)
+                        # loopback-kafka group commit in the
+                        # manifest_record slot (engine.run's ordering):
+                        # after sink success, BEFORE the agg_state
+                        # intent clears — a crash in between pairs the
+                        # old run id with a changed next poll, which
+                        # the input fingerprint turns into a reclaim
+                        kafka_commit = getattr(
+                            source_df, "_udc_kafka_commit", None)
+                        if kafka_commit is not None \
+                                and job.status != "CANCELLED":
+                            kafka_commit()
                         if defer_state and job.status != "CANCELLED":
                             # a cancel that skipped the bookkeeping must
                             # keep the intent: clearing it would let the
@@ -231,13 +251,6 @@ class PipelineManager:
                                 end_batch_run,
                             )
                             end_batch_run(cfg.sink.properties["path"])
-                        # loopback-kafka group commit after sink
-                        # success (engine.run's ordering, same reason)
-                        kafka_commit = getattr(
-                            source_df, "_udc_kafka_commit", None)
-                        if kafka_commit is not None \
-                                and job.status != "CANCELLED":
-                            kafka_commit()
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":

@@ -66,10 +66,48 @@ from pyspark.sql import types as T
 
 _LOW_BITS = (1 << 33) - 1  # monotonically_increasing_id layout
 
-# serializes the scoped canChangeCachedPlanOutputPartitioning toggle:
-# session confs are global, so concurrent helper calls must not read
-# each other's temporary value as the one to restore
-_CACHED_PART_LOCK = threading.Lock()
+_CACHED_PART_CONF = \
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+# Refcounted scoped toggle of the session-GLOBAL conf above: the
+# first concurrent helper call on a session saves the original value
+# and sets "true"; the last one restores. The mutex guards only the
+# counter bookkeeping — NOT the Spark jobs — so concurrent
+# exact_group_percentiles calls still run their count/pick jobs in
+# parallel (r10 review: a lock held across the jobs serialized every
+# quantile pipeline), while the read-set-restore can never race one
+# call into restoring another's temporary "true". Keyed per session:
+# tests and the driver may hold several sessions in one process.
+_CACHED_PART_MUTEX = threading.Lock()
+_CACHED_PART_STATE: dict[int, list] = {}  # id(spark) -> [depth, saved]
+
+
+def _cached_part_enter(spark) -> None:
+    with _CACHED_PART_MUTEX:
+        state = _CACHED_PART_STATE.get(id(spark))
+        if state is None:
+            try:
+                saved = spark.conf.get(_CACHED_PART_CONF)
+            except Exception:
+                saved = None  # conf unknown to this Spark version
+            state = _CACHED_PART_STATE[id(spark)] = [0, saved]
+            if saved is not None:
+                spark.conf.set(_CACHED_PART_CONF, "true")
+        state[0] += 1
+
+
+def _cached_part_exit(spark) -> None:
+    with _CACHED_PART_MUTEX:
+        state = _CACHED_PART_STATE.get(id(spark))
+        if state is None:
+            return
+        state[0] -= 1
+        if state[0] <= 0:
+            del _CACHED_PART_STATE[id(spark)]
+            if state[1] is not None:
+                try:
+                    spark.conf.set(_CACHED_PART_CONF, state[1])
+                except Exception:
+                    pass  # session already stopped
 
 
 def exact_group_percentiles(df: DataFrame, group_cols: list[str],
@@ -156,25 +194,14 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     # count + pick jobs pay per-slice scheduling for nothing (measured
     # at sf0.1: 32 near-empty slices -> ~1 right-sized one, ~30% off
     # the helper's wall clock; VERDICT r9 item 5). Scoped to this
-    # eager computation and restored in the finally below. Session
-    # confs are session-GLOBAL, so the read-set-restore runs under a
-    # module lock: two concurrent helper calls would otherwise race,
-    # one reading the other's temporary "true" as the value to restore
-    # and leaving the optimizer conf flipped for the whole session
-    # (r10 review). The residual exposure — unrelated queries planned
-    # DURING the window see "true" — only lets AQE re-balance their
-    # cached plans' output partitioning, a perf knob, not correctness.
-    _cached_part_conf = \
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    _CACHED_PART_LOCK.acquire()
-    _cached_part_old = None
+    # eager computation via the refcounted per-session enter/exit
+    # above — concurrent helper calls overlap freely and the last one
+    # out restores the original value. The residual exposure —
+    # unrelated queries planned DURING the window see "true" — only
+    # lets AQE re-balance their cached plans' output partitioning, a
+    # perf knob, not correctness.
+    _cached_part_enter(spark)
     try:
-        try:
-            _cached_part_old = spark.conf.get(_cached_part_conf)
-        except Exception:
-            _cached_part_old = None  # conf unknown to this Spark version
-        if _cached_part_old is not None:
-            spark.conf.set(_cached_part_conf, "true")
         # bounded collect: n_slices x |groups| metadata rows. The
         # bound is enforced IN the collect — limit(max + 1) caps what
         # can ever reach the driver (a naked collect of billions of
@@ -238,9 +265,7 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
                          .select(*g, "__v", "__sides")
                          .collect())
     finally:
-        if _cached_part_old is not None:
-            spark.conf.set(_cached_part_conf, _cached_part_old)
-        _CACHED_PART_LOCK.release()
+        _cached_part_exit(spark)
         indexed.unpersist(blocking=False)
         if persist_input:
             vals.unpersist(blocking=False)

@@ -4741,7 +4741,11 @@ def events_rfm_segments(spark, sf_dir):
     # tests/test_round10_fixes.py). MEMORY_AND_DISK: the frame is
     # |customers| rows — far smaller than orders, spills if not.
     # The persist intentionally outlives this builder (the returned
-    # plan needs it); it ages out via LRU or session teardown.
+    # plan needs it), and it does NOT accumulate across invocations:
+    # CacheManager keys by analyzed-plan equality, so re-building this
+    # query re-uses the ONE existing entry per sf_dir (verified: three
+    # builds -> one cached RDD) — bounded, and cleared by the bench's
+    # clearCache()/session teardown.
     rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.count("*").cast("bigint").alias("f"),
                  orel.exact_sum(F.col("o_totalprice")).alias("m"),

@@ -121,6 +121,15 @@ def _kafka_source_loopback(spark: SparkSession, props: dict) -> DataFrame:
                        "timestamp"]]
 
     df = project_kafka(sdf.mapInPandas(fetch, _WIRE_SCHEMA))
+    # input identity for the agg_state intent's changed-input crash
+    # guard (engine.batch_input_fingerprint): the polled offset slices
+    # ARE this batch's input — after a successful commit the next poll
+    # has different slices, so a crash between offset commit and
+    # intent-clear reads as changed input and reclaims instead of
+    # blind-resuming onto data the old run id never saw (r10 review)
+    import hashlib
+    df._udc_input_fingerprint = hashlib.sha256("\n".join(
+        f"{t}/{p}:{s}-{e}" for t, p, s, e in slices).encode()).hexdigest()
     if group:
         new_offsets = {f"{t}/{p}": e for t, p, _s, e in slices}
 
