@@ -174,10 +174,17 @@ def main() -> None:
     noise_before = noise_probe()
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
+    noise_by_key: dict[str, float] = {}
     for name in HEADLINE:
         best, med = run_best(name, reps)
         times[name] = round(best, 3)
         medians[name] = round(med, 3)
+        # one canary sample right after each key: the r9/r10 rounds
+        # showed multi-second starvation BURSTS landing on random keys
+        # mid-run — a per-key noise timeline lets a reader align a
+        # key's elevation with the host state at that moment instead
+        # of adjudicating from the run-level floor alone
+        noise_by_key[name] = round(noise_probe(1)[0], 4)
     noise_after = noise_probe()
 
     import statistics
@@ -192,6 +199,7 @@ def main() -> None:
         "noise_floor": {"min": round(min(noise), 4),
                         "median": round(statistics.median(noise), 4),
                         "max": round(max(noise), 4)},
+        "noise_by_key": noise_by_key,
         "reps": reps,
         "sf": sf,
         "spark_version": spark.version,
