@@ -451,55 +451,84 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                 cfg, source_df, streaming)
             manifest_dir, manifest_files = batch_manifest_plan(
                 cfg, source_df, streaming)
-            sink_cfg = cfg.sink
-            defer_state_finalize = (not streaming
-                                    and sink_cfg.type == "agg_state")
-            if defer_state_finalize:
-                # the additive state sink's run intent must outlive the
-                # consumed-input bookkeeping below: if archive/manifest/
-                # offset recording fails, the rerun re-reads the SAME
-                # input and must RESUME the same run id (skip), not
-                # claim a fresh one (double-apply). The input
-                # FINGERPRINT travels with the intent so a crash AFTER
-                # the recording — which changes the next run's input —
-                # reclaims fresh instead of resuming onto different
-                # data and dropping its increments (ADVICE r8;
-                # begin_batch_run's input-identity guard).
-                from dataclasses import replace
-
-                props = {**sink_cfg.properties, "_deferFinalize": "true"}
-                fp = batch_input_fingerprint(source_df)
-                if fp is not None:
-                    props["_inputFingerprint"] = fp
-                sink_cfg = replace(sink_cfg, properties=props)
+            sink_cfg, defer_state_finalize = prepare_batch_sink_cfg(
+                cfg.sink, source_df, streaming)
             result = create_sink(df, sink_cfg, streaming)
-            if archive_dir and consumed:
-                _archive_consumed(consumed, archive_dir, source_root)
-            if manifest_dir and manifest_files:
-                from universal_data_connector_spark.sources.files import (
-                    manifest_record,
-                )
-                manifest_record(manifest_files, manifest_dir, spark)
-            # loopback-kafka consumer-group commit sits in the
-            # manifest_record slot: strictly AFTER the sink succeeded
-            # (a failed write leaves offsets unmoved, so the rerun
-            # re-polls the same records — at-least-once) and strictly
-            # BEFORE end_batch_run clears the agg_state intent — a
-            # crash between commit and intent-clear leaves the old run
-            # id paired with a CHANGED next poll, which the input
-            # fingerprint turns into a reclaim instead of a blind
-            # resume that would skip every marked bucket (r10 review).
-            kafka_commit = getattr(source_df, "_udc_kafka_commit", None)
-            if kafka_commit is not None:
-                kafka_commit()
-            if defer_state_finalize:
-                from universal_data_connector_spark.streaming.windows import (
-                    end_batch_run,
-                )
-                end_batch_run(cfg.sink.properties["path"])
+            finalize_batch_sink(spark, cfg, source_df,
+                                archive_dir, consumed, source_root,
+                                manifest_dir, manifest_files,
+                                defer_state_finalize)
         finally:
             release_frames(pins)
     return result
+
+
+def prepare_batch_sink_cfg(sink_cfg, source_df: DataFrame,
+                           streaming: bool):
+    """(effective sink cfg, defer_state) for one batch run. For an
+    ``agg_state`` sink the additive run intent must outlive the
+    consumed-input bookkeeping in ``finalize_batch_sink``: if archive/
+    manifest/offset recording fails, the rerun re-reads the SAME input
+    and must RESUME the same run id (skip), not claim a fresh one
+    (double-apply) — so finalization is deferred and the input
+    FINGERPRINT travels with the intent, turning a crash AFTER the
+    recording (which changes the next run's input) into a fresh
+    reclaim instead of a blind resume that drops increments (ADVICE
+    r8; ``begin_batch_run``'s input-identity guard). ONE
+    implementation shared by ``engine.run`` and the manager — the
+    r10 reviews found the two hand-mirrored copies drifting."""
+    defer_state = (not streaming and sink_cfg.type == "agg_state")
+    if not defer_state:
+        return sink_cfg, False
+    from dataclasses import replace
+
+    props = {**sink_cfg.properties, "_deferFinalize": "true"}
+    fp = batch_input_fingerprint(source_df)
+    if fp is not None:
+        props["_inputFingerprint"] = fp
+    return replace(sink_cfg, properties=props), True
+
+
+def finalize_batch_sink(spark: SparkSession, cfg: PipelineConfig,
+                        source_df: DataFrame,
+                        archive_dir, consumed, source_root,
+                        manifest_dir, manifest_files,
+                        defer_state: bool,
+                        cancelled=lambda: False) -> None:
+    """Post-sink bookkeeping for one successful batch run, in the
+    crash-ordering both runners must share (engine.run and the
+    manager's worker target — ONE copy, r10 review):
+
+    1. archive consumed inputs (a failed sink never reaches here, so
+       inputs stay in place for a clean rerun);
+    2. record consumed files in the manifest;
+    3. commit loopback-kafka group offsets — strictly AFTER the sink
+       (failed write leaves offsets unmoved: the rerun re-polls the
+       same records, at-least-once) and strictly BEFORE the agg_state
+       intent clears (a crash in between pairs the old run id with a
+       CHANGED next poll, which the input fingerprint turns into a
+       reclaim instead of a blind resume that would skip every marked
+       bucket);
+    4. clear the agg_state intent.
+
+    ``cancelled`` is re-checked before every step: a stop() that lands
+    mid-sequence must keep the intent (clearing it would let the rerun
+    of the same unrecorded input claim a fresh id and double-apply)."""
+    if archive_dir and consumed and not cancelled():
+        _archive_consumed(consumed, archive_dir, source_root)
+    if manifest_dir and manifest_files and not cancelled():
+        from universal_data_connector_spark.sources.files import (
+            manifest_record,
+        )
+        manifest_record(manifest_files, manifest_dir, spark)
+    kafka_commit = getattr(source_df, "_udc_kafka_commit", None)
+    if kafka_commit is not None and not cancelled():
+        kafka_commit()
+    if defer_state and not cancelled():
+        from universal_data_connector_spark.streaming.windows import (
+            end_batch_run,
+        )
+        end_batch_run(cfg.sink.properties["path"])
 
 
 def batch_input_fingerprint(source_df: DataFrame) -> str | None:

@@ -174,7 +174,10 @@ def _sidecar_lines(log_path: str, expect_bytes: int,
             rec = json.load(fh)
         if int(rec["bytes"]) == expect_bytes:
             return int(rec["lines"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: valid-JSON-but-not-an-object sidecar (`5`,
+        # `[1,2]`) — every malformation falls to the recount, per the
+        # can-lag-never-lie contract (r10 third review pass)
         pass
     with open(log_path, "rb") as fh:
         if not already_locked:
@@ -287,7 +290,11 @@ def read_slice(dir_: str, topic: str, partition: int,
     # LOCK_SH: an in-flight append larger than the IO buffer flushes
     # in several OS writes, and an unlocked reader could see a torn
     # JSON prefix as its last line (r10 review). Shared readers
-    # proceed concurrently; only the LOCK_EX appender excludes.
+    # proceed concurrently; only the LOCK_EX appender excludes. The
+    # lock covers only the BYTE reads — JSON parse and base64 decode
+    # run after release, so producers are not blocked for the decode
+    # duration (r10 third review pass).
+    raw: list[tuple[int, str]] = []
     with open(path) as fh:
         fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
         try:
@@ -296,14 +303,14 @@ def read_slice(dir_: str, topic: str, partition: int,
                     break
                 if offset < start:
                     continue
-                rec = json.loads(line)
-                out.append((
-                    None if rec["k"] is None
-                    else base64.b64decode(rec["k"]),
-                    None if rec["v"] is None
-                    else base64.b64decode(rec["v"]),
-                    topic, partition, offset, int(rec["ts"]),
-                ))
+                raw.append((offset, line))
         finally:
             fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+    for offset, line in raw:
+        rec = json.loads(line)
+        out.append((
+            None if rec["k"] is None else base64.b64decode(rec["k"]),
+            None if rec["v"] is None else base64.b64decode(rec["v"]),
+            topic, partition, offset, int(rec["ts"]),
+        ))
     return out

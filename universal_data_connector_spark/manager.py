@@ -198,59 +198,23 @@ class PipelineManager:
                         # status
                         return
                     try:
-                        # same agg_state intent deferral as engine.run:
-                        # the run id must outlive the bookkeeping below
-                        # so a failed manifest/archive rerun RESUMES
-                        # (skips) instead of double-applying
-                        sink_cfg = cfg.sink
-                        defer_state = sink_cfg.type == "agg_state"
-                        if defer_state:
-                            from dataclasses import replace
-
-                            # same input-identity guard as engine.run:
-                            # without the fingerprint a crash after the
-                            # consumed-input recording blind-resumes
-                            # the old run id onto changed input
-                            props = {**sink_cfg.properties,
-                                     "_deferFinalize": "true"}
-                            fp = engine.batch_input_fingerprint(
-                                source_df)
-                            if fp is not None:
-                                props["_inputFingerprint"] = fp
-                            sink_cfg = replace(sink_cfg,
-                                               properties=props)
+                        # ONE shared implementation of the agg_state
+                        # intent deferral + post-sink bookkeeping
+                        # ordering (engine.prepare_batch_sink_cfg /
+                        # finalize_batch_sink): the r10 reviews found
+                        # the hand-mirrored copies here drifting from
+                        # engine.run's — crash-ordering fixes must land
+                        # in one place. A stop() that lands mid-
+                        # sequence is re-checked before every step.
+                        sink_cfg, defer_state = \
+                            engine.prepare_batch_sink_cfg(
+                                cfg.sink, source_df, streaming=False)
                         create_sink(df, sink_cfg, streaming=False)
-                        if archive_dir and consumed \
-                                and job.status != "CANCELLED":
-                            engine._archive_consumed(consumed, archive_dir,
-                                                     source_root)
-                        if manifest_dir and manifest_files \
-                                and job.status != "CANCELLED":
-                            from universal_data_connector_spark.sources.files import (  # noqa: E501
-                                manifest_record,
-                            )
-                            manifest_record(manifest_files, manifest_dir,
-                                            source_df.sparkSession)
-                        # loopback-kafka group commit in the
-                        # manifest_record slot (engine.run's ordering):
-                        # after sink success, BEFORE the agg_state
-                        # intent clears — a crash in between pairs the
-                        # old run id with a changed next poll, which
-                        # the input fingerprint turns into a reclaim
-                        kafka_commit = getattr(
-                            source_df, "_udc_kafka_commit", None)
-                        if kafka_commit is not None \
-                                and job.status != "CANCELLED":
-                            kafka_commit()
-                        if defer_state and job.status != "CANCELLED":
-                            # a cancel that skipped the bookkeeping must
-                            # keep the intent: clearing it would let the
-                            # rerun of the same unrecorded files claim a
-                            # fresh id and double-apply
-                            from universal_data_connector_spark.streaming.windows import (  # noqa: E501
-                                end_batch_run,
-                            )
-                            end_batch_run(cfg.sink.properties["path"])
+                        engine.finalize_batch_sink(
+                            source_df.sparkSession, cfg, source_df,
+                            archive_dir, consumed, source_root,
+                            manifest_dir, manifest_files, defer_state,
+                            cancelled=lambda: job.status == "CANCELLED")
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":

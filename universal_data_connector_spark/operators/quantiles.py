@@ -89,9 +89,18 @@ def _cached_part_enter(spark) -> None:
                 saved = spark.conf.get(_CACHED_PART_CONF)
             except Exception:
                 saved = None  # conf unknown to this Spark version
-            state = _CACHED_PART_STATE[id(spark)] = [0, saved]
             if saved is not None:
-                spark.conf.set(_CACHED_PART_CONF, "true")
+                try:
+                    spark.conf.set(_CACHED_PART_CONF, "true")
+                except Exception:
+                    # session stopped mid-enter: the toggle is inert;
+                    # record saved=None so exit restores nothing. The
+                    # entry must NEVER be inserted before a successful
+                    # set — a raised set would leak a depth-0 entry
+                    # that poisons a future session reusing this id()
+                    # (r10 third review pass)
+                    saved = None
+            state = _CACHED_PART_STATE[id(spark)] = [0, saved]
         state[0] += 1
 
 
