@@ -504,3 +504,82 @@ def test_kafka_aggstate_crash_between_commit_and_intent_reclaims(
     KL.append_records(d, "src", [(b"b", b"7")], 1)
     engine.run(spark, cfg(), streaming=False)
     assert st() == {"a": (3, 13.0), "b": (2, 12.0)}
+
+
+def test_concurrent_producers_no_torn_lines(tmp_path):
+    """Eight threads append batches to ONE partition concurrently; the
+    flock-serialized single-write appends must leave a log where every
+    line parses, counts add up, and the sidecar agrees."""
+    import threading
+
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path)
+    KL.ensure_topic(d, "t", 1)
+    per_thread = 25
+    n_threads = 8
+    errs = []
+
+    def produce(tid):
+        try:
+            for i in range(per_thread):
+                KL.append_records(
+                    d, "t",
+                    [(f"k{tid}".encode(),
+                      (f"payload-{tid}-{i}-" + "x" * 200).encode())], 1)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=produce, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    total = n_threads * per_thread
+    assert KL.end_offsets(d, "t") == {0: total}
+    recs = KL.read_slice(d, "t", 0, 0, total)
+    assert len(recs) == total  # every line parsed
+    # per-producer payload order is preserved (batch appends are
+    # atomic under the lock; offsets strictly increase per producer)
+    for tid in range(n_threads):
+        mine = [r[1].decode() for r in recs
+                if r[0] == f"k{tid}".encode()]
+        assert mine == [f"payload-{tid}-{i}-" + "x" * 200
+                        for i in range(per_thread)]
+
+
+def test_broker_roundtrip_property(tmp_path):
+    """Hypothesis-style round-trip over adversarial key/value bytes
+    (newlines, quotes, NUL, invalid UTF-8, empty): base64-in-JSON
+    framing must return every record byte-exact with dense offsets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    rec = st.tuples(
+        st.one_of(st.none(), st.binary(max_size=64)),
+        st.one_of(st.none(), st.binary(max_size=256)))
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(batch=st.lists(rec, min_size=1, max_size=20),
+           n_parts=st.integers(min_value=1, max_value=4))
+    def check(batch, n_parts):
+        import tempfile
+        with tempfile.TemporaryDirectory(dir=str(tmp_path)) as d:
+            KL.append_records(d, "t", batch, n_parts)
+            ends = KL.end_offsets(d, "t")
+            got = [r for p in sorted(ends)
+                   for r in KL.read_slice(d, "t", p, 0, ends[p])]
+            assert sorted(
+                (r[0] or b"", r[1] or b"", r[1] is None) for r in got
+            ) == sorted(
+                (k or b"", v or b"", v is None) for k, v in batch)
+            for p, e in ends.items():
+                offs = [r[4] for r in got if r[3] == p]
+                assert sorted(offs) == list(range(e))
+
+    check()

@@ -206,3 +206,49 @@ def test_out_cols_must_pair_with_ps(spark):
     df = spark.createDataFrame([("A", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="pair up"):
         exact_group_percentiles(df, ["g"], "v", [0.5], ["a", "b"])
+
+
+def test_concurrent_quantile_calls_restore_conf(spark):
+    """The refcounted canChangeCachedPlanOutputPartitioning toggle
+    (r10 review): concurrent exact_group_percentiles calls overlap,
+    all produce bit-correct results, and the LAST one out restores the
+    session's original conf value."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators.quantiles import (
+        _CACHED_PART_CONF,
+        _CACHED_PART_STATE,
+        exact_group_percentiles,
+    )
+
+    before = spark.conf.get(_CACHED_PART_CONF)
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 1.5).alias("v"))
+    expected = {r["g"]: r["m"] for r in
+                df.groupBy("g")
+                  .agg(F.expr("percentile(v, 0.5)").alias("m"))
+                  .collect()}
+
+    results, errs = [], []
+
+    def work():
+        try:
+            out = exact_group_percentiles(df, ["g"], "v", [0.5], ["m"])
+            results.append({r["g"]: r["m"] for r in out.collect()})
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=work) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(results) == 4
+    for got in results:
+        assert got == expected
+    assert spark.conf.get(_CACHED_PART_CONF) == before
+    assert id(spark) not in _CACHED_PART_STATE  # refcount drained
