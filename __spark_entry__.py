@@ -18,46 +18,52 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-10 rotation
-# (VERDICT r9 item 1): the entire 48-key cohort whose latest driver
-# evidence is r7 (verified by union over CORRECTNESS_r01..r09: the
-# latest-evidence split is r9:50 / r8:49 / r7:48) + the flagship +
-# `events_rfm_segments` in the one spare slot — its plan is rewritten
-# this round (single-materialization rfm aggregate, VERDICT r9 item 4)
-# so the touched code gets fresh driver evidence under the lockstep
-# rule. No new oracled keys this round: the catalog (147) sits at the
-# 3-round rotation capacity. The r8 cohort rotates in r11.
+# recent driver evidence goes stale (>2 rounds old). Round-11 rotation
+# (VERDICT r10 item 1): the entire 48-key cohort whose latest driver
+# evidence is r8 (verified by union over CORRECTNESS_r01..r10: the
+# latest-evidence split is r10:50 / r9:49 / r8:48) + the flagship +
+# `join_broadcast` in the one spare slot — it is a bench watch item
+# this round (VERDICT r10 item 4, elevated median on untouched code)
+# so fresh driver evidence accompanies the quiet-canary falsifier. No
+# new oracled keys this round: the catalog (147) sits at the 3-round
+# rotation capacity (standing policy recorded in SURVEY §2B). The r9
+# cohort rotates in r12.
 _CHECK_FIRST = [
-    # r7-evidence joins
-    "join_bucketed_colocated", "join_null_safe_eq", "join_asof_nearest",
-    # r7 aggregation five
-    "agg_percentile_exact", "agg_grouped_mad_pandas",
-    "agg_regression_ols", "agg_mode_per_group", "agg_array_collect",
-    # r7 window six
-    "window_rank_family", "window_first_last", "window_range_frame",
-    "window_lag_lead", "window_gap_islands", "window_percent_of_total",
-    # sort / limit / set ops
-    "sort_multi_key", "limit_topk",
-    "set_union_all", "set_intersect", "set_except",
-    # scalar function families
-    "str_funcs", "date_funcs", "math_funcs",
-    "csv_parse_rfc4180", "base64_roundtrip", "json_funcs",
-    # the six r7 streaming keys
-    "stream_tumbling_count", "stream_sliding_agg",
-    "stream_session_window", "stream_late_data_watermark",
-    "stream_upsert_latest", "stream_agg_state_totals",
-    # dedup / similarity / text r7 cohort
-    "dedup_near_minhash", "sim_search_lsh",
-    "text_vocab_topk", "text_boilerplate_ngrams",
-    # r7 analytics nine
-    "events_sessionize_gap", "events_top_paths", "events_dau_wau",
-    "ts_moving_window_avg", "ts_anomaly_mad", "ts_resample_interp",
-    "ts_ewma", "cogroup_asof_merge", "dq_fk_integrity",
-    # r7 scans + sampling
-    "scan_parquet", "scan_schema_evolution_merge",
-    "scan_csv_malformed_permissive", "sample_hash_split",
-    # spare slot: plan touched this round (VERDICT r9 item 4)
-    "events_rfm_segments",
+    # r8-evidence aggregation trio
+    "agg_weighted_avg", "agg_argmax_struct", "agg_corr_exact",
+    # r8 window / analytics
+    "window_ntile_quartiles", "ts_cumulative_distinct",
+    "ts_outlier_iqr", "events_attribution_first_last",
+    "market_basket_pairs",
+    # r8 dedup cohort
+    "dedup_exact", "dedup_cluster_cc", "dedup_contamination_ngram",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_containment_ngram",
+    # r8 similarity cohort
+    "sim_search_cosine_topk", "sim_search_ivf", "embedding_normalize",
+    # r8 text cohort (nine)
+    "text_token_count_bpe", "text_language_id", "text_quality_score",
+    "text_fingerprint", "text_rolling_hash", "text_unigram_logprob",
+    "text_pii_redact", "text_tfidf_topk", "text_tokenize_stats",
+    # r8 multimodal trio
+    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_decode_features",
+    # r8 sampling / reshape
+    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
+    "reshape_unpivot", "reshape_pack_sequences",
+    "reshape_sliding_windows",
+    # r8 scans + join + dq
+    "scan_csv_typed", "scan_glob_filter", "join_asof_tolerance",
+    "dq_uniqueness_orders",
+    # the four r8 streaming keys
+    "stream_dedup_first_per_key", "stream_dedup_watermark",
+    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
+    # sinks-as-queries
+    "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
+    # r8 composition pair
+    "pipeline_training_data", "sql_full_surface",
+    # spare slot: bench watch item (VERDICT r10 item 4)
+    "join_broadcast",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
 ]

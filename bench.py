@@ -188,9 +188,10 @@ def main() -> None:
     noise_after = noise_probe()
 
     import statistics
+    import sys
     noise = noise_before + noise_after
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline query set wall-clock (noop-materialized, warm JVM)",
         "value": total,
         "unit": "sec",
@@ -204,7 +205,40 @@ def main() -> None:
         "sf": sf,
         "spark_version": spark.version,
         "cpus": int(cpus),
-    }))
+    }
+    # The driver records only the LAST 2000 bytes of stdout, so the
+    # full (~4 KB) artifact goes to stderr + a sidecar file, and the
+    # FINAL stdout line is a compact variant guaranteed to fit —
+    # every round through r10 had `parsed: null` because the full
+    # line overran the tail window (VERDICT r10 item 3).
+    print(json.dumps(full), file=sys.stderr)
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT",
+                             os.path.join(os.path.dirname(
+                                 os.path.abspath(__file__)),
+                                 "bench_full_last_run.json"))
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline wall-clock sec (min-of-reps; full detail in bench_full_last_run.json)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "noise_floor": full["noise_floor"]["median"],
+        "reps": reps,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # degrade deterministically: keep the slowest keys only, so
+        # the parsed artifact still names where the time went
+        top = dict(sorted(times.items(), key=lambda kv: -kv[1])[:30])
+        compact["queries"] = top
+        compact["queries_truncated_to_slowest"] = len(top)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

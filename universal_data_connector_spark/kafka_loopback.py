@@ -165,7 +165,13 @@ def _sidecar_lines(log_path: str, expect_bytes: int,
     cannot expose a torn final line mid-flush — UNLESS the caller
     already holds the append LOCK_EX (``already_locked=True``):
     flock conflicts across fds even within one process, so taking
-    LOCK_SH there would self-deadlock."""
+    LOCK_SH there would self-deadlock.
+
+    The recount counts only NEWLINE-TERMINATED lines: a producer that
+    crashed mid-append can leave a torn (unterminated) tail, and a
+    real broker's log recovery would truncate it — counting it as a
+    record would both corrupt it on the next append (concatenation)
+    and shift every later offset by one (r10 ADVICE)."""
     import fcntl
 
     idx = log_path + ".idx"
@@ -183,7 +189,7 @@ def _sidecar_lines(log_path: str, expect_bytes: int,
         if not already_locked:
             fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
         try:
-            return sum(1 for _ in fh)
+            return sum(1 for line in fh if line.endswith(b"\n"))
         finally:
             if not already_locked:
                 fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
@@ -199,18 +205,24 @@ def _sidecar_write(log_path: str, lines: int, nbytes: int) -> None:
 
 def append_records(dir_: str, topic: str,
                    records: list[tuple[bytes | None, bytes]],
-                   n_partitions: int = 1) -> None:
+                   n_partitions: int = 1,
+                   counter_base: int = 0) -> None:
     """Produce a batch: route each (key, value) to its partition and
     append one JSON line per record. The per-partition flock serializes
     concurrent producers (Spark tasks), keeping offsets = line numbers
-    consistent; each line lands in ONE write call."""
+    consistent; each line lands in ONE write call.
+
+    ``counter_base`` seeds the null-key round-robin counter: callers
+    producing from many Spark tasks pass a per-task seed (the task
+    partition id) so unkeyed records spread across topic partitions
+    instead of every task restarting at partition 0 (r10 ADVICE)."""
     import fcntl
 
     n = ensure_topic(dir_, topic, n_partitions)
     ts = int(time.time() * 1000)
     by_part: dict[int, list[str]] = {}
     for i, (key, value) in enumerate(records):
-        p = partition_for(key, n, counter=i)
+        p = partition_for(key, n, counter=counter_base + i)
         line = json.dumps({
             "k": None if key is None
             else base64.b64encode(key).decode(),
@@ -221,19 +233,32 @@ def append_records(dir_: str, topic: str,
         by_part.setdefault(p, []).append(line)
     for p, lines in by_part.items():
         log = _log_path(dir_, topic, p)
-        with open(log, "a") as fh:
+        with open(log, "a+b") as fh:  # +: readable fd for the
+            # torn-tail pread below; O_APPEND still pins writes to EOF
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
             try:
-                start_bytes = os.fstat(fh.fileno()).st_size
+                fd = fh.fileno()
+                start_bytes = os.fstat(fd).st_size
+                # Log recovery (the real broker's on-start truncation,
+                # r10 ADVICE): a producer that crashed mid-append can
+                # leave a torn unterminated tail; appending onto it
+                # would concatenate two records into one corrupt line.
+                # Truncate back to the last record boundary first —
+                # safe under the exclusive append lock.
+                if start_bytes and os.pread(fd, 1, start_bytes - 1) != b"\n":
+                    whole = os.pread(fd, start_bytes, 0)
+                    keep = whole.rfind(b"\n") + 1  # 0 when no newline
+                    os.ftruncate(fd, keep)
+                    start_bytes = keep
                 n0 = _sidecar_lines(log, start_bytes,
                                     already_locked=True)
-                payload = "".join(line + "\n" for line in lines)
+                payload = "".join(line + "\n" for line in lines).encode()
                 fh.write(payload)
                 fh.flush()
                 _sidecar_write(log, n0 + len(lines),
-                               start_bytes + len(payload.encode()))
+                               start_bytes + len(payload))
             finally:
-                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+                fcntl.flock(fd, fcntl.LOCK_UN)
 
 
 def end_offsets(dir_: str, topic: str) -> dict[int, int]:
@@ -266,14 +291,29 @@ def committed_offsets(dir_: str, group: str) -> dict[str, int]:
 
 def commit_offsets(dir_: str, group: str, offsets: dict[str, int]) -> None:
     """Merge-commit ``{"topic/partition": next_offset}`` atomically
-    (write-then-rename, the state sinks' crash contract)."""
+    (write-then-rename, the state sinks' crash contract).
+
+    The read-merge-replace runs under an flock on a ``.lock`` sibling
+    (the partition-log locking discipline): two concurrent runs
+    sharing a groupId would otherwise interleave read/write and lose
+    one commit — still at-least-once, but extra redelivery
+    (r10 ADVICE). The lock file, not the group file itself, carries
+    the flock because ``os.replace`` swaps the inode the lock lives
+    on."""
+    import fcntl
+
     os.makedirs(os.path.join(dir_, _GROUPS), exist_ok=True)
     path = _group_path(dir_, group)
-    merged = {**committed_offsets(dir_, group), **offsets}
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(merged, fh)
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lock_fh:
+        fcntl.flock(lock_fh.fileno(), fcntl.LOCK_EX)
+        try:
+            merged = {**committed_offsets(dir_, group), **offsets}
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(merged, fh)
+            os.replace(tmp, path)
+        finally:
+            fcntl.flock(lock_fh.fileno(), fcntl.LOCK_UN)
 
 
 def read_slice(dir_: str, topic: str, partition: int,
@@ -294,13 +334,16 @@ def read_slice(dir_: str, topic: str, partition: int,
     # lock covers only the BYTE reads — JSON parse and base64 decode
     # run after release, so producers are not blocked for the decode
     # duration (r10 third review pass).
-    raw: list[tuple[int, str]] = []
-    with open(path) as fh:
+    raw: list[tuple[int, bytes]] = []
+    with open(path, "rb") as fh:
         fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
         try:
             for offset, line in enumerate(fh):
                 if offset >= end:
                     break
+                if not line.endswith(b"\n"):
+                    break  # torn tail from a crashed producer: not a
+                    # record yet (matches the recount/append repair)
                 if offset < start:
                     continue
                 raw.append((offset, line))

@@ -97,6 +97,19 @@ def materialize_reliable(df: DataFrame) -> DataFrame:
 _TL = threading.local()
 
 
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame into this thread's pin
+    bookkeeping, giving it the same release lifecycle as
+    `materialize_reliable`'s intermediates: unpersisted when the
+    owning build's pins are released (for catalog queries, when this
+    thread builds its NEXT query — by which point the prior action has
+    completed). For builders that choose their own storage level /
+    materialization timing but must not retain cache entries for a
+    long-lived session's lifetime (r10 ADVICE on the rfm aggregate)."""
+    _pin_sink().append(df)
+    return df
+
+
 def _pin_sink() -> list[DataFrame]:
     """The list `materialize_reliable` registers into: the innermost
     active `pin_scope` on this thread, else the thread's default

@@ -4745,13 +4745,18 @@ def events_rfm_segments(spark, sf_dir):
     # CacheManager keys by analyzed-plan equality, so re-building this
     # query re-uses the ONE existing entry per sf_dir (verified: three
     # builds -> one cached RDD) — bounded, and cleared by the bench's
-    # clearCache()/session teardown.
-    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
-            .agg(F.count("*").cast("bigint").alias("f"),
-                 orel.exact_sum(F.col("o_totalprice")).alias("m"),
-                 F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
-                  .alias("last_order"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # clearCache()/session teardown. pin_frame gives it the standard
+    # deferred release too (r10 ADVICE): a long-lived session
+    # (PipelineManager, a REPL) unpersists it when this thread builds
+    # its next catalog query, instead of retaining one cached frame
+    # per sf_dir for the session's lifetime.
+    rfm = orel.pin_frame(
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+         .agg(F.count("*").cast("bigint").alias("f"),
+              orel.exact_sum(F.col("o_totalprice")).alias("m"),
+              F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+               .alias("last_order"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     long = rfm.select(F.explode(F.array(
         F.struct(F.lit("f").alias("metric"),
                  F.col("f").cast("double").alias("value")),

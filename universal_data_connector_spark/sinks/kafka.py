@@ -59,6 +59,8 @@ def _kafka_sink_loopback(df: DataFrame, props: dict) -> None:
                        F.col("value").cast("binary").alias("value"))
 
     def send(rows) -> None:
+        from pyspark import TaskContext
+
         from universal_data_connector_spark import kafka_loopback as kl
         # null values pass through as TOMBSTONES — Spark's real kafka
         # writer produces them too (compacted-topic deletes), so the
@@ -67,7 +69,13 @@ def _kafka_sink_loopback(df: DataFrame, props: dict) -> None:
                   bytes(r.value) if r.value is not None else None)
                  for r in rows]
         if batch:
-            kl.append_records(dir_, topic, batch, n_parts)
+            # per-task round-robin seed: without it every task's
+            # unkeyed records restart at topic partition 0, skewing
+            # the distribution vs the real partitioner (r10 ADVICE)
+            tc = TaskContext.get()
+            base = tc.partitionId() if tc is not None else 0
+            kl.append_records(dir_, topic, batch, n_parts,
+                              counter_base=base)
 
     shaped.foreachPartition(send)
 
