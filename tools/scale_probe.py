@@ -1,0 +1,130 @@
+"""Scale probe: execute the scale-critical chains at sf0.1 AND sf1.0
+on data from ONE generator and record wall-clock + shuffle + spill
+(VERDICT r10 item 2 — "measure the 100x claims").
+
+Both directories come from tools/gen_scale_probe_data.py (seed 42), so
+the sf1/sf0.1 wall-clock ratio is an apples-to-apples scaling factor:
+~10x data through the same plans. A ratio well above ~10 (beyond the
+extra shuffle-wave constant) flags a superlinear operator; spill bytes
+flag partitions outgrowing memory.
+
+Shuffle/spill come from the Spark status REST API (the probe session
+enables the UI; `session.get_spark` keeps it off for bench runs), as
+per-stage deltas between queries.
+
+Usage: python tools/scale_probe.py [reps]   (default 2)
+Writes scale_probe/probe_results.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_KEYS = [
+    # the five chains the verdict names, + embeddings/events coverage
+    "pipeline_clean_corpus",
+    "pipeline_training_data",
+    "dedup_near_minhash",
+    "dedup_cluster_cc",
+    "events_rfm_segments",      # drives exact_group_percentiles
+    "market_basket_pairs",
+    "agg_percentile_exact",
+    "sim_search_lsh",
+    "events_sessionize_gap",
+]
+
+
+def stage_totals(spark) -> dict:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as fh:
+        stages = json.load(fh)
+    return {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "spill_disk": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "spill_mem": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scale_probe")
+    dirs = {"sf0.1": os.path.join(root, "sf0.1"),
+            "sf1.0": os.path.join(root, "sf1")}
+    for d in dirs.values():
+        if not os.path.isdir(d):
+            raise SystemExit(f"{d} missing - run gen_scale_probe_data.py")
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("udc-scale-probe")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEM", "48g"))
+             .config("spark.ui.enabled", "true")
+             .config("spark.ui.port", "4097")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from universal_data_connector_spark.plans.catalog import QUERIES
+
+    # warm-up: JVM, codegen, python worker pool
+    QUERIES["agg_hash_sum_avg"](spark, dirs["sf0.1"]) \
+        .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    results: dict[str, dict] = {}
+    for key in PROBE_KEYS:
+        results[key] = {}
+        for sf_label, sf_dir in dirs.items():
+            samples, met0 = [], None
+            for _ in range(reps):
+                before = stage_totals(spark)
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                after = stage_totals(spark)
+                spark.catalog.clearCache()
+                samples.append(dt)
+                if met0 is None:
+                    met0 = {k: after[k] - before[k] for k in after}
+            results[key][sf_label] = {
+                "sec_min": round(min(samples), 3),
+                "sec_all": [round(s, 3) for s in samples],
+                **{k: met0[k] for k in
+                   ("shuffle_write", "spill_disk", "spill_mem", "input")},
+            }
+            print(f"{key:32s} {sf_label}: {min(samples):7.2f}s "
+                  f"shuffle={met0['shuffle_write']/1e6:9.1f}MB "
+                  f"spill={met0['spill_disk']/1e6:6.1f}MB", flush=True)
+
+    for key, r in results.items():
+        a, b = r["sf0.1"]["sec_min"], r["sf1.0"]["sec_min"]
+        r["scaling_x"] = round(b / a, 2) if a > 0 else None
+    out = os.path.join(root, "probe_results.json")
+    with open(out, "w") as fh:
+        json.dump({"reps": reps, "cpus": int(cpus),
+                   "spark": spark.version, "results": results}, fh, indent=1)
+    print(f"\n{'key':32s} {'sf0.1':>8s} {'sf1.0':>8s} {'ratio':>6s}")
+    for key, r in results.items():
+        print(f"{key:32s} {r['sf0.1']['sec_min']:8.2f} "
+              f"{r['sf1.0']['sec_min']:8.2f} {r['scaling_x']:6.2f}")
+    print(f"\nwrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
