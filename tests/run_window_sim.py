@@ -1,6 +1,8 @@
-"""Simulate the driver's r10 correctness window: a VANILLA
-SparkSession runs the first 50 `queries()` keys against their DuckDB
-oracles at sf0.01 — the exact comparison CORRECTNESS_r10 will record.
+"""Simulate the driver's correctness window for the CURRENT round: a
+VANILLA SparkSession runs the first 50 `queries()` keys against their
+DuckDB oracles at sf0.01 — the exact comparison the round's
+CORRECTNESS_r{N} will record (the window itself rotates per round in
+`__spark_entry__._CHECK_FIRST`).
 
 Usage: python tests/run_window_sim.py [n_keys]
 """
