@@ -82,6 +82,20 @@ def test_append_truncates_torn_tail_before_writing(tmp_path):
         json.loads(line)
 
 
+def test_append_truncates_torn_tail_spanning_multiple_scan_chunks(tmp_path):
+    """The boundary scan walks backwards in 64 KiB chunks; a torn tail
+    larger than one chunk must still resolve to the correct boundary
+    (r11 review: the first cut read the whole log into memory)."""
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path)
+    KL.append_records(d, "t", [(b"k", b"v1")], 1)
+    _tear_tail(d, garbage=b"x" * 200_000)  # > 2 chunks, no newline
+    KL.append_records(d, "t", [(b"k", b"v2")], 1)
+    recs = KL.read_slice(d, "t", 0, 0, 10)
+    assert [(r[1], r[4]) for r in recs] == [(b"v1", 0), (b"v2", 1)]
+
+
 def test_append_recovers_log_that_is_only_a_torn_tail(tmp_path):
     """Crash on the very first append: the whole log is one torn line;
     recovery truncates to empty and the next append starts at offset 0."""
@@ -206,6 +220,48 @@ def test_pin_frame_registers_into_active_scope(spark):
     assert pins == [df]
     orel.release_frames(pins)
     assert df.storageLevel.useMemory is False
+
+
+# ---------------------------------------------------------------------------
+# config: unknown pipeline keys warn instead of vanishing
+# ---------------------------------------------------------------------------
+
+def test_unknown_pipeline_key_warns(caplog):
+    """`transforms:` (typo for `transformations:`) must not silently
+    disable every transform — caught live in the r11 verify pass."""
+    import logging
+
+    from universal_data_connector_spark.config import parse_config
+
+    raw = {"pipelines": [{
+        "name": "p1",
+        "source": {"type": "file", "properties": {}},
+        "sink": {"type": "file", "properties": {}},
+        "transforms": [{"type": "filter"}],
+    }]}
+    with caplog.at_level(logging.WARNING,
+                         logger="universal_data_connector_spark.config"):
+        cfg = parse_config(raw)
+    assert cfg.pipelines[0].transformations == []
+    assert any("transforms" in r.getMessage() for r in caplog.records)
+
+
+def test_known_pipeline_keys_stay_silent(caplog):
+    import logging
+
+    from universal_data_connector_spark.config import parse_config
+
+    raw = {"pipelines": [{
+        "name": "p1",
+        "source": {"type": "file", "properties": {}},
+        "sink": {"type": "file", "properties": {}},
+        "transformations": [{"type": "filter", "properties": {}}],
+    }]}
+    with caplog.at_level(logging.WARNING,
+                         logger="universal_data_connector_spark.config"):
+        cfg = parse_config(raw)
+    assert len(cfg.pipelines[0].transformations) == 1
+    assert not caplog.records
 
 
 # ---------------------------------------------------------------------------

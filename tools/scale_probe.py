@@ -75,6 +75,11 @@ def main() -> None:
                      os.environ.get("SPARK_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "true")
              .config("spark.ui.port", "4097")
+             # the probe's before/after stage deltas are only truthful
+             # while NO completed stage is evicted mid-measurement; the
+             # default retainedStages=1000 can evict during the
+             # multi-job sf1.0 chains (review finding r11)
+             .config("spark.ui.retainedStages", "100000")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

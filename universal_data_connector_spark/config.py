@@ -28,11 +28,14 @@ unions (first non-null branch wins, ``ParquetSinkContext.java:388-396``).
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass, field
 from typing import Any
 
 import yaml
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -79,9 +82,23 @@ def _norm_props(props: dict[str, Any] | None) -> dict[str, Any]:
     return dict(props or {})
 
 
+_PIPELINE_KEYS = {"name", "source", "sink", "transformations"}
+
+
 def parse_config(raw: dict[str, Any]) -> EngineConfig:
     pipelines = []
     for p in raw.get("pipelines") or []:
+        # Unknown keys are ignored (the reference's Spring binding does
+        # the same) but WARNED, matching the engine's unknown-transform
+        # warn+passthrough policy: a typo like `transforms:` for
+        # `transformations:` silently disabled every transform (caught
+        # live in the r11 verify pass — the config ran, unfiltered).
+        unknown = set(p) - _PIPELINE_KEYS
+        if unknown:
+            log.warning(
+                "pipeline %r: ignoring unrecognized key(s) %s — known "
+                "keys are %s", p.get("name"), sorted(unknown),
+                sorted(_PIPELINE_KEYS))
         src = p.get("source") or {}
         snk = p.get("sink") or {}
         cfg = PipelineConfig(

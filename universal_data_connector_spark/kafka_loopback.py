@@ -246,8 +246,20 @@ def append_records(dir_: str, topic: str,
                 # Truncate back to the last record boundary first —
                 # safe under the exclusive append lock.
                 if start_bytes and os.pread(fd, 1, start_bytes - 1) != b"\n":
-                    whole = os.pread(fd, start_bytes, 0)
-                    keep = whole.rfind(b"\n") + 1  # 0 when no newline
+                    # bounded backwards scan (64 KiB chunks) for the
+                    # last record boundary: O(torn-tail length), not
+                    # O(log size) of memory/IO under the exclusive
+                    # lock (review finding r11)
+                    keep, chunk = 0, 65536
+                    pos = start_bytes
+                    while pos > 0:
+                        lo = max(0, pos - chunk)
+                        buf = os.pread(fd, pos - lo, lo)
+                        nl = buf.rfind(b"\n")
+                        if nl >= 0:
+                            keep = lo + nl + 1
+                            break
+                        pos = lo
                     os.ftruncate(fd, keep)
                     start_bytes = keep
                 n0 = _sidecar_lines(log, start_bytes,

@@ -105,7 +105,19 @@ def pin_frame(df: DataFrame) -> DataFrame:
     thread builds its NEXT query — by which point the prior action has
     completed). For builders that choose their own storage level /
     materialization timing but must not retain cache entries for a
-    long-lived session's lifetime (r10 ADVICE on the rfm aggregate)."""
+    long-lived session's lifetime (r10 ADVICE on the rfm aggregate).
+
+    Caveat shared by ALL pins (pin_frame and materialize_reliable
+    alike, r11 review): Spark's CacheManager dedupes entries by
+    analyzed-plan EQUALITY, so two threads concurrently building the
+    IDENTICAL query over the identical input share one cache entry,
+    and the first thread's release drops it for both. The consequence
+    is bounded to performance — the other thread's pending action
+    recomputes the plan (lineage is intact); results are unaffected.
+    No current consumer runs the same catalog query concurrently on
+    one session (the manager's workers run engine pipelines, not
+    catalog builds), so this stays a documented property rather than
+    a session-global refcount."""
     _pin_sink().append(df)
     return df
 
