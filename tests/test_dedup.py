@@ -159,9 +159,9 @@ def test_embedding_cosine_dedup_planted(spark):
 def test_embedding_cosine_dedup_lsh_matches_exact_on_cluster(spark):
     """Recall check at scale-ish: a cluster of 30 noisy copies of one
     vector plus 200 random vectors — the banded path must return exactly
-    the same pair set as the exact all-pairs oracle (32x12-bit bands put
-    the per-pair miss probability at ~3e-5 at the 0.95 boundary;
-    planted pairs sit ~0.99 where it vanishes)."""
+    the same pair set as the exact all-pairs oracle (64x20-bit bands put
+    the per-pair miss probability at ~3.3e-4 at the 0.95 boundary;
+    planted pairs sit ~0.998 where it is ~1e-30)."""
     import numpy as np
     from universal_data_connector_spark.functions.vectors import cosine_similarity
     from universal_data_connector_spark.operators.similarity import (

@@ -181,7 +181,17 @@ def generate(sf: float, out_dir: str) -> None:
     nv = n["embeddings"]
     labels = rng.integers(0, 10, nv).astype(np.int32)
     centers = rng.normal(0, 1, (10, 64))
-    vecs = (centers[labels] + rng.normal(0, 0.35, (nv, 64))).astype(np.float32)
+    # realistic spread: within-cluster cosine ~0.4 (below the LSH
+    # candidate cutoff ~0.70 for 32x12 banding), so candidate volume
+    # tracks true near-dups, as on real embedding corpora. The first
+    # probe run used sigma=0.35 (within-cluster cosine ~0.9) — a
+    # useful DEGENERATE-density stress, recorded in BENCH_NOTES_r11,
+    # but a pathological default for a scaling measurement.
+    vecs = (centers[labels] + rng.normal(0, 1.2, (nv, 64))).astype(np.float32)
+    # planted near-dup tail (~n/500 pairs): copy + tiny perturbation,
+    # cosine ~0.9998 — the operator's true positives
+    for i in range(0, nv - 1, 499):
+        vecs[i + 1] = vecs[i] + rng.normal(0, 0.01, 64).astype(np.float32)
     _write(out_dir, "embeddings", pa.table({
         "vec_id": np.arange(nv, dtype=np.int64),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),

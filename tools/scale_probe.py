@@ -37,6 +37,15 @@ PROBE_KEYS = [
     "agg_percentile_exact",
     "sim_search_lsh",
     "events_sessionize_gap",
+    # second wave (r11 review): state sink, brute/banded ANN, rollup
+    # spine join, TF-IDF, exact dedup, big-join coverage
+    "stream_upsert_latest",     # foreachBatch bucket-swap state sink
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "sim_search_cosine_topk",
+    "ts_rollup_gapfill",
+    "text_tfidf_topk",
+    "join_inner_hash",          # the plain big-big shuffle join
 ]
 
 

@@ -398,7 +398,7 @@ def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
 
 def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       n_planes: int = 384, bands: int = 32,
+                       n_planes: int = 1280, bands: int = 64,
                        seed: int = 7) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) by
     candidates-then-verify — the same discipline as MinHash dedup,
@@ -413,10 +413,27 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     Recall at the decision boundary is probabilistic but engineered to
     ~1: per-bit agreement for cosine 0.95 is 1 - theta/pi ~ 0.899
-    (Charikar), so with the default 32 bands x 12 bits a true pair
-    misses every band with probability (1 - 0.899^12)^32 ~ 3e-5, and
-    vanishes above the threshold. The exact all-pairs form remains the
-    test oracle (tests/test_dedup.py), not a catalog entry.
+    (Charikar), so with the default 64 bands x 20 bits a true pair
+    misses every band with probability (1 - 0.899^20)^64 ~ 3.3e-4 at
+    the exact 0.95 boundary, vanishing rapidly above it (planted
+    near-dups at ~0.99 miss with ~1e-30). The exact all-pairs form
+    remains the test oracle (tests/test_dedup.py), not a catalog
+    entry.
+
+    Banding width is the CANDIDATE-VOLUME lever (measured in the r11
+    scale probe): expected matching bands for per-bit agreement p is
+    bands*p^width, so the "likely candidate" cutoff sits where that
+    product crosses 1 — cosine ~0.70 for the old 32x12 default,
+    ~0.83 for the 64x20 default adopted after the probe. On corpora
+    whose similarity mass sits below the cutoff candidates stay
+    ~linear; above it, the verify stage goes quadratic IN THE CLUSTER
+    SIZES even when true >=0.95 pairs are few (probe: 10 tight
+    synthetic clusters, 383x shuffle for 10x data, 7 true pairs at
+    32x12; moderate clusters at within-cluster cosine ~0.4 still
+    produced ~quadratic candidates, which 64x20 cuts ~18x for a 3.3x
+    one-off projection matmul). Where buckets are dense because
+    members really ARE above threshold, the OUTPUT is quadratic and
+    no candidate scheme avoids it.
     """
     from universal_data_connector_spark.functions.vectors import (
         dot_product,

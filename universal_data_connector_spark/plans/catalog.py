@@ -1463,8 +1463,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     robust to last-ulp float differences; 0.95 sits far above the
     testdata's max pairwise cosine (~0.51 — random vectors, no planted
     dups), so no pair rides a float boundary, and banding recall at the
-    boundary (~1 - 3e-5 with 32x12-bit bands) is proven on planted
-    near-dup vectors in tests/test_dedup.py."""
+    boundary (~1 - 3.3e-4 with 64x20-bit bands; ~1e-30 at planted-dup
+    similarity) is proven on planted near-dup vectors in
+    tests/test_dedup.py."""
     e = load(spark, sf_dir, "embeddings")
     return osim.lsh_near_dup_pairs(e, threshold=0.95).select("id_1", "id_2")
 
