@@ -12,8 +12,10 @@ Shuffle/spill come from the Spark status REST API (the probe session
 enables the UI; `session.get_spark` keeps it off for bench runs), as
 per-stage deltas between queries.
 
-Usage: python tools/scale_probe.py [reps]   (default 2)
-Writes scale_probe/probe_results.json and prints a summary table.
+Usage: python tools/scale_probe.py [reps] [sf ...]
+(defaults: 2 reps over sf0.1 and sf1 — pass e.g. `2 0.1 1 10` for a
+three-point curve). Writes scale_probe/probe_results.json and prints
+a summary table; ratios are reported against the SMALLEST sf given.
 """
 
 from __future__ import annotations
@@ -64,11 +66,21 @@ def stage_totals(spark) -> dict:
 
 
 def main() -> None:
+    # env knobs for driving long multi-sf curves in bounded slices:
+    # SPARK_GRAFT_PROBE_KEYS=k1,k2 subsets PROBE_KEYS;
+    # SPARK_GRAFT_PROBE_OUT names the results file.
+    keys = PROBE_KEYS
+    if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
+        want = os.environ["SPARK_GRAFT_PROBE_KEYS"].split(",")
+        keys = [k for k in want if k in PROBE_KEYS] or PROBE_KEYS
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    sfs = [float(a) for a in sys.argv[2:]] or [0.1, 1.0]
+    sfs.sort()
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scale_probe")
-    dirs = {"sf0.1": os.path.join(root, "sf0.1"),
-            "sf1.0": os.path.join(root, "sf1")}
+    dirs = {f"sf{sf:g}": os.path.join(root, f"sf{sf:g}") for sf in sfs}
+    base_label = f"sf{sfs[0]:g}"
+    top_label = f"sf{sfs[-1]:g}"
     for d in dirs.values():
         if not os.path.isdir(d):
             raise SystemExit(f"{d} missing - run gen_scale_probe_data.py")
@@ -95,12 +107,12 @@ def main() -> None:
     from universal_data_connector_spark.plans.catalog import QUERIES
 
     # warm-up: JVM, codegen, python worker pool
-    QUERIES["agg_hash_sum_avg"](spark, dirs["sf0.1"]) \
+    QUERIES["agg_hash_sum_avg"](spark, dirs[base_label]) \
         .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     results: dict[str, dict] = {}
-    for key in PROBE_KEYS:
+    for key in keys:
         results[key] = {}
         for sf_label, sf_dir in dirs.items():
             samples, met0 = [], None
@@ -126,16 +138,18 @@ def main() -> None:
                   f"spill={met0['spill_disk']/1e6:6.1f}MB", flush=True)
 
     for key, r in results.items():
-        a, b = r["sf0.1"]["sec_min"], r["sf1.0"]["sec_min"]
+        a, b = r[base_label]["sec_min"], r[top_label]["sec_min"]
         r["scaling_x"] = round(b / a, 2) if a > 0 else None
-    out = os.path.join(root, "probe_results.json")
+    out = os.environ.get("SPARK_GRAFT_PROBE_OUT",
+                         os.path.join(root, "probe_results.json"))
     with open(out, "w") as fh:
         json.dump({"reps": reps, "cpus": int(cpus),
                    "spark": spark.version, "results": results}, fh, indent=1)
-    print(f"\n{'key':32s} {'sf0.1':>8s} {'sf1.0':>8s} {'ratio':>6s}")
+    hdr = " ".join(f"{lbl:>8s}" for lbl in dirs)
+    print(f"\n{'key':32s} {hdr} {'ratio':>6s}")
     for key, r in results.items():
-        print(f"{key:32s} {r['sf0.1']['sec_min']:8.2f} "
-              f"{r['sf1.0']['sec_min']:8.2f} {r['scaling_x']:6.2f}")
+        row = " ".join(f"{r[lbl]['sec_min']:8.2f}" for lbl in dirs)
+        print(f"{key:32s} {row} {r['scaling_x']:6.2f}")
     print(f"\nwrote {out}")
     spark.stop()
 
