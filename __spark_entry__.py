@@ -18,52 +18,48 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-11 rotation
-# (VERDICT r10 item 1): the entire 48-key cohort whose latest driver
-# evidence is r8 (verified by union over CORRECTNESS_r01..r10: the
-# latest-evidence split is r10:50 / r9:49 / r8:48) + the flagship +
-# `join_broadcast` in the one spare slot — it is a bench watch item
-# this round (VERDICT r10 item 4, elevated median on untouched code)
-# so fresh driver evidence accompanies the quiet-canary falsifier. No
-# new oracled keys this round: the catalog (147) sits at the 3-round
-# rotation capacity (standing policy recorded in SURVEY §2B). The r9
-# cohort rotates in r12.
+# recent driver evidence goes stale (>2 rounds old). Round-12 rotation
+# (VERDICT r11 item 1): the r9-evidence cohort — 48 keys by union over
+# CORRECTNESS_r01..r11 (split r11:50 / r10:49 / r9:48), MINUS
+# `sim_search_ivf_kmeans`, retired this round under the SURVEY §2B
+# capacity policy (first deliberate exercise, VERDICT r11 item 6; its
+# evidence moved to tests/test_similarity.py) — PLUS the new oracled
+# key `events_window_funnel_conversion` that landed in the same
+# retirement commit, PLUS `pipeline_training_data` in the spare slot
+# (its standing bench falsifier runs this round, VERDICT r11 item 2)
+# and the flagship. 47 + 1 + 1 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r8-evidence aggregation trio
-    "agg_weighted_avg", "agg_argmax_struct", "agg_corr_exact",
-    # r8 window / analytics
-    "window_ntile_quartiles", "ts_cumulative_distinct",
-    "ts_outlier_iqr", "events_attribution_first_last",
-    "market_basket_pairs",
-    # r8 dedup cohort
-    "dedup_exact", "dedup_cluster_cc", "dedup_contamination_ngram",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_containment_ngram",
-    # r8 similarity cohort
-    "sim_search_cosine_topk", "sim_search_ivf", "embedding_normalize",
-    # r8 text cohort (nine)
-    "text_token_count_bpe", "text_language_id", "text_quality_score",
-    "text_fingerprint", "text_rolling_hash", "text_unigram_logprob",
-    "text_pii_redact", "text_tfidf_topk", "text_tokenize_stats",
-    # r8 multimodal trio
-    "multimodal_binary_meta", "multimodal_frame_sample",
-    "multimodal_decode_features",
-    # r8 sampling / reshape
-    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
-    "reshape_unpivot", "reshape_pack_sequences",
-    "reshape_sliding_windows",
-    # r8 scans + join + dq
-    "scan_csv_typed", "scan_glob_filter", "join_asof_tolerance",
-    "dq_uniqueness_orders",
-    # the four r8 streaming keys
-    "stream_dedup_first_per_key", "stream_dedup_watermark",
-    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
-    # sinks-as-queries
-    "sink_parquet_snappy", "sink_csv_per_source", "sink_jdbc_append",
-    # r8 composition pair
-    "pipeline_training_data", "sql_full_surface",
-    # spare slot: bench watch item (VERDICT r10 item 4)
-    "join_broadcast",
+    # r9-evidence aggregation cohort (nine)
+    "agg_hash_sum_avg", "agg_count_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
+    "agg_histogram_bins", "agg_approx_count_distinct",
+    # r9 projection / filter / map-cast cohort
+    "project_columns", "rename_columns",
+    "filter_contains", "filter_equality", "filter_null_safe",
+    "filter_any_row_per_file",
+    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
+    "defaults_on_null",
+    # r9 join cohort (ten)
+    "join_inner_hash", "join_left", "join_semi", "join_anti",
+    "join_range_theta", "join_asof", "join_interval_overlap",
+    "join_salted_skew", "join_full_outer", "join_star_schema",
+    # r9 windows
+    "window_row_number_topk", "window_running_sum",
+    # r9 scans
+    "scan_jsonl_roundtrip", "scan_partition_pruned",
+    # r9 streaming pair
+    "stream_stateful_totals", "stream_stream_interval_join",
+    # r9 singletons across groups
+    "dedup_simhash", "text_repetition_ratio",
+    "events_funnel_steps", "retention_cohorts",
+    "ts_rollup_gapfill", "ts_subsequence_search",
+    "sample_capped_per_key", "reshape_chunk_tokens",
+    "dq_expectations", "dq_column_profile",
+    "maintenance_compact_files", "multimodal_resize",
+    # NEW this round (retirement-swap commit): windowed funnel
+    "events_window_funnel_conversion",
+    # spare slot: bench falsifier watch item (VERDICT r11 item 2)
+    "pipeline_training_data",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
 ]

@@ -368,7 +368,7 @@ _BNLJ_ALLOWED = {
     "sim_search_cosine_topk",
     # centroid table (n_centroids rows) broadcast under a deliberate
     # cross join for query->probe assignment
-    "sim_search_ivf", "sim_search_ivf_kmeans",
+    "sim_search_ivf",
     # ONE-row aggregate (quantile cutoffs / corpus size / key summary)
     # broadcast-cross-joined onto the other side — bounded by
     # construction

@@ -126,6 +126,45 @@ def test_ivf_kmeans_recovers_planted_clusters(spark):
     assert recall >= 0.9, f"k-means IVF recall@5 = {recall:.2f}"
 
 
+def test_ivf_kmeans_catalog_chain_on_testdata(spark):
+    """The retired ``sim_search_ivf_kmeans`` catalog chain, verbatim
+    (retirement recorded round 12 per the SURVEY §2B capacity policy:
+    a new oracled key may only land in the commit that retires one —
+    this test carries the retiree's driver evidence). The key was
+    permanently rows-only, so the driver ever only checked row count,
+    schema stability, and that the MLlib-training integration
+    executes; all three are pinned here on the real sf0.001
+    embeddings table, plus cross-run determinism, which the driver's
+    single execution could never check."""
+    from universal_data_connector_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    def chain():
+        e = load(spark, SF_DIR, "embeddings")
+        cents = kmeans_centroids(e, n_centroids=8, max_iter=8)
+        out = ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
+                       n_centroids=8, n_probe=2, centroids=cents)
+        return out.select("query_id", "neighbor_id",
+                          F.col("rank").cast("bigint").alias("rank"))
+
+    out = chain()
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank"]
+    rows = out.collect()
+    # 10 queries x top-5 from probed lists; a query's 2 probed lists of
+    # 8 always hold >= 5 candidates on this table, so exactly 50 rows
+    assert len(rows) == 50
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    # fixed-seed MLlib training => the whole chain is deterministic
+    again = {(r.query_id, r.rank): r.neighbor_id for r in chain().collect()}
+    first = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    assert again == first
+
+
 def test_lsh_topk_recall_on_planted_clusters(spark):
     """Three tight planted clusters: hyperplane LSH must put
     same-cluster vectors at the top of each query's neighbor list."""

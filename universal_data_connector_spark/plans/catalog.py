@@ -1664,31 +1664,20 @@ def sim_search_lsh(spark, sf_dir):
                                      threshold=0.30)
 
 
-@query("sim_search_ivf_kmeans")  # approximate + trained -> rows-only
-def sim_search_ivf_kmeans(spark, sf_dir):
-    """IVF over MLlib spherical-k-means inverted lists (fixed seed):
-    trained centroids align lists with whatever cluster structure the
-    corpus has (on clustered corpora probe-1 recall is near-total —
-    asserted on planted clusters in tests/test_similarity.py; the
-    synthetic embeddings table is near-isotropic, where no list
-    assignment can beat random).
-
-    PERMANENTLY rows-only — decision recorded per VERDICT r8 item 4:
-    the oracle SQL is a static string fixed at import time, but the
-    centroids are TRAINED on whatever ``sf_dir`` the driver passes,
-    so they cannot be embedded in the SQL (the route ``sim_search_ivf``
-    took works only because its centroids are deterministic
-    first-n-rows, data-independent given the convention). Freezing
-    trained centroids as a fixture would make this key a second copy
-    of ``sim_search_ivf`` and drop the thing it exists to cover — the
-    MLlib training integration. Evidence: the planted-cluster recall
-    pin and determinism test in tests/test_similarity.py, plus the
-    driver's rows-count check."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = osim.kmeans_centroids(e, n_centroids=8, max_iter=8)
-    out = osim.ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
-                        n_centroids=8, n_probe=2, centroids=cents)
-    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+# RETIRED round 12 (VERDICT r11 item 6 — the standing capacity policy's
+# first deliberate exercise): ``sim_search_ivf_kmeans`` left the driver
+# catalog to make room for ``events_window_funnel_conversion`` in the
+# same commit. The key was PERMANENTLY rows-only (trained centroids
+# cannot be embedded in import-time oracle SQL — decision recorded
+# round 9), so retiring it raises the catalog's oracled fraction from
+# 143/147 to 144/147. Its evidence moved to the in-repo suite:
+# ``tests/test_similarity.py::test_ivf_kmeans_catalog_chain_on_testdata``
+# reproduces the retired catalog chain verbatim (MLlib spherical
+# k-means training on the real sf0.001 embeddings table -> probe-2 IVF
+# top-5 -> schema/rowcount/determinism pins), alongside the standing
+# planted-cluster recall pin. The operators themselves
+# (``operators/similarity.py::kmeans_centroids`` / ``ivf_topk``) are
+# unchanged and still serve ``sim_search_ivf``.
 
 
 @query(
@@ -3168,6 +3157,82 @@ def events_funnel_steps(spark, sf_dir):
         F.count("t1").cast("bigint").alias("n_view"),
         F.count("t2").cast("bigint").alias("n_view_click"),
         F.count("t3").cast("bigint").alias("n_view_click_purchase"))
+
+
+@query(
+    "events_window_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, ts AS t0 FROM events
+               WHERE event_type = 'view'),
+    c AS (
+        SELECT v.user_id, v.t0,
+               (SELECT MIN(e.ts) FROM events e
+                 WHERE e.user_id = v.user_id AND e.event_type = 'click'
+                   AND e.ts > v.t0
+                   AND e.ts <= v.t0 + INTERVAL 6 HOUR) AS tc
+        FROM v
+    ), p AS (
+        SELECT c.user_id, c.t0, c.tc,
+               (SELECT MIN(e.ts) FROM events e
+                 WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+                   AND e.ts > c.tc
+                   AND e.ts <= c.t0 + INTERVAL 6 HOUR) AS tp
+        FROM c
+    ), d AS (
+        SELECT user_id,
+               MAX(1 + CASE WHEN tc IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN tp IS NULL THEN 0 ELSE 1 END)
+                   AS funnel_depth
+        FROM p GROUP BY user_id
+    )
+    SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY funnel_depth
+    """,
+)
+def events_window_funnel_conversion(spark, sf_dir):
+    """Sliding-window funnel (the ClickHouse ``windowFunnel`` shape,
+    anchored per attempt): for every 'view' event the user may convert
+    by a first 'click' strictly after it and a first 'purchase'
+    strictly after that click, BOTH within 6 hours of the anchoring
+    view; the user's funnel depth is the best depth over all their
+    view anchors. Output: users per depth (1 = viewed only, 2 =
+    view->click in-window, 3 = full conversion). Unlike
+    ``events_funnel_steps`` (whose steps may be days apart), the
+    window bound makes this the campaign-attribution variant.
+
+    Spark-first plan — ONE shuffle, no self-joins: both step lookups
+    are value-range window frames over ``unix_micros(ts)`` on the same
+    user partitioning (``rangeBetween(1, 6h)`` gives the strict lower
+    bound and the inclusive window cap for free), the purchase step
+    filtering a frame-collected array with a higher-order lambda
+    against the correlated click time (x > tc is NULL-safe: no click
+    in window => empty filter => NULL purchase). The per-user rollup
+    and both groupBys reuse the window's hash partitioning. At 100 TB
+    the frame cost is bounded by events-per-user-per-6h (page-view
+    cardinality, not corpus cardinality) and the naive alternative —
+    three filtered scans self-joined per step with a BETWEEN, fanout
+    views x clicks per user — never materializes. Added round 12 in
+    the same commit that retires ``sim_search_ivf_kmeans`` (capacity
+    policy, SURVEY §2B)."""
+    win_us = 6 * 3600 * 1_000_000
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+    ty = F.col("event_type")
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(1, win_us)
+    e = e.withColumn("tc", F.min(F.when(ty == "click", F.col("us"))).over(w))
+    e = e.withColumn(
+        "purch", F.collect_list(F.when(ty == "purchase", F.col("us"))).over(w))
+    views = e.filter(ty == "view").withColumn(
+        "tp", F.array_min(F.filter("purch", lambda x: x > F.col("tc"))))
+    depth = (
+        F.lit(1)
+        + F.when(F.col("tc").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    per_user = views.groupBy("user_id").agg(F.max(depth).alias("funnel_depth"))
+    return per_user.groupBy("funnel_depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
 
 
 @query(
