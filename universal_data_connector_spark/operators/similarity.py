@@ -399,7 +399,8 @@ def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
 def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_planes: int = 1280, bands: int = 64,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7,
+                       bucket_cap: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) by
     candidates-then-verify — the same discipline as MinHash dedup,
     replacing the O(n^2) all-pairs join that cannot survive 100 TB.
@@ -434,6 +435,23 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     one-off projection matmul). Where buckets are dense because
     members really ARE above threshold, the OUTPUT is quadratic and
     no candidate scheme avoids it.
+
+    ``bucket_cap`` (round 12, VERDICT r11 item 4) bounds exactly that
+    quadratic tail for corpora whose cluster mass sits AT the banding
+    cutoff: when set, each (band, bucket) keeps only its ``bucket_cap``
+    lowest-id members before the self-join (deterministic selection —
+    the market_basket 64-key precedent), so per-band candidate cost is
+    bounded at sum-over-buckets C(cap, 2) and the verify shuffle
+    degrades linearly in corpus size instead of quadratically in
+    cluster size. The truncation is DISCLOSED, not silent: the
+    operator logs how many (band, bucket) memberships were dropped
+    (one bounded single-row aggregate over the band frame). A true
+    pair is lost only if it falls in the dropped tail of EVERY band
+    it shares, and selection is by id order, so ids within
+    ``bucket_cap`` of the front of every bucket keep exact recall.
+    Default None preserves the exact-output contract the driver
+    oracle checks (`plans/catalog.py::dedup_embedding_cosine` calls
+    this uncapped).
     """
     from universal_data_connector_spark.functions.vectors import (
         dot_product,
@@ -452,6 +470,25 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # Arrow signature matmul once per side under AQE
     b = (hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)
          .localCheckpoint(eager=True))
+    if bucket_cap is not None:
+        if bucket_cap < 2:
+            raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+        from pyspark.sql.window import Window
+        # rank within each (band, bucket) by id — the shuffle this
+        # window introduces is on the SAME key the self-join below
+        # hashes on, so the join reuses its partitioning instead of
+        # adding an exchange
+        wb = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+        ranked = b.withColumn("__rn", F.row_number().over(wb))
+        dropped = ranked.filter(F.col("__rn") > bucket_cap).count()
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "lsh_near_dup_pairs: bucket_cap=%d dropped %d (band, "
+                "bucket) memberships — pairs wholly inside dropped "
+                "tails are not verified; output is a disclosed subset",
+                bucket_cap, dropped)
+        b = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     cand = (b.select(F.col(id_col).alias("id_1"), "band_idx", "band_val")
              .join(b.select(F.col(id_col).alias("id_2"), "band_idx", "band_val"),
                    ["band_idx", "band_val"])
