@@ -5,7 +5,7 @@ repo is structural + plan-asserted but nothing has EXECUTED above
 sf0.1. This generator produces the same ten tables with the same
 schemas and the same shape of value distributions (verified against
 /root/testdata/sf0.1: cardinalities, key fanouts, category sets,
-word-salad document text with a small exact-duplicate tail, 64-dim
+document text with a small exact-duplicate tail, 64-dim
 10-cluster embeddings) at arbitrary sf, so the scale probe
 (tools/scale_probe.py) can measure sf0.1 -> sf1.0 scaling on data from
 ONE generator — apples to apples. Seed fixed at 42: every run emits
@@ -16,6 +16,15 @@ oracled on the driver's own parquet. Output goes under
 scale_probe/ (gitignored).
 
 Usage: python tools/gen_scale_probe_data.py [sf ...]   (default: 0.1 1.0)
+
+Generator v2 (round 12): document text now draws from a 10^4-word
+zipf(1.1) pseudo-language instead of the original 26-word vocabulary
+(see `_doc_vocab`), so shingle-collision-driven candidate volume in
+the minhash / cluster_cc chains measures the operator on realistic
+text rather than the probe artifact BENCH_NOTES_r11 footnote 1 had to
+explain away. All other tables are byte-identical to v1 (the v1 word
+draw is kept and discarded to preserve the shared rng stream), so
+pre-v2 probe artifacts remain comparable on non-document chains.
 """
 
 from __future__ import annotations
@@ -37,6 +46,35 @@ BASE = {
 VOCAB = ("batch part spark line column order small sort fast value scan "
          "a hash slow group query big filter key window row table stream "
          "merge data agg").split()
+
+
+def _doc_vocab(n_words: int = 10_000) -> list[str]:
+    """Deterministic 10^4-word pseudo-language for document text
+    (generator v2, VERDICT r11 item 5). The original 26-word VOCAB
+    made every 5-gram shingle collide corpus-wide, so the minhash /
+    cluster_cc probe shuffle ratios measured the vocabulary artifact,
+    not the operator — footnote-explained in BENCH_NOTES_r11 instead
+    of measured. Real text has a heavy-tailed vocabulary; syllable
+    words under a zipf(1.1) rank distribution reproduce that shape
+    (shingle collisions now come from genuinely repeated phrases, as
+    on real corpora)."""
+    rng = np.random.default_rng(777)
+    syl = np.array([c + v for c in "bcdfghklmnprstvz" for v in "aeiou"])
+    words: list[str] = []
+    seen: set[str] = set()
+    while len(words) < n_words:
+        k = int(rng.integers(2, 5))
+        w = "".join(syl[rng.integers(0, len(syl), k)])
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+DOC_VOCAB = _doc_vocab()
+_ranks = np.arange(1, len(DOC_VOCAB) + 1, dtype=np.float64)
+DOC_ZIPF_CDF = np.cumsum(1.0 / _ranks ** 1.1)
+DOC_ZIPF_CDF /= DOC_ZIPF_CDF[-1]
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -154,9 +192,16 @@ def generate(sf: float, out_dir: str) -> None:
 
     nd = n["documents"]
     lens = rng.integers(8, 105, nd)
-    word_idx = rng.integers(0, len(VOCAB), int(lens.sum()))
+    # v1 drew word indices from the SHARED rng here; the draw is kept
+    # (and discarded) so every table after this point — events came
+    # before, embeddings after — stays byte-identical to the v1
+    # generator. Only the documents table changes in v2.
+    _ = rng.integers(0, len(VOCAB), int(lens.sum()))
+    rng_words = np.random.default_rng(4242)
+    word_idx = np.searchsorted(
+        DOC_ZIPF_CDF, rng_words.random(int(lens.sum())))
     texts, pos = [], 0
-    vocab = VOCAB
+    vocab = DOC_VOCAB
     for ln in lens:
         texts.append(" ".join(vocab[w] for w in word_idx[pos:pos + ln]))
         pos += ln

@@ -48,7 +48,29 @@ PROBE_KEYS = [
     "ts_rollup_gapfill",
     "text_tfidf_topk",
     "join_inner_hash",          # the plain big-big shuffle join
+    # round 12: capped variant of the embedding near-dup chain —
+    # same plan as dedup_embedding_cosine but with the per-bucket
+    # candidate cap engaged, so its shuffle delta vs the uncapped key
+    # MEASURES how much of the quadratic within-cluster candidate
+    # tail the cap removes (VERDICT r11 item 4)
+    "dedup_embedding_cosine_cap64",
 ]
+
+
+def _embedding_cosine_cap64(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+    from universal_data_connector_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, threshold=0.95, bucket_cap=64) \
+        .select("id_1", "id_2")
+
+
+CUSTOM_CHAINS = {"dedup_embedding_cosine_cap64": _embedding_cosine_cap64}
 
 
 def stage_totals(spark) -> dict:
@@ -57,12 +79,38 @@ def stage_totals(spark) -> dict:
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as fh:
         stages = json.load(fh)
+    # dedupe to the LAST attempt per stage: summing every attempt
+    # double-counts retried stages (ADVICE r11)
+    latest: dict[int, tuple[int, dict]] = {}
+    for s in stages:
+        sid, att = s["stageId"], s.get("attemptId", 0)
+        if sid not in latest or att > latest[sid][0]:
+            latest[sid] = (att, s)
+    kept = [s for _, s in latest.values()]
     return {
-        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
-        "spill_disk": sum(s.get("diskBytesSpilled", 0) for s in stages),
-        "spill_mem": sum(s.get("memoryBytesSpilled", 0) for s in stages),
-        "input": sum(s.get("inputBytes", 0) for s in stages),
+        "n_stages": len(kept),
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in kept),
+        "spill_disk": sum(s.get("diskBytesSpilled", 0) for s in kept),
+        "spill_mem": sum(s.get("memoryBytesSpilled", 0) for s in kept),
+        "input": sum(s.get("inputBytes", 0) for s in kept),
     }
+
+
+def settled_stage_totals(spark, timeout: float = 6.0) -> dict:
+    """Stage-completion events reach the status store through the
+    async listener bus, so a snapshot taken the instant an action
+    returns can miss that action's last stages (they would then be
+    mis-attributed to the NEXT query's delta — ADVICE r11). Poll until
+    two consecutive reads agree, bounded by `timeout`."""
+    prev = stage_totals(spark)
+    deadline = time.perf_counter() + timeout
+    while time.perf_counter() < deadline:
+        time.sleep(0.25)
+        cur = stage_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:
@@ -88,20 +136,34 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .appName("udc-scale-probe")
-             .config("spark.sql.shuffle.partitions", cpus)
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.driver.memory",
-                     os.environ.get("SPARK_DRIVER_MEM", "48g"))
-             .config("spark.ui.enabled", "true")
-             .config("spark.ui.port", "4097")
-             # the probe's before/after stage deltas are only truthful
-             # while NO completed stage is evicted mid-measurement; the
-             # default retainedStages=1000 can evict during the
-             # multi-job sf1.0 chains (review finding r11)
-             .config("spark.ui.retainedStages", "100000")
-             .getOrCreate())
+    # SPARK_GRAFT_MASTER overrides the master URL (VERDICT r11 item 3:
+    # e.g. `local-cluster[4,8,28672]` = 4 worker JVMs x 8 cores x
+    # 28 GiB — real executor processes, so the big shuffles pay actual
+    # serialization + loopback network transfer instead of local[32]'s
+    # in-process block handoff). Executor python workers need the repo
+    # importable, hence the PYTHONPATH propagation.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    builder = (SparkSession.builder.master(master)
+               .appName("udc-scale-probe")
+               .config("spark.sql.shuffle.partitions", cpus)
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_DRIVER_MEM", "48g"))
+               .config("spark.executorEnv.PYTHONPATH", repo)
+               .config("spark.ui.enabled", "true")
+               .config("spark.ui.port", "4097")
+               # the probe's before/after stage deltas are only truthful
+               # while NO completed stage is evicted mid-measurement; the
+               # default retainedStages=1000 can evict during the
+               # multi-job sf1.0 chains (review finding r11)
+               .config("spark.ui.retainedStages", "100000"))
+    if master.startswith("local-cluster"):
+        # worker mem spec is the third bracket field (MiB); size the
+        # executors to it so the cluster actually schedules
+        mem_mb = master.rstrip("]").split(",")[-1]
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from universal_data_connector_spark.plans.catalog import QUERIES
@@ -117,16 +179,18 @@ def main() -> None:
         for sf_label, sf_dir in dirs.items():
             samples, met0 = [], None
             for _ in range(reps):
-                before = stage_totals(spark)
+                fn = CUSTOM_CHAINS.get(key) or QUERIES[key]
+                before = settled_stage_totals(spark)
                 t0 = time.perf_counter()
-                QUERIES[key](spark, sf_dir) \
+                fn(spark, sf_dir) \
                     .write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                after = stage_totals(spark)
+                after = settled_stage_totals(spark)
                 spark.catalog.clearCache()
                 samples.append(dt)
                 if met0 is None:
-                    met0 = {k: after[k] - before[k] for k in after}
+                    met0 = {k: after[k] - before[k] for k in after
+                            if k != "n_stages"}
             results[key][sf_label] = {
                 "sec_min": round(min(samples), 3),
                 "sec_all": [round(s, 3) for s in samples],

@@ -68,7 +68,18 @@ _BUILD_TL = threading.local()
 
 def query(name: str, oracle: str | None = None):
     """Register a catalog query; `oracle=None` => rows-only check
-    (genuinely non-SQL-expressible, e.g. LSH signatures)."""
+    (genuinely non-SQL-expressible, e.g. LSH signatures).
+
+    Caller contract — BUILD then ACT, per thread (ADVICE r11): frames
+    a query pins during its build (`relational.pin_frame`, e.g. the
+    rfm per-customer aggregate) are released when the SAME thread
+    builds its NEXT catalog query, on the assumption the previous
+    query's action has run by then. Driver, bench, oracle sweep and
+    the tests all follow build->act->build->act. A caller that builds
+    two queries before acting on the first gets CORRECT results but
+    silently loses the first query's materialization (its persisted
+    frame is unpersisted before the action, so the plan recomputes) —
+    build-build-act is a perf bug, not a correctness bug."""
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             udc_session.pin(spark)
