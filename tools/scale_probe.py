@@ -77,8 +77,20 @@ def stage_totals(spark) -> dict:
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as fh:
-        stages = json.load(fh)
+    # generous timeout + retry: the first status-API hit after session
+    # start can exceed 10s while Jersey + the status store warm up
+    # (observed under local-cluster, where it killed the whole probe)
+    last_err = None
+    for attempt in range(3):
+        try:
+            with urllib.request.urlopen(url, timeout=60) as fh:
+                stages = json.load(fh)
+            break
+        except Exception as e:   # noqa: BLE001 - retried, then re-raised
+            last_err = e
+            time.sleep(2 * (attempt + 1))
+    else:
+        raise last_err
     # dedupe to the LAST attempt per stage: summing every attempt
     # double-counts retried stages (ADVICE r11)
     latest: dict[int, tuple[int, dict]] = {}
