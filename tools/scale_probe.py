@@ -48,6 +48,9 @@ PROBE_KEYS = [
     "ts_rollup_gapfill",
     "text_tfidf_topk",
     "join_inner_hash",          # the plain big-big shuffle join
+    # round 12: the retirement-swap key's scale posture (two range
+    # window frames + rollup on one user partitioning)
+    "events_window_funnel_conversion",
     # round 12: capped variant of the embedding near-dup chain —
     # same plan as dedup_embedding_cosine but with the per-bucket
     # candidate cap engaged, so its shuffle delta vs the uncapped key
