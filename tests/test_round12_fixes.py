@@ -92,6 +92,128 @@ def test_window_funnel_semantics_on_crafted_events(spark, tmp_path):
     assert ok, detail
 
 
+_EVENTS_ONLY_KEYS = [
+    # every catalog key that reads ONLY the events table and whose
+    # oracle has no testdata-dependent constants — eligible for
+    # differential fuzzing on random tables
+    "events_funnel_steps", "events_window_funnel_conversion",
+    "events_sessionize_gap", "events_top_paths", "events_dau_wau",
+    "events_attribution_first_last", "retention_cohorts",
+]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_events_keys_differential_fuzz(spark, tmp_path, seed):
+    """Differential fuzzing: a RANDOM events table (duplicate
+    timestamps included, so tiebreak rules are exercised) is run
+    through each events-only catalog key on Spark AND its DuckDB
+    oracle. The fixed testdata can only witness the rules its
+    distribution happens to hit; random tables probe the rule
+    boundaries (session gaps landing exactly on the threshold, funnel
+    steps out of order, ties inside ranking windows, single-event
+    users). Seeds are fixed so the gate is reproducible."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    # timestamps over ~3 weeks so retention_cohorts gets >1 cohort
+    # week; second-resolution base + occasional EXACT duplicates
+    base = np.datetime64("2024-02-01", "us")
+    ts = base + rng.integers(0, 21 * 86_400, n).astype("timedelta64[s]")
+    dup_idx = rng.integers(0, n, n // 10)
+    ts[dup_idx] = ts[(dup_idx + 1) % n]     # planted exact-tie pairs
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 8, n).astype(np.int64)),
+        "event_type": pa.array(types[rng.integers(0, 5, n)]),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 9, n)]),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')")
+    for name in _EVENTS_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+_DOCUMENTS_ONLY_KEYS = [
+    "text_token_count_bpe", "text_language_id", "text_quality_score",
+    "text_fingerprint", "text_rolling_hash", "text_tokenize_stats",
+    "text_repetition_ratio", "text_unigram_logprob",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_containment_ngram",
+]
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_documents_keys_differential_fuzz(spark, tmp_path, seed):
+    """Differential fuzzing for the documents-only keys: random text
+    built to probe the shared Java-regex/RE2 dialect the engine and
+    oracles are written in — mixed case, digits, punctuation runs,
+    tab/newline/multi-space whitespace, leading/trailing whitespace,
+    empty and single-word documents, exact duplicates and
+    one-word-perturbed near-duplicates. Any tokenize / normalize /
+    n-gram rule where the two dialects diverge on these inputs fails
+    here before the driver could ever see it. (Scope: the text stays
+    inside the documented shared-dialect whitespace set — space, tab,
+    newline — since e.g. vertical tab is classified differently by
+    Java \\s and RE2 \\s by design.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([
+        "the", "cat", "Data", "SPARK", "x9", "3.14", "hello,", "world!",
+        "a", "re-run", "semi;colon", "(paren)", "end.", "don't", "über",
+        "mail@host.io", "42", "--", "...",
+    ])
+    seps = np.array([" ", "  ", "\t", "\n", " \n "])
+    n = 120
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 40))
+        words = vocab[rng.integers(0, len(vocab), k)]
+        sep = str(seps[rng.integers(0, len(seps))])
+        t = sep.join(words)
+        if rng.random() < 0.2:
+            t = " " + t + "\t"          # leading/trailing whitespace
+        texts.append(t)
+    texts[7] = ""                        # empty document
+    texts[11] = "solo"                   # single word
+    for i in range(0, n - 1, 17):        # exact-duplicate tail
+        texts[i + 1] = texts[i]
+    for i in range(3, n - 1, 29):        # near-duplicate tail
+        texts[i + 1] = texts[i] + " extra"
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs[rng.integers(0, 5, n)]),
+        "source": pa.array([f"src{k}" for k in rng.integers(0, 5, n)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    for name in _DOCUMENTS_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
 def test_window_funnel_empty_and_degenerate(spark, tmp_path):
     """Zero qualifying users must yield an empty frame (not an error),
     and a single lonely view yields depth 1."""

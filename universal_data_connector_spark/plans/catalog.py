@@ -1735,10 +1735,12 @@ def embedding_normalize(spark, sf_dir):
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-               AS distinct_ratio
+           CASE WHEN len(toks) = 0 THEN NULL ELSE
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+           CASE WHEN len(toks) = 0 THEN NULL ELSE
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS distinct_ratio
     FROM (SELECT doc_id, text,
                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                              t -> t <> '') AS toks
@@ -1749,19 +1751,25 @@ def text_tokenize_stats(spark, sf_dir):
     """Per-document token statistics (functions/text.py): all
     higher-order array expressions — a pure projection over 100 TB.
     No spread: the projection is cheap enough that the raw-text shuffle
-    never pays for itself (measured at sf0.1)."""
+    never pays for itself (measured at sf0.1). The two ratio columns
+    are NULL for zero-token (empty / whitespace-only) documents —
+    found by the round-12 differential fuzzer: the unguarded division
+    crashed the whole query under ANSI mode on any corpus containing
+    one empty document (the driver testdata has none, so twelve rounds
+    of green never exercised it)."""
     d = load(spark, sf_dir, "documents")
     toks = ft.tokenize(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     tok_len_sum = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    nonzero = F.when(n_tokens > 0, n_tokens.cast("double"))  # NULL at 0
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         F.length("text").cast("bigint").alias("n_chars"),
-        (tok_len_sum.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
-        (n_distinct.cast("double") / n_tokens.cast("double")).alias("distinct_ratio"))
+        (tok_len_sum.cast("double") / nonzero).alias("avg_token_len"),
+        (n_distinct.cast("double") / nonzero).alias("distinct_ratio"))
 
 
 @query(
