@@ -214,6 +214,109 @@ def test_documents_keys_differential_fuzz(spark, tmp_path, seed):
         assert ok, f"{name} (seed {seed}): {detail}"
 
 
+_LINEITEM_ONLY_KEYS = [
+    "agg_hash_sum_avg", "agg_count_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_stats_moments", "agg_histogram_bins",
+    "agg_weighted_avg", "agg_corr_exact", "limit_topk",
+]
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_lineitem_keys_differential_fuzz(spark, tmp_path, seed):
+    """Differential fuzzing for the lineitem-only aggregation keys,
+    with the statistically nasty shapes the uniform testdata never
+    produces: a GROUP WITH ONE ROW and a CONSTANT-VALUED group (both
+    stress skew/kurtosis/correlation denominators), heavy exact ties
+    in every measure, and duplicate whole rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 250
+    flag_pairs = [("A", "F"), ("N", "F"), ("N", "O"),
+                  ("R", "F"), ("R", "O")]
+    fp = [flag_pairs[i] for i in rng.integers(0, 4, n)]  # hold out R/O
+    fp[0] = ("R", "O")                                   # 1-row group
+    qty = rng.choice([1.0, 2.0, 5.0, 50.0], n)           # heavy ties
+    price = np.round(rng.choice([100.0, 250.5, 999.99], n)
+                     * rng.integers(1, 4, n), 2)
+    # constant-valued group: every A/F row gets identical measures
+    # (zero variance => skewness/kurtosis/correlation denominators
+    # are exactly 0)
+    af = np.array([p == ("A", "F") for p in fp])
+    qty[af], price[af] = 7.0, 700.0
+    base = np.datetime64("1996-01-01", "us")
+    ship = base + (rng.integers(0, 400, n) * 86_400).astype("timedelta64[s]")
+    tbl = pa.table({
+        "l_orderkey": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+        "l_partkey": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price),
+        "l_discount": pa.array(np.round(rng.choice([0.0, 0.05, 0.1], n), 2)),
+        "l_tax": pa.array(np.round(rng.choice([0.0, 0.04, 0.08], n), 2)),
+        "l_returnflag": pa.array([p[0] for p in fp]),
+        "l_linestatus": pa.array([p[1] for p in fp]),
+        "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/lineitem.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')")
+    for name in _LINEITEM_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+_ORDERS_ONLY_KEYS = [
+    "window_row_number_topk", "window_running_sum", "sort_multi_key",
+    "agg_mode_per_group",
+]
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_orders_keys_differential_fuzz(spark, tmp_path, seed):
+    """Differential fuzzing for the orders-only window/sort keys with
+    EXACT ties on every ranking measure (totalprice drawn from a
+    4-value set, duplicate orderdates): any ranking window or sort
+    whose tiebreak is not total diverges here."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    base = np.datetime64("1997-01-01", "us")
+    dates = base + (rng.integers(0, 30, n) * 86_400).astype("timedelta64[s]")
+    tbl = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.integers(0, 3, n)]),
+        "o_totalprice": pa.array(
+            rng.choice([1000.0, 2500.5, 2500.5, 90000.99], n)),
+        "o_orderdate": pa.array(dates.astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"])[rng.integers(0, 5, n)]),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/orders.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')")
+    for name in _ORDERS_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
 def test_window_funnel_empty_and_degenerate(spark, tmp_path):
     """Zero qualifying users must yield an empty frame (not an error),
     and a single lonely view yields depth 1."""

@@ -1182,7 +1182,12 @@ def json_funcs(spark, sf_dir):
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 4) AS var_qty,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+           CASE WHEN stddev_samp(l_quantity) > 0
+                 AND stddev_samp(l_extendedprice) > 0
+                THEN round(covar_samp(l_quantity, l_extendedprice)
+                           / (stddev_samp(l_quantity)
+                              * stddev_samp(l_extendedprice)), 6)
+                ELSE NULL END AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1192,15 +1197,26 @@ def agg_stats_moments(spark, sf_dir):
     numerically (Chan/Welford-style), so outputs are rounded below the
     last-ulp disagreement while staying far above data resolution.
     One partial-aggregated shuffle regardless of how many moments ride
-    on the same groupBy."""
+    on the same groupBy.
+
+    Correlation is derived as covar_samp / (sd_x * sd_y) with an
+    explicit zero-variance guard instead of the built-in corr():
+    Spark's corr() itself raises DIVIDE_BY_ZERO under ANSI mode on a
+    constant-valued group (found by the round-12 differential fuzzer;
+    the driver testdata has no such group). The guard is mirrored
+    token-for-token in the oracle so both engines emit NULL there."""
     li = load(spark, sf_dir, "lineitem")
+    sdx = F.stddev_samp("l_quantity")
+    sdy = F.stddev_samp("l_extendedprice")
+    corr = F.when((sdx > 0) & (sdy > 0),
+                  F.round(F.covar_samp("l_quantity", "l_extendedprice")
+                          / (sdx * sdy), 6))
     return (li.groupBy("l_returnflag")
-              .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+              .agg(F.round(sdx, 4).alias("sd_qty"),
                    F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
                    F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
                     .alias("cov_qty_price"),
-                   F.round(F.corr("l_quantity", "l_extendedprice"), 6)
-                    .alias("corr_qty_price")))
+                   corr.alias("corr_qty_price")))
 
 
 # ---------------------------------------------------------------------------
@@ -4606,9 +4622,11 @@ def agg_argmax_struct(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-               AS corr_qty_price,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6)
+                ELSE NULL END AS corr_qty_price,
            CAST(n AS BIGINT) AS n
     FROM s
     """,
@@ -4635,10 +4653,16 @@ def agg_corr_exact(spark, sf_dir):
                 dsum(x * y).alias("sxy")))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = ((n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    # correlation is undefined on a zero-variance side (the round-12
+    # differential fuzzer crashed the unguarded division under ANSI
+    # on a constant-valued group); the > 0 guard also keeps float-noise
+    # negatives out of sqrt, with the IDENTICAL guard in the oracle
+    corr = F.when((varx > 0) & (vary > 0),
+                  F.round((n * sxy - sx * sy)
+                          / (F.sqrt(varx) * F.sqrt(vary)), 6))
     return s.select("l_returnflag",
-                    F.round(corr, 6).alias("corr_qty_price"),
+                    corr.alias("corr_qty_price"),
                     n.cast("bigint").alias("n"))
 
 
