@@ -99,6 +99,16 @@ _EVENTS_ONLY_KEYS = [
     "events_funnel_steps", "events_window_funnel_conversion",
     "events_sessionize_gap", "events_top_paths", "events_dau_wau",
     "events_attribution_first_last", "retention_cohorts",
+    # time-series family (also events-only): interpolation at random
+    # gaps, EWMA fold order, MAD thresholds on tied values, per-user
+    # distinct accumulation, rollup gap-fill spines, pattern search
+    "ts_resample_interp", "ts_ewma", "ts_anomaly_mad",
+    "ts_cumulative_distinct", "ts_rollup_gapfill",
+    "ts_subsequence_search", "window_gap_islands",
+    # as-of / interval joins over events: random timestamps with
+    # planted exact ties probe the tolerance and nearest tiebreaks
+    "join_asof", "join_asof_tolerance", "join_asof_nearest",
+    "join_interval_overlap",
 ]
 
 
@@ -275,7 +285,7 @@ def test_lineitem_keys_differential_fuzz(spark, tmp_path, seed):
 
 _ORDERS_ONLY_KEYS = [
     "window_row_number_topk", "window_running_sum", "sort_multi_key",
-    "agg_mode_per_group",
+    "agg_mode_per_group", "ts_moving_window_avg",
 ]
 
 
@@ -313,6 +323,150 @@ def test_orders_keys_differential_fuzz(spark, tmp_path, seed):
             f"read_parquet('{sf_dir}/orders.parquet')")
     for name in _ORDERS_ONLY_KEYS:
         ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_dim_window_keys_differential_fuzz(spark, tmp_path, seed):
+    """part/customer ranking keys on random dims with EXACT ties in
+    every ranking measure (retailprice/size/acctbal from tiny value
+    sets): rank/dense_rank/ntile tiebreaks must be total on both
+    engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    npart, ncust = 150, 160
+    brands = np.array([f"Brand#{i}{j}" for i in range(1, 4)
+                       for j in range(1, 4)])
+    types = np.array(["STANDARD PLATED", "SMALL BURNISHED",
+                      "LARGE ANODIZED"])
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(npart, dtype=np.int64)),
+        "p_name": pa.array([f"part x {i}" for i in range(npart)]),
+        "p_brand": pa.array(brands[rng.integers(0, len(brands), npart)]),
+        "p_type": pa.array(types[rng.integers(0, 3, npart)]),
+        "p_size": pa.array(rng.choice([1, 5, 50], npart).astype(np.int32)),
+        "p_retailprice": pa.array(
+            rng.choice([901.0, 1500.5, 1500.5, 2099.99], npart)),
+    }), f"{tmp_path}/part.parquet")
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                     "HOUSEHOLD", "MACHINERY"])
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(ncust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(ncust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, ncust).astype(np.int32)),
+        "c_acctbal": pa.array(
+            rng.choice([-10.0, 0.0, 500.25, 500.25, 9999.99], ncust)),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 5, ncust)]),
+    }), f"{tmp_path}/customer.parquet")
+
+    con = duckdb.connect()
+    for t in ("part", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')")
+    for name in ("window_rank_family", "window_ntile_quartiles"):
+        ok, detail = compare(QUERIES[name](spark, str(tmp_path)),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+_JOIN_FUZZ_KEYS = ["join_inner_hash", "join_left", "join_semi",
+                   "join_anti", "join_full_outer", "join_broadcast",
+                   "join_salted_skew", "join_range_theta",
+                   "join_null_safe_eq", "join_star_schema"]
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_join_keys_differential_fuzz(spark, tmp_path, seed):
+    """Join keys on random tables with DANGLING keys in BOTH
+    directions — customers with no orders, orders pointing at
+    nonexistent customers, lineitems at missing parts, plus duplicate
+    join keys for fanout — shapes the FK-clean testdata can never
+    produce. left/anti/full_outer must surface exactly the dangling
+    rows; semi/inner must drop them identically on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    ncust, nord, nsupp, npart, nline = 40, 120, 15, 30, 150
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                     "HOUSEHOLD", "MACHINERY"])
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(ncust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(ncust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, ncust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, ncust), 2)),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 5, ncust)]),
+    }), f"{tmp_path}/customer.parquet")
+    base = np.datetime64("1997-01-01", "us")
+    # custkeys 0..59 over 40 real customers: ~1/3 of orders dangle
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(nord, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 60, nord).astype(np.int64)),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.integers(0, 3, nord)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(900, 90000, nord), 2)),
+        "o_orderdate": pa.array(
+            (base + (rng.integers(0, 60, nord) * 86_400)
+             .astype("timedelta64[s]")).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                      "5-LOW"])[rng.integers(0, 5, nord)]),
+    }), f"{tmp_path}/orders.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(nsupp, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(nsupp)]),
+        "s_nationkey": pa.array(rng.integers(0, 40, nsupp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nsupp), 2)),
+    }), f"{tmp_path}/supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(npart, dtype=np.int64)),
+        "p_name": pa.array([f"part y {i}" for i in range(npart)]),
+        "p_brand": pa.array([f"Brand#{1 + i % 3}1" for i in range(npart)]),
+        "p_type": pa.array(
+            np.array(["STANDARD PLATED", "ECONOMY ANODIZED"])[
+                rng.integers(0, 2, npart)]),
+        "p_size": pa.array(rng.integers(1, 51, npart).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2100, npart), 2)),
+    }), f"{tmp_path}/part.parquet")
+    flag_pairs = [("A", "F"), ("N", "O"), ("R", "F")]
+    fp = [flag_pairs[i] for i in rng.integers(0, 3, nline)]
+    # partkeys 0..44 over 30 real parts: dangling lineitems too
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, nord, nline).astype(np.int64)),
+        "l_partkey": pa.array(rng.integers(0, 45, nline).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, nsupp, nline).astype(np.int64)),
+        "l_linenumber": pa.array(rng.integers(1, 8, nline).astype(np.int32)),
+        "l_quantity": pa.array(rng.choice([1.0, 10.0, 50.0], nline)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900, 100000, nline), 2)),
+        "l_discount": pa.array(np.round(rng.choice([0.0, 0.05], nline), 2)),
+        "l_tax": pa.array(np.round(rng.choice([0.0, 0.08], nline), 2)),
+        "l_returnflag": pa.array([p[0] for p in fp]),
+        "l_linestatus": pa.array([p[1] for p in fp]),
+        "l_shipdate": pa.array(
+            (base + (rng.integers(0, 400, nline) * 86_400)
+             .astype("timedelta64[s]")).astype("datetime64[us]")),
+    }), f"{tmp_path}/lineitem.parquet")
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        "n_regionkey": pa.array(
+            np.array([i % 5 for i in range(25)], dtype=np.int32)),
+    }), f"{tmp_path}/nation.parquet")
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "supplier", "part", "lineitem",
+              "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')")
+    for name in _JOIN_FUZZ_KEYS:
+        ok, detail = compare(QUERIES[name](spark, str(tmp_path)),
                              con.sql(ORACLES[name]))
         assert ok, f"{name} (seed {seed}): {detail}"
 
