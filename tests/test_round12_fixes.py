@@ -155,6 +155,49 @@ def test_events_keys_differential_fuzz(spark, tmp_path, seed):
         assert ok, f"{name} (seed {seed}): {detail}"
 
 
+@pytest.mark.parametrize("seed", [53])
+def test_events_keys_null_injection_fuzz(spark, tmp_path, seed):
+    """NULL-injection fuzzing: the driver testdata is fully non-null,
+    but a production events feed is not. ~8% NULL event_type and ~8%
+    NULL value (user_id/ts stay non-null: they are the partition and
+    order keys whose NULL semantics the engine does not promise).
+    Every events-only key must agree with its oracle under NULLs —
+    conditional aggregates skipping NULL types, value sums/means
+    ignoring NULL measures identically on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    base = np.datetime64("2024-02-01", "us")
+    ts = base + rng.integers(0, 21 * 86_400, n).astype("timedelta64[s]")
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    type_vals = [None if rng.random() < 0.08 else str(types[i])
+                 for i in rng.integers(0, 5, n)]
+    value_vals = [None if rng.random() < 0.08
+                  else float(np.round(rng.uniform(0, 100), 2))
+                  for _ in range(n)]
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 8, n).astype(np.int64)),
+        "event_type": pa.array(type_vals, pa.string()),
+        "value": pa.array(value_vals, pa.float64()),
+        "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 9, n)]),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')")
+    for name in _EVENTS_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
 _DOCUMENTS_ONLY_KEYS = [
     "text_token_count_bpe", "text_language_id", "text_quality_score",
     "text_fingerprint", "text_rolling_hash", "text_tokenize_stats",
@@ -211,6 +254,48 @@ def test_documents_keys_differential_fuzz(spark, tmp_path, seed):
         "source": pa.array([f"src{k}" for k in rng.integers(0, 5, n)]),
         "n_chars": pa.array(np.array([len(t) for t in texts],
                                      dtype=np.int64)),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    for name in _DOCUMENTS_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, sf_dir),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_documents_keys_null_injection_fuzz(spark, tmp_path, seed):
+    """NULL-injection for the documents keys: ~10% NULL text (a real
+    corpus always has some). NULL text must flow through tokenize /
+    fingerprint / n-gram / quality expressions as NULL (never crash,
+    never coerce to empty string) identically on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    words = np.array(["alpha", "beta", "Gamma", "delta,", "x1", "42."])
+    n = 100
+    texts = []
+    for i in range(n):
+        if rng.random() < 0.10:
+            texts.append(None)
+        else:
+            k = int(rng.integers(1, 30))
+            texts.append(" ".join(words[rng.integers(0, len(words), k)]))
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs[rng.integers(0, 5, n)]),
+        "source": pa.array([f"src{k}" for k in rng.integers(0, 5, n)]),
+        "n_chars": pa.array(
+            np.array([len(t) if t is not None else 0 for t in texts],
+                     dtype=np.int64)),
     })
     sf_dir = str(tmp_path)
     pq.write_table(tbl, f"{sf_dir}/documents.parquet")

@@ -1825,7 +1825,12 @@ _LID_SQL_LISTS = {
               FROM documents)
     )
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+           -- coalesce: NULL text yields NULL hit counts, which must
+           -- resolve to 'unknown' like the engine (a bare CASE would
+           -- fall through every NULL comparison to the ELSE branch —
+           -- round-12 NULL-injection fuzzer)
+           CASE WHEN coalesce(greatest(h_en, h_de, h_fr, h_es), 0) = 0
+                THEN 'unknown'
                 WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
                 WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
                 WHEN h_fr >= h_es THEN 'fr'
@@ -1896,7 +1901,12 @@ def text_fingerprint(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id,
-           CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+           -- NULL text hashes to NULL (distinct from empty text -> 0),
+           -- matching the engine's NULL propagation through the fold
+           -- (round-12 NULL-injection fuzzer: DuckDB's reduce over the
+           -- prepended seed returned 0 for NULL input instead)
+           CASE WHEN t IS NULL THEN NULL
+                WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
                 ELSE list_reduce(
                     list_prepend(CAST(0 AS BIGINT),
                                  [CAST(ascii(c) AS BIGINT)
@@ -3484,7 +3494,14 @@ def dq_column_profile(spark, sf_dir):
                round(sqrt(list_sum(list_transform(
                    list_zip(seq, [CAST(i * 10 AS DOUBLE) for i in range(16)]),
                    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-        FROM windows WHERE len(seq) = 16
+        FROM windows
+        WHERE len(seq) = 16
+          -- mirror Spark's collect_list NULL-skipping: a window whose
+          -- 16 rows include a NULL value yields a 15-element list on
+          -- the engine side and is dropped there; DuckDB's list()
+          -- keeps NULLs, so the no-NULL condition must be explicit
+          -- (round-12 NULL-injection fuzzer)
+          AND len(list_filter(seq, x -> x IS NOT NULL)) = 16
     )
     SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS window_end, dist
     FROM scored ORDER BY dist, user_id, ts LIMIT 20
@@ -3500,7 +3517,11 @@ def ts_subsequence_search(spark, sf_dir):
     literal array, the distance is a JVM higher-order zip_with fold in
     the SAME element order on both engines (bit-identical doubles),
     and the global top-20 is TakeOrdered — never a full sort. At
-    100 TB: windows stream per partition; only k rows leave each."""
+    100 TB: windows stream per partition; only k rows leave each.
+    NULL measurements: a window whose 16 rows include a NULL value is
+    not scored (collect_list skips NULLs, so its sequence is short of
+    16 and the length filter drops it); the oracle encodes the same
+    rule explicitly."""
     pattern = [float(i * 10) for i in range(16)]
     e = load(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3882,7 +3903,8 @@ def ts_moving_window_avg(spark, sf_dir):
     SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
     FROM seq WHERE e3 IS NOT NULL
     GROUP BY e1, e2, e3
-    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    ORDER BY n DESC, e1 NULLS FIRST, e2 NULLS FIRST, e3 NULLS FIRST
+    LIMIT 20
     """,
 )
 def events_top_paths(spark, sf_dir):
@@ -3902,7 +3924,14 @@ def events_top_paths(spark, sf_dir):
     return (seq.filter(F.col("e3").isNotNull())
                .groupBy("e1", "e2", "e3")
                .agg(F.count("*").cast("bigint").alias("n"))
-               .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+               # explicit NULLS FIRST: a NULL-typed event can appear in
+               # e1/e2 (found by the round-12 NULL-injection fuzzer —
+               # Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
+               # LAST, so the top-20 cut diverged at tied counts)
+               .orderBy(F.col("n").desc(),
+                        F.col("e1").asc_nulls_first(),
+                        F.col("e2").asc_nulls_first(),
+                        F.col("e3").asc_nulls_first())
                .limit(20))
 
 
