@@ -368,6 +368,54 @@ def test_lineitem_keys_differential_fuzz(spark, tmp_path, seed):
         assert ok, f"{name} (seed {seed}): {detail}"
 
 
+@pytest.mark.parametrize("seed", [71])
+def test_lineitem_keys_null_injection_fuzz(spark, tmp_path, seed):
+    """NULL-injection for the lineitem aggregation keys: ~8% NULLs in
+    the measure columns (quantity/price/discount) and ~5% NULL group
+    keys (returnflag) — aggregates must skip NULL measures and group
+    NULL keys identically on both engines. Ordering/date columns stay
+    non-null (documented scope: they are scan/sort keys whose NULL
+    semantics the engine does not promise)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 250
+    flag_pairs = [("A", "F"), ("N", "F"), ("N", "O"), ("R", "F")]
+    fp = [flag_pairs[i] for i in rng.integers(0, 4, n)]
+    def null_some(vals, frac):
+        return [None if rng.random() < frac else v for v in vals]
+    qty = null_some([float(q) for q in rng.choice([1.0, 2.0, 50.0], n)], 0.08)
+    price = null_some([float(p) for p in
+                       np.round(rng.uniform(900, 10000, n), 2)], 0.08)
+    disc = null_some([float(d) for d in rng.choice([0.0, 0.05, 0.1], n)], 0.08)
+    flags = null_some([p[0] for p in fp], 0.05)
+    base = np.datetime64("1996-01-01", "us")
+    ship = base + (rng.integers(0, 400, n) * 86_400).astype("timedelta64[s]")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+        "l_partkey": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array(disc, pa.float64()),
+        "l_tax": pa.array(np.round(rng.choice([0.0, 0.08], n), 2)),
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array([p[1] for p in fp]),
+        "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+    }), f"{tmp_path}/lineitem.parquet")
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')")
+    for name in _LINEITEM_ONLY_KEYS:
+        ok, detail = compare(QUERIES[name](spark, str(tmp_path)),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
 _ORDERS_ONLY_KEYS = [
     "window_row_number_topk", "window_running_sum", "sort_multi_key",
     "agg_mode_per_group", "ts_moving_window_avg",
@@ -538,6 +586,98 @@ def test_join_keys_differential_fuzz(spark, tmp_path, seed):
              .astype("timedelta64[s]")).astype("datetime64[us]")),
     }), f"{tmp_path}/lineitem.parquet")
 
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        "n_regionkey": pa.array(
+            np.array([i % 5 for i in range(25)], dtype=np.int32)),
+    }), f"{tmp_path}/nation.parquet")
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "supplier", "part", "lineitem",
+              "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')")
+    for name in _JOIN_FUZZ_KEYS:
+        ok, detail = compare(QUERIES[name](spark, str(tmp_path)),
+                             con.sql(ORACLES[name]))
+        assert ok, f"{name} (seed {seed}): {detail}"
+
+
+@pytest.mark.parametrize("seed", [83])
+def test_join_keys_null_key_fuzz(spark, tmp_path, seed):
+    """NULL JOIN KEYS: ~8% NULL o_custkey and l_partkey on the fact
+    sides. SQL equi-joins never match NULL keys — inner/semi drop
+    those rows, left/anti keep them, and the salted-skew path must
+    salt a NULL key without crashing or inventing matches. Dimension
+    primary keys stay non-null."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    ncust, nord, nsupp, npart, nline = 30, 100, 12, 25, 130
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                     "HOUSEHOLD", "MACHINERY"])
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(ncust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(ncust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, ncust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, ncust), 2)),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 5, ncust)]),
+    }), f"{tmp_path}/customer.parquet")
+    base = np.datetime64("1997-01-01", "us")
+    cust_keys = [None if rng.random() < 0.08 else int(k)
+                 for k in rng.integers(0, 45, nord)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(nord, dtype=np.int64)),
+        "o_custkey": pa.array(cust_keys, pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.integers(0, 3, nord)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(900, 90000, nord), 2)),
+        "o_orderdate": pa.array(
+            (base + (rng.integers(0, 60, nord) * 86_400)
+             .astype("timedelta64[s]")).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                      "5-LOW"])[rng.integers(0, 5, nord)]),
+    }), f"{tmp_path}/orders.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(nsupp, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(nsupp)]),
+        "s_nationkey": pa.array(rng.integers(0, 40, nsupp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nsupp), 2)),
+    }), f"{tmp_path}/supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(npart, dtype=np.int64)),
+        "p_name": pa.array([f"part z {i}" for i in range(npart)]),
+        "p_brand": pa.array([f"Brand#{1 + i % 3}1" for i in range(npart)]),
+        "p_type": pa.array(
+            np.array(["STANDARD PLATED", "ECONOMY ANODIZED"])[
+                rng.integers(0, 2, npart)]),
+        "p_size": pa.array(rng.integers(1, 51, npart).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2100, npart), 2)),
+    }), f"{tmp_path}/part.parquet")
+    flag_pairs = [("A", "F"), ("N", "O"), ("R", "F")]
+    fp = [flag_pairs[i] for i in rng.integers(0, 3, nline)]
+    part_keys = [None if rng.random() < 0.08 else int(k)
+                 for k in rng.integers(0, 35, nline)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, nord, nline).astype(np.int64)),
+        "l_partkey": pa.array(part_keys, pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, nsupp, nline).astype(np.int64)),
+        "l_linenumber": pa.array(rng.integers(1, 8, nline).astype(np.int32)),
+        "l_quantity": pa.array(rng.choice([1.0, 10.0, 50.0], nline)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900, 100000, nline), 2)),
+        "l_discount": pa.array(np.round(rng.choice([0.0, 0.05], nline), 2)),
+        "l_tax": pa.array(np.round(rng.choice([0.0, 0.08], nline), 2)),
+        "l_returnflag": pa.array([p[0] for p in fp]),
+        "l_linestatus": pa.array([p[1] for p in fp]),
+        "l_shipdate": pa.array(
+            (base + (rng.integers(0, 400, nline) * 86_400)
+             .astype("timedelta64[s]")).astype("datetime64[us]")),
+    }), f"{tmp_path}/lineitem.parquet")
     pq.write_table(pa.table({
         "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
         "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
