@@ -2264,7 +2264,7 @@ def stream_stateful_totals(spark, sf_dir):
     oracle="""
     WITH med AS (SELECT user_id, median(value) AS m FROM events GROUP BY 1)
     SELECT e.user_id,
-           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(e.value) AS BIGINT) AS n,
            round(median(abs(e.value - med.m)), 6) AS mad
     FROM events e JOIN med USING (user_id)
     GROUP BY e.user_id
@@ -2278,17 +2278,25 @@ def agg_grouped_mad_pandas(spark, sf_dir):
     deviations). One shuffle on the group key, then numpy per Arrow
     batch; still hash-checked against a SQL oracle (median and
     midpoint interpolation are the same arithmetic in numpy and
-    DuckDB)."""
+    DuckDB). NULL measures arrive in the Arrow batch as NaN and are
+    dropped — like every aggregate, the MAD skips NULLs and `n`
+    counts non-null values (SQL COUNT(value)); an all-NULL group
+    yields n=0, mad NULL. Unfiltered, one NaN poisons np.median for
+    the whole group (round-12 wave-2 fuzzer find)."""
     import numpy as np
     import pandas as pd
 
     def mad(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].to_numpy(dtype=float)
-        m = np.median(v)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            m = None
+        else:
+            m = round(float(np.median(np.abs(v - np.median(v)))), 6)
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n": [len(v)],
-            "mad": [round(float(np.median(np.abs(v - m))), 6)],
+            "mad": [m],
         })
 
     e = load(spark, sf_dir, "events").select("user_id", "value")
@@ -3621,13 +3629,16 @@ def scan_partition_pruned(spark, sf_dir):
         FROM pts GROUP BY user_id
     )
     SELECT user_id,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 9) AS slope,
-           round((CAST(sy AS DOUBLE) / 1e6
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
-               AS intercept,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 9)
+                END AS slope,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN round((CAST(sy AS DOUBLE) / 1e6
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+                              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                END AS intercept,
            CAST(n AS BIGINT) AS n
     FROM sums
     """,
@@ -3659,13 +3670,21 @@ def agg_regression_ols(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"))
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # the fit is undefined when x has zero variance (a single point,
+    # or every event at the same timestamp): den = n*Sxx - Sx^2 is 0
+    # exactly there (Cauchy-Schwarz), and the unguarded division
+    # raises DIVIDE_BY_ZERO under ANSI (round-12 wave-2 fuzzer find;
+    # driver testdata has no such group). Guard mirrored in the oracle
+    # so both engines emit NULL slope/intercept.
     slope = num / den / F.lit(1e6)
     intercept = ((F.col("sy").cast("double") / F.lit(1e6)
                   - slope * F.col("sx").cast("double"))
                  / F.col("n").cast("double"))
+    defined = den > 0
     return sums.select(
-        "user_id", F.round(slope, 9).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        "user_id",
+        F.when(defined, F.round(slope, 9)).alias("slope"),
+        F.when(defined, F.round(intercept, 6)).alias("intercept"),
         F.col("n").cast("bigint").alias("n"))
 
 
