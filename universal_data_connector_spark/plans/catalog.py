@@ -2095,8 +2095,14 @@ def sink_csv_per_source(spark, sf_dir):
         F.concat_ws(",", F.col("n_nationkey").cast("string"),
                     F.col("n_name")).alias("content"))
     _write_file_mode(file_mode, out, extension=".txt")
+    from universal_data_connector_spark.sources.files import (
+        decoded_uri_path_col,
+    )
+    # _metadata.file_name is URI-encoded (a written "NATION 00.txt"
+    # reads back as "NATION%2000.txt") — decode to the on-disk name
     back = (spark.read.format("text").option("wholetext", "true").load(out)
-            .select(F.col("_metadata.file_name").alias("out_file"),
+            .select(decoded_uri_path_col(F.col("_metadata.file_name"))
+                    .alias("out_file"),
                     F.regexp_replace("value", r"\n$", "").alias("content")))
     return back
 

@@ -61,9 +61,10 @@ def _text_file_frame(spark: SparkSession, path: str, pattern: str | None,
                             .option("sourceArchiveDir", archive_dir))
     df = reader.load(path)
     first_line = F.substring_index(F.col("value"), "\n", 1)
+    src = decoded_uri_path_col(F.col("_metadata.file_path"))
     return df.select(
-        F.col("_metadata.file_path").alias("source_file"),
-        sniff_file_type(F.col("_metadata.file_path"), first_line).alias("file_type"),
+        src.alias("source_file"),
+        sniff_file_type(src, first_line).alias("file_type"),
         F.col("value").alias("content"),
     )
 
@@ -84,6 +85,22 @@ def canonical_file_uri(uri: str) -> str:
 
 def _canonical_uri_col(c: Column) -> Column:
     return F.regexp_replace(c, _URI_SLASH_RE, "$1:/")
+
+
+def decoded_uri_path_col(c: Column) -> Column:
+    """Decode Spark's URI-encoded ``_metadata.file_path``/``file_name``
+    back to the literal on-disk name: a file named ``my data.csv``
+    surfaces as ``my%20data.csv`` in the metadata columns, so every
+    downstream consumer (extension-swap sinks, manifest dedup keys,
+    per-source grouping) would otherwise carry the encoded spelling —
+    and the file sink would WRITE the wrong filename (round-12 wave-2b
+    fuzzer find on a source name with a space). ``url_decode`` is
+    x-www-form-urlencoded (it maps a raw ``+`` to a space, but ``+``
+    is a literal plus in a URI path), so raw pluses are protected as
+    ``%2B`` first; encoded sequences like a literal percent's ``%25``
+    then decode correctly. ``binaryFile``'s ``path`` column is NOT
+    encoded (measured) — only the text-source metadata needs this."""
+    return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
 
 
 def manifest_filter(df: DataFrame, spark: SparkSession, manifest_dir: str,
