@@ -18,48 +18,44 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-12 rotation
-# (VERDICT r11 item 1): the r9-evidence cohort — 48 keys by union over
-# CORRECTNESS_r01..r11 (split r11:50 / r10:49 / r9:48), MINUS
-# `sim_search_ivf_kmeans`, retired this round under the SURVEY §2B
-# capacity policy (first deliberate exercise, VERDICT r11 item 6; its
-# evidence moved to tests/test_similarity.py) — PLUS the new oracled
-# key `events_window_funnel_conversion` that landed in the same
-# retirement commit, PLUS `pipeline_training_data` in the spare slot
-# (its standing bench falsifier runs this round, VERDICT r11 item 2)
-# and the flagship. 47 + 1 + 1 + 1 = 50; catalog holds at 147.
+# recent driver evidence goes stale (>2 rounds old). Round-13 rotation
+# (VERDICT r12 item 1): the 49-key r10-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r10 (recomputed union over
+# r01..r12: split r10:49 / r11:48 / r12:50) — plus the flagship. All 49
+# are oracled (none is rows-only). 49 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r9-evidence aggregation cohort (nine)
-    "agg_hash_sum_avg", "agg_count_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
-    "agg_histogram_bins", "agg_approx_count_distinct",
-    # r9 projection / filter / map-cast cohort
-    "project_columns", "rename_columns",
-    "filter_contains", "filter_equality", "filter_null_safe",
-    "filter_any_row_per_file",
-    "map_prefix_suffix", "cast_lenient_int", "cast_currency_double",
-    "defaults_on_null",
-    # r9 join cohort (ten)
-    "join_inner_hash", "join_left", "join_semi", "join_anti",
-    "join_range_theta", "join_asof", "join_interval_overlap",
-    "join_salted_skew", "join_full_outer", "join_star_schema",
-    # r9 windows
-    "window_row_number_topk", "window_running_sum",
-    # r9 scans
-    "scan_jsonl_roundtrip", "scan_partition_pruned",
-    # r9 streaming pair
-    "stream_stateful_totals", "stream_stream_interval_join",
-    # r9 singletons across groups
-    "dedup_simhash", "text_repetition_ratio",
-    "events_funnel_steps", "retention_cohorts",
-    "ts_rollup_gapfill", "ts_subsequence_search",
-    "sample_capped_per_key", "reshape_chunk_tokens",
-    "dq_expectations", "dq_column_profile",
-    "maintenance_compact_files", "multimodal_resize",
-    # NEW this round (retirement-swap commit): windowed funnel
-    "events_window_funnel_conversion",
-    # spare slot: bench falsifier watch item (VERDICT r11 item 2)
-    "pipeline_training_data",
+    # r10 scans
+    "scan_parquet", "scan_schema_evolution_merge",
+    "scan_csv_malformed_permissive",
+    # r10 sort / limit / set ops
+    "sort_multi_key", "limit_topk",
+    "set_union_all", "set_intersect", "set_except",
+    # r10 scalar-function keys (six)
+    "str_funcs", "date_funcs", "math_funcs",
+    "csv_parse_rfc4180", "base64_roundtrip", "json_funcs",
+    # r10 streaming keys (six)
+    "stream_tumbling_count", "stream_sliding_agg",
+    "stream_session_window", "stream_late_data_watermark",
+    "stream_upsert_latest", "stream_agg_state_totals",
+    # r10 dedup / similarity
+    "dedup_near_minhash", "sim_search_lsh",
+    # r10 join keys (three)
+    "join_bucketed_colocated", "join_null_safe_eq", "join_asof_nearest",
+    # r10 aggregation keys (five)
+    "agg_percentile_exact", "agg_grouped_mad_pandas",
+    "agg_regression_ols", "agg_mode_per_group", "agg_array_collect",
+    # r10 window keys (six)
+    "window_rank_family", "window_first_last", "window_range_frame",
+    "window_lag_lead", "window_gap_islands", "window_percent_of_total",
+    # r10 sampling / text
+    "sample_hash_split", "text_vocab_topk", "text_boilerplate_ngrams",
+    # r10 analytics keys (nine)
+    "events_sessionize_gap", "events_top_paths", "events_dau_wau",
+    "events_rfm_segments", "ts_moving_window_avg", "ts_anomaly_mad",
+    "ts_resample_interp", "ts_ewma",
+    "cogroup_asof_merge",
+    # r10 data-quality key
+    "dq_fk_integrity",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
 ]
