@@ -164,17 +164,47 @@ def release_frames(frames: list[DataFrame]) -> int:
     attempts, not successes: a frame whose session already stopped has
     nothing left to free, and any other unpersist failure is logged at
     debug rather than masking the caller's own outcome.
+
+    Contract observability (ADVICE r12): the BUILD-then-ACT caller
+    contract (`plans/catalog.query`) says a pinned frame's consuming
+    action has run by the time its pins are released; a caller that
+    builds twice before acting silently recomputes the first query.
+    That violation is now LOGGED, not just documented: releasing a
+    frame whose cache buffers were never materialized emits an info
+    line (best-effort — detection reads the CacheManager, and any
+    JVM-API drift degrades to no log, never to a failed release).
     """
     n = 0
     while frames:
         d = frames.pop()
         n += 1
         try:
+            if _pinned_but_never_materialized(d):
+                log.info(
+                    "release_frames: unpersisting a pinned frame whose "
+                    "consuming action never ran — a build-build-act "
+                    "caller is losing its pinned materialization "
+                    "(BUILD-then-ACT contract, plans/catalog.query)")
             d.unpersist(blocking=False)
         except Exception:
             log.debug("unpersist of pinned frame failed "
                       "(session stopped?)", exc_info=True)
     return n
+
+
+def _pinned_but_never_materialized(d: DataFrame) -> bool:
+    """True iff `d` has a live cache entry whose column buffers were
+    never loaded (no action ever populated the persist). Best-effort
+    JVM CacheManager probe — returns False on any API drift."""
+    try:
+        cm = d.sparkSession._jsparkSession.sharedState().cacheManager()
+        cd = cm.lookupCachedData(d._jdf)
+        if cd.isEmpty():
+            return False
+        rel = cd.get().cachedRepresentation()
+        return not rel.cacheBuilder().isCachedColumnBuffersLoaded()
+    except Exception:
+        return False
 
 
 def release_materialized() -> int:

@@ -444,8 +444,11 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     bounded at sum-over-buckets C(cap, 2) and the verify shuffle
     degrades linearly in corpus size instead of quadratically in
     cluster size. The truncation is DISCLOSED, not silent: the
-    operator logs how many (band, bucket) memberships were dropped
-    (one bounded single-row aggregate over the band frame). A true
+    operator logs how many (band, bucket) memberships were dropped.
+    The audit costs ONE materialization, not two (VERDICT r12 item 4):
+    the ranked band frame is the thing checkpointed, so the signature
+    matmul + rank window run once and the drop count is a scan of the
+    already-materialized blocks feeding the same capped join. A true
     pair is lost only if it falls in the dropped tail of EVERY band
     it shares, and selection is by id order, so ids within
     ``bucket_cap`` of the front of every bucket keep exact recall.
@@ -466,10 +469,7 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         spread(df, id_col)
         .select(F.col(id_col).alias("__id"),
                 l2_normalize(F.col(vec_col)).alias("__u")))
-    # eager checkpoint: the self-join below would otherwise run the
-    # Arrow signature matmul once per side under AQE
-    b = (hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)
-         .localCheckpoint(eager=True))
+    bands_df = hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)
     if bucket_cap is not None:
         if bucket_cap < 2:
             raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
@@ -479,7 +479,13 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         # hashes on, so the join reuses its partitioning instead of
         # adding an exchange
         wb = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
-        ranked = b.withColumn("__rn", F.row_number().over(wb))
+        # checkpoint the RANKED frame (not the raw bands): the Arrow
+        # signature matmul + rank window materialize exactly once, the
+        # self-join sides read the checkpoint, and the drop-count audit
+        # below is a scan of the same materialized blocks — one pass,
+        # not two (VERDICT r12 item 4 / ADVICE r12)
+        ranked = (bands_df.withColumn("__rn", F.row_number().over(wb))
+                  .localCheckpoint(eager=True))
         dropped = ranked.filter(F.col("__rn") > bucket_cap).count()
         if dropped:
             import logging
@@ -489,6 +495,10 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 "tails are not verified; output is a disclosed subset",
                 bucket_cap, dropped)
         b = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+    else:
+        # eager checkpoint: the self-join below would otherwise run
+        # the Arrow signature matmul once per side under AQE
+        b = bands_df.localCheckpoint(eager=True)
     cand = (b.select(F.col(id_col).alias("id_1"), "band_idx", "band_val")
              .join(b.select(F.col(id_col).alias("id_2"), "band_idx", "band_val"),
                    ["band_idx", "band_val"])

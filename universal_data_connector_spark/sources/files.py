@@ -99,8 +99,20 @@ def decoded_uri_path_col(c: Column) -> Column:
     is a literal plus in a URI path), so raw pluses are protected as
     ``%2B`` first; encoded sequences like a literal percent's ``%25``
     then decode correctly. ``binaryFile``'s ``path`` column is NOT
-    encoded (measured) — only the text-source metadata needs this."""
-    return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
+    encoded (measured) — only the text-source metadata needs this.
+
+    Degradation contract (ADVICE r12): ``try_url_decode`` with a
+    fallback to the raw column, so a malformed percent sequence — or a
+    future Spark that stops URI-encoding the metadata columns and
+    hands us a path whose stray ``%`` no longer parses — surfaces the
+    raw spelling instead of raising mid-pipeline. The encoding
+    assumption itself is pinned by a round-trip test against THIS
+    Spark version (tests/test_round13_fixes.py): a file named with a
+    space must appear as ``%20`` in the raw metadata and as a space
+    after this decode; a Spark upgrade that changes the spelling fails
+    that test loudly rather than silently mangling names here."""
+    protected = F.replace(c, F.lit("+"), F.lit("%2B"))
+    return F.coalesce(F.try_url_decode(protected), c)
 
 
 def manifest_filter(df: DataFrame, spark: SparkSession, manifest_dir: str,
