@@ -18,46 +18,55 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-13 rotation
-# (VERDICT r12 item 1): the 49-key r10-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r10 (recomputed union over
-# r01..r12: split r10:49 / r11:48 / r12:50) — plus the flagship. All 49
-# are oracled (none is rows-only). 49 + 1 = 50; catalog holds at 147.
+# recent driver evidence goes stale (>2 rounds old). Round-14 rotation
+# (VERDICT r13 item 1): the 48-key r11-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r11 (recomputed union over
+# r01..r13: split r11:48 / r12:49 / r13:50) — plus the flagship and one
+# spare slot (sim_search_lsh, carrying a fresh driver row for its
+# round-13-touched bucket_cap checkpoint path). 48 + 2 = 50; catalog
+# holds at 147.
 _CHECK_FIRST = [
-    # r10 scans
-    "scan_parquet", "scan_schema_evolution_merge",
-    "scan_csv_malformed_permissive",
-    # r10 sort / limit / set ops
-    "sort_multi_key", "limit_topk",
-    "set_union_all", "set_intersect", "set_except",
-    # r10 scalar-function keys (six)
-    "str_funcs", "date_funcs", "math_funcs",
-    "csv_parse_rfc4180", "base64_roundtrip", "json_funcs",
-    # r10 streaming keys (six)
-    "stream_tumbling_count", "stream_sliding_agg",
-    "stream_session_window", "stream_late_data_watermark",
-    "stream_upsert_latest", "stream_agg_state_totals",
-    # r10 dedup / similarity
-    "dedup_near_minhash", "sim_search_lsh",
-    # r10 join keys (three)
-    "join_bucketed_colocated", "join_null_safe_eq", "join_asof_nearest",
-    # r10 aggregation keys (five)
-    "agg_percentile_exact", "agg_grouped_mad_pandas",
-    "agg_regression_ols", "agg_mode_per_group", "agg_array_collect",
-    # r10 window keys (six)
-    "window_rank_family", "window_first_last", "window_range_frame",
-    "window_lag_lead", "window_gap_islands", "window_percent_of_total",
-    # r10 sampling / text
-    "sample_hash_split", "text_vocab_topk", "text_boilerplate_ngrams",
-    # r10 analytics keys (nine)
-    "events_sessionize_gap", "events_top_paths", "events_dau_wau",
-    "events_rfm_segments", "ts_moving_window_avg", "ts_anomaly_mad",
-    "ts_resample_interp", "ts_ewma",
-    "cogroup_asof_merge",
-    # r10 data-quality key
-    "dq_fk_integrity",
+    # r11 aggregation keys (three)
+    "agg_argmax_struct", "agg_corr_exact", "agg_weighted_avg",
+    # r11 dedup keys (six)
+    "dedup_cluster_cc", "dedup_containment_ngram",
+    "dedup_contamination_ngram", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard",
+    # r11 data-quality key
+    "dq_uniqueness_orders",
+    # r11 similarity keys (three)
+    "embedding_normalize", "sim_search_cosine_topk", "sim_search_ivf",
+    # r11 analytics keys (four)
+    "events_attribution_first_last", "market_basket_pairs",
+    "ts_cumulative_distinct", "ts_outlier_iqr",
+    # r11 join keys (two)
+    "join_asof_tolerance", "join_broadcast",
+    # r11 multimodal keys (three)
+    "multimodal_binary_meta", "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # r11 reshape / sampling keys (six)
+    "reshape_pack_sequences", "reshape_sliding_windows", "reshape_unpivot",
+    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
+    # r11 scan keys (two)
+    "scan_csv_typed", "scan_glob_filter",
+    # r11 sink-as-query keys (three; sink_csv_per_source carries the
+    # post-fix driver confirmation VERDICT r12 item 3 asked for)
+    "sink_csv_per_source", "sink_jdbc_append", "sink_parquet_snappy",
+    # r11 composition key
+    "sql_full_surface",
+    # r11 streaming keys (four)
+    "stream_dedup_first_per_key", "stream_dedup_watermark",
+    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
+    # r11 text keys (nine)
+    "text_fingerprint", "text_language_id", "text_pii_redact",
+    "text_quality_score", "text_rolling_hash", "text_tfidf_topk",
+    "text_token_count_bpe", "text_tokenize_stats", "text_unigram_logprob",
+    # r11 window key
+    "window_ntile_quartiles",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
+    # spare slot: fresh evidence for the r13-touched bucket_cap path
+    "sim_search_lsh",
 ]
 
 
