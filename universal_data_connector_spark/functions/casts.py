@@ -109,3 +109,16 @@ def with_default(col: Column, spark_type: str) -> Column:
     if spark_type not in _DEFAULTS:
         raise KeyError(f"no reference default for type {spark_type!r}")
     return F.coalesce(col, F.lit(_DEFAULTS[spark_type]).cast(spark_type))
+
+
+def base64_std(col: Column) -> Column:
+    """RFC 4648 base64 WITHOUT line breaks — the reference's envelope
+    encoding (`java.util.Base64.getEncoder()`, S3SinkAdapter.java:29-47
+    / DirectorySourceContext.java:115). Spark's ``base64()`` follows
+    Hive/MIME chunking and inserts ``\\r\\n`` every 76 output chars
+    (unconditional in this Spark build — no
+    ``spark.sql.legacy.chunkBase64String.enabled`` conf), which
+    corrupts the envelope for any payload over 57 bytes; strip the
+    chunk breaks to recover the standard encoding. ``unbase64``
+    accepts both forms, so decode needs no twin."""
+    return F.regexp_replace(F.base64(col), "\r\n", "")

@@ -152,7 +152,14 @@ def decode_image_batch(df: DataFrame, content_col: str = "content",
                     "plumbing tests")
             feats = []
             for raw in pdf[content_col]:
-                raw = bytes(raw or b"")
+                if raw is None:
+                    # a missing asset has no features — NULL, matching
+                    # the real path's NULL-on-undecodable contract and
+                    # distinct from a present-but-empty asset (fake
+                    # features [0.0, ...]); round-14 NULL fuzz
+                    feats.append(None)
+                    continue
+                raw = bytes(raw)
                 if fake:
                     feats.append([float(len(raw))] +
                                  [float(b) for b in raw[: feature_dim - 1]] +

@@ -1139,10 +1139,14 @@ def csv_parse_rfc4180(spark, sf_dir):
 def base64_roundtrip(spark, sf_dir):
     """Reference base64 envelope encode/decode
     (DirectorySourceContext.java:115, S3SinkAdapter.java:29-47) as
-    column expressions."""
+    column expressions. The reference uses java.util.Base64's STANDARD
+    encoder (no line breaks), so the engine encodes via
+    ``fc.base64_std`` — Spark's raw ``base64()`` MIME-chunks payloads
+    over 57 bytes with CRLF (round-14 fuzz finding on multibyte
+    text)."""
     d = load(spark, sf_dir, "documents")
     head = F.substring("text", 1, 40)
-    b64 = F.base64(head.cast("binary"))
+    b64 = fc.base64_std(head.cast("binary"))
     return d.select("doc_id", b64.alias("b64"),
                     F.unbase64(b64).cast("string").alias("decoded"))
 
@@ -2742,11 +2746,13 @@ def pipeline_training_data(spark, sf_dir):
 
 
 def _duckdb_byte_at(i: int) -> str:
-    """DuckDB expression for byte `i` (0-based) of encode(text), or 0.0
-    when the blob is shorter — parsed from hex() nibbles (DuckDB has no
+    """DuckDB expression for byte `i` (0-based) of encode(text): 0.0
+    when the blob is shorter, NULL when the text itself is NULL (a
+    missing asset decodes to NULL features on the engine side —
+    round-14 NULL fuzz) — parsed from hex() nibbles (DuckDB has no
     direct blob-byte-to-int accessor)."""
     hi, lo = 2 * i + 1, 2 * i + 2
-    return (f"CASE WHEN n >= {i + 1} THEN CAST("
+    return (f"CASE WHEN n IS NULL THEN NULL WHEN n >= {i + 1} THEN CAST("
             f"(strpos('0123456789ABCDEF', substring(h,{hi},1))-1)*16"
             f" + (strpos('0123456789ABCDEF', substring(h,{lo},1))-1)"
             f" AS DOUBLE) ELSE 0.0 END")
@@ -3135,7 +3141,10 @@ def stream_upsert_latest(spark, sf_dir):
     )
     SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
            CAST(len(toks[s:s+63]) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(toks[s:s+63], ' ') AS chunk_text
+           -- coalesce mirrors Spark's concat_ws, which returns '' for
+           -- an empty array where DuckDB's array_to_string gives NULL
+           -- (zero-token document; round-14 fuzz)
+           COALESCE(array_to_string(toks[s:s+63], ' '), '') AS chunk_text
     FROM starts
     """,
 )
