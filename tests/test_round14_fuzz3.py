@@ -213,3 +213,110 @@ def test_embeddings_wave3_differential_fuzz(spark, tmp_path, seed):
     _write(tmp_path, "embeddings", _random_embeddings(rng))
     con = _duck(tmp_path, "embeddings")
     _run(spark, tmp_path, con, _EMBEDDINGS_WAVE3_KEYS, seed)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3b: lineitem / orders scan + cast + DQ long tail
+# ---------------------------------------------------------------------------
+
+def _tpch_wave3_tables(rng):
+    """Wave-2's random TPC-H tables plus the shapes the wave-3 keys
+    need: out-of-range quantities (0.5 / 51.0) and a non-positive
+    extendedprice so the DQ range/positivity rules actually fire, one
+    price exactly on math_funcs' sign pivot (30000), a shipdate
+    exactly on scan_parquet's 1997-01-01 boundary (strict < excludes
+    it on both engines), and a 70-item degenerate basket so
+    market_basket_pairs' per-basket cap (64) binds."""
+    tables = _random_tpch_dims(rng)
+    li = tables["lineitem"]
+    qty = li.column("l_quantity").to_pylist()
+    price = li.column("l_extendedprice").to_pylist()
+    ship = li.column("l_shipdate").to_pylist()
+    qty[5], qty[11] = 0.5, 51.0                   # dq range violations
+    price[7] = -12.5                              # dq positivity violation
+    price[9] = 30000.0                            # sign() == 0 pivot
+    ship[13] = np.datetime64("1997-01-01T00:00:00", "us")
+    li = li.set_column(li.schema.get_field_index("l_quantity"),
+                       "l_quantity", pa.array(qty, pa.float64()))
+    li = li.set_column(li.schema.get_field_index("l_extendedprice"),
+                       "l_extendedprice", pa.array(price, pa.float64()))
+    li = li.set_column(li.schema.get_field_index("l_shipdate"),
+                       "l_shipdate", pa.array(ship, pa.timestamp("us")))
+    # degenerate basket: one order holding 70 distinct parts (> cap 64)
+    nb = 70
+    basket = pa.table({
+        "l_orderkey": pa.array(np.full(nb, 555, dtype=np.int64)),
+        "l_partkey": pa.array(np.arange(1, nb + 1, dtype=np.int64)),
+        "l_suppkey": pa.array(np.full(nb, 1, dtype=np.int64)),
+        "l_linenumber": pa.array(((np.arange(nb) % 7) + 1).astype(np.int32)),
+        "l_quantity": pa.array(np.full(nb, 5.0)),
+        "l_extendedprice": pa.array(np.round(
+            rng.uniform(900, 90000, nb), 2)),
+        "l_discount": pa.array(np.full(nb, 0.05)),
+        "l_tax": pa.array(np.full(nb, 0.0)),
+        "l_returnflag": pa.array(["A"] * nb),
+        "l_linestatus": pa.array(["F"] * nb),
+        "l_shipdate": pa.array(
+            np.full(nb, np.datetime64("1996-06-01T00:00:00", "us"))),
+    })
+    tables["lineitem"] = pa.concat_tables(
+        [li, basket.select(li.column_names)])
+    return tables
+
+
+_TPCH_WAVE3_KEYS = [
+    "scan_parquet", "scan_glob_filter", "scan_csv_typed",
+    "scan_partition_pruned", "scan_schema_evolution_merge",
+    "scan_csv_malformed_permissive",
+    "filter_equality", "cast_lenient_int", "cast_currency_double",
+    "defaults_on_null", "math_funcs",
+    "join_bucketed_colocated", "maintenance_compact_files",
+    "dq_expectations", "dq_column_profile",
+    "reshape_unpivot", "market_basket_pairs",
+]
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_tpch_wave3_differential_fuzz(spark, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    tables = _tpch_wave3_tables(rng)
+    for name, tbl in tables.items():
+        _write(tmp_path, name, tbl)
+    con = _duck(tmp_path, *tables)
+    _run(spark, tmp_path, con, _TPCH_WAVE3_KEYS, seed)
+
+
+@pytest.mark.parametrize("seed", [97])
+def test_tpch_wave3_null_injection_fuzz(spark, tmp_path, seed):
+    """~7% NULL l_quantity / l_extendedprice and ~4% NULL l_returnflag:
+    the DQ rules must COUNT the nulls (positivity / domain), the
+    profiles must count-and-skip them, the lenient casts must pass
+    NULL through (not print 'null'), the CSV round-trips must
+    empty-field them, and filters/aggregates must drop them
+    identically on both engines."""
+    rng = np.random.default_rng(seed)
+    tables = _tpch_wave3_tables(rng)
+    li = tables["lineitem"]
+    qty = [None if rng.random() < 0.07 else v
+           for v in li.column("l_quantity").to_pylist()]
+    price = [None if rng.random() < 0.07 else v
+             for v in li.column("l_extendedprice").to_pylist()]
+    flag = [None if rng.random() < 0.04 else v
+            for v in li.column("l_returnflag").to_pylist()]
+    li = li.set_column(li.schema.get_field_index("l_quantity"),
+                       "l_quantity", pa.array(qty, pa.float64()))
+    li = li.set_column(li.schema.get_field_index("l_extendedprice"),
+                       "l_extendedprice", pa.array(price, pa.float64()))
+    li = li.set_column(li.schema.get_field_index("l_returnflag"),
+                       "l_returnflag", pa.array(flag, pa.string()))
+    tables["lineitem"] = li
+    for name, tbl in tables.items():
+        _write(tmp_path, name, tbl)
+    con = _duck(tmp_path, *tables)
+    keys = [
+        "scan_parquet", "scan_csv_typed", "scan_csv_malformed_permissive",
+        "filter_equality", "cast_lenient_int", "cast_currency_double",
+        "defaults_on_null", "math_funcs", "dq_expectations",
+        "dq_column_profile", "reshape_unpivot", "maintenance_compact_files",
+    ]
+    _run(spark, tmp_path, con, keys, seed)

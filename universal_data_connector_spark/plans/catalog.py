@@ -282,16 +282,21 @@ def map_prefix_suffix(spark, sf_dir):
     "cast_lenient_int",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           printf('%.0f', l_quantity) || '.7' AS qty_str,
-           CAST(TRUNC(CAST(printf('%.0f', l_quantity) || '.7' AS DOUBLE)) AS INTEGER) AS qty_int
+           CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || '.7' AS qty_str,
+           CAST(TRUNC(CAST(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || '.7' AS DOUBLE)) AS INTEGER) AS qty_int
     FROM lineitem
     """,
 )
 def cast_lenient_int(spark, sf_dir):
     """Reference lenient INT cast: decimals truncate ("42.7" -> 42),
-    ParquetSinkContext.java:402-408."""
+    ParquetSinkContext.java:402-408. The synthesized "<n>.7" fixture
+    string goes through floor(), not %.0f: printf-dialects disagree on
+    exact-.5 halves (Java HALF_UP vs C half-even) and on NULL (Spark
+    format_string prints '', DuckDB printf propagates NULL) — round-14
+    fuzz."""
     li = load(spark, sf_dir, "lineitem")
-    qty_str = F.concat(F.format_string("%.0f", F.col("l_quantity")), F.lit(".7"))
+    qty_str = F.concat(F.floor("l_quantity").cast("bigint").cast("string"),
+                       F.lit(".7"))
     return li.select("l_orderkey", "l_linenumber",
                      qty_str.alias("qty_str"),
                      fc.lenient_int(qty_str).alias("qty_int"))
@@ -315,7 +320,13 @@ def cast_currency_double(spark, sf_dir):
     ParquetSinkContext.java:411-415 — parse first, strip on failure
     (mirrored in the oracle), so scientific notation survives."""
     li = load(spark, sf_dir, "lineitem")
-    price_str = F.concat(F.lit("$"), F.format_string("%.2f", F.col("l_extendedprice")))
+    # NULL-guard the fixture: Spark's format_string renders a NULL arg
+    # as '' (giving a spurious '$' string) where DuckDB's printf
+    # propagates NULL — round-14 NULL fuzz. %.2f itself is safe here:
+    # 2-decimal doubles never sit on a third-decimal rounding boundary.
+    price_str = F.when(
+        F.col("l_extendedprice").isNotNull(),
+        F.concat(F.lit("$"), F.format_string("%.2f", F.col("l_extendedprice"))))
     return li.select("l_orderkey", "l_linenumber",
                      price_str.alias("price_str"),
                      fc.lenient_currency_double(price_str).alias("price_num"))
