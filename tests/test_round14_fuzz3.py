@@ -320,3 +320,164 @@ def test_tpch_wave3_null_injection_fuzz(spark, tmp_path, seed):
         "dq_column_profile", "reshape_unpivot", "maintenance_compact_files",
     ]
     _run(spark, tmp_path, con, keys, seed)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3c: streaming batch-equivalent keys on boundary-aligned events
+# ---------------------------------------------------------------------------
+
+def _random_stream_events(rng, n: int = 500) -> pa.Table:
+    """Random events shaped for the streaming keys' decision
+    boundaries, none of which the uniform testdata ever hits: event
+    timestamps exactly ON hour boundaries (tumbling/sliding window
+    assignment is half-open [start, end)), per-user consecutive events
+    exactly 10 minutes apart (the session-window gap), click->purchase
+    pairs exactly 30 minutes apart (the interval join's inclusive
+    upper bound), duplicate (user, ts) and (user, event_type, ts)
+    rows (upsert / dedup-first tiebreaks on event_id), and sparse
+    event_ids spanning 0..9999 so the late-data model replays as four
+    micro-batches of 2500 with genuinely regressing timestamps."""
+    base = np.datetime64("2024-02-01T00:00:00", "us")
+    event_id = np.sort(rng.choice(10_000, n, replace=False)).astype(np.int64)
+    sec = rng.integers(0, 21 * 86_400, n)
+    user = rng.integers(1, 9, n).astype(np.int64)
+    user[0] = 99                                  # dangling vs customer dim
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    etype = types[rng.integers(0, 5, n)].astype(object)
+    # planted boundary shapes (indices paired i, i+1)
+    for i in range(10, 30, 4):
+        sec[i] = (sec[i] // 3600) * 3600          # exactly on the hour
+    for i in range(30, 60, 6):                    # exact 10-min session gap
+        user[i + 1] = user[i]
+        sec[i + 1] = sec[i] + 600
+    for i in range(60, 90, 6):                    # exact 30-min click->purchase
+        user[i + 1] = user[i]
+        etype[i], etype[i + 1] = "click", "purchase"
+        sec[i + 1] = sec[i] + 1800
+    for i in range(90, 110, 4):                   # duplicate (user, ts)
+        user[i + 1] = user[i]
+        sec[i + 1] = sec[i]
+    for i in range(110, 126, 4):                  # dup (user, type, ts)
+        user[i + 1] = user[i]
+        etype[i + 1] = etype[i]
+        sec[i + 1] = sec[i]
+    ts = base + sec.astype("timedelta64[s]")
+    value = np.round(rng.choice([0.0, -3.5, 1.25, 42.0, 99.99], n)
+                     + rng.choice([0.0, 0.0, 0.01], n), 2)
+    return pa.table({
+        "event_id": pa.array(event_id),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(user),
+        "event_type": pa.array(list(etype), pa.string()),
+        "value": pa.array(value),
+        "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 9, n)]),
+    })
+
+
+def _small_customer(rng, nc: int = 80) -> pa.Table:
+    segs = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                     "HOUSEHOLD", "FURNITURE"])
+    return pa.table({
+        "c_custkey": pa.array(np.arange(1, nc + 1, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in range(1, nc + 1)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, nc).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nc), 2)),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 5, nc)]),
+    })
+
+
+_STREAMING_WAVE3_KEYS = [
+    "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
+    "stream_dedup_first_per_key", "stream_dedup_watermark",
+    "stream_late_data_watermark", "stream_stateful_totals",
+    "stream_static_enrich_join", "stream_upsert_latest",
+    "stream_agg_state_totals", "stream_stream_interval_join",
+    "stream_file_ingest_exactly_once",
+]
+
+
+@pytest.mark.parametrize("seed", [19, 101])
+def test_streaming_wave3_differential_fuzz(spark, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    _write(tmp_path, "events", _random_stream_events(rng))
+    _write(tmp_path, "customer", _small_customer(rng))
+    con = _duck(tmp_path, "events", "customer")
+    _run(spark, tmp_path, con, _STREAMING_WAVE3_KEYS, seed)
+
+
+@pytest.mark.parametrize("seed", [113])
+def test_streaming_wave3_null_value_fuzz(spark, tmp_path, seed):
+    """~8% NULL value over the aggregate streaming keys: windowed and
+    stateful sums must SKIP null measures while counts still count the
+    rows, identically in the batch plan, the oracle, and the real
+    executed streaming state."""
+    rng = np.random.default_rng(seed)
+    tbl = _random_stream_events(rng)
+    value = [None if rng.random() < 0.08 else v
+             for v in tbl.column("value").to_pylist()]
+    tbl = tbl.set_column(tbl.schema.get_field_index("value"), "value",
+                         pa.array(value, pa.float64()))
+    _write(tmp_path, "events", tbl)
+    _write(tmp_path, "customer", _small_customer(rng))
+    con = _duck(tmp_path, "events", "customer")
+    keys = ["stream_tumbling_count", "stream_sliding_agg",
+            "stream_late_data_watermark", "stream_stateful_totals",
+            "stream_static_enrich_join", "stream_agg_state_totals",
+            "stream_upsert_latest", "stream_file_ingest_exactly_once"]
+    _run(spark, tmp_path, con, keys, seed)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3e: the rows-only trio — invariant + determinism fuzz (no
+# cross-engine oracle exists by design; the driver records rows-only)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [23])
+def test_rows_only_trio_invariant_fuzz(spark, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    _write(tmp_path, "documents", _random_documents(rng))
+    _write(tmp_path, "lineitem", _tpch_wave3_tables(rng)["lineitem"])
+    sf = str(tmp_path)
+
+    # dedup_simhash: exact duplicates MUST surface at hamming 0 (a
+    # candidate scheme that can miss distance-0 pairs is broken),
+    # every emitted pair is ordered and within the ball, and the
+    # result is deterministic across plans
+    pairs = QUERIES["dedup_simhash"](spark, sf)
+    rows = {(r.id_1, r.id_2): r.hamming for r in pairs.collect()}
+    assert all(i < j for i, j in rows)
+    assert all(0 <= h <= 3 for h in rows.values())
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    planted_dups = [(i, i + 1) for i in range(31, 139, 13)
+                    if docs[i] == docs[i + 1] and docs[i]]
+    assert planted_dups, "generator must plant exact duplicates"
+    for i, j in planted_dups:
+        assert rows.get((i, j)) == 0, f"exact dup ({i},{j}) missed"
+    rerun = {(r.id_1, r.id_2): r.hamming for r in pairs.collect()}
+    assert rerun == rows
+
+    # multimodal_resize: every non-null asset resizes to exactly the
+    # 64-byte target with a deterministic digest; NULL assets keep the
+    # zero-bytes contract (pinned in test_multimodal.py)
+    rs = QUERIES["multimodal_resize"](spark, sf)
+    out = rs.collect()
+    assert len(out) == 140
+    assert all(r.resized_length == 64 for r in out)
+    assert {r.doc_id: r.resized_sha256 for r in rs.collect()} \
+        == {r.doc_id: r.resized_sha256 for r in out}
+
+    # agg_approx_count_distinct: HLL++ estimate per group within the
+    # documented rsd envelope of the exact count, deterministic
+    est = {r.l_returnflag: r.approx_parts
+           for r in QUERIES["agg_approx_count_distinct"](spark, sf).collect()}
+    import duckdb as _d
+    exact = dict(_d.sql(
+        f"SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM "
+        f"read_parquet('{sf}/lineitem.parquet') GROUP BY 1").fetchall())
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(3, 0.15 * exact[k]), (k, e, exact[k])
+    est2 = {r.l_returnflag: r.approx_parts
+            for r in QUERIES["agg_approx_count_distinct"](spark, sf).collect()}
+    assert est2 == est
