@@ -253,7 +253,17 @@ def test_embedding_cosine_dedup_bucket_cap_bounds_dense_cluster(spark, caplog):
     # (e) one-materialization audit (VERDICT r12 item 4): the capped
     # plan reads the checkpointed RANKED frame, so the signature
     # matmul (ArrowEvalPython) and the rank window never re-run inside
-    # the pair join — both sides scan the checkpoint's RDD blocks
+    # the pair join — both sides scan the checkpoint's RDD blocks.
+    # The assertion is RELATIVE (ADVICE r13): a raw band frame's plan
+    # must name the Python-eval node first, so a Spark upgrade that
+    # renames the physical node fails the positive control loudly
+    # instead of letting the negative assertion pass vacuously.
+    from universal_data_connector_spark.operators.similarity import (
+        hyperplane_bands,
+    )
+    raw_plan = (hyperplane_bands(e, "vec_id", "embedding")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in raw_plan          # positive control
     capped_df = lsh_near_dup_pairs(e, threshold=0.95, bucket_cap=cap)
     plan = capped_df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan

@@ -51,6 +51,11 @@ PROBE_KEYS = [
     # round 12: the retirement-swap key's scale posture (two range
     # window frames + rollup on one user partitioning)
     "events_window_funnel_conversion",
+    # round 14 (VERDICT r13 item 4): the decimal moment-sum aggregate —
+    # map-side partials into one groupBy shuffle; probed under
+    # local-cluster to confirm the exact-decimal accumulators pay no
+    # serialization penalty across real executor processes
+    "agg_stats_moments",
     # round 12: capped variant of the embedding near-dup chain —
     # same plan as dedup_embedding_cosine but with the per-bucket
     # candidate cap engaged, so its shuffle delta vs the uncapped key

@@ -175,11 +175,15 @@ def release_frames(frames: list[DataFrame]) -> int:
     JVM-API drift degrades to no log, never to a failed release).
     """
     n = 0
+    # gate the per-frame JVM CacheManager probe on the log level: when
+    # INFO is disabled the line would be dropped anyway, so skip the
+    # py4j roundtrip entirely (ADVICE r13)
+    probe = log.isEnabledFor(logging.INFO)
     while frames:
         d = frames.pop()
         n += 1
         try:
-            if _pinned_but_never_materialized(d):
+            if probe and _pinned_but_never_materialized(d):
                 log.info(
                     "release_frames: unpersisting a pinned frame whose "
                     "consuming action never ran — a build-build-act "
@@ -195,7 +199,9 @@ def release_frames(frames: list[DataFrame]) -> int:
 def _pinned_but_never_materialized(d: DataFrame) -> bool:
     """True iff `d` has a live cache entry whose column buffers were
     never loaded (no action ever populated the persist). Best-effort
-    JVM CacheManager probe — returns False on any API drift."""
+    JVM CacheManager probe — returns False on any API drift (logged at
+    debug rather than discarded, ADVICE r13, so a Spark upgrade that
+    silently disables the contract log is still diagnosable)."""
     try:
         cm = d.sparkSession._jsparkSession.sharedState().cacheManager()
         cd = cm.lookupCachedData(d._jdf)
@@ -204,6 +210,9 @@ def _pinned_but_never_materialized(d: DataFrame) -> bool:
         rel = cd.get().cachedRepresentation()
         return not rel.cacheBuilder().isCachedColumnBuffersLoaded()
     except Exception:
+        log.debug("never-materialized probe failed (JVM API drift or "
+                  "stopped session) — contract log skipped",
+                  exc_info=True)
         return False
 
 

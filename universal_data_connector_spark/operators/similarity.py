@@ -448,7 +448,14 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     The audit costs ONE materialization, not two (VERDICT r12 item 4):
     the ranked band frame is the thing checkpointed, so the signature
     matmul + rank window run once and the drop count is a scan of the
-    already-materialized blocks feeding the same capped join. A true
+    already-materialized blocks feeding the same capped join. Note the
+    cap bounds JOIN cost, not checkpoint storage: the checkpointed
+    ranked frame still holds every band membership including the
+    beyond-cap tails (one bigint rank over the uncapped band frame),
+    so peak checkpoint footprint is the full band frame either way
+    (ADVICE r13) — on a dense corpus where that storage itself is the
+    concern, cap-filter BEFORE checkpointing and accept the second
+    matmul for the audit. A true
     pair is lost only if it falls in the dropped tail of EVERY band
     it shares, and selection is by id order, so ids within
     ``bucket_cap`` of the front of every bucket keep exact recall.
