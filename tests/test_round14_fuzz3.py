@@ -481,3 +481,22 @@ def test_rows_only_trio_invariant_fuzz(spark, tmp_path, seed):
     est2 = {r.l_returnflag: r.approx_parts
             for r in QUERIES["agg_approx_count_distinct"](spark, sf).collect()}
     assert est2 == est
+
+
+@pytest.mark.parametrize("seed", [131])
+def test_weighted_mix_out_of_dim_source_fuzz(spark, tmp_path, seed):
+    """Sources ABSENT from the weights dim (src25, crawl-web) must be
+    DROPPED — the engine's config-as-data inner join has no row for
+    them, and the oracle's CASE must fall through to NULL rather than
+    a 'src%' catch-all sweeping unknown src-prefixed sources into the
+    long-tail rate (latent divergence found by inspection, round 14)."""
+    rng = np.random.default_rng(seed)
+    tbl = _random_documents(rng)
+    src = tbl.column("source").to_pylist()
+    for i in range(0, len(src), 7):
+        src[i] = "src25" if i % 14 else "crawl-web"
+    tbl = tbl.set_column(tbl.schema.get_field_index("source"), "source",
+                         pa.array(src, pa.string()))
+    _write(tmp_path, "documents", tbl)
+    con = _duck(tmp_path, "documents")
+    _run(spark, tmp_path, con, ["sample_weighted_mix"], seed)

@@ -2422,7 +2422,14 @@ def sample_deterministic(spark, sf_dir):
     WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) <
           CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'ff'
                WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
-               WHEN source LIKE 'src%' THEN '20' END
+               WHEN source IN ('src10','src11','src12','src13','src14',
+                               'src15','src16','src17','src18','src19')
+                    THEN '20' END
+    -- the tail branch enumerates the weights dim EXACTLY (no LIKE
+    -- catch-all): a source absent from the dim is dropped by the
+    -- engine's inner join, so the oracle must drop it too (CASE
+    -- falls through to NULL, NULL comparison excludes) — round-14
+    -- fuzz on out-of-dim sources
     """,
 )
 def sample_weighted_mix(spark, sf_dir):
