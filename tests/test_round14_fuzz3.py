@@ -126,7 +126,7 @@ _DOCUMENTS_WAVE3_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [3, 41])
+@pytest.mark.parametrize("seed", [3, 41, 43])
 def test_documents_wave3_differential_fuzz(spark, tmp_path, seed):
     rng = np.random.default_rng(seed)
     _write(tmp_path, "documents", _random_documents(rng))
@@ -207,7 +207,7 @@ _EMBEDDINGS_WAVE3_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [7, 29])
+@pytest.mark.parametrize("seed", [7, 29, 31])
 def test_embeddings_wave3_differential_fuzz(spark, tmp_path, seed):
     rng = np.random.default_rng(seed)
     _write(tmp_path, "embeddings", _random_embeddings(rng))
@@ -276,7 +276,7 @@ _TPCH_WAVE3_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [17, 71])
+@pytest.mark.parametrize("seed", [17, 71, 73])
 def test_tpch_wave3_differential_fuzz(spark, tmp_path, seed):
     rng = np.random.default_rng(seed)
     tables = _tpch_wave3_tables(rng)
