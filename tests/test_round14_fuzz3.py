@@ -500,3 +500,43 @@ def test_weighted_mix_out_of_dim_source_fuzz(spark, tmp_path, seed):
     _write(tmp_path, "documents", tbl)
     con = _duck(tmp_path, "documents")
     _run(spark, tmp_path, con, ["sample_weighted_mix"], seed)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3f: degenerate-cardinality sweep — EVERY oracled key on empty
+# tables and on 1-row tables (schemas sliced from the real testdata,
+# so this is purely a cardinality probe, never a schema drift)
+# ---------------------------------------------------------------------------
+
+_ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _sliced_testdata(tmp_path, n_rows: int) -> None:
+    import pyarrow.parquet as _pq
+    for t in _ALL_TABLES:
+        tbl = _pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        _pq.write_table(tbl.slice(0, n_rows), f"{tmp_path}/{t}.parquet")
+
+
+@pytest.mark.parametrize("n_rows", [0, 1])
+def test_all_oracled_keys_degenerate_cardinality(spark, tmp_path, n_rows):
+    """A 100 TB pipeline's unit of failure is the empty (or one-row)
+    partition/day/source: every oracled key must agree with its oracle
+    on 0-row and 1-row inputs — no ANSI division crash, no empty-agg
+    shape mismatch, no quantile/window/sequence edge, no streaming
+    batch that never fires."""
+    _sliced_testdata(tmp_path, n_rows)
+    con = _duck(tmp_path, *_ALL_TABLES)
+    failures = []
+    for name in ORACLES:
+        try:
+            ok, detail = compare(QUERIES[name](spark, str(tmp_path)),
+                                 con.sql(ORACLES[name]))
+        except Exception as exc:  # noqa: BLE001 - collected for the report
+            ok, detail = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+        if not ok:
+            failures.append(f"{name}: {detail[:160]}")
+    assert not failures, (
+        f"{len(failures)} keys diverge at n_rows={n_rows}:\n"
+        + "\n".join(failures))

@@ -747,6 +747,12 @@ def agg_approx_count_distinct(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n, {_dsum('l_quantity')} AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark's rollup emits NO grand-total row on empty input (0 rows,
+    -- both the DataFrame API and SQL), where DuckDB follows the SQL
+    -- standard and emits one count-0 row; the HAVING mirrors Spark's
+    -- dialect and is a no-op on non-empty input, where every emitted
+    -- group has count >= 1 (round-14 degenerate-cardinality sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark, sf_dir):
@@ -761,6 +767,8 @@ def agg_rollup(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n, {_dsum('l_quantity')} AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- same empty-input dialect mirror as agg_rollup
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark, sf_dir):
@@ -3139,7 +3147,12 @@ def stream_upsert_latest(spark, sf_dir):
     q = foreachbatch_upsert(stream, target, keys=["user_id"],
                             order_col="__ord", checkpoint=ckpt)
     q.awaitTermination()
-    return (spark.read.parquet(target)
+    # read_state: an empty input stream merges nothing, and empty
+    # state must read back as empty, not UNABLE_TO_INFER_SCHEMA
+    from universal_data_connector_spark.streaming.windows import read_state
+    return (read_state(spark, target,
+                       "event_id bigint, user_id bigint, "
+                       "event_type string, value double")
             .select("event_id", "user_id", "event_type", "value"))
 
 
@@ -3643,7 +3656,15 @@ def scan_partition_pruned(spark, sf_dir):
      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
      .write.partitionBy("l_returnflag").mode("overwrite")
      .parquet(part_dir))
-    return (spark.read.parquet(part_dir)
+    # explicit schema on the read-back: an EMPTY partitioned dataset
+    # has no partition directories and no footers to infer from
+    # (UNABLE_TO_INFER_SCHEMA — round-14 degenerate-cardinality
+    # sweep), and at 100 TB schema inference is a planning cost you
+    # never pay anyway
+    return (spark.read
+            .schema("l_orderkey bigint, l_linenumber int, "
+                    "l_quantity double, l_returnflag string")
+            .parquet(part_dir)
             .filter(F.col("l_returnflag") == "R")
             .select("l_orderkey", "l_linenumber", "l_quantity"))
 
@@ -4619,7 +4640,10 @@ def stream_agg_state_totals(spark, sf_dir):
     q = foreachbatch_agg_state(stream, target, keys=["user_id"],
                                value_col="value", checkpoint=ckpt)
     q.awaitTermination()
-    return (spark.read.parquet(target)
+    # read_state: empty stream -> empty state, not a schema error
+    from universal_data_connector_spark.streaming.windows import read_state
+    return (read_state(spark, target,
+                       "user_id bigint, n bigint, total double")
             .select("user_id", "n",
                     F.col("total").cast("double").alias("total")))
 

@@ -238,6 +238,28 @@ def _latest_rank(schema, keys: list[str], order_col: str):
                                      tiebreak.desc()))
 
 
+def read_state(spark, path: str, empty_schema: str) -> DataFrame:
+    """Read a bucketed state target, treating NO-STATE-YET as empty.
+
+    A target that no batch has merged into yet (empty stream, cold
+    start, a monitoring job racing the first trigger) holds no parquet
+    data files — a bare ``spark.read.parquet`` raises
+    UNABLE_TO_INFER_SCHEMA (or PATH_NOT_FOUND if the dir was never
+    created). Empty state is a legitimate state, so those two cases
+    return an empty frame of ``empty_schema`` (the columns the caller
+    consumes); anything else re-raises. Round-14 degenerate-cardinality
+    sweep."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if ("UNABLE_TO_INFER_SCHEMA" in str(exc)
+                or "PATH_NOT_FOUND" in str(exc)):
+            return spark.createDataFrame([], empty_schema)
+        raise
+
+
 def _read_touched(spark, path: str, buckets: list[int]) -> DataFrame:
     """Read ONLY the touched bucket directories of a bucketed state
     target: the ``udc_kb`` equality/isin predicate is a partition
