@@ -1,0 +1,481 @@
+"""Object-store state backend e2e against a loopback moto server.
+
+The POSIX state sinks' crash safety rides on ``os.rename``; the
+object-store backend (``streaming/object_state.py``) replaces the
+rename with immutable generations + a manifest-pointer CAS — the
+lakehouse commit primitive. These tests drive the full protocol
+against moto (which implements S3's public conditional-PUT semantics:
+``If-None-Match:*`` create and ``If-Match`` ETag CAS, verified here),
+including the crash cases the design argues about: a crash before the
+pointer CAS leaves old state intact and the replay converges without
+double-applying; ghost part files from a crashed attempt are invisible
+because the pointer lists its objects explicitly; a concurrent writer
+loses the CAS loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+moto_server = pytest.importorskip("moto.server")
+boto3 = pytest.importorskip("boto3")
+
+from universal_data_connector_spark.streaming.object_state import (  # noqa: E402
+    CasConflict,
+    S3StateTarget,
+    agg_state_merge_s3,
+    begin_batch_run_s3,
+    end_batch_run_s3,
+    foreachbatch_agg_state_s3,
+    read_state_s3,
+    record_touched_s3,
+    upsert_merge_s3,
+    vacuum_target,
+)
+
+BUCKET = "udc-state-loopback"
+
+
+@pytest.fixture(scope="module")
+def s3_client():
+    server = moto_server.ThreadedMotoServer(port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    client = boto3.client(
+        "s3", endpoint_url=f"http://127.0.0.1:{port}",
+        region_name="us-east-1",
+        aws_access_key_id="test-access",
+        aws_secret_access_key="test-secret")
+    client.create_bucket(Bucket=BUCKET)
+    yield client
+    server.stop()
+
+
+@pytest.fixture
+def target(s3_client):
+    return S3StateTarget(BUCKET, f"state-{uuid.uuid4().hex[:8]}",
+                         client=s3_client, num_buckets=4)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ord bigint, value double")
+
+
+AGG_SCHEMA = "user_id bigint, n bigint, total decimal(27,6), udc_kb int"
+
+
+def _totals(spark, target):
+    out = read_state_s3(spark, target, AGG_SCHEMA)
+    return {r.user_id: (r.n, float(r.total)) for r in out.collect()}
+
+
+# ---------------------------------------------------------------------------
+# upsert
+# ---------------------------------------------------------------------------
+
+def test_upsert_keep_latest_across_merges(spark, target):
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0), (2, 10, 2.0)]), 1,
+                    target=target, keys=["user_id"], order_col="ord")
+    upsert_merge_s3(_frame(spark, [(1, 20, 9.0), (3, 5, 3.0)]), 2,
+                    target=target, keys=["user_id"], order_col="ord")
+    out = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double")
+    got = {r.user_id: (r.ord, r.value) for r in out.collect()}
+    assert got == {1: (20, 9.0), 2: (10, 2.0), 3: (5, 3.0)}
+
+
+def test_upsert_replay_is_idempotent(spark, target):
+    batch = _frame(spark, [(1, 10, 1.0), (1, 10, 1.0), (2, 3, 2.0)])
+    upsert_merge_s3(batch, 1, target=target, keys=["user_id"],
+                    order_col="ord")
+    first = {r.user_id: (r.ord, r.value) for r in read_state_s3(
+        spark, target,
+        "user_id bigint, ord bigint, value double").collect()}
+    upsert_merge_s3(batch, 1, target=target, keys=["user_id"],
+                    order_col="ord")
+    again = {r.user_id: (r.ord, r.value) for r in read_state_s3(
+        spark, target,
+        "user_id bigint, ord bigint, value double").collect()}
+    assert first == again == {1: (10, 1.0), 2: (3, 2.0)}
+
+
+def test_cold_read_is_empty_not_an_error(spark, target):
+    out = read_state_s3(spark, target, AGG_SCHEMA)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n", "total", "udc_kb"]
+
+
+# ---------------------------------------------------------------------------
+# agg_state: exactly-once
+# ---------------------------------------------------------------------------
+
+def test_agg_state_replay_does_not_double_count(spark, target):
+    b1 = _frame(spark, [(1, 0, 1.5), (1, 0, 2.5), (2, 0, 10.0)])
+    agg_state_merge_s3(b1, 1, target=target, keys=["user_id"],
+                       value_col="value")
+    assert _totals(spark, target) == {1: (2, 4.0), 2: (1, 10.0)}
+    # at-least-once delivery: the same batch id replays in full
+    agg_state_merge_s3(b1, 1, target=target, keys=["user_id"],
+                       value_col="value")
+    assert _totals(spark, target) == {1: (2, 4.0), 2: (1, 10.0)}
+    # a NEW batch id adds
+    agg_state_merge_s3(_frame(spark, [(1, 0, 0.5)]), 2, target=target,
+                       keys=["user_id"], value_col="value")
+    assert _totals(spark, target) == {1: (3, 4.5), 2: (1, 10.0)}
+
+
+def test_agg_state_crash_before_cas_then_replay_converges(
+        spark, target, monkeypatch):
+    """Crash injection at the exact point the design argues about: the
+    merge uploads its generation objects and commits SOME pointer CAS
+    calls, then dies. Old state must remain readable and the replay
+    must apply exactly the uncommitted buckets."""
+    agg_state_merge_s3(
+        _frame(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 0, 3.0),
+                       (4, 0, 4.0), (5, 0, 5.0), (6, 0, 6.0)]),
+        1, target=target, keys=["user_id"], value_col="value")
+    before = _totals(spark, target)
+
+    real_commit = S3StateTarget.commit_pointer
+    calls = {"n": 0}
+
+    def crashing_commit(self, bucket_id, applied, objects, etag):
+        if calls["n"] >= 1:
+            raise RuntimeError("injected crash mid-commit-loop")
+        calls["n"] += 1
+        return real_commit(self, bucket_id, applied, objects, etag)
+
+    b2 = _frame(spark, [(1, 0, 10.0), (2, 0, 20.0), (3, 0, 30.0),
+                        (4, 0, 40.0), (5, 0, 50.0), (6, 0, 60.0)])
+    monkeypatch.setattr(S3StateTarget, "commit_pointer", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        agg_state_merge_s3(b2, 2, target=target, keys=["user_id"],
+                           value_col="value")
+    monkeypatch.setattr(S3StateTarget, "commit_pointer", real_commit)
+
+    # partial state is never visible as corruption: every key reads
+    # either its old or its new total, never a mix within a bucket
+    mid = _totals(spark, target)
+    for uid, old in before.items():
+        new = (old[0] + 1, old[1] + uid * 10.0)
+        assert mid[uid] in (old, new)
+    assert mid != before  # one bucket DID commit before the crash
+
+    # checkpoint replays batch 2: committed buckets skip, the rest apply
+    agg_state_merge_s3(b2, 2, target=target, keys=["user_id"],
+                       value_col="value")
+    assert _totals(spark, target) == {
+        uid: (old[0] + 1, old[1] + uid * 10.0)
+        for uid, old in before.items()}
+
+    # the crashed attempt's unreferenced generation objects are garbage
+    # vacuum can prove and reclaim; live state survives it
+    assert vacuum_target(target) > 0
+    assert _totals(spark, target) == {
+        uid: (old[0] + 1, old[1] + uid * 10.0)
+        for uid, old in before.items()}
+
+
+def test_ghost_objects_are_invisible_to_readers(spark, s3_client, target):
+    """The pointer lists its objects explicitly, so junk under a
+    committed generation prefix (a crashed attempt that partitioned
+    differently, an abandoned multipart) can never be read as state."""
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), 1, target=target,
+                       keys=["user_id"], value_col="value")
+    ptr_key = next(k for k in target.list_keys() if k.endswith("/_ptr"))
+    gen_prefix = json.loads(
+        s3_client.get_object(Bucket=BUCKET, Key=ptr_key)["Body"].read()
+    )["objects"][0].rsplit("/", 1)[0]
+    # plant a ghost part file beside the committed one
+    s3_client.put_object(Bucket=BUCKET,
+                         Key=f"{gen_prefix}/part-999.parquet",
+                         Body=b"not even parquet")
+    assert _totals(spark, target) == {1: (1, 1.0)}
+
+
+def test_concurrent_writer_loses_cas_loudly(spark, target):
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), 1, target=target,
+                       keys=["user_id"], value_col="value")
+    bucket_id = next(b for b in range(target.num_buckets)
+                     if target.read_pointer(b)[0] is not None)
+    ptr, stale_etag = target.read_pointer(bucket_id)
+    # another writer commits in between
+    target.commit_pointer(bucket_id, ptr["applied"] + 1,
+                          ptr["objects"], stale_etag)
+    with pytest.raises(CasConflict, match="one writer per state target"):
+        target.commit_pointer(bucket_id, ptr["applied"] + 2,
+                              ptr["objects"], stale_etag)
+
+
+# ---------------------------------------------------------------------------
+# streaming end-to-end
+# ---------------------------------------------------------------------------
+
+def test_streaming_agg_state_s3_end_to_end(spark, tmp_path, target):
+    """Real readStream -> foreachBatch -> CAS commits, two triggers:
+    totals must equal the batch groupBy over both files."""
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for uid, v in rows:
+                f.write(json.dumps({"user_id": uid, "value": v}) + "\n")
+
+    def run(ckpt):
+        raw = (spark.readStream
+               .schema("user_id bigint, value double")
+               .option("maxFilesPerTrigger", "1").json(str(src)))
+        q = foreachbatch_agg_state_s3(
+            raw, target, keys=["user_id"], value_col="value",
+            checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    write("a.json", [(1, 1.0), (1, 2.0), (2, 5.0)])
+    write("b.json", [(1, 4.0), (3, 7.0)])
+    run("ckpt")
+    assert _totals(spark, target) == {
+        1: (3, 7.0), 2: (1, 5.0), 3: (1, 7.0)}
+    # restart on the SAME checkpoint: nothing new to process, nothing
+    # double-applied
+    run("ckpt")
+    assert _totals(spark, target) == {
+        1: (3, 7.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+
+# ---------------------------------------------------------------------------
+# batch-run intent (the begin/end_batch_run twin)
+# ---------------------------------------------------------------------------
+
+def test_batch_runs_claim_monotonic_ids(spark, target):
+    rid1 = begin_batch_run_s3(target, fingerprint="fp-a")
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), rid1, target=target,
+                       keys=["user_id"], value_col="value")
+    end_batch_run_s3(target)
+    rid2 = begin_batch_run_s3(target, fingerprint="fp-b")
+    assert rid2 == rid1 + 1
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), rid2, target=target,
+                       keys=["user_id"], value_col="value")
+    end_batch_run_s3(target)
+    assert _totals(spark, target) == {1: (2, 2.0)}
+
+
+def test_batch_run_same_fingerprint_resumes_same_id(spark, target):
+    rid = begin_batch_run_s3(target, fingerprint="fp-x")
+    # crash before the merge: rerun with the same input resumes the id
+    assert begin_batch_run_s3(target, fingerprint="fp-x") == rid
+    end_batch_run_s3(target)
+
+
+def test_batch_run_changed_input_after_complete_reclaims_fresh(
+        spark, target):
+    rid = begin_batch_run_s3(target, fingerprint="fp-old")
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0), (2, 0, 2.0)]), rid,
+                       target=target, keys=["user_id"], value_col="value")
+    # crash between the merge and end_batch_run: the intent survives,
+    # but every recorded bucket committed -> a changed input reclaims
+    rid2 = begin_batch_run_s3(target, fingerprint="fp-new")
+    assert rid2 == rid + 1
+    end_batch_run_s3(target)
+
+
+def test_batch_run_changed_input_after_partial_apply_raises(
+        spark, target, monkeypatch):
+    # seed two keys in different buckets so batch 2 touches >= 2
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0), (2, 0, 2.0),
+                                      (3, 0, 3.0), (4, 0, 4.0)]),
+                       begin_batch_run_s3(target, fingerprint="seed"),
+                       target=target, keys=["user_id"], value_col="value")
+    end_batch_run_s3(target)
+
+    rid = begin_batch_run_s3(target, fingerprint="fp-old")
+    real_commit = S3StateTarget.commit_pointer
+    calls = {"n": 0}
+
+    def crashing_commit(self, bucket_id, applied, objects, etag):
+        if calls["n"] >= 1:
+            raise RuntimeError("injected crash")
+        calls["n"] += 1
+        return real_commit(self, bucket_id, applied, objects, etag)
+
+    monkeypatch.setattr(S3StateTarget, "commit_pointer", crashing_commit)
+    with pytest.raises(RuntimeError):
+        agg_state_merge_s3(
+            _frame(spark, [(1, 0, 10.0), (2, 0, 20.0), (3, 0, 30.0),
+                           (4, 0, 40.0)]),
+            rid, target=target, keys=["user_id"], value_col="value")
+    monkeypatch.setattr(S3StateTarget, "commit_pointer", real_commit)
+    # SOME recorded bucket committed, some did not: a different input
+    # must be refused — no automatic choice is safe
+    with pytest.raises(ValueError, match="partially applied"):
+        begin_batch_run_s3(target, fingerprint="fp-new")
+    # the ORIGINAL input resumes and completes, then the new input runs
+    rid_resume = begin_batch_run_s3(target, fingerprint="fp-old")
+    assert rid_resume == rid
+    agg_state_merge_s3(
+        _frame(spark, [(1, 0, 10.0), (2, 0, 20.0), (3, 0, 30.0),
+                       (4, 0, 40.0)]),
+        rid_resume, target=target, keys=["user_id"], value_col="value")
+    end_batch_run_s3(target)
+    assert _totals(spark, target) == {
+        1: (2, 11.0), 2: (2, 22.0), 3: (2, 33.0), 4: (2, 44.0)}
+
+
+def test_record_touched_noop_without_matching_intent(target):
+    # streaming merges carry no intent: recording must be a no-op
+    record_touched_s3(target, 99, [0, 1])
+    assert target._get_json(target._key("_udc_batch_intent"))[0] is None
+
+
+# ---------------------------------------------------------------------------
+# vacuum keeps live state
+# ---------------------------------------------------------------------------
+
+def test_vacuum_reclaims_superseded_generations(spark, target):
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), 1, target=target,
+                       keys=["user_id"], value_col="value")
+    agg_state_merge_s3(_frame(spark, [(1, 0, 2.0)]), 2, target=target,
+                       keys=["user_id"], value_col="value")
+    n_before = len([k for k in target.list_keys() if "gen-" in k])
+    deleted = vacuum_target(target)
+    assert deleted > 0
+    assert len([k for k in target.list_keys() if "gen-" in k]) \
+        == n_before - deleted
+    assert _totals(spark, target) == {1: (2, 3.0)}
+
+
+# ---------------------------------------------------------------------------
+# engine surface: YAML pipelines routed onto the object-store backend
+# ---------------------------------------------------------------------------
+
+def _events_csv(rows):
+    out = "event_id,user_id,ts,value\n"
+    for r in rows:
+        out += ",".join(map(str, r)) + "\n"
+    return out
+
+
+_SQL_EVENTS = """
+    SELECT CAST(f[1] AS BIGINT) AS user_id,
+           CAST(f[3] AS DOUBLE) AS value
+    FROM (SELECT split(line, ',') AS f FROM (
+            SELECT explode(slice(split(content, '\\n'), 2,
+                                 1000000)) AS line
+            FROM _input))
+    WHERE size(f) >= 4"""
+
+
+def test_agg_state_sink_yaml_s3_backend_incremental_runs(
+        spark, tmp_path, s3_client, target):
+    """A 'agg_state' sink whose props carry bucketName routes onto the
+    object-store backend: two batch runs (manifest-scoped to new files)
+    claim monotonic run ids via the CAS intent, apply exactly once,
+    and the engine's deferred finalize clears the intent AFTER its
+    consumed-file bookkeeping."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "totals-state-s3",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.csv",
+                                  "manifestDir": str(tmp_path / "m")}},
+        "transformations": [
+            {"type": "sql", "properties": {"query": _SQL_EVENTS}},
+        ],
+        "sink": {"type": "agg_state",
+                 "properties": {"bucketName": BUCKET,
+                                "prefix": target.prefix,
+                                "endpoint":
+                                    s3_client.meta.endpoint_url,
+                                "accessKey": "test-access",
+                                "secretKey": "test-secret",
+                                "keys": "user_id",
+                                "valueColumn": "value",
+                                "numBuckets": "4"}},
+    }]}).pipelines[0]
+
+    with open(inp / "a.csv", "w") as f:
+        f.write(_events_csv([(1, 7, "2026-01-01 10:00:00", 1.0),
+                             (2, 8, "2026-01-01 10:30:00", 5.0)]))
+    run(spark, cfg)
+    assert _totals(spark, target) == {7: (1, 1.0), 8: (1, 5.0)}
+    # intent cleared by the deferred finalize
+    assert target._get_json(target._key("_udc_batch_intent"))[0] is None
+
+    with open(inp / "b.csv", "w") as f:
+        f.write(_events_csv([(3, 7, "2026-01-01 11:00:00", 2.0)]))
+    run(spark, cfg)
+    assert _totals(spark, target) == {7: (2, 3.0), 8: (1, 5.0)}
+
+
+def test_upsert_sink_yaml_s3_backend_streaming(
+        spark, tmp_path, s3_client, target):
+    """A streaming 'upsert' sink with bucketName props: readStream ->
+    foreachBatch -> CAS commits through the sink registry."""
+    from universal_data_connector_spark.sinks import create_sink
+    from universal_data_connector_spark.config import SinkConfig
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for row in [{"user_id": 1, "ord": 1, "value": 1.0},
+                    {"user_id": 1, "ord": 2, "value": 9.0},
+                    {"user_id": 2, "ord": 1, "value": 5.0}]:
+            f.write(json.dumps(row) + "\n")
+    raw = (spark.readStream
+           .schema("user_id bigint, ord bigint, value double")
+           .json(str(src)))
+    q = create_sink(raw, SinkConfig(type="upsert", properties={
+        "bucketName": BUCKET, "prefix": target.prefix,
+        "endpoint": s3_client.meta.endpoint_url,
+        "accessKey": "test-access", "secretKey": "test-secret",
+        "keys": "user_id", "orderColumn": "ord", "numBuckets": "4",
+        "checkpointLocation": str(tmp_path / "ckpt")}), streaming=True)
+    q.awaitTermination()
+    out = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double")
+    got = {r.user_id: (r.ord, r.value) for r in out.collect()}
+    assert got == {1: (2, 9.0), 2: (1, 5.0)}
+
+
+def test_constant_id_upsert_rerun_crash_cannot_tear_state(
+        spark, target, monkeypatch):
+    """Write-once generations under a CONSTANT batch id (the batch
+    upsert sink passes 0 every run): a second run that crashes after
+    uploading but before ANY pointer CAS must leave the first run's
+    state byte-for-byte readable — the crashed upload may not touch a
+    single live object. (Without the per-merge generation nonce the
+    second upload overwrote the pointer-referenced objects in place,
+    committing — or tearing — state with no commit.)"""
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0), (2, 10, 2.0)]), 0,
+                    target=target, keys=["user_id"], order_col="ord")
+    expected = {1: (10, 1.0), 2: (10, 2.0)}
+
+    def refusing_commit(self, bucket_id, applied, objects, etag):
+        raise RuntimeError("injected crash before any CAS")
+
+    monkeypatch.setattr(S3StateTarget, "commit_pointer", refusing_commit)
+    with pytest.raises(RuntimeError, match="before any CAS"):
+        upsert_merge_s3(_frame(spark, [(1, 99, 8.0), (2, 99, 9.0)]), 0,
+                        target=target, keys=["user_id"], order_col="ord")
+    monkeypatch.undo()
+
+    out = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double")
+    assert {r.user_id: (r.ord, r.value) for r in out.collect()} \
+        == expected
+    # the rerun (same constant id) completes and supersedes
+    upsert_merge_s3(_frame(spark, [(1, 99, 8.0), (2, 99, 9.0)]), 0,
+                    target=target, keys=["user_id"], order_col="ord")
+    out = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double")
+    assert {r.user_id: (r.ord, r.value) for r in out.collect()} \
+        == {1: (99, 8.0), 2: (99, 9.0)}

@@ -32,6 +32,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def s3_state_target(props: dict):
+    """Build the object-store state target from S3-sink-style props
+    (``bucketName``/``prefix``/``endpoint``/``accessKey``/``secretKey``
+    — the same shape the S3 source and sink consume). Presence of
+    ``bucketName`` is what routes an upsert/agg_state sink onto the
+    CAS-committed object-store backend instead of the POSIX one."""
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+
+    kw = {}
+    if props.get("accessKey"):
+        kw["aws_access_key_id"] = props["accessKey"]
+    if props.get("secretKey"):
+        kw["aws_secret_access_key"] = props["secretKey"]
+    if props.get("endpoint"):
+        kw["endpoint_url"] = props["endpoint"]
+    if props.get("region"):
+        kw["region_name"] = props["region"]
+    return S3StateTarget(props["bucketName"],
+                         props.get("prefix") or "",
+                         num_buckets=int(props.get("numBuckets", 32)),
+                         **kw)
+
+
 def _keys(props: dict) -> list[str]:
     raw = props.get("keys", "")
     keys = [k.strip() for k in str(raw).split(",") if k.strip()]
@@ -51,6 +76,20 @@ def upsert_sink(df: DataFrame, props: dict, streaming: bool = False):
     if not order_col:
         raise ValueError("upsert sink requires 'orderColumn'")
     n = int(props.get("numBuckets", 32))
+    if props.get("bucketName"):
+        from universal_data_connector_spark.streaming.object_state import (
+            foreachbatch_upsert_s3,
+            upsert_merge_s3,
+        )
+
+        target = s3_state_target(props)
+        if streaming:
+            return foreachbatch_upsert_s3(
+                df, target, keys=keys, order_col=order_col,
+                checkpoint=props["checkpointLocation"])
+        upsert_merge_s3(df, 0, target=target, keys=keys,
+                        order_col=order_col)
+        return None
     if streaming:
         return foreachbatch_upsert(
             df, props["path"], keys=keys, order_col=order_col,
@@ -75,6 +114,26 @@ def agg_state_sink(df: DataFrame, props: dict, streaming: bool = False):
     if not value_col:
         raise ValueError("agg_state sink requires 'valueColumn'")
     n = int(props.get("numBuckets", 32))
+    if props.get("bucketName"):
+        from universal_data_connector_spark.streaming.object_state import (
+            agg_state_merge_s3,
+            begin_batch_run_s3,
+            end_batch_run_s3,
+            foreachbatch_agg_state_s3,
+        )
+
+        target = s3_state_target(props)
+        if streaming:
+            return foreachbatch_agg_state_s3(
+                df, target, keys=keys, value_col=value_col,
+                checkpoint=props["checkpointLocation"])
+        run_id = begin_batch_run_s3(
+            target, fingerprint=props.get("_inputFingerprint"))
+        agg_state_merge_s3(df, run_id, target=target, keys=keys,
+                           value_col=value_col)
+        if not props.get("_deferFinalize"):
+            end_batch_run_s3(target)
+        return None
     if streaming:
         return foreachbatch_agg_state(
             df, props["path"], keys=keys, value_col=value_col,

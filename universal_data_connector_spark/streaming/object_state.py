@@ -1,0 +1,519 @@
+"""Object-store backend for the keyed state sinks (upsert / agg_state).
+
+The POSIX sinks in ``streaming/windows.py`` get their crash safety from
+``os.rename`` — which object stores do not have. This module maintains
+the SAME state semantics (key-bucketed target, keep-latest upsert,
+exactly-once additive aggregates) on S3-compatible storage by using the
+lakehouse commit primitive instead: **immutable data generations plus a
+per-bucket manifest pointer committed with compare-and-swap** — the
+same shape Delta/Iceberg use to commit snapshots on S3, implemented
+here dependency-free against two public S3 features (strong
+read-after-write consistency; conditional PUT via ``If-None-Match:*``
+create and ``If-Match`` ETag CAS).
+
+Layout, all under ``s3://bucket/prefix/``::
+
+    _udc_buckets                  bucket count, create-if-absent
+    _udc_batch_intent             batch-run claim (If-None-Match:*)
+    kb=<K>/_ptr                   JSON {"applied": id, "objects": [...]}
+    kb=<K>/gen-<id>/part-*.parquet  immutable data objects
+
+Commit protocol, per touched bucket and batch id ``g``:
+
+1. upload the bucket's merged state as NEW objects under ``gen-<g>/``
+   (never mutate a committed object);
+2. CAS the pointer: ``If-Match`` on the ETag read at merge entry (or
+   ``If-None-Match:*`` for a bucket's first commit), with the new
+   content naming the applied batch id AND the exact object list.
+
+A crash anywhere before step 2 leaves the old pointer — and therefore
+the old state — fully intact; the half-uploaded generation is
+unreferenced garbage (``vacuum_target`` reclaims it). A replay after a
+crash skips buckets whose pointer already carries the batch id (the
+applied marker is INSIDE the pointer content, so it is atomic with the
+swap by construction) and re-merges the rest from their still-intact
+old pointers. Because the pointer lists its objects explicitly, a
+replay that repartitions differently can never resurrect a ghost part
+file from the crashed attempt. A CONCURRENT second writer loses the
+CAS and fails loudly — the same single-writer contract the POSIX
+backend enforces with ``O_CREAT|O_EXCL``.
+
+Scale posture: identical to the POSIX backend — per-batch cost is
+O(touched buckets), the merge reduce runs in Spark, and the commit
+adds ONE small-object GET + PUT per touched bucket (metadata-rate, not
+data-rate). Transport note: this sandbox has no hadoop-aws, so data
+objects shuttle through a driver-local scratch directory via boto3
+(the same fallback the S3 source/sink use, ``sources/files.py``). The
+COMMIT PROTOCOL is transport-independent: with S3A on the classpath,
+stage generations directly to ``s3a://`` from executors and keep only
+the pointer CAS on boto3 — nothing in the layout or the crash argument
+changes.
+
+Reference parity note: the reference's S3 surface
+(``factory/sink/S3SinkContext.java:56-103``) is append-only object
+PUTs; keyed state on S3 is an engine extension, recorded in SURVEY
+§2A alongside the POSIX state sinks.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KB = "udc_kb"                      # same bucket column as the POSIX twin
+_META_KEY = "_udc_buckets"
+_INTENT_KEY = "_udc_batch_intent"
+_DEC = "decimal(27,6)"
+
+
+class CasConflict(ValueError):
+    """A conditional PUT lost: another writer committed concurrently.
+
+    Raised instead of retrying because retrying would require re-reading
+    state mid-merge; the contract (matching the POSIX backend) is ONE
+    writer per target — a lost CAS means that contract was broken."""
+
+
+def _is_precondition_failed(exc) -> bool:
+    code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+    return code in ("PreconditionFailed", "ConditionalRequestConflict")
+
+
+def _is_missing(exc) -> bool:
+    code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+    return code in ("NoSuchKey", "404")
+
+
+class S3StateTarget:
+    """One keyed-state target at ``s3://bucket/prefix`` plus the boto3
+    client to reach it. ``client_kwargs`` mirror the S3 source/sink
+    props (``aws_access_key_id`` / ``aws_secret_access_key`` /
+    ``endpoint_url`` / ``region_name``); omitted entries fall to the
+    default provider chain."""
+
+    def __init__(self, bucket: str, prefix: str, *, client=None,
+                 num_buckets: int = 32, **client_kwargs):
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3", **client_kwargs)
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.num_buckets = self._ensure_meta(num_buckets)
+
+    # -- key helpers -----------------------------------------------------
+    def _key(self, *parts: str) -> str:
+        return "/".join((self.prefix, *parts)) if self.prefix else \
+            "/".join(parts)
+
+    def _ptr_key(self, bucket_id: int) -> str:
+        return self._key(f"kb={bucket_id}", "_ptr")
+
+    # -- conditional small-object I/O ------------------------------------
+    def _get_json(self, key: str):
+        """(payload, etag) or (None, None) when the object is absent."""
+        try:
+            r = self.client.get_object(Bucket=self.bucket, Key=key)
+        except Exception as exc:  # botocore ClientError
+            if _is_missing(exc):
+                return None, None
+            raise
+        return json.loads(r["Body"].read()), r["ETag"]
+
+    def _put_cas(self, key: str, payload, etag: str | None) -> None:
+        """Create-if-absent (etag None) or ETag-CAS overwrite."""
+        body = json.dumps(payload).encode()
+        cond = ({"IfNoneMatch": "*"} if etag is None
+                else {"IfMatch": etag})
+        try:
+            self.client.put_object(Bucket=self.bucket, Key=key,
+                                   Body=body, **cond)
+        except Exception as exc:
+            if _is_precondition_failed(exc):
+                raise CasConflict(
+                    f"conditional PUT of {key!r} lost to a concurrent "
+                    "writer: one writer per state target (the same "
+                    "single-writer contract as the POSIX backend)"
+                ) from None
+            raise
+
+    def _ensure_meta(self, num_buckets: int) -> int:
+        meta_key = self._key(_META_KEY)
+        stored, _ = self._get_json(meta_key)
+        if stored is not None:
+            return int(stored["num_buckets"])
+        try:
+            self._put_cas(meta_key, {"num_buckets": num_buckets}, None)
+            return num_buckets
+        except CasConflict:
+            # two first-writers raced; the winner's count is the
+            # target's count for life (a changed bucket count would
+            # scatter existing keys — same rule as the POSIX meta file)
+            stored, _ = self._get_json(meta_key)
+            return int(stored["num_buckets"])
+
+    # -- pointer + data-plane --------------------------------------------
+    def read_pointer(self, bucket_id: int):
+        """({"applied": int, "objects": [keys]}, etag) or (None, None)."""
+        return self._get_json(self._ptr_key(bucket_id))
+
+    def commit_pointer(self, bucket_id: int, applied: int,
+                       objects: list[str], etag: str | None) -> None:
+        self._put_cas(self._ptr_key(bucket_id),
+                      {"applied": applied, "objects": objects}, etag)
+
+    def upload_file(self, local_path: str, key: str) -> None:
+        with open(local_path, "rb") as fh:
+            self.client.put_object(Bucket=self.bucket, Key=key,
+                                   Body=fh.read())
+
+    def download_to(self, key: str, local_path: str) -> None:
+        r = self.client.get_object(Bucket=self.bucket, Key=key)
+        with open(local_path, "wb") as fh:
+            fh.write(r["Body"].read())
+
+    def list_keys(self) -> list[str]:
+        keys, token = [], None
+        while True:
+            kw = {"Bucket": self.bucket}
+            if self.prefix:
+                kw["Prefix"] = self.prefix + "/"
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.client.list_objects_v2(**kw)
+            keys += [o["Key"] for o in r.get("Contents", [])]
+            if not r.get("IsTruncated"):
+                return keys
+            token = r["NextContinuationToken"]
+
+    def delete_keys(self, keys: list[str]) -> None:
+        for i in range(0, len(keys), 1000):
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": k} for k in keys[i:i + 1000]]})
+
+
+def _fetch_state_scratch(target: S3StateTarget, pointers: dict,
+                         scratch: str) -> str | None:
+    """Materialize the pointed-to generation objects of the given
+    buckets into a local partition-layout scratch dir that
+    ``spark.read.parquet`` understands (``udc_kb=<K>/part-*.parquet``).
+    Returns None when no bucket has committed state yet."""
+    any_data = False
+    for b, (ptr, _etag) in pointers.items():
+        if ptr is None or not ptr["objects"]:
+            continue
+        bdir = os.path.join(scratch, f"{_KB}={b}")
+        os.makedirs(bdir, exist_ok=True)
+        for i, key in enumerate(ptr["objects"]):
+            target.download_to(key, os.path.join(bdir, f"part-{i}.parquet"))
+            any_data = True
+    return scratch if any_data else None
+
+
+def _stage_and_upload(merged: DataFrame, target: S3StateTarget,
+                      buckets: list[int], gen_id: int,
+                      staged: str) -> dict[int, list[str]]:
+    """Write the merged frame partitioned by bucket to local staging,
+    upload each part as an immutable object under its bucket's new
+    generation prefix, and return the per-bucket object lists for the
+    pointer commits. Buckets whose merge produced no rows still get an
+    (empty) entry so their pointer can record the applied id.
+
+    The generation name carries a per-merge NONCE alongside the batch
+    id: data objects must be write-once under EVERY call pattern, and
+    the batch upsert sink re-merges under a constant id — without the
+    nonce its second run would overwrite the live, pointer-referenced
+    objects BEFORE any CAS, committing (or tearing, if part counts
+    differ) state without a commit. Readers only ever follow the
+    pointer's explicit object list, so the name itself carries no
+    semantics; abandoned nonces are unreferenced garbage for
+    ``vacuum_target``."""
+    import uuid
+
+    nonce = uuid.uuid4().hex[:8]
+    (merged.repartition(len(buckets), F.col(_KB))
+           .write.mode("overwrite").partitionBy(_KB).parquet(staged))
+    objects: dict[int, list[str]] = {b: [] for b in buckets}
+    for b in buckets:
+        part_dir = os.path.join(staged, f"{_KB}={b}")
+        if not os.path.isdir(part_dir):
+            continue
+        files = sorted(n for n in os.listdir(part_dir)
+                       if n.endswith(".parquet"))
+        for i, name in enumerate(files):
+            key = target._key(f"kb={b}", f"gen-{gen_id}-{nonce}",
+                              f"part-{i}.parquet")
+            target.upload_file(os.path.join(part_dir, name), key)
+            objects[b].append(key)
+    return objects
+
+
+def upsert_merge_s3(batch_df: DataFrame, batch_id: int, *,
+                    target: S3StateTarget, keys: list[str],
+                    order_col: str) -> None:
+    """One keep-latest merge into the object-store target — the
+    CAS-committed twin of ``windows.upsert_merge``. Idempotent: a
+    replay recomputes the same winners (content-hash tiebreak in
+    ``_latest_rank``) from the same committed pointers, and buckets
+    whose pointer already reached ``batch_id`` are skipped outright."""
+    from universal_data_connector_spark.streaming.windows import (
+        _latest_rank,
+    )
+
+    spark = batch_df.sparkSession
+    kb = F.pmod(F.xxhash64(*keys), F.lit(target.num_buckets)).cast("int")
+    rank = _latest_rank(batch_df.schema, keys, order_col)
+    latest = (batch_df.withColumn("__rn", rank)
+                      .filter(F.col("__rn") == 1).drop("__rn")
+                      .withColumn(_KB, kb))
+    # bounded by num_buckets -> driver-safe at any scale
+    touched = sorted(r[0] for r in latest.select(_KB).distinct().collect())
+    if not touched:
+        return
+    # NO applied-id gate here, matching the POSIX twin: keep-latest is
+    # idempotent, so a replay (or a direct batch call with a constant
+    # id) simply re-merges against the committed pointers and
+    # converges; the recorded id is informational
+    pointers = {b: target.read_pointer(b) for b in touched}
+    pending = touched
+
+    scratch_root = tempfile.mkdtemp(prefix="udc_s3_state_")
+    try:
+        state_dir = _fetch_state_scratch(
+            target, {b: pointers[b] for b in pending},
+            os.path.join(scratch_root, "current"))
+        if state_dir is not None:
+            current = (spark.read.parquet(state_dir)
+                       .filter(F.col(_KB).isin(pending)))
+            merged = current.unionByName(latest)
+            rank2 = _latest_rank(merged.schema, keys, order_col)
+            merged = (merged.withColumn("__rn", rank2)
+                            .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            merged = latest
+        objects = _stage_and_upload(
+            merged, target, pending, batch_id,
+            os.path.join(scratch_root, "staged"))
+        for b in pending:
+            target.commit_pointer(b, batch_id, objects[b],
+                                  pointers[b][1])
+    finally:
+        shutil.rmtree(scratch_root, ignore_errors=True)
+
+
+def agg_state_merge_s3(batch_df: DataFrame, batch_id: int, *,
+                       target: S3StateTarget, keys: list[str],
+                       value_col: str) -> None:
+    """One additive (count, exact-decimal sum) merge — the
+    CAS-committed twin of ``windows.agg_state_merge``. NOT idempotent
+    by nature, so exactly-once comes from the applied id inside the
+    pointer: a replayed batch skips buckets whose pointer reached
+    ``batch_id`` and re-derives the rest from their old (still
+    committed) pointers, exactly like the POSIX marker-in-renamed-dir
+    argument with CAS standing in for the rename."""
+    spark = batch_df.sparkSession
+    kb = F.pmod(F.xxhash64(*keys), F.lit(target.num_buckets)).cast("int")
+    part = (batch_df
+            .groupBy(*keys)
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col(value_col).cast(_DEC)).cast(_DEC)
+                  .alias("total"))
+            .withColumn(_KB, kb))
+    touched = sorted(r[0] for r in part.select(_KB).distinct().collect())
+    if not touched:
+        return
+    pointers = {b: target.read_pointer(b) for b in touched}
+    pending = [b for b in touched
+               if pointers[b][0] is None
+               or pointers[b][0]["applied"] < batch_id]
+    # record BEFORE the early return and the first commit (same role
+    # as the POSIX _intent_record_touched: an empty pending set
+    # recorded = "this run's merge is complete"; no-op when no intent
+    # exists — the streaming path carries none)
+    record_touched_s3(target, batch_id, pending)
+    if not pending:
+        return
+    part = part.filter(F.col(_KB).isin(pending))
+
+    scratch_root = tempfile.mkdtemp(prefix="udc_s3_state_")
+    try:
+        state_dir = _fetch_state_scratch(
+            target, {b: pointers[b] for b in pending},
+            os.path.join(scratch_root, "current"))
+        if state_dir is not None:
+            state = (spark.read.parquet(state_dir)
+                     .filter(F.col(_KB).isin(pending))
+                     .select(*keys, F.col("n"),
+                             F.col("total").cast(_DEC).alias("total"),
+                             F.col(_KB)))
+            merged = (state.unionByName(part)
+                      .groupBy(*keys, _KB)
+                      .agg(F.sum("n").cast("bigint").alias("n"),
+                           F.sum("total").cast(_DEC).alias("total")))
+        else:
+            merged = part
+        objects = _stage_and_upload(
+            merged, target, pending, batch_id,
+            os.path.join(scratch_root, "staged"))
+        for b in pending:
+            target.commit_pointer(b, batch_id, objects[b],
+                                  pointers[b][1])
+    finally:
+        shutil.rmtree(scratch_root, ignore_errors=True)
+
+
+def read_state_s3(spark, target: S3StateTarget,
+                  empty_schema: str) -> DataFrame:
+    """Read the committed state of every bucket (pointer-listed objects
+    only — uncommitted generations are invisible by construction).
+    NO-STATE-YET reads back as an empty frame of ``empty_schema``, the
+    same contract as ``windows.read_state``."""
+    scratch = tempfile.mkdtemp(prefix="udc_s3_read_")
+    pointers = {b: target.read_pointer(b)
+                for b in range(target.num_buckets)}
+    state_dir = _fetch_state_scratch(target, pointers, scratch)
+    if state_dir is None:
+        shutil.rmtree(scratch, ignore_errors=True)
+        return spark.createDataFrame([], empty_schema)
+    # the scratch must not outlive this call, so pin the frame's
+    # contents eagerly (type-faithful: the parquet schema — decimal
+    # totals included — survives, where a pandas round-trip would not)
+    df = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return df
+
+
+def vacuum_target(target: S3StateTarget) -> int:
+    """Delete data objects no pointer references (crashed-attempt
+    generations, superseded generations). Safe under the single-writer
+    contract once no reader still holds a pre-vacuum pointer; returns
+    the number of objects deleted."""
+    live: set[str] = set()
+    for b in range(target.num_buckets):
+        ptr, _ = target.read_pointer(b)
+        if ptr:
+            live.update(ptr["objects"])
+    keep_suffixes = ("/_ptr",)
+    keep_names = {target._key(_META_KEY), target._key(_INTENT_KEY)}
+    garbage = [k for k in target.list_keys()
+               if k not in live and not k.endswith(keep_suffixes)
+               and k not in keep_names]
+    if garbage:
+        target.delete_keys(garbage)
+    return len(garbage)
+
+
+def foreachbatch_upsert_s3(stream: DataFrame, target: S3StateTarget,
+                           keys: list[str], order_col: str,
+                           checkpoint: str,
+                           trigger_available_now: bool = True):
+    """Streaming keep-latest upsert into an object-store target; the
+    checkpoint numbers batches, the pointer CAS makes each bucket's
+    swap atomic, and the applied id in the pointer makes replays
+    converge — exactly-once end to end."""
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_merge_s3(batch_df, batch_id, target=target, keys=keys,
+                        order_col=order_col)
+
+    writer = (stream.writeStream.foreachBatch(merge)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreachbatch_agg_state_s3(stream: DataFrame, target: S3StateTarget,
+                              keys: list[str], value_col: str,
+                              checkpoint: str,
+                              trigger_available_now: bool = True):
+    """Streaming additive aggregate state on an object store:
+    at-least-once foreachBatch delivery + applied-id-in-pointer CAS
+    commits = exactly-once additive state, no rename required."""
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg_state_merge_s3(batch_df, batch_id, target=target, keys=keys,
+                           value_col=value_col)
+
+    writer = (stream.writeStream.foreachBatch(merge)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def begin_batch_run_s3(target: S3StateTarget,
+                       fingerprint: str | None = None) -> int:
+    """Claim a run id for one BATCH merge — the object-store twin of
+    ``windows.begin_batch_run`` with the intent object claimed via
+    ``If-None-Match:*`` (the CAS equivalent of ``O_CREAT|O_EXCL``).
+
+    The id is 1 + the highest applied id across all bucket pointers
+    (monotonic across runs). Resume semantics mirror the POSIX twin:
+    a pre-existing intent resumes its id when the fingerprint matches
+    (or either side has none); on a fingerprint MISMATCH the intent is
+    reclaimed fresh only when the prior run provably completed (every
+    recorded touched bucket's pointer reached the run id) or provably
+    never committed (no recorded bucket's pointer reached it) —
+    a genuine partial apply raises for operator reconciliation."""
+    intent_key = target._key(_INTENT_KEY)
+
+    def next_id() -> int:
+        return 1 + max((target.read_pointer(b)[0]["applied"]
+                        for b in range(target.num_buckets)
+                        if target.read_pointer(b)[0] is not None),
+                       default=-1)
+
+    stored, etag = target._get_json(intent_key)
+    if stored is not None:
+        stored_fp = stored.get("fingerprint")
+        if (fingerprint is None or stored_fp is None
+                or stored_fp == fingerprint):
+            return int(stored["run_id"])
+        touched = stored.get("touched")
+        run_id = int(stored["run_id"])
+        applied = [] if touched is None else [
+            (target.read_pointer(b)[0] or {"applied": -1})["applied"]
+            >= run_id for b in touched]
+        if touched is None or all(applied) or not any(applied):
+            target.delete_keys([intent_key])
+        else:
+            raise ValueError(
+                f"batch intent {intent_key!r} (run {run_id}) was "
+                "claimed for a DIFFERENT input batch, and that run "
+                f"partially applied ({sum(applied)} of {len(applied)} "
+                "recorded buckets committed): resuming would misapply, "
+                "reclaiming would double-apply. Rerun the original "
+                "input to completion first.")
+    run_id = next_id()
+    target._put_cas(intent_key,
+                    {"run_id": run_id, "fingerprint": fingerprint,
+                     "touched": None}, None)
+    return run_id
+
+
+def record_touched_s3(target: S3StateTarget, run_id: int,
+                      touched: list[int]) -> None:
+    """Persist the planned bucket set into the run's intent BEFORE the
+    first pointer commit (same role as the POSIX
+    ``_intent_record_touched``: it makes 'never committed' provable
+    for a later changed-input resume)."""
+    intent_key = target._key(_INTENT_KEY)
+    stored, etag = target._get_json(intent_key)
+    if stored is None or int(stored["run_id"]) != run_id:
+        return
+    target._put_cas(intent_key,
+                    {"run_id": run_id,
+                     "fingerprint": stored.get("fingerprint"),
+                     "touched": sorted(touched)}, etag)
+
+
+def end_batch_run_s3(target: S3StateTarget) -> None:
+    """Clear the intent after a successful batch merge."""
+    target.delete_keys([target._key(_INTENT_KEY)])
