@@ -479,3 +479,82 @@ def test_constant_id_upsert_rerun_crash_cannot_tear_state(
         spark, target, "user_id bigint, ord bigint, value double")
     assert {r.user_id: (r.ord, r.value) for r in out.collect()} \
         == {1: (99, 8.0), 2: (99, 9.0)}
+
+
+# ---------------------------------------------------------------------------
+# model-based crash fuzz: random merges, random crash points, replay —
+# final state must equal an in-memory model that applied every batch
+# exactly once (the campaign's differential method, aimed at the
+# commit protocol itself)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_agg_state_crash_fuzz_against_model(spark, target, monkeypatch,
+                                            seed):
+    import random
+
+    rng = random.Random(seed)
+    model: dict[int, tuple[int, float]] = {}
+    real_commit = S3StateTarget.commit_pointer
+
+    for batch_id in range(1, 7):
+        rows = [(rng.randint(1, 12), 0, float(rng.randint(1, 9)))
+                for _ in range(rng.randint(0, 8))]
+        for uid, _, v in rows:
+            n, t = model.get(uid, (0, 0.0))
+            model[uid] = (n + 1, t + v)
+        batch = _frame(spark, rows) if rows else _frame(
+            spark, []).limit(0)
+
+        # crash after a random number of pointer commits (possibly 0 =
+        # crash before any CAS, possibly >= touched = no crash at all)
+        crash_after = rng.randint(0, 4)
+        calls = {"n": 0}
+
+        def crashing(self, bucket_id, applied, objects, etag,
+                     _ca=crash_after, _calls=calls):
+            if _calls["n"] >= _ca:
+                raise RuntimeError("fuzz crash")
+            _calls["n"] += 1
+            return real_commit(self, bucket_id, applied, objects, etag)
+
+        monkeypatch.setattr(S3StateTarget, "commit_pointer", crashing)
+        try:
+            agg_state_merge_s3(batch, batch_id, target=target,
+                               keys=["user_id"], value_col="value")
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        monkeypatch.setattr(S3StateTarget, "commit_pointer", real_commit)
+        if crashed:
+            # the checkpoint replays the batch (possibly after a
+            # second crash at a different point)
+            if rng.random() < 0.3:
+                calls2 = {"n": 0}
+                ca2 = rng.randint(0, 2)
+
+                def crashing2(self, bucket_id, applied, objects, etag,
+                              _ca=ca2, _calls=calls2):
+                    if _calls["n"] >= _ca:
+                        raise RuntimeError("fuzz crash 2")
+                    _calls["n"] += 1
+                    return real_commit(self, bucket_id, applied,
+                                       objects, etag)
+
+                monkeypatch.setattr(S3StateTarget, "commit_pointer",
+                                    crashing2)
+                try:
+                    agg_state_merge_s3(batch, batch_id, target=target,
+                                       keys=["user_id"],
+                                       value_col="value")
+                except RuntimeError:
+                    pass
+                monkeypatch.setattr(S3StateTarget, "commit_pointer",
+                                    real_commit)
+            agg_state_merge_s3(batch, batch_id, target=target,
+                               keys=["user_id"], value_col="value")
+
+    assert _totals(spark, target) == model
+    # every committed pointer survives a vacuum of the crash garbage
+    vacuum_target(target)
+    assert _totals(spark, target) == model
