@@ -236,12 +236,48 @@ def _rename_transform(df: DataFrame, props: dict) -> DataFrame:
     return df.withColumnsRenamed(dict(props["mapping"]))
 
 
+def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
+    """Cross-run exact dedup against a persistent seen-key store
+    (``operators/dedup_state.py``): rows whose key columns were seen
+    in ANY previous successful run are dropped; survivors' keys are
+    committed to the store post-sink via ``_udc_post_sink_commits``
+    (ordering argument in the module docstring — commit strictly
+    after the sink, strictly before archive/manifest). Batch-only:
+    the commit must observe sink success, which a running stream
+    never signals to the engine."""
+    if df.isStreaming:
+        raise ValueError(
+            "dedup_state transformation is batch-only: its seen-store "
+            "commit must run after the batch sink succeeds; for "
+            "streaming use the file source's manifestDir (per-file "
+            "dedup) or stream_dedup (keyed, watermark-bounded)")
+    state_dir = props.get("stateDir")
+    if not state_dir:
+        raise ValueError("dedup_state transformation requires 'stateDir'")
+    cols = [c.strip() for c in str(props.get("keys", "content")).split(",")
+            if c.strip()]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"dedup_state key column(s) {missing} not in {df.columns}")
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter,
+    )
+
+    survivors, commit = seen_filter(
+        df, state_dir, cols, int(props.get("numBuckets", 32)))
+    survivors._udc_post_sink_commits = list(
+        getattr(df, "_udc_post_sink_commits", [])) + [commit]
+    return survivors
+
+
 TRANSFORMS = {
     "filter": _filter_transform,
     "map": _map_transform,
     "sql": _sql_transform,
     "project": _project_transform,
     "rename": _rename_transform,
+    "dedup_state": _dedup_state_transform,
 }
 
 
@@ -254,7 +290,14 @@ def apply_transformations(df: DataFrame,
             log.warning("unknown transformation type %r — passing through "
                         "unchanged", t.type)
             continue
-        df = fn(df, t.properties)
+        out = fn(df, t.properties)
+        # post-sink commit callbacks (dedup_state) ride on the frame;
+        # transforms that don't add their own must not drop upstream
+        # ones — DataFrame attributes do not propagate through ops
+        if (hasattr(df, "_udc_post_sink_commits")
+                and not hasattr(out, "_udc_post_sink_commits")):
+            out._udc_post_sink_commits = df._udc_post_sink_commits
+        df = out
     return df
 
 
@@ -457,7 +500,8 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
             finalize_batch_sink(spark, cfg, source_df,
                                 archive_dir, consumed, source_root,
                                 manifest_dir, manifest_files,
-                                defer_state_finalize)
+                                defer_state_finalize,
+                                transformed_df=df)
         finally:
             release_frames(pins)
     return result
@@ -494,11 +538,20 @@ def finalize_batch_sink(spark: SparkSession, cfg: PipelineConfig,
                         archive_dir, consumed, source_root,
                         manifest_dir, manifest_files,
                         defer_state: bool,
-                        cancelled=lambda: False) -> None:
+                        cancelled=lambda: False,
+                        transformed_df: DataFrame | None = None) -> None:
     """Post-sink bookkeeping for one successful batch run, in the
     crash-ordering both runners must share (engine.run and the
     manager's worker target — ONE copy, r10 review):
 
+    0. commit dedup_state seen keys — strictly after the sink (a
+       failed sink never reaches here: store untouched, clean rerun)
+       and strictly BEFORE archive/manifest: if the commit lands and
+       a later step crash-misses, the rerun re-filters the survivors
+       as seen, which is correct (they already reached the sink); the
+       reverse order would archive/record inputs whose keys never
+       landed, leaking future duplicates — the one outcome the
+       operator exists to prevent;
     1. archive consumed inputs (a failed sink never reaches here, so
        inputs stay in place for a clean rerun);
     2. record consumed files in the manifest;
@@ -514,6 +567,11 @@ def finalize_batch_sink(spark: SparkSession, cfg: PipelineConfig,
     ``cancelled`` is re-checked before every step: a stop() that lands
     mid-sequence must keep the intent (clearing it would let the rerun
     of the same unrecorded input claim a fresh id and double-apply)."""
+    for commit in getattr(transformed_df, "_udc_post_sink_commits",
+                          ()) or ():
+        if cancelled():
+            break
+        commit()
     if archive_dir and consumed and not cancelled():
         _archive_consumed(consumed, archive_dir, source_root)
     if manifest_dir and manifest_files and not cancelled():

@@ -214,7 +214,8 @@ class PipelineManager:
                             source_df.sparkSession, cfg, source_df,
                             archive_dir, consumed, source_root,
                             manifest_dir, manifest_files, defer_state,
-                            cancelled=lambda: job.status == "CANCELLED")
+                            cancelled=lambda: job.status == "CANCELLED",
+                            transformed_df=df)
                         job._finish("COMPLETED")
                     except Exception as exc:  # noqa: BLE001
                         if job.status == "CANCELLED":
