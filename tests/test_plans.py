@@ -452,9 +452,9 @@ def test_driver_materialization_discipline():
         # (upsert + agg_state merge), bounded by num_buckets — the
         # same contract as the POSIX twins in windows.py
         "streaming/object_state.py": 2,
-        # cross-run dedup: the seen-store touched-bucket set, bounded
-        # by num_buckets
-        "operators/dedup_state.py": 1,
+        # cross-run dedup: the POSIX and S3 stores' touched-bucket
+        # sets, each bounded by num_buckets
+        "operators/dedup_state.py": 2,
     }
     bad = []
     for py in root.rglob("*.py"):

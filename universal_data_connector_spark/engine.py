@@ -251,21 +251,36 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
             "commit must run after the batch sink succeeds; for "
             "streaming use the file source's manifestDir (per-file "
             "dedup) or stream_dedup (keyed, watermark-bounded)")
-    state_dir = props.get("stateDir")
-    if not state_dir:
-        raise ValueError("dedup_state transformation requires 'stateDir'")
     cols = [c.strip() for c in str(props.get("keys", "content")).split(",")
             if c.strip()]
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(
             f"dedup_state key column(s) {missing} not in {df.columns}")
-    from universal_data_connector_spark.operators.dedup_state import (
-        seen_filter,
-    )
+    if props.get("bucketName"):
+        # object-store seen store: same S3 props shape as the state
+        # sinks (bucketName/prefix/endpoint/accessKey/secretKey)
+        from universal_data_connector_spark.operators.dedup_state import (
+            seen_filter_s3,
+        )
+        from universal_data_connector_spark.sinks.upsert import (
+            s3_state_target,
+        )
 
-    survivors, commit = seen_filter(
-        df, state_dir, cols, int(props.get("numBuckets", 32)))
+        survivors, commit = seen_filter_s3(
+            df, s3_state_target(props), cols)
+    else:
+        state_dir = props.get("stateDir")
+        if not state_dir:
+            raise ValueError(
+                "dedup_state transformation requires 'stateDir' (POSIX "
+                "store) or 'bucketName' (object store)")
+        from universal_data_connector_spark.operators.dedup_state import (
+            seen_filter,
+        )
+
+        survivors, commit = seen_filter(
+            df, state_dir, cols, int(props.get("numBuckets", 32)))
     survivors._udc_post_sink_commits = list(
         getattr(df, "_udc_post_sink_commits", [])) + [commit]
     return survivors

@@ -106,6 +106,38 @@ def _ensure_seen_meta(state_dir: str, num_buckets: int) -> int:
     return num_buckets
 
 
+def _batch_keyed(df: DataFrame, cols: list[str], n: int) -> DataFrame:
+    """Key + bucket + deterministic within-batch dedup, shared by the
+    POSIX and object-store seen stores."""
+    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+    keyed = df.withColumn(_KEY, key)
+    # deterministic within-batch winner: lowest content hash over ALL
+    # columns; MapType-carrying columns hash their to_json rendering
+    # (xxhash64 cannot hash maps — the windows._latest_rank rule)
+    from universal_data_connector_spark.streaming.windows import (
+        _contains_map,
+    )
+    tiebreak = F.xxhash64(*[
+        F.to_json(F.col(f.name)) if _contains_map(f.dataType)
+        else F.col(f.name)
+        for f in sorted(df.schema.fields, key=lambda f: f.name)])
+    rn = F.row_number().over(
+        Window.partitionBy(_KEY).orderBy(tiebreak.asc()))
+    return (keyed.withColumn("__rn", rn)
+                 .filter(F.col("__rn") == 1).drop("__rn")
+                 .withColumn(_KB, F.pmod(F.xxhash64(F.col(_KEY)),
+                                         F.lit(n)).cast("int")))
+
+
+def _pin(keyed: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from universal_data_connector_spark.operators.relational import (
+        pin_frame,
+    )
+    return pin_frame(keyed.persist(StorageLevel.DISK_ONLY))
+
+
 def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
                 num_buckets: int = 32, persist: bool = True):
     """(survivors, commit) for one batch against the seen store.
@@ -122,25 +154,7 @@ def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
     scan and anti-join a second time. Pass ``persist=False`` to opt
     out (e.g. a caller that commits nothing)."""
     n = _ensure_seen_meta(state_dir, num_buckets)
-
-    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
-    keyed = df.withColumn(_KEY, key)
-    # deterministic within-batch winner: lowest content hash over ALL
-    # columns; MapType-carrying columns hash their to_json rendering
-    # (xxhash64 cannot hash maps — the windows._latest_rank rule)
-    from universal_data_connector_spark.streaming.windows import (
-        _contains_map,
-    )
-    tiebreak = F.xxhash64(*[
-        F.to_json(F.col(f.name)) if _contains_map(f.dataType)
-        else F.col(f.name)
-        for f in sorted(df.schema.fields, key=lambda f: f.name)])
-    rn = F.row_number().over(
-        Window.partitionBy(_KEY).orderBy(tiebreak.asc()))
-    keyed = (keyed.withColumn("__rn", rn)
-                  .filter(F.col("__rn") == 1).drop("__rn")
-                  .withColumn(_KB, F.pmod(F.xxhash64(F.col(_KEY)),
-                                          F.lit(n)).cast("int")))
+    keyed = _batch_keyed(df, cols, n)
 
     # touched-bucket set: bounded by num_buckets -> driver-safe
     touched = sorted(r[0] for r in keyed.select(_KB).distinct().collect())
@@ -153,12 +167,7 @@ def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
         ).select(_KEY).distinct()
         keyed = keyed.join(seen, on=_KEY, how="left_anti")
     if persist:
-        from pyspark import StorageLevel
-
-        from universal_data_connector_spark.operators.relational import (
-            pin_frame,
-        )
-        keyed = pin_frame(keyed.persist(StorageLevel.DISK_ONLY))
+        keyed = _pin(keyed)
 
     def commit() -> None:
         nonce = uuid.uuid4().hex[:8]
@@ -184,6 +193,75 @@ def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
         shutil.rmtree(staged, ignore_errors=True)
         log.info("dedup_state: appended %d file(s) across %d touched "
                  "bucket(s) in %s", moved, len(touched), state_dir)
+
+    return keyed.drop(_KEY, _KB), commit
+
+
+def seen_filter_s3(df: DataFrame, target, cols: list[str],
+                   persist: bool = True):
+    """Object-store twin of ``seen_filter`` on an
+    ``object_state.S3StateTarget`` (which owns the bucket count; one
+    store per prefix). The append-only design needs NO pointer and no
+    CAS here: S3 PUTs are atomic (an object exists fully or not at
+    all), torn reads are impossible, and a crash mid-commit leaves
+    some buckets' keys appended — harmless, because the commit runs
+    only after the sink succeeded, so re-filtering those keys as seen
+    on the rerun is correct. Per-bucket listings are prefix-scoped
+    (O(touched), never O(store)); data shuttles through a driver-local
+    scratch via boto3 exactly like the state backend (same transport
+    note: with S3A, read ``s3a://.../kb=K/`` directly)."""
+    import tempfile
+
+    n = target.num_buckets
+    keyed = _batch_keyed(df, cols, n)
+    touched = sorted(r[0] for r in keyed.select(_KB).distinct().collect())
+    bucket_keys = {b: [k for k in target.list_keys(under=f"kb={b}")
+                       if k.endswith(".parquet")] for b in touched}
+    live = {b: ks for b, ks in bucket_keys.items() if ks}
+    if live:
+        spark = df.sparkSession
+        scratch = tempfile.mkdtemp(prefix="udc_seen_s3_")
+        try:
+            for b, ks in live.items():
+                bdir = os.path.join(scratch, f"{_KB}={b}")
+                os.makedirs(bdir)
+                for i, k in enumerate(ks):
+                    target.download_to(
+                        k, os.path.join(bdir, f"part-{i}.parquet"))
+            seen = (spark.read.parquet(scratch).select(_KEY).distinct()
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        keyed = keyed.join(seen, on=_KEY, how="left_anti")
+    if persist:
+        keyed = _pin(keyed)
+
+    def commit() -> None:
+        nonce = uuid.uuid4().hex[:8]
+        staged = os.path.join(
+            tempfile.mkdtemp(prefix="udc_seen_s3_c_"), "staged")
+        (keyed.select(_KEY, _KB)
+              .repartition(max(len(touched), 1), F.col(_KB))
+              .write.mode("overwrite").partitionBy(_KB).parquet(staged))
+        uploaded = 0
+        try:
+            for b in touched:
+                part_dir = os.path.join(staged, f"{_KB}={b}")
+                if not os.path.isdir(part_dir):
+                    continue
+                for i, name in enumerate(sorted(
+                        f for f in os.listdir(part_dir)
+                        if f.endswith(".parquet"))):
+                    target.upload_file(
+                        os.path.join(part_dir, name),
+                        target._key(f"kb={b}",
+                                    f"seen-{nonce}-{i}.parquet"))
+                    uploaded += 1
+        finally:
+            shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+        log.info("dedup_state[s3]: appended %d object(s) across %d "
+                 "touched bucket(s) under %s/%s", uploaded,
+                 len(touched), target.bucket, target.prefix)
 
     return keyed.drop(_KEY, _KB), commit
 

@@ -179,12 +179,17 @@ class S3StateTarget:
         with open(local_path, "wb") as fh:
             fh.write(r["Body"].read())
 
-    def list_keys(self) -> list[str]:
+    def list_keys(self, under: str | None = None) -> list[str]:
+        """Keys under the target prefix, optionally narrowed to a
+        sub-prefix (``under``) so per-bucket listings stay O(bucket),
+        not O(store)."""
+        base = self._key(under) + "/" if under else (
+            self.prefix + "/" if self.prefix else "")
         keys, token = [], None
         while True:
             kw = {"Bucket": self.bucket}
-            if self.prefix:
-                kw["Prefix"] = self.prefix + "/"
+            if base:
+                kw["Prefix"] = base
             if token:
                 kw["ContinuationToken"] = token
             r = self.client.list_objects_v2(**kw)
