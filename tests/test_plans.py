@@ -452,9 +452,10 @@ def test_driver_materialization_discipline():
         # (upsert + agg_state merge), bounded by num_buckets — the
         # same contract as the POSIX twins in windows.py
         "streaming/object_state.py": 2,
-        # cross-run dedup: the POSIX and S3 stores' touched-bucket
-        # sets, each bounded by num_buckets
-        "operators/dedup_state.py": 2,
+        # cross-run dedup: touched-bucket sets (POSIX + S3 exact
+        # stores, near filter's band/candidate buckets, near commit's
+        # band/sig buckets), each bounded by num_buckets
+        "operators/dedup_state.py": 6,
     }
     bad = []
     for py in root.rglob("*.py"):

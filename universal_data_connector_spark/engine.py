@@ -251,6 +251,41 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
             "commit must run after the batch sink succeeds; for "
             "streaming use the file source's manifestDir (per-file "
             "dedup) or stream_dedup (keyed, watermark-bounded)")
+    mode = str(props.get("mode", "exact")).lower()
+    if mode == "near":
+        # MinHash-LSH against history (seen_near_filter): textColumn
+        # holds the document text, idColumn a unique row id. POSIX
+        # store only — the sig/band sub-stores follow the same
+        # append-only argument and an object-store variant would
+        # mirror seen_filter_s3; not wired until asked for.
+        if props.get("bucketName"):
+            raise ValueError(
+                "dedup_state mode 'near' supports POSIX stateDir "
+                "stores only (the object-store variant is not wired)")
+        state_dir = props.get("stateDir")
+        if not state_dir:
+            raise ValueError("dedup_state requires 'stateDir'")
+        text_col = props.get("textColumn", "content")
+        id_col = props.get("idColumn", "source_file")
+        missing = [c for c in (text_col, id_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"dedup_state near column(s) {missing} not in "
+                f"{df.columns}")
+        from universal_data_connector_spark.operators.dedup_state import (
+            seen_near_filter,
+        )
+
+        survivors, commit = seen_near_filter(
+            df, state_dir, text_col=text_col, id_col=id_col,
+            threshold=float(props.get("threshold", 0.8)),
+            num_buckets=int(props.get("numBuckets", 32)))
+        survivors._udc_post_sink_commits = list(
+            getattr(df, "_udc_post_sink_commits", [])) + [commit]
+        return survivors
+    if mode != "exact":
+        raise ValueError(f"dedup_state mode must be 'exact' or 'near', "
+                         f"got {mode!r}")
     cols = [c.strip() for c in str(props.get("keys", "content")).split(",")
             if c.strip()]
     missing = [c for c in cols if c not in df.columns]

@@ -266,6 +266,232 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
     return keyed.drop(_KEY, _KB), commit
 
 
+# ---------------------------------------------------------------------------
+# cross-run NEAR dedup: MinHash-LSH against history
+# ---------------------------------------------------------------------------
+
+def _sig_band_df(df: DataFrame, text_col: str, id_col: str,
+                 num_hashes: int, bands: int,
+                 shingle_n: int) -> DataFrame:
+    """(id, __sig, __bands) in ONE map over the scan: the pure-JVM
+    shingle expression feeds a mapInPandas that computes the affine-min
+    signature AND its per-band FNV fold together (the same math as
+    ``dedup._fold_bands`` — signature sliced into ``bands`` rows of
+    ``r``, FNV-1a over each slice), so the cross-run store and the
+    in-batch LSH pipeline band identically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from universal_data_connector_spark.operators.dedup import (
+        _FNV_OFF,
+        _FNV_P,
+        _MERSENNE,
+        _minhash_coeffs,
+        shingle_hashes_df,
+    )
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    r = num_hashes // bands
+    grams = shingle_hashes_df(df, text_col, id_col, shingle_n)
+    out_schema = T.StructType([
+        T.StructField(id_col, grams.schema[id_col].dataType),
+        T.StructField("__sig", T.ArrayType(T.LongType())),
+        T.StructField("__bands", T.ArrayType(T.LongType())),
+    ])
+
+    def emit(batches):
+        for pdf in batches:
+            sigs, folds = [], []
+            with np.errstate(over="ignore"):
+                for lst in pdf["__g"]:
+                    h = np.asarray(lst, dtype=np.int64)
+                    if h.size == 0:
+                        h = np.array([_MERSENNE], dtype=np.int64)
+                    h = h % _MERSENNE
+                    sig = ((A * h[None, :] + B) % _MERSENNE).min(axis=1)
+                    folded = np.full(bands, _FNV_OFF, dtype=np.uint64)
+                    band_sig = sig.astype(np.uint64).reshape(bands, r)
+                    for j in range(r):
+                        folded = (folded ^ band_sig[:, j]) * _FNV_P
+                    sigs.append(sig)
+                    folds.append(folded.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "__sig": sigs,
+                                "__bands": folds})
+
+    return grams.mapInPandas(emit, out_schema)
+
+
+def _read_buckets(spark, root: str, buckets: list[int]):
+    """Frame over the existing bucket dirs among ``buckets`` under
+    ``root`` (explicit paths — pruning by construction), or None."""
+    paths = [os.path.join(root, f"{_KB}={b}") for b in buckets
+             if os.path.isdir(os.path.join(root, f"{_KB}={b}"))]
+    return spark.read.parquet(*paths) if paths else None
+
+
+def _append_buckets(frame: DataFrame, root: str,
+                    touched: list[int]) -> int:
+    """Append ``frame`` (carrying ``udc_kb``) to the append-only store
+    under ``root``: staged Spark write, then atomic renames of each
+    part file into its live bucket dir. Returns files appended."""
+    nonce = uuid.uuid4().hex[:8]
+    staged = os.path.join(root, f"{_SEEN_STAGED_PREFIX}{nonce}")
+    (frame.repartition(max(len(touched), 1), F.col(_KB))
+          .write.mode("overwrite").partitionBy(_KB).parquet(staged))
+    moved = 0
+    for b in touched:
+        part_dir = os.path.join(staged, f"{_KB}={b}")
+        if not os.path.isdir(part_dir):
+            continue
+        live_dir = os.path.join(root, f"{_KB}={b}")
+        os.makedirs(live_dir, exist_ok=True)
+        for i, name in enumerate(sorted(
+                f for f in os.listdir(part_dir)
+                if f.endswith(".parquet"))):
+            os.rename(os.path.join(part_dir, name),
+                      os.path.join(live_dir,
+                                   f"seen-{nonce}-{i}.parquet"))
+            moved += 1
+    shutil.rmtree(staged, ignore_errors=True)
+    return moved
+
+
+def seen_near_filter(df: DataFrame, store_dir: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     threshold: float = 0.8, num_hashes: int = 128,
+                     bands: int = 32, shingle_n: int = 5,
+                     num_buckets: int = 32, persist: bool = True):
+    """(survivors, commit) — MinHash NEAR dedup against ALL previous
+    runs: a document whose estimated Jaccard similarity to any
+    historically shipped document reaches ``threshold`` is dropped.
+    The cross-run extension of ``dedup.minhash_dedup_pairs``; the
+    exact twin is ``seen_filter``.
+
+    Store layout, two append-only bucketed sub-stores under one root
+    (same crash contract as the exact store — appends are atomic
+    renames, duplicates are harmless, a post-sink commit that crash-
+    misses re-ships nothing and loses nothing)::
+
+        <store>/_udc_seen_meta                  bucket count
+        <store>/bands/udc_kb=<K>/seen-*.parquet (band_idx, band_hash,
+                                                 doc_key)
+        <store>/sigs/udc_kb=<K>/seen-*.parquet  (doc_key, sig)
+
+    Batch flow — every store read is confined to touched buckets:
+
+    1. one map over the scan computes each new doc's signature + band
+       hashes (``_sig_band_df``, no shuffle);
+    2. new band rows equi-join the band store's touched buckets on
+       (band_idx, band_hash) -> candidate (new id, stored doc_key)
+       pairs — LSH guarantees a near-dup shares >= 1 band with
+       probability 1-(1-s^r)^bands (~0.9997 at s=0.8 with 128/32);
+    3. candidates' signatures fetch from the sig store's touched
+       buckets; similarity = fraction of agreeing signature positions
+       (the standard MinHash estimator, sd ~= sqrt(s(1-s)/128) ~ 0.035
+       at the threshold) — flagged ids drop;
+    4. ``commit()`` (post-sink, the engine's finalize step 0 ordering)
+       appends the survivors' band rows and signatures.
+
+    Contract note: this filters against HISTORY only — two near-dup
+    documents arriving in the SAME batch both survive (and both enter
+    the store). Run the in-batch pipeline (``minhash_dedup_pairs`` +
+    ``dedup_keep_min``) first when intra-batch near-dups matter; the
+    composition is the canonical daily-ingest flow.
+
+    Signatures are stored ONCE per doc (the band rows carry only the
+    8-byte fold + key), so store cost is O(docs * num_hashes * 8B +
+    docs * bands * ~40B) — at 1B shipped docs and 128 hashes, ~1 TB of
+    signature parquet spread over the bucket dirs, read strictly
+    per-touched-bucket."""
+    n = _ensure_seen_meta(store_dir, num_buckets)
+    spark = df.sparkSession
+    bands_root = os.path.join(store_dir, "bands")
+    sigs_root = os.path.join(store_dir, "sigs")
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
+
+    sb = _sig_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
+    doc_key = F.sha2(F.col(text_col).cast("string"), 256)
+    keyed = (df.select(id_col, text_col)
+               .withColumn("__dk", doc_key)
+               .join(sb, on=id_col))
+    if persist:
+        keyed = _pin(keyed)
+
+    new_bands = (keyed.select(
+        id_col, "__dk",
+        F.posexplode("__bands").alias("__bidx", "__bh"))
+        .withColumn(_KB, F.pmod(F.xxhash64("__bidx", "__bh"),
+                                F.lit(n)).cast("int")))
+    touched_band = sorted(
+        row[0] for row in new_bands.select(_KB).distinct().collect())
+
+    flagged = None
+    stored_bands = _read_buckets(spark, bands_root, touched_band)
+    if stored_bands is not None:
+        # no self-exclusion on doc_key: the store never contains the
+        # CURRENT batch (commit runs post-sink), and a replay after a
+        # committed-then-crashed run SHOULD match its own stored copy
+        # (those rows already shipped)
+        cands = (new_bands.join(
+            stored_bands.withColumnsRenamed(
+                {"band_idx": "__bidx", "band_hash": "__bh"}),
+            on=["__bidx", "__bh"])
+            .select(id_col, "doc_key").distinct())
+        kb2 = F.pmod(F.xxhash64("doc_key"), F.lit(n)).cast("int")
+        cand_buckets = sorted(
+            row[0] for row in cands.select(kb2.alias(_KB))
+                                   .distinct().collect())
+        stored_sigs = _read_buckets(spark, sigs_root, cand_buckets)
+        if stored_sigs is not None:
+            est = (F.aggregate(
+                F.zip_with("__sig", "sig",
+                           lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x) / F.lit(num_hashes))
+            flagged = (cands
+                       .join(keyed.select(id_col, "__sig"), on=id_col)
+                       .join(stored_sigs, on="doc_key")
+                       .filter(est >= F.lit(threshold))
+                       .select(id_col).distinct())
+        # an exact byte-duplicate of a stored doc always flags via the
+        # sig path (sim 1.0); no separate doc_key check needed
+
+    survivors_keys = (keyed.join(flagged, on=id_col, how="left_anti")
+                      if flagged is not None else keyed)
+    if persist and flagged is not None:
+        survivors_keys = _pin(survivors_keys)
+    survivors = df.join(survivors_keys.select(id_col), on=id_col,
+                        how="left_semi")
+
+    def commit() -> None:
+        band_rows = (survivors_keys.select(
+            F.col("__dk").alias("doc_key"),
+            F.posexplode("__bands").alias("band_idx", "band_hash"))
+            .withColumn(_KB, F.pmod(F.xxhash64("band_idx", "band_hash"),
+                                    F.lit(n)).cast("int")))
+        tb = sorted(row[0] for row in
+                    band_rows.select(_KB).distinct().collect())
+        moved = _append_buckets(band_rows, bands_root, tb)
+        sig_rows = (survivors_keys.select(
+            F.col("__dk").alias("doc_key"),
+            F.col("__sig").alias("sig"))
+            .withColumn(_KB, F.pmod(F.xxhash64("doc_key"),
+                                    F.lit(n)).cast("int")))
+        ts = sorted(row[0] for row in
+                    sig_rows.select(_KB).distinct().collect())
+        moved += _append_buckets(sig_rows, sigs_root, ts)
+        log.info("dedup_near_state: appended %d file(s) in %s",
+                 moved, store_dir)
+
+    return survivors, commit
+
+
 def compact_seen_store(spark, state_dir: str) -> None:
     """Offline maintenance: rewrite each bucket to distinct keys in one
     file (replayed commits may have appended duplicates — harmless for
