@@ -374,3 +374,27 @@ def test_dedup_state_near_rejects_object_store(spark, tmp_path):
         _dedup_state_transform(
             _docs(spark, [(1, "x")]),
             {"mode": "near", "bucketName": "b"})
+
+
+def test_sig_band_df_bands_match_lsh_pipeline(spark):
+    """The cross-run store's band folds must equal the in-batch LSH
+    pipeline's (shingle_band_df) for the same documents — the property
+    that lets a corpus deduped in-batch and a corpus deduped
+    incrementally agree on what is near."""
+    from universal_data_connector_spark.operators.dedup import (
+        shingle_band_df,
+    )
+    from universal_data_connector_spark.operators.dedup_state import (
+        _sig_band_df,
+    )
+
+    docs = _near_docs(spark, [(i, f"{_BASE} variant {i % 3}")
+                              for i in range(8)] + [(99, "")])
+    a = {r.doc_id: list(r["__bands"])
+         for r in _sig_band_df(docs, "text", "doc_id",
+                               128, 32, 5).collect()}
+    b = {r.doc_id: list(r["__bands"])
+         for r in shingle_band_df(docs, "text", "doc_id",
+                                  num_hashes=128, bands=32,
+                                  shingle_n=5).collect()}
+    assert a == b

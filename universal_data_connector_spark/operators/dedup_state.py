@@ -470,6 +470,15 @@ def seen_near_filter(df: DataFrame, store_dir: str,
                         how="left_semi")
 
     def commit() -> None:
+        # bands append BEFORE sigs, and the convergence argument is
+        # rerun-shaped rather than order-shaped: a crash between the
+        # two appends leaves band rows whose sigs are missing, so the
+        # next filter finds the candidates but cannot score them — but
+        # that crash also means finalize died BEFORE manifest_record,
+        # so the pipeline rerun re-ships those docs (at-least-once,
+        # the same contract as every finalize step) and this commit
+        # re-runs to completion, appending the sigs (duplicate band
+        # rows are harmless as everywhere in the append-only stores).
         band_rows = (survivors_keys.select(
             F.col("__dk").alias("doc_key"),
             F.posexplode("__bands").alias("band_idx", "band_hash"))
