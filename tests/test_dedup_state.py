@@ -398,3 +398,45 @@ def test_sig_band_df_bands_match_lsh_pipeline(spark):
                                   num_hashes=128, bands=32,
                                   shingle_n=5).collect()}
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_seen_filter_crash_fuzz_against_model(spark, tmp_path, seed):
+    """Random batches with random commit outcomes (committed, crashed
+    before commit, committed twice) differentially checked against a
+    Python set model: shipped output across the whole history must
+    contain every distinct text exactly once."""
+    import random
+
+    rng = random.Random(seed)
+    store = str(tmp_path / "seen")
+    vocab = [f"text-{i}" for i in range(12)]
+    model_seen: set[str] = set()
+    shipped: list[str] = []
+    next_id = 0
+
+    for _ in range(8):
+        texts = [vocab[rng.randrange(len(vocab))]
+                 for _ in range(rng.randint(0, 6))]
+        rows = []
+        for t in texts:
+            rows.append((next_id, t))
+            next_id += 1
+        batch = (_docs(spark, rows) if rows
+                 else _docs(spark, []).limit(0))
+        survivors, commit = seen_filter(batch, store, ["text"],
+                                        num_buckets=4)
+        got = sorted(r.text for r in survivors.collect())
+        expect = sorted(set(texts) - model_seen)
+        assert got == expect
+        outcome = rng.random()
+        if outcome < 0.25:
+            continue            # sink failed: no commit, no model update
+        commit()                # sink succeeded
+        if outcome > 0.85:
+            commit()            # replayed commit after a crash
+        shipped += got
+        model_seen |= set(got)
+
+    assert sorted(shipped) == sorted(set(shipped))
+    assert set(shipped) == model_seen
