@@ -470,9 +470,9 @@ def begin_batch_run_s3(target: S3StateTarget,
     intent_key = target._key(_INTENT_KEY)
 
     def next_id() -> int:
-        return 1 + max((target.read_pointer(b)[0]["applied"]
-                        for b in range(target.num_buckets)
-                        if target.read_pointer(b)[0] is not None),
+        applied = (target.read_pointer(b)[0]
+                   for b in range(target.num_buckets))
+        return 1 + max((p["applied"] for p in applied if p is not None),
                        default=-1)
 
     stored, etag = target._get_json(intent_key)
