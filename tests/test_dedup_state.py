@@ -440,3 +440,105 @@ def test_seen_filter_crash_fuzz_against_model(spark, tmp_path, seed):
 
     assert sorted(shipped) == sorted(set(shipped))
     assert set(shipped) == model_seen
+
+
+# ---------------------------------------------------------------------------
+# round-14 continuation: near-store parameter guard + compaction
+# ---------------------------------------------------------------------------
+
+def test_near_store_param_mismatch_raises(spark, tmp_path):
+    """A reopen under different signature-defining parameters must
+    fail loudly: stored sigs/band folds from (128, 32, 5) are silently
+    WRONG to compare against a 64-hash run's (wrong-length zip,
+    disjoint band folds) — the guard turns a wrong-answer hazard into
+    a ValueError."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter,
+    )
+
+    store = str(tmp_path / "near")
+    b1, c1 = seen_near_filter(_near_docs(spark, [(1, _BASE)]), store,
+                              num_buckets=4)
+    _ids(b1)
+    c1()
+    with pytest.raises(ValueError, match="not comparable"):
+        seen_near_filter(_near_docs(spark, [(2, _BASE)]), store,
+                         num_hashes=64, bands=16, num_buckets=4)
+    # the store's own parameters still open fine
+    b2, _ = seen_near_filter(_near_docs(spark, [(2, _BASE)]), store,
+                             num_buckets=4)
+    assert _ids(b2) == []
+
+
+def test_compact_near_store_preserves_filtering(spark, tmp_path):
+    """Compacting a near store (bands + sigs sub-stores, with
+    replayed-commit duplicates present) must not change any filtering
+    decision, and must collapse each bucket to one file — the
+    property that keeps per-touched-bucket read cost O(distinct
+    state) instead of O(run count)."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter,
+    )
+
+    store = str(tmp_path / "near")
+    twin = str(tmp_path / "near_twin")
+    fresh = ("unrelated prose on tidal harmonics and barometric "
+             "pressure logging across coastal observation stations "
+             "maintained by volunteer measurement networks")
+    batches = [
+        _near_docs(spark, [(1, _BASE), (2, fresh)]),
+        _near_docs(spark, [(3, fresh + " epilogue"),
+                           (4, _BASE.replace("fox", "wolf"))]),
+    ]
+    for batch in batches:
+        for s in (store, twin):
+            out, commit = seen_near_filter(batch, s, num_buckets=4)
+            out.collect()
+            commit()
+            commit()  # replayed commit: duplicate appends
+    compact_seen_store(spark, store)
+
+    for sub in ("bands", "sigs"):
+        root = os.path.join(store, sub)
+        assert os.path.isdir(root)
+        for name in os.listdir(root):
+            if name.startswith("udc_kb="):
+                files = [f for f in
+                         os.listdir(os.path.join(root, name))
+                         if f.endswith(".parquet")]
+                assert len(files) == 1, (sub, name, files)
+
+    probe = _near_docs(spark, [(10, _BASE + " coda"),
+                               (11, fresh),
+                               (12, "entirely novel archival text on "
+                                    "glacier mass balance surveys and "
+                                    "firn density core sampling")])
+    got, _ = seen_near_filter(probe, store, num_buckets=4)
+    want, _ = seen_near_filter(probe, twin, num_buckets=4)
+    assert _ids(got) == _ids(want) == [12]
+
+
+def test_compact_near_crash_between_renames_recovers(spark, tmp_path):
+    """compact's two-rename swap interrupted under a SUB-root (bands/):
+    the next store open repairs it — band rows must never vanish
+    (vanished bands = missed near-dup candidates downstream)."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter,
+    )
+
+    store = str(tmp_path / "near")
+    b1, c1 = seen_near_filter(_near_docs(spark, [(1, _BASE)]), store,
+                              num_buckets=4)
+    _ids(b1)
+    c1()
+    bands_root = os.path.join(store, "bands")
+    live = next(os.path.join(bands_root, n)
+                for n in os.listdir(bands_root)
+                if n.startswith("udc_kb="))
+    bucket = os.path.basename(live).split("=")[1]
+    os.rename(live, os.path.join(bands_root, f"_udc_old_{bucket}"))
+    b2, _ = seen_near_filter(
+        _near_docs(spark, [(2, _BASE + " extra")]), store,
+        num_buckets=4)
+    assert _ids(b2) == []
+    assert os.path.isdir(live)

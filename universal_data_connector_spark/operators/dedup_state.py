@@ -57,38 +57,48 @@ log = logging.getLogger(__name__)
 
 _KB = "udc_kb"
 _SEEN_META = "_udc_seen_meta"
+_NEAR_META = "_udc_near_meta"
 _SEEN_STAGED_PREFIX = "_udc_seen_staged_"
 _KEY = "udc_seen_key"
+
+
+def _sweep_crash_leftovers(root: str) -> None:
+    """Remove staging leftovers from crashed commits (unreferenced by
+    construction — live files arrive by rename) and repair a
+    ``compact_seen_store`` crash between its two renames: if the live
+    bucket dir vanished the parked old copy IS the store — put it
+    back; otherwise the swap completed and the old copy is superseded
+    (same repair as the state sinks' ``_upsert_recover``)."""
+    for name in os.listdir(root):
+        if name.startswith(_SEEN_STAGED_PREFIX):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        elif name.startswith("_udc_old_"):
+            b = name[len("_udc_old_"):]
+            live = os.path.join(root, f"{_KB}={b}")
+            old = os.path.join(root, name)
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, live)
 
 
 def _ensure_seen_meta(state_dir: str, num_buckets: int) -> int:
     """Create/validate the store marker; the bucket count persisted at
     creation wins for the store's life (same rule as the state sinks).
-    Also sweeps staging leftovers from crashed commits — they are
-    unreferenced by construction (live files arrive by rename)."""
+    Also sweeps crash leftovers at the store root AND under the near
+    store's ``bands``/``sigs`` sub-roots (their commits stage under
+    their own root, ``_append_buckets``)."""
     from universal_data_connector_spark.streaming.windows import (
         _reject_remote_target,
     )
 
     _reject_remote_target(state_dir)
     if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            if name.startswith(_SEEN_STAGED_PREFIX):
-                shutil.rmtree(os.path.join(state_dir, name),
-                              ignore_errors=True)
-            elif name.startswith("_udc_old_"):
-                # compact_seen_store crashed between its two renames:
-                # if the live dir vanished the old copy IS the store —
-                # put it back; otherwise the swap completed and the
-                # old copy is superseded (same repair as the state
-                # sinks' _upsert_recover)
-                b = name[len("_udc_old_"):]
-                live = os.path.join(state_dir, f"{_KB}={b}")
-                old = os.path.join(state_dir, name)
-                if os.path.isdir(live):
-                    shutil.rmtree(old, ignore_errors=True)
-                else:
-                    os.rename(old, live)
+        _sweep_crash_leftovers(state_dir)
+        for sub in ("bands", "sigs"):
+            sub_root = os.path.join(state_dir, sub)
+            if os.path.isdir(sub_root):
+                _sweep_crash_leftovers(sub_root)
     meta = os.path.join(state_dir, _SEEN_META)
     if os.path.isfile(meta):
         with open(meta) as fh:
@@ -270,6 +280,39 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
 # cross-run NEAR dedup: MinHash-LSH against history
 # ---------------------------------------------------------------------------
 
+def _near_params(num_hashes: int, bands: int, shingle_n: int) -> dict:
+    return {"num_hashes": int(num_hashes), "bands": int(bands),
+            "shingle_n": int(shingle_n)}
+
+
+def _ensure_near_meta_posix(store_dir: str, params: dict) -> None:
+    """Persist the signature-defining parameters at store creation and
+    refuse mismatched reopens: signatures and band folds computed
+    under one ``(num_hashes, bands, shingle_n)`` are NOT comparable
+    with another's — a mismatched run would silently mis-score every
+    similarity (wrong-length zip, disjoint band folds) instead of
+    failing. Adopted on first touch for stores that predate the guard
+    (the current run's parameters become the store's)."""
+    import json
+
+    path = os.path.join(store_dir, _NEAR_META)
+    if os.path.isfile(path):
+        with open(path) as fh:
+            have = json.load(fh)
+        if have != params:
+            raise ValueError(
+                f"dedup_state near store {store_dir!r} was created "
+                f"with {have}; this run passed {params} — stored "
+                "signatures/band folds are not comparable across "
+                "these parameters. Rerun with the store's parameters "
+                "or start a new store.")
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(params, fh)
+    os.rename(tmp, path)
+
+
 def _sig_band_df(df: DataFrame, text_col: str, id_col: str,
                  num_hashes: int, bands: int,
                  shingle_n: int) -> DataFrame:
@@ -407,6 +450,8 @@ def seen_near_filter(df: DataFrame, store_dir: str,
     signature parquet spread over the bucket dirs, read strictly
     per-touched-bucket."""
     n = _ensure_seen_meta(store_dir, num_buckets)
+    _ensure_near_meta_posix(
+        store_dir, _near_params(num_hashes, bands, shingle_n))
     spark = df.sparkSession
     bands_root = os.path.join(store_dir, "bands")
     sigs_root = os.path.join(store_dir, "sigs")
@@ -501,22 +546,21 @@ def seen_near_filter(df: DataFrame, store_dir: str,
     return survivors, commit
 
 
-def compact_seen_store(spark, state_dir: str) -> None:
-    """Offline maintenance: rewrite each bucket to distinct keys in one
-    file (replayed commits may have appended duplicates — harmless for
-    correctness, costly for the anti-join's scan over time). Uses the
-    state sinks' staged-rename swap per bucket; do not run concurrently
-    with a pipeline writing the same store."""
-    n = _ensure_seen_meta(state_dir, 32)
+def _compact_root(spark, root: str, distinct_cols: list[str],
+                  n: int) -> None:
+    """Rewrite each existing bucket dir under ``root`` to its distinct
+    rows in one file, via the staged-rename swap (old dir parked as
+    ``_udc_old_<b>`` beside the live dir; ``_sweep_crash_leftovers``
+    repairs a crash between the two renames on the next open)."""
     for b in range(n):
-        live_dir = os.path.join(state_dir, f"{_KB}={b}")
+        live_dir = os.path.join(root, f"{_KB}={b}")
         if not os.path.isdir(live_dir):
             continue
         nonce = uuid.uuid4().hex[:8]
-        staged = os.path.join(state_dir, f"{_SEEN_STAGED_PREFIX}{nonce}")
-        (spark.read.parquet(live_dir).select(_KEY).distinct()
+        staged = os.path.join(root, f"{_SEEN_STAGED_PREFIX}{nonce}")
+        (spark.read.parquet(live_dir).select(*distinct_cols).distinct()
          .coalesce(1).write.mode("overwrite").parquet(staged))
-        old = os.path.join(state_dir, f"_udc_old_{b}")
+        old = os.path.join(root, f"_udc_old_{b}")
         os.rename(live_dir, old)
         os.rename(staged, live_dir)
         shutil.rmtree(old, ignore_errors=True)
@@ -524,3 +568,29 @@ def compact_seen_store(spark, state_dir: str) -> None:
         for name in os.listdir(live_dir):
             if not name.endswith(".parquet"):
                 os.remove(os.path.join(live_dir, name))
+
+
+def compact_seen_store(spark, state_dir: str) -> None:
+    """Offline maintenance for EITHER store kind: rewrite each bucket
+    to distinct rows in one file. Every run appends one file per
+    touched bucket (and replayed commits append duplicates) — harmless
+    for correctness, but without compaction the per-touched-bucket
+    read cost grows linearly with RUN COUNT, which is what breaks at
+    thousands of incremental runs; compaction restores it to
+    O(distinct state). The exact store compacts its root buckets to
+    distinct keys; a near store compacts ``bands/`` to distinct
+    ``(band_idx, band_hash, doc_key)`` and ``sigs/`` to one signature
+    row per ``doc_key`` (duplicates are byte-identical by construction
+    — ``doc_key`` is the content hash the signature derives from, and
+    the parameters are pinned by ``_udc_near_meta``). Uses the state
+    sinks' staged-rename swap per bucket; do not run concurrently with
+    a pipeline writing the same store."""
+    n = _ensure_seen_meta(state_dir, 32)
+    _compact_root(spark, state_dir, [_KEY], n)
+    bands_root = os.path.join(state_dir, "bands")
+    if os.path.isdir(bands_root):
+        _compact_root(spark, bands_root,
+                      ["band_idx", "band_hash", "doc_key"], n)
+    sigs_root = os.path.join(state_dir, "sigs")
+    if os.path.isdir(sigs_root):
+        _compact_root(spark, sigs_root, ["doc_key", "sig"], n)
