@@ -667,3 +667,148 @@ def test_dedup_state_yaml_s3_store_two_runs(spark, tmp_path, s3_client,
     (inp / "c.txt").write_text("fresh content")
     run(spark, cfg)
     assert sorted(_os.listdir(out)) == ["a.txt", "c.txt"]
+
+
+# ---------------------------------------------------------------------------
+# object-store seen-store compaction
+# ---------------------------------------------------------------------------
+
+def _seen_object_count(target):
+    return len([k for k in target.list_keys()
+                if k.endswith(".parquet")
+                and k.rsplit("/", 1)[-1].startswith("seen-")])
+
+
+def test_compact_seen_store_s3_preserves_filtering(spark, target):
+    """After several commits (plus a replay), compaction collapses
+    each bucket to one object and changes no filtering decision."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_filter_s3,
+    )
+
+    for batch in ([(1, "aa"), (2, "bb")], [(3, "cc"), (4, "dd")]):
+        out, commit = seen_filter_s3(_doc_frame(spark, batch),
+                                     target, ["text"])
+        out.collect()
+        commit()
+        commit()  # replayed commit: duplicate appends
+    before = _seen_object_count(target)
+    deleted = compact_seen_store_s3(spark, target)
+    assert deleted == before  # every pre-compact object superseded
+    after = _seen_object_count(target)
+    assert after < before
+    # per-bucket: exactly one object remains
+    for b in range(target.num_buckets):
+        ks = [k for k in target.list_keys(under=f"kb={b}")
+              if k.endswith(".parquet")]
+        assert len(ks) <= 1
+    probe, _ = seen_filter_s3(
+        _doc_frame(spark, [(9, "aa"), (10, "dd"), (11, "zz")]),
+        target, ["text"])
+    assert sorted(r.doc_id for r in probe.collect()) == [11]
+    # idempotent: a second compaction finds nothing to merge
+    assert compact_seen_store_s3(spark, target) == 0
+
+
+def test_compact_seen_store_s3_never_deletes_racing_append(
+        spark, target, monkeypatch):
+    """A commit landing between the compactor's listing and its
+    deletes must survive: only objects in the compactor's own listing
+    are deleted, so the racer's keys still filter afterwards."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_filter_s3,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+
+    out, commit = seen_filter_s3(
+        _doc_frame(spark, [(1, "aa"), (2, "bb"), (3, "cc")]),
+        target, ["text"])
+    out.collect()
+    commit()
+    commit()
+
+    race = {"done": False}
+    real_delete = S3StateTarget.delete_keys
+
+    def racing_delete(self, keys):
+        if not race["done"]:
+            race["done"] = True
+            out2, c2 = seen_filter_s3(
+                _doc_frame(spark, [(4, "race-doc")]), target, ["text"])
+            out2.collect()
+            c2()
+        return real_delete(self, keys)
+
+    monkeypatch.setattr(S3StateTarget, "delete_keys", racing_delete)
+    compact_seen_store_s3(spark, target)
+    monkeypatch.undo()
+
+    probe, _ = seen_filter_s3(
+        _doc_frame(spark, [(7, "aa"), (8, "race-doc"), (9, "new")]),
+        target, ["text"])
+    assert sorted(r.doc_id for r in probe.collect()) == [9]
+
+
+def test_compact_seen_store_s3_crash_before_delete_is_safe(
+        spark, target, monkeypatch):
+    """Crash between the compact upload and the deletes: duplicates
+    remain (harmless), filtering is unchanged, and a rerun of the
+    compactor converges."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_filter_s3,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+
+    out, commit = seen_filter_s3(
+        _doc_frame(spark, [(1, "aa"), (2, "bb")]), target, ["text"])
+    out.collect()
+    commit()
+    commit()
+
+    def crashing_delete(self, keys):
+        raise RuntimeError("injected crash before delete")
+
+    monkeypatch.setattr(S3StateTarget, "delete_keys", crashing_delete)
+    with pytest.raises(RuntimeError, match="before delete"):
+        compact_seen_store_s3(spark, target)
+    monkeypatch.undo()
+
+    probe, _ = seen_filter_s3(
+        _doc_frame(spark, [(5, "aa"), (6, "zz")]), target, ["text"])
+    assert sorted(r.doc_id for r in probe.collect()) == [6]
+    compact_seen_store_s3(spark, target)
+    for b in range(target.num_buckets):
+        ks = [k for k in target.list_keys(under=f"kb={b}")
+              if k.endswith(".parquet")]
+        assert len(ks) <= 1
+
+
+def test_compact_seen_store_s3_ignores_foreign_objects(spark, target):
+    """A parquet object under the prefix that is NOT a seen-store file
+    (e.g. a misrouted state-sink generation) is neither read as keys
+    nor deleted by the compactor."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_filter_s3,
+    )
+
+    out, commit = seen_filter_s3(_doc_frame(spark, [(1, "aa")]),
+                                 target, ["text"])
+    out.collect()
+    commit()
+    commit()
+    foreign = target._key("kb=0", "gen-1-deadbeef", "part-0.parquet")
+    target.client.put_object(Bucket=target.bucket, Key=foreign,
+                             Body=b"not really parquet")
+    compact_seen_store_s3(spark, target)
+    assert foreign in target.list_keys(under="kb=0")
+    probe, _ = seen_filter_s3(
+        _doc_frame(spark, [(2, "aa"), (3, "bb")]), target, ["text"])
+    assert sorted(r.doc_id for r in probe.collect()) == [3]

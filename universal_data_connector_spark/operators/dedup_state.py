@@ -207,6 +207,17 @@ def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
     return keyed.drop(_KEY, _KB), commit
 
 
+def _seen_objects(target, under: str) -> list[str]:
+    """The seen-store objects under one bucket sub-prefix: only
+    ``seen-*.parquet`` basenames count, so a foreign parquet object
+    sharing the prefix (a misconfigured state-sink generation, say)
+    is never read as keys — and, in ``compact_seen_store_s3``, never
+    deleted."""
+    return [k for k in target.list_keys(under=under)
+            if k.endswith(".parquet")
+            and os.path.basename(k).startswith("seen-")]
+
+
 def seen_filter_s3(df: DataFrame, target, cols: list[str],
                    persist: bool = True):
     """Object-store twin of ``seen_filter`` on an
@@ -225,8 +236,8 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
     n = target.num_buckets
     keyed = _batch_keyed(df, cols, n)
     touched = sorted(r[0] for r in keyed.select(_KB).distinct().collect())
-    bucket_keys = {b: [k for k in target.list_keys(under=f"kb={b}")
-                       if k.endswith(".parquet")] for b in touched}
+    bucket_keys = {b: _seen_objects(target, f"kb={b}")
+                   for b in touched}
     live = {b: ks for b, ks in bucket_keys.items() if ks}
     if live:
         spark = df.sparkSession
@@ -594,3 +605,55 @@ def compact_seen_store(spark, state_dir: str) -> None:
     sigs_root = os.path.join(state_dir, "sigs")
     if os.path.isdir(sigs_root):
         _compact_root(spark, sigs_root, ["doc_key", "sig"], n)
+
+
+def compact_seen_store_s3(spark, target) -> int:
+    """Offline maintenance for the object-store seen stores (exact
+    root plus, when present, the near store's ``bands``/``sigs``
+    sub-prefixes): rewrite each bucket's listed objects to ONE
+    distinct-rows object, then delete exactly the listed objects.
+
+    Unlike the POSIX path there is no swap — safety comes from the
+    append-only read semantics instead: a crash after the compact
+    upload leaves duplicates (harmless, the reads are
+    distinct/anti-join idempotent), a crash mid-delete likewise, and
+    a commit racing the compactor is never lost because only objects
+    present in the compactor's OWN listing are deleted (a concurrent
+    append lands under a fresh nonce the listing didn't see). Even
+    two concurrent compactors merely leave both compact objects
+    behind — duplicates again, cleaned by the next run. Returns the
+    number of superseded objects deleted; do still treat this as
+    single-maintenance-job tooling, like the POSIX twin."""
+    import tempfile
+
+    deleted = 0
+    for sub in ("", "bands", "sigs"):
+        for b in range(target.num_buckets):
+            under = f"{sub}/kb={b}" if sub else f"kb={b}"
+            ks = _seen_objects(target, under)
+            if len(ks) < 2:
+                continue
+            scratch = tempfile.mkdtemp(prefix="udc_seen_s3_cmp_")
+            try:
+                src = os.path.join(scratch, "src")
+                os.makedirs(src)
+                for i, k in enumerate(ks):
+                    target.download_to(
+                        k, os.path.join(src, f"part-{i}.parquet"))
+                out = os.path.join(scratch, "out")
+                (spark.read.parquet(src).distinct()
+                 .coalesce(1).write.mode("overwrite").parquet(out))
+                part = next(f for f in sorted(os.listdir(out))
+                            if f.endswith(".parquet"))
+                nonce = uuid.uuid4().hex[:8]
+                parts = ([sub] if sub else []) + [
+                    f"kb={b}", f"seen-compact-{nonce}.parquet"]
+                target.upload_file(os.path.join(out, part),
+                                   target._key(*parts))
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            target.delete_keys(ks)
+            deleted += len(ks)
+    log.info("dedup_state[s3]: compacted %d superseded object(s) "
+             "under %s/%s", deleted, target.bucket, target.prefix)
+    return deleted
