@@ -365,15 +365,16 @@ def test_dedup_state_near_yaml_two_runs(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["a.txt", "c.txt"]
 
 
-def test_dedup_state_near_rejects_object_store(spark, tmp_path):
+def test_dedup_state_near_requires_some_store(spark, tmp_path):
     from universal_data_connector_spark.engine import (
         _dedup_state_transform,
     )
 
-    with pytest.raises(ValueError, match="POSIX stateDir"):
+    with pytest.raises(ValueError, match="stateDir.*bucketName"):
         _dedup_state_transform(
-            _docs(spark, [(1, "x")]),
-            {"mode": "near", "bucketName": "b"})
+            _docs(spark, [(1, "x")]).withColumnsRenamed(
+                {"doc_id": "source_file", "text": "content"}),
+            {"mode": "near"})
 
 
 def test_sig_band_df_bands_match_lsh_pipeline(spark):

@@ -812,3 +812,157 @@ def test_compact_seen_store_s3_ignores_foreign_objects(spark, target):
     probe, _ = seen_filter_s3(
         _doc_frame(spark, [(2, "aa"), (3, "bb")]), target, ["text"])
     assert sorted(r.doc_id for r in probe.collect()) == [3]
+
+
+# ---------------------------------------------------------------------------
+# object-store NEAR dedup store
+# ---------------------------------------------------------------------------
+
+_NB = ("the quick brown fox jumps over the lazy dog while the stream "
+       "processes tokens and windows merge shuffle state into compact "
+       "aggregate partitions every single hour")
+
+
+def test_seen_near_filter_s3_across_batches(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter_s3,
+    )
+
+    distinct = ("completely different content about database engines "
+                "and the catalyst optimizer planning broadcast joins "
+                "for dimension tables at scale with adaptive execution")
+    b1, c1 = seen_near_filter_s3(
+        _doc_frame(spark, [(1, _NB), (2, distinct)]), target)
+    assert sorted(r.doc_id for r in b1.collect()) == [1, 2]
+    c1()
+    fresh = ("entirely novel words describing sensor calibration and "
+             "oceanographic measurement campaigns across seasonal "
+             "temperature gradients in the northern fjord systems")
+    b2, c2 = seen_near_filter_s3(
+        _doc_frame(spark, [(3, _NB + " appended"),
+                           (4, distinct), (5, fresh)]), target)
+    assert sorted(r.doc_id for r in b2.collect()) == [5]
+    c2()
+    b3, _ = seen_near_filter_s3(
+        _doc_frame(spark, [(6, fresh + " suffix")]), target)
+    assert b3.count() == 0
+
+
+def test_seen_near_filter_s3_param_mismatch_raises(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter_s3,
+    )
+
+    b1, c1 = seen_near_filter_s3(_doc_frame(spark, [(1, _NB)]), target)
+    b1.collect()
+    c1()
+    with pytest.raises(ValueError, match="not comparable"):
+        seen_near_filter_s3(_doc_frame(spark, [(2, _NB)]), target,
+                            num_hashes=64, bands=16)
+
+
+def test_seen_near_filter_s3_crash_between_appends_converges(
+        spark, target, monkeypatch):
+    """Crash after the band append but before the sig append: the
+    rerun re-ships (finalize died pre-manifest) and the replayed
+    commit completes the sig store — the rerun-shaped convergence
+    argument of the POSIX store, under atomic PUTs."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter_s3,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+
+    b1, c1 = seen_near_filter_s3(_doc_frame(spark, [(1, _NB)]), target)
+    assert b1.count() == 1
+
+    real_upload = S3StateTarget.upload_file
+
+    def crashing_upload(self, local_path, key):
+        if "/sigs/" in key:
+            raise RuntimeError("injected crash before sig append")
+        return real_upload(self, local_path, key)
+
+    monkeypatch.setattr(S3StateTarget, "upload_file", crashing_upload)
+    with pytest.raises(RuntimeError, match="before sig append"):
+        c1()
+    monkeypatch.undo()
+
+    # rerun: bands exist but sigs are missing -> candidates cannot be
+    # scored, the doc ships again (at-least-once), commit completes
+    b1r, c1r = seen_near_filter_s3(_doc_frame(spark, [(1, _NB)]),
+                                   target)
+    assert b1r.count() == 1
+    c1r()
+    b2, _ = seen_near_filter_s3(
+        _doc_frame(spark, [(2, _NB + " extra")]), target)
+    assert b2.count() == 0
+
+
+def test_compact_seen_store_s3_handles_near_substores(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_near_filter_s3,
+    )
+
+    b1, c1 = seen_near_filter_s3(_doc_frame(spark, [(1, _NB)]), target)
+    b1.collect()
+    c1()
+    c1()  # replayed commit: duplicate appends in bands/ and sigs/
+    assert compact_seen_store_s3(spark, target) > 0
+    for sub in ("bands", "sigs"):
+        for b in range(target.num_buckets):
+            ks = [k for k in target.list_keys(under=f"{sub}/kb={b}")
+                  if k.endswith(".parquet")]
+            assert len(ks) <= 1, (sub, b, ks)
+    probe, _ = seen_near_filter_s3(
+        _doc_frame(spark, [(2, _NB + " coda"),
+                           (3, "wholly new material about harbor "
+                               "dredging schedules and sediment "
+                               "transport modelling results")]),
+        target)
+    assert sorted(r.doc_id for r in probe.collect()) == [3]
+
+
+def test_dedup_state_near_yaml_s3_two_runs(spark, tmp_path, s3_client,
+                                           target):
+    """Engine e2e, mode near + bucketName: a tweaked rewrite of an
+    already-shipped document is dropped on the second run, with the
+    store living entirely on the object store."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "near-ingest-s3",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"mode": "near",
+                            "bucketName": BUCKET,
+                            "prefix": target.prefix,
+                            "endpoint": s3_client.meta.endpoint_url,
+                            "accessKey": "test-access",
+                            "secretKey": "test-secret",
+                            "textColumn": "content",
+                            "idColumn": "source_file"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    import os as _os
+    (inp / "a.txt").write_text(_NB)
+    run(spark, cfg)
+    assert sorted(_os.listdir(out)) == ["a.txt"]
+    (inp / "a.txt").unlink()
+    (inp / "b.txt").write_text(_NB + " appended")       # near-dup
+    (inp / "c.txt").write_text("fresh prose about alpine snowpack "
+                               "instrumentation and avalanche "
+                               "forecasting networks this season")
+    run(spark, cfg)
+    assert sorted(_os.listdir(out)) == ["a.txt", "c.txt"]

@@ -253,18 +253,10 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
             "dedup) or stream_dedup (keyed, watermark-bounded)")
     mode = str(props.get("mode", "exact")).lower()
     if mode == "near":
-        # MinHash-LSH against history (seen_near_filter): textColumn
-        # holds the document text, idColumn a unique row id. POSIX
-        # store only — the sig/band sub-stores follow the same
-        # append-only argument and an object-store variant would
-        # mirror seen_filter_s3; not wired until asked for.
-        if props.get("bucketName"):
-            raise ValueError(
-                "dedup_state mode 'near' supports POSIX stateDir "
-                "stores only (the object-store variant is not wired)")
-        state_dir = props.get("stateDir")
-        if not state_dir:
-            raise ValueError("dedup_state requires 'stateDir'")
+        # MinHash-LSH against history: textColumn holds the document
+        # text, idColumn a unique row id. bucketName routes onto the
+        # object-store sub-stores (seen_near_filter_s3), stateDir onto
+        # the POSIX ones; both share the append-only crash contract.
         text_col = props.get("textColumn", "content")
         id_col = props.get("idColumn", "source_file")
         missing = [c for c in (text_col, id_col) if c not in df.columns]
@@ -272,14 +264,30 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
             raise ValueError(
                 f"dedup_state near column(s) {missing} not in "
                 f"{df.columns}")
-        from universal_data_connector_spark.operators.dedup_state import (
-            seen_near_filter,
-        )
+        threshold = float(props.get("threshold", 0.8))
+        if props.get("bucketName"):
+            from universal_data_connector_spark.operators.dedup_state \
+                import seen_near_filter_s3
+            from universal_data_connector_spark.sinks.upsert import (
+                s3_state_target,
+            )
 
-        survivors, commit = seen_near_filter(
-            df, state_dir, text_col=text_col, id_col=id_col,
-            threshold=float(props.get("threshold", 0.8)),
-            num_buckets=int(props.get("numBuckets", 32)))
+            survivors, commit = seen_near_filter_s3(
+                df, s3_state_target(props), text_col=text_col,
+                id_col=id_col, threshold=threshold)
+        else:
+            state_dir = props.get("stateDir")
+            if not state_dir:
+                raise ValueError(
+                    "dedup_state requires 'stateDir' (POSIX store) or "
+                    "'bucketName' (object store)")
+            from universal_data_connector_spark.operators.dedup_state \
+                import seen_near_filter
+
+            survivors, commit = seen_near_filter(
+                df, state_dir, text_col=text_col, id_col=id_col,
+                threshold=threshold,
+                num_buckets=int(props.get("numBuckets", 32)))
         survivors._udc_post_sink_commits = list(
             getattr(df, "_udc_post_sink_commits", [])) + [commit]
         return survivors

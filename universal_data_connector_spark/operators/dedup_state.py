@@ -258,28 +258,8 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
         keyed = _pin(keyed)
 
     def commit() -> None:
-        nonce = uuid.uuid4().hex[:8]
-        staged = os.path.join(
-            tempfile.mkdtemp(prefix="udc_seen_s3_c_"), "staged")
-        (keyed.select(_KEY, _KB)
-              .repartition(max(len(touched), 1), F.col(_KB))
-              .write.mode("overwrite").partitionBy(_KB).parquet(staged))
-        uploaded = 0
-        try:
-            for b in touched:
-                part_dir = os.path.join(staged, f"{_KB}={b}")
-                if not os.path.isdir(part_dir):
-                    continue
-                for i, name in enumerate(sorted(
-                        f for f in os.listdir(part_dir)
-                        if f.endswith(".parquet"))):
-                    target.upload_file(
-                        os.path.join(part_dir, name),
-                        target._key(f"kb={b}",
-                                    f"seen-{nonce}-{i}.parquet"))
-                    uploaded += 1
-        finally:
-            shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+        uploaded = _s3_append_sub(keyed.select(_KEY, _KB), target,
+                                  touched)
         log.info("dedup_state[s3]: appended %d object(s) across %d "
                  "touched bucket(s) under %s/%s", uploaded,
                  len(touched), target.bucket, target.prefix)
@@ -463,9 +443,35 @@ def seen_near_filter(df: DataFrame, store_dir: str,
     n = _ensure_seen_meta(store_dir, num_buckets)
     _ensure_near_meta_posix(
         store_dir, _near_params(num_hashes, bands, shingle_n))
-    spark = df.sparkSession
     bands_root = os.path.join(store_dir, "bands")
     sigs_root = os.path.join(store_dir, "sigs")
+
+    def read_sub(spark, sub, buckets):
+        root = bands_root if sub == "bands" else sigs_root
+        return _read_buckets(spark, root, buckets)
+
+    def append_sub(frame, sub, touched):
+        root = bands_root if sub == "bands" else sigs_root
+        return _append_buckets(frame, root, touched)
+
+    return _near_filter_core(
+        df, n, read_sub, append_sub, label=store_dir,
+        text_col=text_col, id_col=id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        persist=persist)
+
+
+def _near_filter_core(df: DataFrame, n: int, read_sub, append_sub, *,
+                      label: str, text_col: str, id_col: str,
+                      threshold: float, num_hashes: int, bands: int,
+                      shingle_n: int, persist: bool):
+    """The store-agnostic near-dedup flow shared by the POSIX and
+    object-store variants. ``read_sub(spark, sub, buckets)`` returns a
+    frame over the existing touched buckets of sub-store ``sub``
+    (``"bands"`` or ``"sigs"``) or None; ``append_sub(frame, sub,
+    touched)`` appends a ``udc_kb``-carrying frame to that sub-store
+    and returns the number of files/objects written."""
+    spark = df.sparkSession
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
@@ -488,7 +494,7 @@ def seen_near_filter(df: DataFrame, store_dir: str,
         row[0] for row in new_bands.select(_KB).distinct().collect())
 
     flagged = None
-    stored_bands = _read_buckets(spark, bands_root, touched_band)
+    stored_bands = read_sub(spark, "bands", touched_band)
     if stored_bands is not None:
         # no self-exclusion on doc_key: the store never contains the
         # CURRENT batch (commit runs post-sink), and a replay after a
@@ -503,7 +509,7 @@ def seen_near_filter(df: DataFrame, store_dir: str,
         cand_buckets = sorted(
             row[0] for row in cands.select(kb2.alias(_KB))
                                    .distinct().collect())
-        stored_sigs = _read_buckets(spark, sigs_root, cand_buckets)
+        stored_sigs = read_sub(spark, "sigs", cand_buckets)
         if stored_sigs is not None:
             est = (F.aggregate(
                 F.zip_with("__sig", "sig",
@@ -542,7 +548,7 @@ def seen_near_filter(df: DataFrame, store_dir: str,
                                     F.lit(n)).cast("int")))
         tb = sorted(row[0] for row in
                     band_rows.select(_KB).distinct().collect())
-        moved = _append_buckets(band_rows, bands_root, tb)
+        moved = append_sub(band_rows, "bands", tb)
         sig_rows = (survivors_keys.select(
             F.col("__dk").alias("doc_key"),
             F.col("__sig").alias("sig"))
@@ -550,11 +556,125 @@ def seen_near_filter(df: DataFrame, store_dir: str,
                                     F.lit(n)).cast("int")))
         ts = sorted(row[0] for row in
                     sig_rows.select(_KB).distinct().collect())
-        moved += _append_buckets(sig_rows, sigs_root, ts)
+        moved += append_sub(sig_rows, "sigs", ts)
         log.info("dedup_near_state: appended %d file(s) in %s",
-                 moved, store_dir)
+                 moved, label)
 
     return survivors, commit
+
+
+def _ensure_near_meta_s3(target, params: dict) -> None:
+    """Object-store twin of ``_ensure_near_meta_posix``: the parameter
+    record is created with a conditional PUT (If-None-Match:*), so two
+    racing first-writers resolve to one winner whose parameters bind
+    the store for life; mismatched reopens fail loudly."""
+    from universal_data_connector_spark.streaming.object_state import (
+        CasConflict,
+    )
+
+    key = target._key(_NEAR_META)
+    have, _ = target._get_json(key)
+    if have is None:
+        try:
+            target._put_cas(key, params, None)
+            return
+        except CasConflict:
+            have, _ = target._get_json(key)
+    if have != params:
+        raise ValueError(
+            f"dedup_state near store s3://{target.bucket}/"
+            f"{target.prefix} was created with {have}; this run "
+            f"passed {params} — stored signatures/band folds are not "
+            "comparable across these parameters. Rerun with the "
+            "store's parameters or start a new store.")
+
+
+def _s3_append_sub(frame: DataFrame, target, touched: list[int],
+                   sub: str | None = None) -> int:
+    """Append a ``udc_kb``-carrying frame to the object store under
+    ``[<sub>/]kb=<K>/seen-<nonce>-<i>.parquet``: staged local Spark
+    write, then one atomic PUT per part (no pointer, no CAS — the
+    append-only argument in ``seen_filter_s3``). Returns objects
+    uploaded."""
+    import tempfile
+
+    nonce = uuid.uuid4().hex[:8]
+    staged = os.path.join(
+        tempfile.mkdtemp(prefix="udc_seen_s3_c_"), "staged")
+    (frame.repartition(max(len(touched), 1), F.col(_KB))
+          .write.mode("overwrite").partitionBy(_KB).parquet(staged))
+    uploaded = 0
+    try:
+        for b in touched:
+            part_dir = os.path.join(staged, f"{_KB}={b}")
+            if not os.path.isdir(part_dir):
+                continue
+            for i, name in enumerate(sorted(
+                    f for f in os.listdir(part_dir)
+                    if f.endswith(".parquet"))):
+                parts = ([sub] if sub else []) + [
+                    f"kb={b}", f"seen-{nonce}-{i}.parquet"]
+                target.upload_file(os.path.join(part_dir, name),
+                                   target._key(*parts))
+                uploaded += 1
+    finally:
+        shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+    return uploaded
+
+
+def seen_near_filter_s3(df: DataFrame, target,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, num_hashes: int = 128,
+                        bands: int = 32, shingle_n: int = 5,
+                        persist: bool = True):
+    """Object-store twin of ``seen_near_filter`` on an
+    ``object_state.S3StateTarget`` (which owns the bucket count). The
+    band and signature sub-stores live under ``bands/kb=<K>/`` and
+    ``sigs/kb=<K>/`` and inherit the exact store's append-only crash
+    contract verbatim (``seen_filter_s3``): atomic PUTs, duplicate
+    appends harmless, a commit that crash-misses re-ships and
+    converges on the rerun. Touched-bucket object listings are
+    prefix-scoped (O(touched), never O(store)); bucket data shuttles
+    through a driver-local scratch via boto3, eagerly checkpointed so
+    the scratch can be reclaimed before the join runs (same transport
+    note as the state backend — with S3A on the classpath, read
+    ``s3a://.../bands/kb=K/`` directly)."""
+    import tempfile
+
+    n = target.num_buckets
+    _ensure_near_meta_s3(
+        target, _near_params(num_hashes, bands, shingle_n))
+
+    def read_sub(spark, sub, buckets):
+        live = {b: ks for b in buckets
+                if (ks := _seen_objects(target, f"{sub}/kb={b}"))}
+        if not live:
+            return None
+        scratch = tempfile.mkdtemp(prefix="udc_near_s3_")
+        try:
+            for b, ks in live.items():
+                bdir = os.path.join(scratch, f"{_KB}={b}")
+                os.makedirs(bdir)
+                for i, k in enumerate(ks):
+                    target.download_to(
+                        k, os.path.join(bdir, f"part-{i}.parquet"))
+            # leaf-dir reads (no partition column) + eager checkpoint,
+            # so the scratch is reclaimable before the joins run
+            return (spark.read.parquet(
+                *[os.path.join(scratch, f"{_KB}={b}") for b in live])
+                .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def append_sub(frame, sub, touched):
+        return _s3_append_sub(frame, target, touched, sub=sub)
+
+    return _near_filter_core(
+        df, n, read_sub, append_sub,
+        label=f"s3://{target.bucket}/{target.prefix}",
+        text_col=text_col, id_col=id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        persist=persist)
 
 
 def _compact_root(spark, root: str, distinct_cols: list[str],
