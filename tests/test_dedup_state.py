@@ -543,3 +543,71 @@ def test_compact_near_crash_between_renames_recovers(spark, tmp_path):
         num_buckets=4)
     assert _ids(b2) == []
     assert os.path.isdir(live)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_seen_near_filter_crash_fuzz_against_model(spark, tmp_path,
+                                                   seed, monkeypatch):
+    """Model-based crash fuzz for the NEAR store (the exact store's
+    twin, test_seen_filter_crash_fuzz_against_model): random batches
+    drawn from disjoint-vocabulary base texts (cross-base shingle
+    Jaccard exactly 0, copy similarity exactly 1 — no threshold
+    borderline, so a Python set IS the oracle), random commit outcomes
+    (committed / sink-failed / committed twice / CRASHED BETWEEN the
+    band and sig appends), and occasional mid-history compaction.
+    Invariant: a doc ships iff no committed run has shipped its base
+    text before; a between-appends crash counts as not-committed (band
+    rows without sigs cannot flag — the rerun-shaped convergence
+    argument in _near_filter_core.commit)."""
+    import random
+
+    from universal_data_connector_spark.operators import (
+        dedup_state as ds,
+    )
+
+    rng = random.Random(seed)
+    store = str(tmp_path / "near")
+    bases = [" ".join(f"b{i}tok{j}" for j in range(16))
+             for i in range(6)]
+    committed: set[int] = set()
+    next_id = 0
+    real_append = ds._append_buckets
+
+    def crash_on_sigs(frame, root, touched):
+        if root.endswith("sigs"):
+            raise RuntimeError("fuzz crash between appends")
+        return real_append(frame, root, touched)
+
+    for _ in range(8):
+        picks = [rng.randrange(len(bases))
+                 for _ in range(rng.randint(0, 5))]
+        rows = [(next_id + k, bases[p]) for k, p in enumerate(picks)]
+        batch = (_near_docs(spark, rows) if rows
+                 else _near_docs(spark, []).limit(0))
+        survivors, commit = ds.seen_near_filter(batch, store,
+                                                num_buckets=4)
+        got = _ids(survivors)
+        expect = sorted(i for (i, _), p in zip(rows, picks)
+                        if p not in committed)
+        assert got == expect
+        surviving_bases = {p for (i, _), p in zip(rows, picks)
+                           if i in got}
+        next_id += len(picks)
+
+        outcome = rng.random()
+        if outcome < 0.20:
+            continue                      # sink failed: no commit
+        if outcome < 0.35:
+            if not got:
+                continue                  # nothing to append anyway
+            monkeypatch.setattr(ds, "_append_buckets", crash_on_sigs)
+            with pytest.raises(RuntimeError, match="between appends"):
+                commit()
+            monkeypatch.setattr(ds, "_append_buckets", real_append)
+            continue                      # bands-only: cannot flag
+        commit()
+        if outcome > 0.85:
+            commit()                      # replayed commit
+        committed |= surviving_bases
+        if outcome > 0.92:
+            ds.compact_seen_store(spark, store)

@@ -966,3 +966,66 @@ def test_dedup_state_near_yaml_s3_two_runs(spark, tmp_path, s3_client,
                                "forecasting networks this season")
     run(spark, cfg)
     assert sorted(_os.listdir(out)) == ["a.txt", "c.txt"]
+
+
+def test_seen_near_filter_s3_crash_fuzz_against_model(spark, target,
+                                                      monkeypatch):
+    """Object-store twin of the POSIX near-store crash fuzz
+    (test_dedup_state.test_seen_near_filter_crash_fuzz_against_model):
+    same disjoint-vocabulary set model, same outcome mix (no-commit /
+    commit / double-commit / crash between the band and sig appends /
+    mid-history compaction), one seed over a longer history so the
+    prefix-scoped listings see accumulated multi-run buckets."""
+    import random
+
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_near_filter_s3,
+    )
+
+    rng = random.Random(7)
+    bases = [" ".join(f"s{i}tok{j}" for j in range(16))
+             for i in range(5)]
+    committed: set[int] = set()
+    next_id = 0
+    real_upload = S3StateTarget.upload_file
+
+    def crash_on_sigs(self, local_path, key):
+        if "/sigs/" in key:
+            raise RuntimeError("fuzz crash between appends")
+        return real_upload(self, local_path, key)
+
+    for _ in range(7):
+        picks = [rng.randrange(len(bases))
+                 for _ in range(rng.randint(0, 4))]
+        rows = [(next_id + k, bases[p]) for k, p in enumerate(picks)]
+        batch = (_doc_frame(spark, rows) if rows
+                 else _doc_frame(spark, []).limit(0))
+        survivors, commit = seen_near_filter_s3(batch, target)
+        got = sorted(r.doc_id for r in survivors.collect())
+        expect = sorted(i for (i, _), p in zip(rows, picks)
+                        if p not in committed)
+        assert got == expect
+        surviving_bases = {p for (i, _), p in zip(rows, picks)
+                           if i in got}
+        next_id += len(picks)
+
+        outcome = rng.random()
+        if outcome < 0.20:
+            continue
+        if outcome < 0.35:
+            if not got:
+                continue
+            monkeypatch.setattr(S3StateTarget, "upload_file",
+                                crash_on_sigs)
+            with pytest.raises(RuntimeError, match="between appends"):
+                commit()
+            monkeypatch.setattr(S3StateTarget, "upload_file",
+                                real_upload)
+            continue
+        commit()
+        if outcome > 0.85:
+            commit()
+        committed |= surviving_bases
+        if outcome > 0.92:
+            compact_seen_store_s3(spark, target)
