@@ -611,3 +611,234 @@ def test_seen_near_filter_crash_fuzz_against_model(spark, tmp_path,
         committed |= surviving_bases
         if outcome > 0.92:
             ds.compact_seen_store(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# embedding store (cross-run vector near-dedup)
+# ---------------------------------------------------------------------------
+
+def _vec_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+
+
+def _vids(df):
+    return sorted(r.vec_id for r in df.collect())
+
+
+def _onehot(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_seen_embedding_filter_across_batches(spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+    )
+
+    store = str(tmp_path / "emb")
+    b1, c1 = seen_embedding_filter(
+        _vec_docs(spark, [(1, _onehot(0)), (2, _onehot(1))]),
+        store, num_buckets=4)
+    assert _vids(b1) == [1, 2]
+    c1()
+    # scaled copy of e0 (cosine exactly 1), a perturbed e1
+    # (cosine ~0.957 > 0.95), an orthogonal fresh vector
+    near_e1 = _onehot(1)
+    near_e1[2] = 0.3
+    b2, c2 = seen_embedding_filter(
+        _vec_docs(spark, [(3, _onehot(0, scale=2.0)), (4, near_e1),
+                          (5, _onehot(2))]),
+        store, num_buckets=4)
+    assert _vids(b2) == [5]
+    c2()
+    # a 45-degree rotation of e2 (cosine ~0.707 < 0.95) still ships
+    diag = _onehot(2)
+    diag[3] = 1.0
+    b3, _ = seen_embedding_filter(_vec_docs(spark, [(6, diag)]),
+                                  store, num_buckets=4)
+    assert _vids(b3) == [6]
+
+
+def test_seen_embedding_uncommitted_run_leaves_store_unchanged(
+        spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+    )
+
+    store = str(tmp_path / "emb")
+    b1, _ = seen_embedding_filter(
+        _vec_docs(spark, [(1, _onehot(0))]), store, num_buckets=4)
+    assert _vids(b1) == [1]          # sink failed: commit never ran
+    b2, _ = seen_embedding_filter(
+        _vec_docs(spark, [(2, _onehot(0))]), store, num_buckets=4)
+    assert _vids(b2) == [2]
+
+
+def test_seen_embedding_dim_mismatch_raises(spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+    )
+
+    store = str(tmp_path / "emb")
+    b1, c1 = seen_embedding_filter(
+        _vec_docs(spark, [(1, _onehot(0, dim=8))]), store,
+        num_buckets=4)
+    _vids(b1)
+    c1()
+    with pytest.raises(ValueError, match="8-wide"):
+        seen_embedding_filter(
+            _vec_docs(spark, [(2, _onehot(0, dim=4))]), store,
+            num_buckets=4)
+    # an EMPTY batch carries no width and must open fine
+    empty, c = seen_embedding_filter(
+        _vec_docs(spark, []).limit(0), store, num_buckets=4)
+    assert _vids(empty) == []
+    c()
+
+
+def test_seen_embedding_param_and_kind_mismatch_raise(spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+        seen_near_filter,
+    )
+
+    store = str(tmp_path / "emb")
+    b1, c1 = seen_embedding_filter(
+        _vec_docs(spark, [(1, _onehot(0))]), store, num_buckets=4)
+    _vids(b1)
+    c1()
+    with pytest.raises(ValueError, match="not comparable"):
+        seen_embedding_filter(_vec_docs(spark, [(2, _onehot(1))]),
+                              store, n_planes=64, bands=8,
+                              num_buckets=4)
+    # a MinHash text store is not an embedding store and vice versa
+    with pytest.raises(ValueError, match="not comparable"):
+        seen_near_filter(_near_docs(spark, [(3, _BASE)]), store,
+                         num_buckets=4)
+
+
+def test_seen_embedding_zero_vector_always_ships(spark, tmp_path):
+    """Zero-norm vectors have undefined cosine (NULL) and must never
+    be dropped — the dedup_embedding_cosine convention."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+    )
+
+    store = str(tmp_path / "emb")
+    zero = [0.0] * 8
+    b1, c1 = seen_embedding_filter(
+        _vec_docs(spark, [(1, zero)]), store, num_buckets=4)
+    assert _vids(b1) == [1]
+    c1()
+    b2, _ = seen_embedding_filter(
+        _vec_docs(spark, [(2, zero)]), store, num_buckets=4)
+    assert _vids(b2) == [2]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_seen_embedding_crash_fuzz_against_model(spark, tmp_path,
+                                                 seed, monkeypatch):
+    """Embedding twin of the near-store crash fuzz: batches drawn from
+    orthogonal one-hot vectors at random positive scales (cross-base
+    cosine exactly 0, same-base cosine exactly 1 — a set over base
+    indices is an exact oracle), with random commit outcomes including
+    a crash between the band and vec appends, and mid-history
+    compaction."""
+    import random
+
+    from universal_data_connector_spark.operators import (
+        dedup_state as ds,
+    )
+
+    rng = random.Random(seed)
+    store = str(tmp_path / "emb")
+    committed: set[int] = set()
+    next_id = 0
+    real_append = ds._append_buckets
+
+    def crash_on_vecs(frame, root, touched):
+        if root.endswith("vecs"):
+            raise RuntimeError("fuzz crash between appends")
+        return real_append(frame, root, touched)
+
+    for _ in range(7):
+        picks = [rng.randrange(6) for _ in range(rng.randint(0, 4))]
+        rows = [(next_id + k, _onehot(p, scale=float(rng.randint(1, 4))))
+                for k, p in enumerate(picks)]
+        batch = (_vec_docs(spark, rows) if rows
+                 else _vec_docs(spark, []).limit(0))
+        survivors, commit = ds.seen_embedding_filter(batch, store,
+                                                     num_buckets=4)
+        got = _vids(survivors)
+        expect = sorted(i for (i, _), p in zip(rows, picks)
+                        if p not in committed)
+        assert got == expect
+        surviving_bases = {p for (i, _), p in zip(rows, picks)
+                           if i in got}
+        next_id += len(picks)
+
+        outcome = rng.random()
+        if outcome < 0.20:
+            continue
+        if outcome < 0.35:
+            if not got:
+                continue
+            monkeypatch.setattr(ds, "_append_buckets", crash_on_vecs)
+            with pytest.raises(RuntimeError, match="between appends"):
+                commit()
+            monkeypatch.setattr(ds, "_append_buckets", real_append)
+            continue
+        commit()
+        if outcome > 0.85:
+            commit()
+        committed |= surviving_bases
+        if outcome > 0.92:
+            ds.compact_seen_store(spark, store)
+
+
+def test_dedup_state_embedding_yaml_two_runs(spark, tmp_path):
+    """Engine e2e, mode embedding: JSON-array files parsed to a vector
+    column by the sql transformation; a scaled rewrite of an already-
+    shipped embedding is dropped on the second run."""
+    import os
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    store = tmp_path / "emb"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "emb-ingest",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp),
+                                  "pattern": "*.json"}},
+        "transformations": [
+            {"type": "sql",
+             "properties": {"query":
+                 "SELECT source_file, file_type, content, "
+                 "from_json(content, 'array<double>') AS embedding "
+                 "FROM _input"}},
+            {"type": "dedup_state",
+             "properties": {"mode": "embedding",
+                            "stateDir": str(store),
+                            "idColumn": "source_file"}},
+            {"type": "project",
+             "properties": {"columns":
+                            ["source_file", "file_type", "content"]}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".json"}},
+    }]}).pipelines[0]
+
+    (inp / "a.json").write_text("[1.0, 0.0, 0.0, 0.0]")
+    run(spark, cfg)
+    assert sorted(os.listdir(out)) == ["a.json"]
+    (inp / "a.json").unlink()
+    (inp / "b.json").write_text("[3.0, 0.0, 0.0, 0.0]")   # scaled copy
+    (inp / "c.json").write_text("[0.0, 1.0, 0.0, 0.0]")
+    run(spark, cfg)
+    assert sorted(os.listdir(out)) == ["a.json", "c.json"]

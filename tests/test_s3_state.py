@@ -1029,3 +1029,162 @@ def test_seen_near_filter_s3_crash_fuzz_against_model(spark, target,
         committed |= surviving_bases
         if outcome > 0.92:
             compact_seen_store_s3(spark, target)
+
+
+# ---------------------------------------------------------------------------
+# object-store EMBEDDING dedup store
+# ---------------------------------------------------------------------------
+
+def _vec_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+
+
+def _oh(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_seen_embedding_filter_s3_across_batches(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter_s3,
+    )
+
+    b1, c1 = seen_embedding_filter_s3(
+        _vec_frame(spark, [(1, _oh(0)), (2, _oh(1))]), target)
+    assert sorted(r.vec_id for r in b1.collect()) == [1, 2]
+    c1()
+    b2, c2 = seen_embedding_filter_s3(
+        _vec_frame(spark, [(3, _oh(0, scale=2.0)), (4, _oh(2))]),
+        target)
+    assert sorted(r.vec_id for r in b2.collect()) == [4]
+    c2()
+
+
+def test_seen_embedding_filter_s3_dim_and_param_guards(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter_s3,
+    )
+
+    b1, c1 = seen_embedding_filter_s3(
+        _vec_frame(spark, [(1, _oh(0, dim=8))]), target)
+    b1.collect()
+    c1()
+    with pytest.raises(ValueError, match="8-wide"):
+        seen_embedding_filter_s3(
+            _vec_frame(spark, [(2, _oh(0, dim=4))]), target)
+    with pytest.raises(ValueError, match="not comparable"):
+        seen_embedding_filter_s3(
+            _vec_frame(spark, [(3, _oh(1))]), target,
+            n_planes=64, bands=8)
+
+
+def test_seen_embedding_filter_s3_crash_between_appends_converges(
+        spark, target, monkeypatch):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter_s3,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+
+    b1, c1 = seen_embedding_filter_s3(
+        _vec_frame(spark, [(1, _oh(0))]), target)
+    assert b1.count() == 1
+
+    real_upload = S3StateTarget.upload_file
+
+    def crashing_upload(self, local_path, key):
+        if "/vecs/" in key:
+            raise RuntimeError("injected crash before vec append")
+        return real_upload(self, local_path, key)
+
+    monkeypatch.setattr(S3StateTarget, "upload_file", crashing_upload)
+    with pytest.raises(RuntimeError, match="before vec append"):
+        c1()
+    monkeypatch.undo()
+
+    # bands without vecs cannot flag: the doc ships again
+    # (at-least-once) and the replayed commit completes the store
+    b1r, c1r = seen_embedding_filter_s3(
+        _vec_frame(spark, [(1, _oh(0))]), target)
+    assert b1r.count() == 1
+    c1r()
+    b2, _ = seen_embedding_filter_s3(
+        _vec_frame(spark, [(2, _oh(0, scale=3.0))]), target)
+    assert b2.count() == 0
+
+
+def test_compact_seen_store_s3_handles_embedding_substores(
+        spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+        seen_embedding_filter_s3,
+    )
+
+    b1, c1 = seen_embedding_filter_s3(
+        _vec_frame(spark, [(1, _oh(0))]), target)
+    b1.collect()
+    c1()
+    c1()  # duplicate appends under bands/ and vecs/
+    assert compact_seen_store_s3(spark, target) > 0
+    for sub in ("bands", "vecs"):
+        for b in range(target.num_buckets):
+            ks = [k for k in target.list_keys(under=f"{sub}/kb={b}")
+                  if k.endswith(".parquet")]
+            assert len(ks) <= 1, (sub, b, ks)
+    probe, _ = seen_embedding_filter_s3(
+        _vec_frame(spark, [(2, _oh(0, scale=0.5)), (3, _oh(3))]),
+        target)
+    assert sorted(r.vec_id for r in probe.collect()) == [3]
+
+
+def test_dedup_state_embedding_yaml_s3(spark, tmp_path, s3_client,
+                                       target):
+    """Engine e2e, mode embedding + bucketName: the store lives on the
+    object store end to end."""
+    import os as _os
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "emb-ingest-s3",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp),
+                                  "pattern": "*.json"}},
+        "transformations": [
+            {"type": "sql",
+             "properties": {"query":
+                 "SELECT source_file, file_type, content, "
+                 "from_json(content, 'array<double>') AS embedding "
+                 "FROM _input"}},
+            {"type": "dedup_state",
+             "properties": {"mode": "embedding",
+                            "bucketName": BUCKET,
+                            "prefix": target.prefix,
+                            "endpoint": s3_client.meta.endpoint_url,
+                            "accessKey": "test-access",
+                            "secretKey": "test-secret",
+                            "idColumn": "source_file"}},
+            {"type": "project",
+             "properties": {"columns":
+                            ["source_file", "file_type", "content"]}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out),
+                                "extension": ".json"}},
+    }]}).pipelines[0]
+
+    (inp / "a.json").write_text("[1.0, 0.0, 0.0, 0.0]")
+    run(spark, cfg)
+    assert sorted(_os.listdir(out)) == ["a.json"]
+    (inp / "a.json").unlink()
+    (inp / "b.json").write_text("[2.5, 0.0, 0.0, 0.0]")
+    (inp / "c.json").write_text("[0.0, 0.0, 1.0, 0.0]")
+    run(spark, cfg)
+    assert sorted(_os.listdir(out)) == ["a.json", "c.json"]

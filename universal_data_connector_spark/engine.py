@@ -291,9 +291,50 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
         survivors._udc_post_sink_commits = list(
             getattr(df, "_udc_post_sink_commits", [])) + [commit]
         return survivors
+    if mode == "embedding":
+        # hyperplane-LSH + exact-cosine against history: vectorColumn
+        # holds the embedding (array of float/double), idColumn a
+        # unique row id; same store routing as mode near.
+        vec_col = props.get("vectorColumn", "embedding")
+        id_col = props.get("idColumn", "vec_id")
+        missing = [c for c in (vec_col, id_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"dedup_state embedding column(s) {missing} not in "
+                f"{df.columns}")
+        kw = {"vec_col": vec_col, "id_col": id_col,
+              "threshold": float(props.get("threshold", 0.95))}
+        for prop, name in (("nPlanes", "n_planes"), ("bands", "bands"),
+                           ("seed", "seed")):
+            if props.get(prop) is not None:
+                kw[name] = int(props[prop])
+        if props.get("bucketName"):
+            from universal_data_connector_spark.operators.dedup_state \
+                import seen_embedding_filter_s3
+            from universal_data_connector_spark.sinks.upsert import (
+                s3_state_target,
+            )
+
+            survivors, commit = seen_embedding_filter_s3(
+                df, s3_state_target(props), **kw)
+        else:
+            state_dir = props.get("stateDir")
+            if not state_dir:
+                raise ValueError(
+                    "dedup_state requires 'stateDir' (POSIX store) or "
+                    "'bucketName' (object store)")
+            from universal_data_connector_spark.operators.dedup_state \
+                import seen_embedding_filter
+
+            survivors, commit = seen_embedding_filter(
+                df, state_dir,
+                num_buckets=int(props.get("numBuckets", 32)), **kw)
+        survivors._udc_post_sink_commits = list(
+            getattr(df, "_udc_post_sink_commits", [])) + [commit]
+        return survivors
     if mode != "exact":
-        raise ValueError(f"dedup_state mode must be 'exact' or 'near', "
-                         f"got {mode!r}")
+        raise ValueError(f"dedup_state mode must be 'exact', 'near' or "
+                         f"'embedding', got {mode!r}")
     cols = [c.strip() for c in str(props.get("keys", "content")).split(",")
             if c.strip()]
     missing = [c for c in cols if c not in df.columns]

@@ -58,6 +58,7 @@ log = logging.getLogger(__name__)
 _KB = "udc_kb"
 _SEEN_META = "_udc_seen_meta"
 _NEAR_META = "_udc_near_meta"
+_EMB_DIM_META = "_udc_emb_dim"
 _SEEN_STAGED_PREFIX = "_udc_seen_staged_"
 _KEY = "udc_seen_key"
 
@@ -95,7 +96,7 @@ def _ensure_seen_meta(state_dir: str, num_buckets: int) -> int:
     _reject_remote_target(state_dir)
     if os.path.isdir(state_dir):
         _sweep_crash_leftovers(state_dir)
-        for sub in ("bands", "sigs"):
+        for sub in ("bands", "sigs", "vecs"):
             sub_root = os.path.join(state_dir, sub)
             if os.path.isdir(sub_root):
                 _sweep_crash_leftovers(sub_root)
@@ -677,6 +678,256 @@ def seen_near_filter_s3(df: DataFrame, target,
         persist=persist)
 
 
+def _embedding_params(n_planes: int, bands: int, seed: int) -> dict:
+    if n_planes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_planes "
+                         f"({n_planes})")
+    if not 1 <= n_planes // bands <= 63:
+        raise ValueError(
+            f"bits per band must be in [1, 63], got {n_planes // bands}")
+    return {"kind": "embedding", "n_planes": int(n_planes),
+            "bands": int(bands), "seed": int(seed)}
+
+
+def _batch_dim(df: DataFrame, vec_col: str):
+    """Embedding width of the batch (None when the batch is empty);
+    one projection-only job."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
+def _check_dim(stored, dim: int, label: str) -> None:
+    if stored is not None and int(stored) != dim:
+        raise ValueError(
+            f"dedup_state embedding store {label} holds {stored}-wide "
+            f"vectors; this batch is {dim}-wide. Hyperplane codes are "
+            "dim-specific, so a mismatched run would silently MISS "
+            "every near-duplicate instead of failing — embeddings from "
+            "a different space need a new store.")
+
+
+def _ensure_dim_posix(store_dir: str, dim: int) -> None:
+    """Pin the embedding width at first non-empty batch (O_CREAT|
+    O_EXCL, same one-winner rule as the bucket-count meta) and refuse
+    mismatched reopens."""
+    path = os.path.join(store_dir, _EMB_DIM_META)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(dim))
+        return
+    except FileExistsError:
+        pass
+    with open(path) as fh:
+        _check_dim(fh.read().strip(), dim, store_dir)
+
+
+def _ensure_dim_s3(target, dim: int) -> None:
+    from universal_data_connector_spark.streaming.object_state import (
+        CasConflict,
+    )
+
+    key = target._key(_EMB_DIM_META)
+    have, _ = target._get_json(key)
+    if have is None:
+        try:
+            target._put_cas(key, dim, None)
+            return
+        except CasConflict:
+            have, _ = target._get_json(key)
+    _check_dim(have, dim, f"s3://{target.bucket}/{target.prefix}")
+
+
+def _embedding_filter_core(df: DataFrame, n: int, read_sub, append_sub,
+                           *, label: str, vec_col: str, id_col: str,
+                           threshold: float, n_planes: int, bands: int,
+                           seed: int, persist: bool):
+    """The store-agnostic embedding near-dedup flow, the vector twin
+    of ``_near_filter_core``: banded hyperplane-LSH codes find
+    candidates against the ``bands`` sub-store, the EXACT cosine
+    against the ``vecs`` sub-store decides (so band recall affects
+    only which near-dups are caught, never a false drop), and the
+    commit appends the survivors' codes and vectors. Band codes come
+    from ``similarity.hyperplane_bands`` — bit-for-bit the codes the
+    in-batch LSH pipeline uses, the same parity rule as the MinHash
+    store's ``_sig_band_df``. Zero-norm vectors have NULL cosine and
+    therefore always ship (consistent with ``dedup_embedding_cosine``).
+    Band rows are stored under the (doc_key, band_idx, band_hash)
+    schema of the MinHash store so compaction stays uniform."""
+    from universal_data_connector_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from universal_data_connector_spark.operators.similarity import (
+        hyperplane_bands,
+    )
+
+    spark = df.sparkSession
+    keyed = (df.select(id_col, vec_col)
+               .withColumn("__dk", F.sha2(F.to_json(
+                   F.col(vec_col).cast("array<double>")), 256)))
+    if persist:
+        keyed = _pin(keyed)
+    codes = hyperplane_bands(keyed, id_col, vec_col,
+                             n_planes=n_planes, bands=bands, seed=seed)
+    if persist:
+        codes = _pin(codes)   # one Arrow matmul feeds filter AND commit
+
+    new_bands = codes.withColumn(
+        _KB, F.pmod(F.xxhash64("band_idx", "band_val"),
+                    F.lit(n)).cast("int"))
+    touched_band = sorted(
+        row[0] for row in new_bands.select(_KB).distinct().collect())
+
+    flagged = None
+    stored_bands = read_sub(spark, "bands", touched_band)
+    if stored_bands is not None:
+        # no self-exclusion on doc_key — same rerun-shaped argument as
+        # _near_filter_core (the store never holds the CURRENT batch)
+        cands = (new_bands.join(
+            stored_bands.withColumnRenamed("band_hash", "band_val"),
+            on=["band_idx", "band_val"])
+            .select(id_col, "doc_key").distinct())
+        kb2 = F.pmod(F.xxhash64("doc_key"), F.lit(n)).cast("int")
+        cand_buckets = sorted(
+            row[0] for row in cands.select(kb2.alias(_KB))
+                                   .distinct().collect())
+        stored_vecs = read_sub(spark, "vecs", cand_buckets)
+        if stored_vecs is not None:
+            flagged = (cands
+                       .join(keyed.select(id_col, vec_col), on=id_col)
+                       .join(stored_vecs, on="doc_key")
+                       .filter(cosine_similarity(
+                           F.col(vec_col), F.col("vec"))
+                           >= F.lit(float(threshold)))
+                       .select(id_col).distinct())
+
+    survivors_keys = (keyed.join(flagged, on=id_col, how="left_anti")
+                      if flagged is not None else keyed)
+    if persist and flagged is not None:
+        survivors_keys = _pin(survivors_keys)
+    survivors = df.join(survivors_keys.select(id_col), on=id_col,
+                        how="left_semi")
+
+    def commit() -> None:
+        # bands before vecs: identical rerun-shaped convergence
+        # argument as _near_filter_core.commit — band rows whose
+        # vectors are missing cannot flag, and the pipeline rerun
+        # re-ships and completes the append.
+        band_rows = (codes.join(survivors_keys.select(id_col, "__dk"),
+                                on=id_col)
+                     .select(F.col("__dk").alias("doc_key"), "band_idx",
+                             F.col("band_val").alias("band_hash"))
+                     .withColumn(_KB, F.pmod(
+                         F.xxhash64("band_idx", "band_hash"),
+                         F.lit(n)).cast("int")))
+        tb = sorted(row[0] for row in
+                    band_rows.select(_KB).distinct().collect())
+        moved = append_sub(band_rows, "bands", tb)
+        vec_rows = (survivors_keys.select(
+            F.col("__dk").alias("doc_key"),
+            F.col(vec_col).cast("array<double>").alias("vec"))
+            .withColumn(_KB, F.pmod(F.xxhash64("doc_key"),
+                                    F.lit(n)).cast("int")))
+        tv = sorted(row[0] for row in
+                    vec_rows.select(_KB).distinct().collect())
+        moved += append_sub(vec_rows, "vecs", tv)
+        log.info("dedup_embedding_state: appended %d file(s) in %s",
+                 moved, label)
+
+    return survivors, commit
+
+
+def seen_embedding_filter(df: DataFrame, store_dir: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          threshold: float = 0.95, n_planes: int = 128,
+                          bands: int = 16, seed: int = 7,
+                          num_buckets: int = 32, persist: bool = True):
+    """Embedding near-dedup against HISTORY: drop a vector whose exact
+    cosine against any previously COMMITTED vector clears ``threshold``
+    — the third member of the cross-run store family (exact text /
+    MinHash text / embedding), completing incremental-corpus dedup for
+    pipelines whose duplicate signal lives in an embedding column.
+    Candidates come from banded hyperplane LSH (recall grows with
+    ``n_planes``; a missed band match can miss a near-dup but never
+    false-drops, since the exact cosine decides). Store layout and
+    crash contract are the MinHash store's verbatim, with a ``vecs``
+    sub-store in place of ``sigs``; parameters AND the embedding width
+    are pinned at creation (mismatched reopens fail loudly — both
+    would otherwise silently zero the recall). Filters against history
+    only; run ``lsh_near_dup_pairs``/``embedding_cosine`` in-batch
+    first when intra-batch near-dups matter."""
+    n = _ensure_seen_meta(store_dir, num_buckets)
+    _ensure_near_meta_posix(
+        store_dir, _embedding_params(n_planes, bands, seed))
+    dim = _batch_dim(df, vec_col)
+    if dim is not None:
+        _ensure_dim_posix(store_dir, dim)
+    bands_root = os.path.join(store_dir, "bands")
+    vecs_root = os.path.join(store_dir, "vecs")
+
+    def read_sub(spark, sub, buckets):
+        root = bands_root if sub == "bands" else vecs_root
+        return _read_buckets(spark, root, buckets)
+
+    def append_sub(frame, sub, touched):
+        root = bands_root if sub == "bands" else vecs_root
+        return _append_buckets(frame, root, touched)
+
+    return _embedding_filter_core(
+        df, n, read_sub, append_sub, label=store_dir,
+        vec_col=vec_col, id_col=id_col, threshold=threshold,
+        n_planes=n_planes, bands=bands, seed=seed, persist=persist)
+
+
+def seen_embedding_filter_s3(df: DataFrame, target,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95,
+                             n_planes: int = 128, bands: int = 16,
+                             seed: int = 7, persist: bool = True):
+    """Object-store twin of ``seen_embedding_filter`` (sub-stores
+    ``bands/kb=<K>/`` and ``vecs/kb=<K>/``), inheriting the
+    append-only transport and crash contract of
+    ``seen_near_filter_s3``."""
+    import tempfile
+
+    n = target.num_buckets
+    _ensure_near_meta_s3(
+        target, _embedding_params(n_planes, bands, seed))
+    dim = _batch_dim(df, vec_col)
+    if dim is not None:
+        _ensure_dim_s3(target, dim)
+
+    def read_sub(spark, sub, buckets):
+        live = {b: ks for b in buckets
+                if (ks := _seen_objects(target, f"{sub}/kb={b}"))}
+        if not live:
+            return None
+        scratch = tempfile.mkdtemp(prefix="udc_emb_s3_")
+        try:
+            for b, ks in live.items():
+                bdir = os.path.join(scratch, f"{_KB}={b}")
+                os.makedirs(bdir)
+                for i, k in enumerate(ks):
+                    target.download_to(
+                        k, os.path.join(bdir, f"part-{i}.parquet"))
+            return (spark.read.parquet(
+                *[os.path.join(scratch, f"{_KB}={b}") for b in live])
+                .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def append_sub(frame, sub, touched):
+        return _s3_append_sub(frame, target, touched, sub=sub)
+
+    return _embedding_filter_core(
+        df, n, read_sub, append_sub,
+        label=f"s3://{target.bucket}/{target.prefix}",
+        vec_col=vec_col, id_col=id_col, threshold=threshold,
+        n_planes=n_planes, bands=bands, seed=seed, persist=persist)
+
+
 def _compact_root(spark, root: str, distinct_cols: list[str],
                   n: int) -> None:
     """Rewrite each existing bucket dir under ``root`` to its distinct
@@ -725,6 +976,9 @@ def compact_seen_store(spark, state_dir: str) -> None:
     sigs_root = os.path.join(state_dir, "sigs")
     if os.path.isdir(sigs_root):
         _compact_root(spark, sigs_root, ["doc_key", "sig"], n)
+    vecs_root = os.path.join(state_dir, "vecs")
+    if os.path.isdir(vecs_root):
+        _compact_root(spark, vecs_root, ["doc_key", "vec"], n)
 
 
 def compact_seen_store_s3(spark, target) -> int:
@@ -747,7 +1001,7 @@ def compact_seen_store_s3(spark, target) -> int:
     import tempfile
 
     deleted = 0
-    for sub in ("", "bands", "sigs"):
+    for sub in ("", "bands", "sigs", "vecs"):
         for b in range(target.num_buckets):
             under = f"{sub}/kb={b}" if sub else f"kb={b}"
             ks = _seen_objects(target, under)
