@@ -842,3 +842,97 @@ def test_dedup_state_embedding_yaml_two_runs(spark, tmp_path):
     (inp / "c.json").write_text("[0.0, 1.0, 0.0, 0.0]")
     run(spark, cfg)
     assert sorted(os.listdir(out)) == ["a.json", "c.json"]
+
+
+def test_cli_compact_stores(spark, tmp_path):
+    """``--compact-stores`` compacts every dedup_state store the
+    config references (each bucket back to one file) without running
+    the pipelines, and leaves answers unchanged."""
+    import json as _json
+
+    import yaml
+
+    from universal_data_connector_spark import session as session_mod
+    from universal_data_connector_spark.cli import main
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter,
+    )
+
+    store = tmp_path / "seen"
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    pipeline = {
+        "name": "compactable",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"stateDir": str(store),
+                            "keys": "content", "numBuckets": "4"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }
+    (inp / "a.txt").write_text("compact me")
+    run(spark, parse_config({"pipelines": [pipeline]}).pipelines[0])
+    # a replayed commit leaves a duplicate append to compact away
+    # (key columns must match the pipeline's — the seen key is
+    # sha2(to_json(struct(cols))), so the column NAME is part of it)
+    def _content(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, content string")
+
+    b, c = seen_filter(_content([(1, "other text")]), str(store),
+                       ["content"], num_buckets=4)
+    _ids(b)
+    c()
+    c()
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"pipelines": [pipeline]}))
+    # the CLI builds its own session via get_spark; reuse the test one
+    orig = session_mod.get_spark
+    session_mod.get_spark = lambda *a, **kw: spark
+    try:
+        import universal_data_connector_spark.cli as cli_mod
+        cli_mod_get = cli_mod.get_spark
+        cli_mod.get_spark = lambda *a, **kw: spark
+        try:
+            rc = main(["--config", str(cfg_path), "--compact-stores"])
+        finally:
+            cli_mod.get_spark = cli_mod_get
+    finally:
+        session_mod.get_spark = orig
+    assert rc == 0
+    for name in os.listdir(store):
+        if name.startswith("udc_kb="):
+            parts = [f for f in os.listdir(store / name)
+                     if f.endswith(".parquet")]
+            assert len(parts) == 1
+    probe, _ = seen_filter(
+        _content([(2, "compact me"), (3, "other text"), (4, "fresh")]),
+        str(store), ["content"], num_buckets=4)
+    assert _ids(probe) == [4]
+
+
+def test_seen_filter_concurrent_writers_are_at_least_once(
+        spark, tmp_path):
+    """Two pipelines sharing one store, interleaved (both filter
+    before either commits): both ship their copy — cross-PIPELINE
+    dedup is at-least-once by design (append-only, no locks), and the
+    store converges so a third run dedups against both."""
+    store = str(tmp_path / "seen")
+    a, ca = seen_filter(_docs(spark, [(1, "shared")]), store, ["text"],
+                        num_buckets=4)
+    b, cb = seen_filter(_docs(spark, [(2, "shared")]), store, ["text"],
+                        num_buckets=4)
+    assert _ids(a) == [1]
+    assert _ids(b) == [2]          # filtered before A committed
+    ca()
+    cb()                           # concurrent appends: both land
+    c, _ = seen_filter(_docs(spark, [(3, "shared"), (4, "new")]),
+                       store, ["text"], num_buckets=4)
+    assert _ids(c) == [4]

@@ -1188,3 +1188,39 @@ def test_dedup_state_embedding_yaml_s3(spark, tmp_path, s3_client,
     (inp / "c.json").write_text("[0.0, 0.0, 1.0, 0.0]")
     run(spark, cfg)
     assert sorted(_os.listdir(out)) == ["a.json", "c.json"]
+
+
+def test_cli_compact_stores_s3_branch(spark, s3_client, target):
+    """The CLI maintenance entry routes bucketName dedup_state stores
+    onto compact_seen_store_s3 and dedups shared stores."""
+    from universal_data_connector_spark.cli import _compact_stores
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+    )
+
+    b, c = seen_filter_s3(_doc_frame(spark, [(1, "cli compact")]),
+                          target, ["text"])
+    b.collect()
+    c()
+    c()  # duplicate append to supersede
+    props = {"mode": "exact", "keys": "text",
+             "bucketName": BUCKET, "prefix": target.prefix,
+             "endpoint": s3_client.meta.endpoint_url,
+             "accessKey": "test-access", "secretKey": "test-secret"}
+    cfg = parse_config({"pipelines": [
+        {"name": f"p{i}",
+         "source": {"type": "file", "properties": {"path": "/x"}},
+         "transformations": [{"type": "dedup_state",
+                              "properties": dict(props)}],
+         "sink": {"type": "file", "properties": {"path": "/y"}}}
+        for i in (1, 2)]})    # same store twice -> compacts once
+    assert _compact_stores(spark, cfg) == 0
+    for b_ in range(target.num_buckets):
+        ks = [k for k in target.list_keys(under=f"kb={b_}")
+              if k.endswith(".parquet")]
+        assert len(ks) <= 1
+    probe, _ = seen_filter_s3(
+        _doc_frame(spark, [(2, "cli compact"), (3, "fresh")]),
+        target, ["text"])
+    assert sorted(r.doc_id for r in probe.collect()) == [3]

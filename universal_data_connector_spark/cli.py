@@ -26,9 +26,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="expose the REST control plane on this port "
                          "(the reference's PipelineController API)")
+    ap.add_argument("--compact-stores", action="store_true",
+                    help="instead of running pipelines, compact every "
+                         "dedup_state store the config references "
+                         "(offline maintenance — do not run while a "
+                         "pipeline is writing the same store), then "
+                         "exit")
     args = ap.parse_args(argv)
 
     spark = get_spark("udc-cli", cpus=args.cpus)
+    if args.compact_stores:
+        from universal_data_connector_spark.config import load_config
+        return _compact_stores(spark, load_config(args.config))
     mgr = PipelineManager(spark)
     server = None
     if args.serve is not None:
@@ -66,6 +75,49 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if server is not None:
             server.stop()
+    return 0
+
+
+def _compact_stores(spark, cfg) -> int:
+    """Compact every dedup_state seen store referenced by ``cfg``
+    (exact, near and embedding stores alike — the compactors walk
+    whichever sub-stores exist), deduplicated so a store shared by
+    several pipelines compacts once. Offline maintenance: per-run
+    appends (and replayed commits) grow each touched bucket by one
+    file per run; compaction restores O(distinct state) reads — the
+    knob an incremental ingestion schedules between runs."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store,
+        compact_seen_store_s3,
+    )
+    from universal_data_connector_spark.sinks.upsert import (
+        s3_state_target,
+    )
+
+    done, seen = [], set()
+    for p in cfg.pipelines:
+        for t in p.transformations:
+            if t.type != "dedup_state":
+                continue
+            props = t.properties
+            if props.get("bucketName"):
+                label = (f"s3://{props['bucketName']}/"
+                         f"{props.get('prefix') or ''}")
+                if label in seen:
+                    continue
+                seen.add(label)
+                deleted = compact_seen_store_s3(
+                    spark, s3_state_target(props))
+                done.append({"store": label,
+                             "superseded_deleted": deleted})
+            elif props.get("stateDir"):
+                store = props["stateDir"]
+                if store in seen:
+                    continue
+                seen.add(store)
+                compact_seen_store(spark, store)
+                done.append({"store": store})
+    print(json.dumps({"compacted": done}))
     return 0
 
 
