@@ -840,17 +840,30 @@ def _embedding_filter_core(df: DataFrame, n: int, read_sub, append_sub,
 def seen_embedding_filter(df: DataFrame, store_dir: str,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
-                          threshold: float = 0.95, n_planes: int = 128,
-                          bands: int = 16, seed: int = 7,
+                          threshold: float = 0.95, n_planes: int = 4096,
+                          bands: int = 128, seed: int = 7,
                           num_buckets: int = 32, persist: bool = True):
     """Embedding near-dedup against HISTORY: drop a vector whose exact
     cosine against any previously COMMITTED vector clears ``threshold``
     — the third member of the cross-run store family (exact text /
     MinHash text / embedding), completing incremental-corpus dedup for
     pipelines whose duplicate signal lives in an embedding column.
-    Candidates come from banded hyperplane LSH (recall grows with
-    ``n_planes``; a missed band match can miss a near-dup but never
-    false-drops, since the exact cosine decides). Store layout and
+    Candidates come from banded hyperplane LSH (a missed band match
+    can miss a near-dup but never false-drops, since the exact cosine
+    decides). Band WIDTH (``n_planes // bands``) is the scale knob:
+    vectors with cosine c agree per plane with p = 1 - acos(c)/pi, so
+    a pair becomes a candidate at rate ~ bands * p^width — and the
+    candidate JOIN (which ships both vectors per pair) is the whole
+    cost at scale. Measured on the sf10 scale corpus (clustered 64-dim
+    embeddings, same-cluster cosine ~0.4, 100k stored x 120k batch):
+    width 8 (128/16) made 6% of the cross product candidates (197 s);
+    width 16 (512/32) ~2% of the same-cluster mass (still 10^7 pairs);
+    width 32 with 128 bands (the 4096/128 default) drops the
+    cluster-mass collision rate to ~10^-5 while keeping recall at
+    threshold 0.95 of 1-(1-0.899^32)^128 ~ 98.7% (99.99% at 0.97).
+    The wider signature costs one larger Arrow matmul per batch
+    (chunked inside ``hyperplane_bands``) and 128 band rows per stored
+    vector — both linear, no join involved. Store layout and
     crash contract are the MinHash store's verbatim, with a ``vecs``
     sub-store in place of ``sigs``; parameters AND the embedding width
     are pinned at creation (mismatched reopens fail loudly — both
@@ -884,7 +897,7 @@ def seen_embedding_filter_s3(df: DataFrame, target,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.95,
-                             n_planes: int = 128, bands: int = 16,
+                             n_planes: int = 4096, bands: int = 128,
                              seed: int = 7, persist: bool = True):
     """Object-store twin of ``seen_embedding_filter`` (sub-stores
     ``bands/kb=<K>/`` and ``vecs/kb=<K>/``), inheriting the

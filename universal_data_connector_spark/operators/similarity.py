@@ -386,9 +386,17 @@ def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         weights = np.random.default_rng(seed).standard_normal(
             (M.shape[1], n_planes))
-        bits = (M @ weights) > 0                       # (n, n_planes)
         pack = 1 << np.arange(width, dtype=np.int64)   # (width,)
-        vals = bits.reshape(len(vs), bands, width) @ pack   # (n, bands)
+        # chunk the projection so the transient (rows x n_planes)
+        # float64 product stays ~16 MB per task even at thousands of
+        # planes x 10k-row Arrow batches (an unchunked 10k x 4096
+        # product is ~330 MB PER CORE)
+        rows = max(1, (1 << 21) // max(n_planes, 1))
+        out = []
+        for lo in range(0, len(vs), rows):
+            bits = (M[lo:lo + rows] @ weights) > 0     # (chunk, n_planes)
+            out.append(bits.reshape(len(bits), bands, width) @ pack)
+        vals = np.concatenate(out)                     # (n, bands)
         return pd.Series(list(vals))
 
     return (spread(df, id_col)
