@@ -453,9 +453,10 @@ def test_driver_materialization_discipline():
         # same contract as the POSIX twins in windows.py
         "streaming/object_state.py": 2,
         # cross-run dedup: touched-bucket sets (POSIX + S3 exact
-        # stores, near filter's band/candidate buckets, near commit's
-        # band/sig buckets), each bounded by num_buckets
-        "operators/dedup_state.py": 6,
+        # stores; the near and embedding filters' band/candidate
+        # buckets and their commits' band/sig/vec buckets), each
+        # bounded by num_buckets
+        "operators/dedup_state.py": 10,
     }
     bad = []
     for py in root.rglob("*.py"):

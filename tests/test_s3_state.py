@@ -1224,3 +1224,61 @@ def test_cli_compact_stores_s3_branch(spark, s3_client, target):
         _doc_frame(spark, [(2, "cli compact"), (3, "fresh")]),
         target, ["text"])
     assert sorted(r.doc_id for r in probe.collect()) == [3]
+
+
+def test_cli_vacuum_stores_spares_colocated_seen_store(
+        spark, s3_client, target):
+    """--vacuum-stores reclaims superseded generations of a state-sink
+    target and must NOT touch a dedup seen store sharing the same
+    bucket+prefix (append-only: no pointer ever references it)."""
+    from universal_data_connector_spark.cli import _vacuum_stores
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+        seen_near_filter_s3,
+    )
+
+    # two merges -> first generation superseded; plus co-located stores
+    agg_state_merge_s3(_frame(spark, [(1, 1, 1.0)]), 1,
+                       target=target, keys=["user_id"],
+                       value_col="value")
+    agg_state_merge_s3(_frame(spark, [(1, 2, 2.0)]), 2,
+                       target=target, keys=["user_id"],
+                       value_col="value")
+    b, c = seen_filter_s3(_doc_frame(spark, [(1, "keep me")]), target,
+                          ["text"])
+    b.collect()
+    c()
+    nb, nc = seen_near_filter_s3(_doc_frame(spark, [(2, _NB)]), target)
+    nb.collect()
+    nc()
+
+    before = set(target.list_keys())
+    cfg = parse_config({"pipelines": [{
+        "name": "v",
+        "source": {"type": "file", "properties": {"path": "/x"}},
+        "sink": {"type": "agg_state",
+                 "properties": {"keys": "user_id",
+                                "valueColumn": "value",
+                                "bucketName": BUCKET,
+                                "prefix": target.prefix,
+                                "endpoint":
+                                    s3_client.meta.endpoint_url,
+                                "accessKey": "test-access",
+                                "secretKey": "test-secret"}},
+    }]})
+    assert _vacuum_stores(cfg) == 0
+    after = set(target.list_keys())
+    deleted = before - after
+    assert deleted, "expected superseded generations to be reclaimed"
+    # nothing of the seen stores went anywhere
+    assert all("seen-" not in k and "/bands/" not in k
+               and "/sigs/" not in k for k in deleted), deleted
+    # both stores still answer
+    assert _totals(spark, target)[1][0] == 2
+    p1, _ = seen_filter_s3(_doc_frame(spark, [(3, "keep me")]), target,
+                           ["text"])
+    assert p1.count() == 0
+    p2, _ = seen_near_filter_s3(
+        _doc_frame(spark, [(4, _NB + " tweak")]), target)
+    assert p2.count() == 0

@@ -32,12 +32,24 @@ def main(argv: list[str] | None = None) -> int:
                          "(offline maintenance — do not run while a "
                          "pipeline is writing the same store), then "
                          "exit")
+    ap.add_argument("--vacuum-stores", action="store_true",
+                    help="instead of running pipelines, vacuum every "
+                         "object-store upsert/agg_state target the "
+                         "config references (reclaims generations no "
+                         "pointer references; offline maintenance), "
+                         "then exit")
     args = ap.parse_args(argv)
 
     spark = get_spark("udc-cli", cpus=args.cpus)
-    if args.compact_stores:
+    if args.compact_stores or args.vacuum_stores:
         from universal_data_connector_spark.config import load_config
-        return _compact_stores(spark, load_config(args.config))
+        cfg = load_config(args.config)
+        rc = 0
+        if args.compact_stores:
+            rc = _compact_stores(spark, cfg)
+        if args.vacuum_stores:
+            rc = rc or _vacuum_stores(cfg)
+        return rc
     mgr = PipelineManager(spark)
     server = None
     if args.serve is not None:
@@ -75,6 +87,35 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if server is not None:
             server.stop()
+    return 0
+
+
+def _vacuum_stores(cfg) -> int:
+    """Vacuum every object-store state-sink target referenced by
+    ``cfg`` (sink types ``upsert``/``agg_state`` with ``bucketName``),
+    deduplicated. Offline maintenance under the single-writer
+    contract; co-located dedup seen stores are excluded by
+    ``vacuum_target`` itself."""
+    from universal_data_connector_spark.sinks.upsert import (
+        s3_state_target,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        vacuum_target,
+    )
+
+    done, seen = [], set()
+    for p in cfg.pipelines:
+        props = p.sink.properties if p.sink else {}
+        if (p.sink and p.sink.type in ("upsert", "agg_state")
+                and props.get("bucketName")):
+            label = (f"s3://{props['bucketName']}/"
+                     f"{props.get('prefix') or ''}")
+            if label in seen:
+                continue
+            seen.add(label)
+            done.append({"store": label,
+                         "deleted": vacuum_target(s3_state_target(props))})
+    print(json.dumps({"vacuumed": done}))
     return 0
 
 

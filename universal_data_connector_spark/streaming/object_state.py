@@ -400,17 +400,30 @@ def vacuum_target(target: S3StateTarget) -> int:
     """Delete data objects no pointer references (crashed-attempt
     generations, superseded generations). Safe under the single-writer
     contract once no reader still holds a pre-vacuum pointer; returns
-    the number of objects deleted."""
+    the number of objects deleted.
+
+    A dedup seen store co-located under the same bucket+prefix shares
+    the ``kb=<K>/`` namespace but is APPEND-ONLY (no pointer ever
+    references its objects) — vacuuming it would delete the whole
+    dedup history, so its namespaces are excluded: ``seen-*`` object
+    names, the ``bands/``/``sigs/``/``vecs/`` sub-prefixes, and the
+    near/embedding meta records."""
     live: set[str] = set()
     for b in range(target.num_buckets):
         ptr, _ = target.read_pointer(b)
         if ptr:
             live.update(ptr["objects"])
     keep_suffixes = ("/_ptr",)
-    keep_names = {target._key(_META_KEY), target._key(_INTENT_KEY)}
+    keep_names = {target._key(_META_KEY), target._key(_INTENT_KEY),
+                  target._key("_udc_near_meta"),
+                  target._key("_udc_emb_dim")}
+    prefix = f"{target.prefix}/" if target.prefix else ""
+    seen_subs = tuple(f"{prefix}{s}/" for s in ("bands", "sigs", "vecs"))
     garbage = [k for k in target.list_keys()
                if k not in live and not k.endswith(keep_suffixes)
-               and k not in keep_names]
+               and k not in keep_names
+               and not k.startswith(seen_subs)
+               and not os.path.basename(k).startswith("seen-")]
     if garbage:
         target.delete_keys(garbage)
     return len(garbage)
