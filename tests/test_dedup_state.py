@@ -198,15 +198,91 @@ def test_dedup_state_commit_precedes_manifest(spark, tmp_path,
     assert sorted(os.listdir(out)) == ["a.txt"]
 
 
-def test_dedup_state_rejects_streaming(spark, tmp_path):
+def test_dedup_state_streaming_tags_frame_and_validates(spark,
+                                                        tmp_path):
+    """A streaming frame is TAGGED (the filter runs per micro-batch in
+    start_streaming_sink), with config typos still failing at build."""
     from universal_data_connector_spark.engine import (
         _dedup_state_transform,
     )
 
     stream = (spark.readStream.schema("doc_id bigint, text string")
               .json(str(tmp_path)))
-    with pytest.raises(ValueError, match="batch-only"):
-        _dedup_state_transform(stream, {"stateDir": str(tmp_path / "s")})
+    out = _dedup_state_transform(
+        stream, {"stateDir": str(tmp_path / "s"), "keys": "text"})
+    assert out._udc_stream_dedup_state["keys"] == "text"
+    with pytest.raises(ValueError, match="not in"):
+        _dedup_state_transform(
+            stream, {"stateDir": str(tmp_path / "s"), "keys": "nope"})
+    with pytest.raises(ValueError, match="stateDir.*bucketName"):
+        _dedup_state_transform(stream, {"keys": "text"})
+
+
+def test_dedup_state_streaming_must_be_last(spark, tmp_path):
+    from universal_data_connector_spark.config import (
+        TransformationConfig,
+    )
+    from universal_data_connector_spark.engine import (
+        apply_transformations,
+    )
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .json(str(tmp_path)))
+    with pytest.raises(ValueError, match="LAST transformation"):
+        apply_transformations(stream, [
+            TransformationConfig("dedup_state",
+                                 {"stateDir": str(tmp_path / "s"),
+                                  "keys": "text"}),
+            TransformationConfig("project", {"columns": ["doc_id"]}),
+        ])
+
+
+def test_dedup_state_streaming_e2e_content_dedup(spark, tmp_path):
+    """Streaming engine e2e: per-micro-batch seen filter + batch sink
+    + commit inside foreachBatch. A byte-duplicate under a NEW
+    filename is dropped mid-stream AND across a query restart — the
+    content-level guarantee the checkpointed file source alone cannot
+    give."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "stream-dedup",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"stateDir": str(tmp_path / "seen"),
+                            "keys": "content", "numBuckets": "4"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    (inp / "a.txt").write_text("stream once")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt"]
+        (inp / "b.txt").write_text("stream once")        # content dup
+        (inp / "c.txt").write_text("fresh stream content")
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt", "c.txt"]
+    finally:
+        q.stop()
+    # restart: same config -> same checkpoint (derived from stateDir);
+    # the store survives the query, so content dedup does too
+    (inp / "d.txt").write_text("fresh stream content")   # dup of c
+    (inp / "e.txt").write_text("post restart novel")
+    q2 = run(spark, cfg, streaming=True)
+    try:
+        q2.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt", "c.txt", "e.txt"]
+    finally:
+        q2.stop()
 
 
 def test_dedup_state_missing_key_column_raises(spark, tmp_path):
@@ -936,3 +1012,41 @@ def test_seen_filter_concurrent_writers_are_at_least_once(
     c, _ = seen_filter(_docs(spark, [(3, "shared"), (4, "new")]),
                        store, ["text"], num_buckets=4)
     assert _ids(c) == [4]
+
+
+def test_dedup_state_streaming_near_mode(spark, tmp_path):
+    """Mode dispatch under foreachBatch: a near-duplicate REWRITE of
+    already-streamed content is dropped in a later micro-batch."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "stream-near",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"mode": "near",
+                            "stateDir": str(tmp_path / "near"),
+                            "numBuckets": "4"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    (inp / "a.txt").write_text(_BASE)
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt"]
+        (inp / "b.txt").write_text(_BASE + " tweaked")   # near-dup
+        (inp / "c.txt").write_text(
+            "wholly different material on watermark semantics and "
+            "stateful stream processing guarantees in micro-batches")
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt", "c.txt"]
+    finally:
+        q.stop()

@@ -237,33 +237,68 @@ def _rename_transform(df: DataFrame, props: dict) -> DataFrame:
 
 
 def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
-    """Cross-run exact dedup against a persistent seen-key store
-    (``operators/dedup_state.py``): rows whose key columns were seen
-    in ANY previous successful run are dropped; survivors' keys are
-    committed to the store post-sink via ``_udc_post_sink_commits``
-    (ordering argument in the module docstring — commit strictly
-    after the sink, strictly before archive/manifest). Batch-only:
-    the commit must observe sink success, which a running stream
-    never signals to the engine."""
+    """Cross-run dedup against a persistent seen store
+    (``operators/dedup_state.py``): rows whose content (exact key
+    columns / MinHash-near text / embedding-near vector) was seen in
+    ANY previous successful run are dropped. Batch frames get the
+    filter immediately and the commit rides post-sink via
+    ``_udc_post_sink_commits`` (commit strictly after the sink,
+    strictly before archive/manifest). STREAMING frames are tagged
+    instead: the seen filter + batch sink + commit all run inside one
+    ``foreachBatch`` scope per micro-batch (``start_streaming_sink``),
+    because the commit must observe sink success — which means
+    dedup_state must be the LAST transformation of a streaming
+    pipeline (enforced in ``apply_transformations``)."""
     if df.isStreaming:
+        _check_dedup_state_props(df.columns, props)
+        df._udc_stream_dedup_state = dict(props)
+        return df
+    survivors, commit = _seen_filter_for(df, props)
+    survivors._udc_post_sink_commits = list(
+        getattr(df, "_udc_post_sink_commits", [])) + [commit]
+    return survivors
+
+
+def _check_dedup_state_props(columns: list, props: dict) -> None:
+    """Mode/column/store validation shared by the batch dispatch and
+    the streaming tag (so a config typo fails at BUILD, not in the
+    tenth micro-batch)."""
+    mode = str(props.get("mode", "exact")).lower()
+    if mode == "near":
+        need = [props.get("textColumn", "content"),
+                props.get("idColumn", "source_file")]
+    elif mode == "embedding":
+        need = [props.get("vectorColumn", "embedding"),
+                props.get("idColumn", "vec_id")]
+    elif mode == "exact":
+        need = [c.strip() for c in
+                str(props.get("keys", "content")).split(",") if c.strip()]
+    else:
+        raise ValueError(f"dedup_state mode must be 'exact', 'near' or "
+                         f"'embedding', got {mode!r}")
+    missing = [c for c in need if c not in columns]
+    if missing:
         raise ValueError(
-            "dedup_state transformation is batch-only: its seen-store "
-            "commit must run after the batch sink succeeds; for "
-            "streaming use the file source's manifestDir (per-file "
-            "dedup) or stream_dedup (keyed, watermark-bounded)")
+            f"dedup_state {mode} column(s) {missing} not in {columns}")
+    if not props.get("bucketName") and not props.get("stateDir"):
+        raise ValueError(
+            "dedup_state requires 'stateDir' (POSIX store) or "
+            "'bucketName' (object store)")
+
+
+def _seen_filter_for(df: DataFrame, props: dict):
+    """(survivors, commit) for one BATCH frame per the dedup_state
+    props — the mode dispatch (exact/near/embedding), with
+    ``bucketName`` routing onto the object-store sub-stores and
+    ``stateDir`` onto the POSIX ones; every combination shares the
+    append-only crash contract."""
+    _check_dedup_state_props(df.columns, props)
     mode = str(props.get("mode", "exact")).lower()
     if mode == "near":
         # MinHash-LSH against history: textColumn holds the document
-        # text, idColumn a unique row id. bucketName routes onto the
-        # object-store sub-stores (seen_near_filter_s3), stateDir onto
-        # the POSIX ones; both share the append-only crash contract.
+        # text, idColumn a unique row id.
         text_col = props.get("textColumn", "content")
         id_col = props.get("idColumn", "source_file")
-        missing = [c for c in (text_col, id_col) if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"dedup_state near column(s) {missing} not in "
-                f"{df.columns}")
         threshold = float(props.get("threshold", 0.8))
         if props.get("bucketName"):
             from universal_data_connector_spark.operators.dedup_state \
@@ -272,37 +307,23 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
                 s3_state_target,
             )
 
-            survivors, commit = seen_near_filter_s3(
+            return seen_near_filter_s3(
                 df, s3_state_target(props), text_col=text_col,
                 id_col=id_col, threshold=threshold)
-        else:
-            state_dir = props.get("stateDir")
-            if not state_dir:
-                raise ValueError(
-                    "dedup_state requires 'stateDir' (POSIX store) or "
-                    "'bucketName' (object store)")
-            from universal_data_connector_spark.operators.dedup_state \
-                import seen_near_filter
+        from universal_data_connector_spark.operators.dedup_state import (
+            seen_near_filter,
+        )
 
-            survivors, commit = seen_near_filter(
-                df, state_dir, text_col=text_col, id_col=id_col,
-                threshold=threshold,
-                num_buckets=int(props.get("numBuckets", 32)))
-        survivors._udc_post_sink_commits = list(
-            getattr(df, "_udc_post_sink_commits", [])) + [commit]
-        return survivors
+        return seen_near_filter(
+            df, props["stateDir"], text_col=text_col, id_col=id_col,
+            threshold=threshold,
+            num_buckets=int(props.get("numBuckets", 32)))
     if mode == "embedding":
         # hyperplane-LSH + exact-cosine against history: vectorColumn
         # holds the embedding (array of float/double), idColumn a
         # unique row id; same store routing as mode near.
-        vec_col = props.get("vectorColumn", "embedding")
-        id_col = props.get("idColumn", "vec_id")
-        missing = [c for c in (vec_col, id_col) if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"dedup_state embedding column(s) {missing} not in "
-                f"{df.columns}")
-        kw = {"vec_col": vec_col, "id_col": id_col,
+        kw = {"vec_col": props.get("vectorColumn", "embedding"),
+              "id_col": props.get("idColumn", "vec_id"),
               "threshold": float(props.get("threshold", 0.95))}
         for prop, name in (("nPlanes", "n_planes"), ("bands", "bands"),
                            ("seed", "seed")):
@@ -315,32 +336,17 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
                 s3_state_target,
             )
 
-            survivors, commit = seen_embedding_filter_s3(
+            return seen_embedding_filter_s3(
                 df, s3_state_target(props), **kw)
-        else:
-            state_dir = props.get("stateDir")
-            if not state_dir:
-                raise ValueError(
-                    "dedup_state requires 'stateDir' (POSIX store) or "
-                    "'bucketName' (object store)")
-            from universal_data_connector_spark.operators.dedup_state \
-                import seen_embedding_filter
+        from universal_data_connector_spark.operators.dedup_state import (
+            seen_embedding_filter,
+        )
 
-            survivors, commit = seen_embedding_filter(
-                df, state_dir,
-                num_buckets=int(props.get("numBuckets", 32)), **kw)
-        survivors._udc_post_sink_commits = list(
-            getattr(df, "_udc_post_sink_commits", [])) + [commit]
-        return survivors
-    if mode != "exact":
-        raise ValueError(f"dedup_state mode must be 'exact', 'near' or "
-                         f"'embedding', got {mode!r}")
+        return seen_embedding_filter(
+            df, props["stateDir"],
+            num_buckets=int(props.get("numBuckets", 32)), **kw)
     cols = [c.strip() for c in str(props.get("keys", "content")).split(",")
             if c.strip()]
-    missing = [c for c in cols if c not in df.columns]
-    if missing:
-        raise ValueError(
-            f"dedup_state key column(s) {missing} not in {df.columns}")
     if props.get("bucketName"):
         # object-store seen store: same S3 props shape as the state
         # sinks (bucketName/prefix/endpoint/accessKey/secretKey)
@@ -351,23 +357,13 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
             s3_state_target,
         )
 
-        survivors, commit = seen_filter_s3(
-            df, s3_state_target(props), cols)
-    else:
-        state_dir = props.get("stateDir")
-        if not state_dir:
-            raise ValueError(
-                "dedup_state transformation requires 'stateDir' (POSIX "
-                "store) or 'bucketName' (object store)")
-        from universal_data_connector_spark.operators.dedup_state import (
-            seen_filter,
-        )
+        return seen_filter_s3(df, s3_state_target(props), cols)
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter,
+    )
 
-        survivors, commit = seen_filter(
-            df, state_dir, cols, int(props.get("numBuckets", 32)))
-    survivors._udc_post_sink_commits = list(
-        getattr(df, "_udc_post_sink_commits", [])) + [commit]
-    return survivors
+    return seen_filter(df, props["stateDir"], cols,
+                       int(props.get("numBuckets", 32)))
 
 
 TRANSFORMS = {
@@ -389,6 +385,14 @@ def apply_transformations(df: DataFrame,
             log.warning("unknown transformation type %r — passing through "
                         "unchanged", t.type)
             continue
+        if getattr(df, "_udc_stream_dedup_state", None) is not None:
+            raise ValueError(
+                "dedup_state must be the LAST transformation of a "
+                "streaming pipeline: its seen filter runs inside the "
+                "sink's per-micro-batch scope (start_streaming_sink), "
+                f"so no further transformation ({t.type!r}) can apply "
+                "after it — move it to the end, or pre-shape columns "
+                "with a sql transformation before it")
         out = fn(df, t.properties)
         # post-sink commit callbacks (dedup_state) ride on the frame;
         # transforms that don't add their own must not drop upstream
@@ -580,7 +584,7 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
 
     if streaming:
         source_df, df = build_parts(spark, cfg, streaming)
-        return create_sink(df, cfg.sink, streaming)
+        return start_streaming_sink(df, cfg.sink)
     # Batch: the build AND its consuming action both complete inside
     # this call, so scope any DISK_ONLY intermediates the operators pin
     # to this job and free them on the way out (success or failure) —
@@ -604,6 +608,50 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
         finally:
             release_frames(pins)
     return result
+
+
+def start_streaming_sink(df: DataFrame, sink_cfg):
+    """Start the streaming sink for a built pipeline frame. A frame
+    tagged by a streaming ``dedup_state`` routes through a
+    ``foreachBatch`` wrapper instead of the sink's native streaming
+    form: per micro-batch, filter against the durable seen store, run
+    the BATCH form of the configured sink on the survivors, then
+    commit their keys — the batch engine's sink-then-commit ordering,
+    per micro-batch. Restart semantics: a micro-batch replayed AFTER
+    its commit re-filters to empty and the sink writes nothing (no
+    duplicates — and unlike the file manifest this also holds for
+    byte-identical content under new filenames); a crash between sink
+    and commit re-ships that batch's content once (at-least-once, the
+    same contract as every seen-store commit). Each batch's DISK_ONLY
+    pins are scoped and released inside the batch."""
+    props = getattr(df, "_udc_stream_dedup_state", None)
+    if props is None:
+        return create_sink(df, sink_cfg, True)
+    checkpoint = props.get("checkpointLocation")
+    if not checkpoint and props.get("stateDir"):
+        checkpoint = props["stateDir"].rstrip("/") + "_checkpoint"
+    if not checkpoint and sink_cfg.properties.get("path"):
+        checkpoint = (str(sink_cfg.properties["path"]).rstrip("/")
+                      + "_dedup_checkpoint")
+    if not checkpoint:
+        raise ValueError(
+            "streaming dedup_state needs 'checkpointLocation' (no "
+            "stateDir or sink path to derive one from)")
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from universal_data_connector_spark.operators.relational import (
+            pin_scope, release_frames,
+        )
+        with pin_scope() as pins:
+            try:
+                survivors, commit = _seen_filter_for(batch_df, props)
+                create_sink(survivors, sink_cfg, streaming=False)
+                commit()
+            finally:
+                release_frames(pins)
+
+    return (df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint).start())
 
 
 def prepare_batch_sink_cfg(sink_cfg, source_df: DataFrame,

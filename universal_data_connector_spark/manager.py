@@ -155,8 +155,7 @@ class PipelineManager:
         # cached plans would silently substitute into later builds.
         try:
             if streaming:
-                from universal_data_connector_spark.sinks import create_sink
-                query = create_sink(df, cfg.sink, streaming=True)
+                query = engine.start_streaming_sink(df, cfg.sink)
                 job = Job(job_name, cfg.name, submit_ms,
                           "streaming", query=query, pins=build_pins)
             else:
