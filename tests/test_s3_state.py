@@ -1282,3 +1282,53 @@ def test_cli_vacuum_stores_spares_colocated_seen_store(
     p2, _ = seen_near_filter_s3(
         _doc_frame(spark, [(4, _NB + " tweak")]), target)
     assert p2.count() == 0
+
+
+def test_dedup_state_streaming_s3_store(spark, tmp_path, s3_client,
+                                        target):
+    """Streaming dedup_state with the seen store on the OBJECT store:
+    the foreachBatch filter-sink-commit contract is backend-agnostic."""
+    import os as _os
+    import time as _time
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "stream-dedup-s3",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"keys": "content",
+                            "bucketName": BUCKET,
+                            "prefix": target.prefix,
+                            "endpoint": s3_client.meta.endpoint_url,
+                            "accessKey": "test-access",
+                            "secretKey": "test-secret",
+                            "checkpointLocation":
+                                str(tmp_path / "ckpt")}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    (inp / "a.txt").write_text("object store stream")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        assert sorted(_os.listdir(out)) == ["a.txt"]
+        (inp / "b.txt").write_text("object store stream")   # dup
+        (inp / "c.txt").write_text("novel object content")
+        q.processAllAvailable()
+        assert sorted(_os.listdir(out)) == ["a.txt", "c.txt"]
+    finally:
+        q.stop()
+    _time.sleep(0)
+    # keys landed on the object store, not on local disk
+    assert any(k for k in target.list_keys()
+               if "seen-" in k and k.endswith(".parquet"))
