@@ -583,3 +583,45 @@ def test_broker_roundtrip_property(tmp_path):
                 assert sorted(offs) == list(range(e))
 
     check()
+
+
+def test_cli_kafka_dedup_state_drops_replayed_content(spark, tmp_path):
+    """Kafka source composed with dedup_state: a record whose VALUE
+    already shipped in an earlier run is dropped even though it sits
+    at a NEW offset — group offsets give at-least-once per record,
+    the seen store upgrades it to exactly-once per content."""
+    import yaml
+
+    from universal_data_connector_spark import cli
+    from universal_data_connector_spark import kafka_loopback as KL
+
+    d = str(tmp_path / "broker")
+    KL.append_records(d, "src", [(None, b"payload A"),
+                                 (None, b"payload B")], 1)
+    cfg = {"pipelines": [{
+        "name": "kafka-dedup",
+        "source": {"type": "kafka", "properties": {
+            "bootstrapServers": f"loopback://{d}", "topic": "src",
+            "groupId": "dedup-g"}},
+        "transformations": [{"type": "dedup_state", "properties": {
+            "stateDir": str(tmp_path / "seen"), "keys": "content",
+            "numBuckets": "4"}}],
+        "sink": {"type": "kafka", "properties": {
+            "bootstrapServers": f"loopback://{d}", "topic": "dst"}},
+    }]}
+    path = tmp_path / "kafka-dedup.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+
+    assert cli.main(["--config", str(path), "--once"]) == 0
+    ends = KL.end_offsets(d, "dst")
+    assert sum(ends.values()) == 2
+
+    # a producer re-sends payload A (new offset, past the committed
+    # group position) plus one new payload: only the new one ships
+    KL.append_records(d, "src", [(None, b"payload A"),
+                                 (None, b"payload C")], 1)
+    assert cli.main(["--config", str(path), "--once"]) == 0
+    ends2 = KL.end_offsets(d, "dst")
+    vals = sorted(r[1] for p, e in ends2.items()
+                  for r in KL.read_slice(d, "dst", p, 0, e))
+    assert vals == [b"payload A", b"payload B", b"payload C"]
