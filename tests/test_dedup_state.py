@@ -1050,3 +1050,58 @@ def test_dedup_state_streaming_near_mode(spark, tmp_path):
         assert sorted(os.listdir(out)) == ["a.txt", "c.txt"]
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_dedup_state_streaming_restart_fuzz(spark, tmp_path, seed):
+    """Kill-and-restart fuzz for the streaming contract: the query is
+    STOPPED and re-run between every file drop, with each drop a
+    random mix of duplicate and fresh content. Model: every distinct
+    content ships exactly once across the whole history — restarts
+    replay offsets, the seen store absorbs the replays."""
+    import random
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    rng = random.Random(seed)
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "restart-fuzz",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"stateDir": str(tmp_path / "seen"),
+                            "keys": "content", "numBuckets": "4"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    vocab = [f"fuzz content variant {i}" for i in range(8)]
+    shipped_first: dict[str, str] = {}   # content -> first filename
+    next_id = 0
+    for _ in range(6):
+        drops = {}
+        for _ in range(rng.randint(0, 3)):
+            text = vocab[rng.randrange(len(vocab))]
+            name = f"f{next_id}.txt"
+            next_id += 1
+            (inp / name).write_text(text)
+            drops[name] = text
+        q = run(spark, cfg, streaming=True)   # fresh query every round
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for name, text in drops.items():
+            shipped_first.setdefault(text, name)
+        # every distinct content seen so far exists in the output
+        # EXACTLY once (the winning filename within a batch is the
+        # engine's deterministic pick — assert on contents, not names)
+        got = sorted((out / n).read_text().rstrip("\n")
+                     for n in os.listdir(out))
+        assert got == sorted(shipped_first)
