@@ -1105,3 +1105,46 @@ def test_dedup_state_streaming_restart_fuzz(spark, tmp_path, seed):
         got = sorted((out / n).read_text().rstrip("\n")
                      for n in os.listdir(out))
         assert got == sorted(shipped_first)
+
+
+def test_dedup_state_streaming_embedding_mode(spark, tmp_path):
+    """Completes the streaming mode matrix: a scaled rewrite of an
+    already-streamed embedding is dropped in a later micro-batch."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "stream-emb",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp),
+                                  "pattern": "*.json"}},
+        "transformations": [
+            {"type": "sql",
+             "properties": {"query":
+                 "SELECT source_file, file_type, content, "
+                 "from_json(content, 'array<double>') AS embedding "
+                 "FROM _input"}},
+            {"type": "dedup_state",
+             "properties": {"mode": "embedding",
+                            "stateDir": str(tmp_path / "emb"),
+                            "idColumn": "source_file"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out),
+                                "extension": ".json"}},
+    }]}).pipelines[0]
+
+    (inp / "a.json").write_text("[1.0, 0.0, 0.0, 0.0]")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.json"]
+        (inp / "b.json").write_text("[2.0, 0.0, 0.0, 0.0]")  # scaled
+        (inp / "c.json").write_text("[0.0, 0.0, 1.0, 0.0]")
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.json", "c.json"]
+    finally:
+        q.stop()
