@@ -93,3 +93,60 @@ def test_rest_start_bad_config_returns_500(spark, tmp_path):
             assert e.code == 500
     finally:
         srv.stop()
+
+
+def test_rest_maintenance_compact(spark, tmp_path):
+    """POST /api/pipelines/maintenance?op=compact compacts the
+    config's dedup stores through the control plane; bad ops and a
+    missing config answer 400."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter,
+    )
+
+    store = tmp_path / "seen"
+    frame = spark.createDataFrame([(1, "rest compact")],
+                                  "doc_id bigint, content string")
+    b, c = seen_filter(frame, str(store), ["content"], num_buckets=4)
+    b.collect()
+    c()
+    c()  # duplicate append to supersede
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"pipelines": [{
+        "name": "m",
+        "source": {"type": "file",
+                   "properties": {"path": str(tmp_path / "in")}},
+        "transformations": [{"type": "dedup_state", "properties": {
+            "stateDir": str(store), "keys": "content",
+            "numBuckets": "4"}}],
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out")}},
+    }]}))
+
+    mgr = PipelineManager(spark)
+    srv = ControlPlaneServer(mgr, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        req = urllib.request.Request(
+            f"{base}/api/pipelines/maintenance?op=compact"
+            f"&configFilePath={cfg_path}", method="POST")
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["compacted"] == [{"store": str(store)}]
+        for name in os.listdir(store):
+            if name.startswith("udc_kb="):
+                parts = [f for f in os.listdir(store / name)
+                         if f.endswith(".parquet")]
+                assert len(parts) == 1
+        # validation parity with the start endpoint
+        for bad in (f"{base}/api/pipelines/maintenance?op=compact",
+                    f"{base}/api/pipelines/maintenance?op=nope"
+                    f"&configFilePath={cfg_path}"):
+            req = urllib.request.Request(bad, method="POST")
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.stop()

@@ -91,74 +91,21 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _vacuum_stores(cfg) -> int:
-    """Vacuum every object-store state-sink target referenced by
-    ``cfg`` (sink types ``upsert``/``agg_state`` with ``bucketName``),
-    deduplicated. Offline maintenance under the single-writer
-    contract; co-located dedup seen stores are excluded by
-    ``vacuum_target`` itself."""
-    from universal_data_connector_spark.sinks.upsert import (
-        s3_state_target,
-    )
-    from universal_data_connector_spark.streaming.object_state import (
-        vacuum_target,
-    )
+    """CLI wrapper over ``maintenance.vacuum_stores`` (prints the
+    summary the way the run path prints job JSON)."""
+    from universal_data_connector_spark.maintenance import vacuum_stores
 
-    done, seen = [], set()
-    for p in cfg.pipelines:
-        props = p.sink.properties if p.sink else {}
-        if (p.sink and p.sink.type in ("upsert", "agg_state")
-                and props.get("bucketName")):
-            label = (f"s3://{props['bucketName']}/"
-                     f"{props.get('prefix') or ''}")
-            if label in seen:
-                continue
-            seen.add(label)
-            done.append({"store": label,
-                         "deleted": vacuum_target(s3_state_target(props))})
-    print(json.dumps({"vacuumed": done}))
+    print(json.dumps({"vacuumed": vacuum_stores(cfg)}))
     return 0
 
 
 def _compact_stores(spark, cfg) -> int:
-    """Compact every dedup_state seen store referenced by ``cfg``
-    (exact, near and embedding stores alike — the compactors walk
-    whichever sub-stores exist), deduplicated so a store shared by
-    several pipelines compacts once. Offline maintenance: per-run
-    appends (and replayed commits) grow each touched bucket by one
-    file per run; compaction restores O(distinct state) reads — the
-    knob an incremental ingestion schedules between runs."""
-    from universal_data_connector_spark.operators.dedup_state import (
-        compact_seen_store,
-        compact_seen_store_s3,
-    )
-    from universal_data_connector_spark.sinks.upsert import (
-        s3_state_target,
+    """CLI wrapper over ``maintenance.compact_stores``."""
+    from universal_data_connector_spark.maintenance import (
+        compact_stores,
     )
 
-    done, seen = [], set()
-    for p in cfg.pipelines:
-        for t in p.transformations:
-            if t.type != "dedup_state":
-                continue
-            props = t.properties
-            if props.get("bucketName"):
-                label = (f"s3://{props['bucketName']}/"
-                         f"{props.get('prefix') or ''}")
-                if label in seen:
-                    continue
-                seen.add(label)
-                deleted = compact_seen_store_s3(
-                    spark, s3_state_target(props))
-                done.append({"store": label,
-                             "superseded_deleted": deleted})
-            elif props.get("stateDir"):
-                store = props["stateDir"]
-                if store in seen:
-                    continue
-                seen.add(store)
-                compact_seen_store(spark, store)
-                done.append({"store": store})
-    print(json.dumps({"compacted": done}))
+    print(json.dumps({"compacted": compact_stores(spark, cfg)}))
     return 0
 
 

@@ -98,6 +98,35 @@ class ControlPlaneServer:
                     if not m.stop(name):
                         return self._json(404, {"error": f"job {name} not found"})
                     return self._json(200, {"message": f"Pipeline {name} stopped"})
+                if parts == ["api", "pipelines", "maintenance"]:
+                    # beyond the reference's controller: offline store
+                    # maintenance (the CLI's --compact-stores /
+                    # --vacuum-stores) reachable from the control
+                    # plane. op=compact|vacuum; same config-walk as
+                    # the CLI so the surface cannot drift.
+                    qs = parse_qs(url.query)
+                    path = (qs.get("configFilePath") or [None])[0]
+                    op = (qs.get("op") or [None])[0]
+                    if not path:
+                        return self._json(400, {"error": "configFilePath is required"})
+                    if op not in ("compact", "vacuum"):
+                        return self._json(400, {"error": "op must be 'compact' or 'vacuum'"})
+                    from universal_data_connector_spark.config import (
+                        load_config,
+                    )
+                    from universal_data_connector_spark.maintenance import (
+                        compact_stores,
+                        vacuum_stores,
+                    )
+                    try:
+                        cfg = load_config(path)
+                        if op == "compact":
+                            out = {"compacted": compact_stores(m.spark, cfg)}
+                        else:
+                            out = {"vacuumed": vacuum_stores(cfg)}
+                    except Exception as exc:  # noqa: BLE001
+                        return self._json(500, {"error": str(exc)})
+                    return self._json(200, out)
                 return self._json(404, {"error": "unknown path"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
