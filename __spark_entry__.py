@@ -18,55 +18,60 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-14 rotation
-# (VERDICT r13 item 1): the 48-key r11-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r11 (recomputed union over
-# r01..r13: split r11:48 / r12:49 / r13:50) — plus the flagship and one
-# spare slot (sim_search_lsh, carrying a fresh driver row for its
-# round-13-touched bucket_cap checkpoint path). 48 + 2 = 50; catalog
-# holds at 147.
+# recent driver evidence goes stale (>2 rounds old). Round-15 rotation
+# (VERDICT r14 item 2): the 49-key r12-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r12 (recomputed union over
+# r01..r14: split r12:49 / r13:48 / r14:50) — plus the flagship.
+# This cohort carries the wave-3f-touched agg_rollup / agg_cube /
+# scan_partition_pruned, so their r14 oracle-side changes get driver
+# confirmation. 49 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r11 aggregation keys (three)
-    "agg_argmax_struct", "agg_corr_exact", "agg_weighted_avg",
-    # r11 dedup keys (six)
-    "dedup_cluster_cc", "dedup_containment_ngram",
-    "dedup_contamination_ngram", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_ngram_jaccard",
-    # r11 data-quality key
-    "dq_uniqueness_orders",
-    # r11 similarity keys (three)
-    "embedding_normalize", "sim_search_cosine_topk", "sim_search_ivf",
-    # r11 analytics keys (four)
-    "events_attribution_first_last", "market_basket_pairs",
-    "ts_cumulative_distinct", "ts_outlier_iqr",
-    # r11 join keys (two)
-    "join_asof_tolerance", "join_broadcast",
-    # r11 multimodal keys (three)
-    "multimodal_binary_meta", "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # r11 reshape / sampling keys (six)
-    "reshape_pack_sequences", "reshape_sliding_windows", "reshape_unpivot",
-    "sample_deterministic", "sample_stratified", "sample_weighted_mix",
-    # r11 scan keys (two)
-    "scan_csv_typed", "scan_glob_filter",
-    # r11 sink-as-query keys (three; sink_csv_per_source carries the
-    # post-fix driver confirmation VERDICT r12 item 3 asked for)
-    "sink_csv_per_source", "sink_jdbc_append", "sink_parquet_snappy",
-    # r11 composition key
-    "sql_full_surface",
-    # r11 streaming keys (four)
-    "stream_dedup_first_per_key", "stream_dedup_watermark",
-    "stream_file_ingest_exactly_once", "stream_static_enrich_join",
-    # r11 text keys (nine)
-    "text_fingerprint", "text_language_id", "text_pii_redact",
-    "text_quality_score", "text_rolling_hash", "text_tfidf_topk",
-    "text_token_count_bpe", "text_tokenize_stats", "text_unigram_logprob",
-    # r11 window key
-    "window_ntile_quartiles",
+    # r12 aggregation keys (nine)
+    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
+    "agg_grouping_sets", "agg_hash_sum_avg", "agg_histogram_bins",
+    "agg_pivot", "agg_rollup", "agg_stats_moments",
+    # r12 cast keys (two)
+    "cast_currency_double", "cast_lenient_int",
+    # r12 dedup key
+    "dedup_simhash",
+    # r12 map/defaults key
+    "defaults_on_null",
+    # r12 data-quality keys (two)
+    "dq_column_profile", "dq_expectations",
+    # r12 analytics keys (three)
+    "events_funnel_steps", "events_window_funnel_conversion",
+    "retention_cohorts",
+    # r12 filter keys (four)
+    "filter_any_row_per_file", "filter_contains", "filter_equality",
+    "filter_null_safe",
+    # r12 join keys (ten)
+    "join_anti", "join_asof", "join_full_outer", "join_inner_hash",
+    "join_interval_overlap", "join_left", "join_range_theta",
+    "join_salted_skew", "join_semi", "join_star_schema",
+    # r12 maintenance key
+    "maintenance_compact_files",
+    # r12 map key
+    "map_prefix_suffix",
+    # r12 multimodal key (rows-only)
+    "multimodal_resize",
+    # r12 composition key (perf-watch key: fresh driver row each window)
+    "pipeline_training_data",
+    # r12 projection keys (two)
+    "project_columns", "rename_columns",
+    # r12 reshape / sampling keys (two)
+    "reshape_chunk_tokens", "sample_capped_per_key",
+    # r12 scan keys (two)
+    "scan_jsonl_roundtrip", "scan_partition_pruned",
+    # r12 streaming keys (two)
+    "stream_stateful_totals", "stream_stream_interval_join",
+    # r12 text key
+    "text_repetition_ratio",
+    # r12 time-series keys (two)
+    "ts_rollup_gapfill", "ts_subsequence_search",
+    # r12 window keys (two)
+    "window_row_number_topk", "window_running_sum",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
-    # spare slot: fresh evidence for the r13-touched bucket_cap path
-    "sim_search_lsh",
 ]
 
 
