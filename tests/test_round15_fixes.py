@@ -1,0 +1,484 @@
+"""Round-15 regression tests.
+
+1. Executor-side S3 store transport (VERDICT r14 item 1): no
+   driver-local scratch directory on any merge path, and the DRIVER
+   client moves metadata only (pointer/intent ops) — the data-plane
+   GET/PUT counts ride in the executor tasks.
+2. ADVICE r14 fixes: dedup_state near-mode tuning props plumb to the
+   store meta; `_batch_dim` is NULL-safe and mixed-width-loud; NULL
+   row ids fail loudly in the near/embedding filters; intent
+   touched-bucket recording unions across replays; the REST
+   maintenance endpoint refuses while the same config's pipelines run.
+3. VERDICT r14 item 6: interleaved two-writer crash fuzz on the
+   object-store near/embedding seen stores against a Python-set
+   oracle (the append-only at-least-once contract).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import urllib.error
+import urllib.request
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+moto_server = pytest.importorskip("moto.server")
+
+from universal_data_connector_spark.streaming.object_state import (  # noqa: E402
+    S3StateTarget,
+    agg_state_merge_s3,
+    begin_batch_run_s3,
+    read_state_s3,
+    record_touched_s3,
+    upsert_merge_s3,
+)
+
+BUCKET = "udc-r15-tests"
+CREDS = {"aws_access_key_id": "test-access",
+         "aws_secret_access_key": "test-secret",
+         "region_name": "us-east-1"}
+
+
+@pytest.fixture(scope="module")
+def s3_setup():
+    server = moto_server.ThreadedMotoServer(port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    endpoint = f"http://127.0.0.1:{port}"
+    client = boto3.client("s3", endpoint_url=endpoint, **CREDS)
+    client.create_bucket(Bucket=BUCKET)
+    yield endpoint, client
+    server.stop()
+
+
+def _target(s3_setup, prefix, **kw):
+    endpoint, client = s3_setup
+    return S3StateTarget(BUCKET, prefix, client=client, num_buckets=4,
+                         **kw)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ord bigint, value double")
+
+
+def _doc_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# 1. executor-side transport
+# ---------------------------------------------------------------------------
+
+def test_no_driver_scratch_on_any_s3_merge_path(spark, s3_setup,
+                                                monkeypatch):
+    """The old transport staged every byte through
+    tempfile.mkdtemp(prefix='udc_...') scratch dirs on the driver;
+    the executor-side transport must create NONE of them across the
+    whole store family (state upsert/agg, exact seen filter+commit,
+    read-back)."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+    )
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def recording_mkdtemp(*args, **kwargs):
+        path = real_mkdtemp(*args, **kwargs)
+        made.append(kwargs.get("prefix") or (args[1] if len(args) > 1
+                                             else ""))
+        return path
+
+    monkeypatch.setattr(tempfile, "mkdtemp", recording_mkdtemp)
+
+    tgt = _target(s3_setup, "scratchless-upsert")
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0), (2, 10, 2.0)]), 1,
+                    target=tgt, keys=["user_id"], order_col="ord")
+    upsert_merge_s3(_frame(spark, [(1, 20, 9.0), (3, 5, 3.0)]), 2,
+                    target=tgt, keys=["user_id"], order_col="ord")
+    got = {r.user_id: r.ord for r in read_state_s3(
+        spark, tgt, "user_id bigint, ord bigint, value double")
+        .collect()}
+    assert got == {1: 20, 2: 10, 3: 5}
+
+    agg_tgt = _target(s3_setup, "scratchless-agg")
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.5), (2, 0, 2.5)]), 1,
+                       target=agg_tgt, keys=["user_id"],
+                       value_col="value")
+    agg_state_merge_s3(_frame(spark, [(1, 0, 1.0)]), 2,
+                       target=agg_tgt, keys=["user_id"],
+                       value_col="value")
+    totals = {r.user_id: float(r.total) for r in read_state_s3(
+        spark, agg_tgt,
+        "user_id bigint, n bigint, total decimal(27,6)").collect()}
+    assert totals == {1: 2.5, 2: 2.5}
+
+    seen_tgt = _target(s3_setup, "scratchless-seen")
+    b1, c1 = seen_filter_s3(
+        _doc_frame(spark, [(1, "alpha"), (2, "beta")]), seen_tgt,
+        ["text"])
+    assert b1.count() == 2
+    c1()
+    b2, c2 = seen_filter_s3(
+        _doc_frame(spark, [(3, "alpha"), (4, "gamma")]), seen_tgt,
+        ["text"])
+    assert sorted(r.doc_id for r in b2.collect()) == [4]
+    c2()
+
+    udc_scratch = [p for p in made if str(p).startswith("udc_")]
+    assert udc_scratch == [], udc_scratch
+
+
+class _CountingClient:
+    """Delegating wrapper that counts the DRIVER-side S3 data ops."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.counts: dict[str, int] = {}
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in ("get_object", "put_object"):
+            def wrapped(*a, **k):
+                self.counts[name] = self.counts.get(name, 0) + 1
+                return attr(*a, **k)
+            return wrapped
+        return attr
+
+
+def test_driver_client_is_metadata_rate_only(spark, s3_setup):
+    """Steady-state warm agg merge over k touched buckets: the driver
+    client performs exactly k+1 GETs (k pointers + 1 intent probe)
+    and k PUTs (k pointer CAS) — the k data GETs and k data PUTs of
+    the BENCH_NOTES_r14 §6 table moved into the executor tasks, so
+    the 2k+1 / 2k protocol totals are unchanged while the driver's
+    share is metadata-rate."""
+    endpoint, real_client = s3_setup
+    counting = _CountingClient(real_client)
+    tgt = S3StateTarget(BUCKET, "metadata-rate", client=counting,
+                        num_buckets=4, endpoint_url=endpoint, **CREDS)
+
+    rows = [(i, 0, float(i)) for i in range(400)]
+    agg_state_merge_s3(_frame(spark, rows), 1, target=tgt,
+                       keys=["user_id"], value_col="value")
+    k = sum(1 for b in range(tgt.num_buckets)
+            if tgt.read_pointer(b)[0] is not None)
+    assert k == 4
+
+    counting.counts.clear()
+    agg_state_merge_s3(_frame(spark, rows), 2, target=tgt,
+                       keys=["user_id"], value_col="value")
+    assert counting.counts.get("get_object", 0) == k + 1
+    assert counting.counts.get("put_object", 0) == k
+    # the data plane still moved: every bucket's pointer advanced to a
+    # fresh, non-empty generation object list (PUT by the executors)
+    for b in range(tgt.num_buckets):
+        ptr, _ = tgt.read_pointer(b)
+        assert ptr["applied"] == 2 and ptr["objects"]
+
+
+def test_read_state_s3_schema_is_exact_cold_and_warm(spark, s3_setup):
+    tgt = _target(s3_setup, "exact-schema")
+    ddl = "user_id bigint, ord bigint, value double"
+    cold = read_state_s3(spark, tgt, ddl)
+    assert [f.name for f in cold.schema.fields] == [
+        "user_id", "ord", "value"]
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0)]), 1, target=tgt,
+                    keys=["user_id"], order_col="ord")
+    warm = read_state_s3(spark, tgt, ddl)
+    assert [f.name for f in warm.schema.fields] == [
+        "user_id", "ord", "value"]
+    with_kb = read_state_s3(spark, tgt, ddl + ", udc_kb int")
+    rows = with_kb.collect()
+    assert rows and all(r.udc_kb is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# 2. ADVICE r14 fixes
+# ---------------------------------------------------------------------------
+
+def test_near_tuning_props_reach_the_store_meta(spark, tmp_path):
+    """YAML numHashes/bands/shingleN must pin the store's
+    _udc_near_meta (ADVICE r14: they were silently dropped and the
+    128/32/5 defaults pinned instead)."""
+    from universal_data_connector_spark.engine import _seen_filter_for
+
+    store = tmp_path / "near-store"
+    df = spark.createDataFrame(
+        [("f1", "a b c d e f g h")], "source_file string, content string")
+    survivors, commit = _seen_filter_for(df, {
+        "mode": "near", "stateDir": str(store),
+        "numHashes": "64", "bands": "16", "shingleN": "3"})
+    survivors.collect()
+    meta = json.loads((store / "_udc_near_meta").read_text())
+    assert meta == {"num_hashes": 64, "bands": 16, "shingle_n": 3}
+
+
+def _vec_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+
+
+def _oh(i, dim=8, scale=1.0):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_batch_dim_ignores_leading_null_and_rejects_mixed(
+        spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        _batch_dim,
+        seen_embedding_filter,
+    )
+
+    # a leading NULL must not pin a bogus width
+    df = _vec_frame(spark, [(1, None), (2, _oh(0))])
+    assert _batch_dim(df, "embedding") == 8
+    # all-null batch pins nothing
+    assert _batch_dim(_vec_frame(spark, [(1, None)]), "embedding") is None
+    # mixed widths fail loudly instead of passing a first-row guard
+    with pytest.raises(ValueError, match="mixes vector widths"):
+        _batch_dim(_vec_frame(spark, [(1, _oh(0, dim=4)),
+                                      (2, _oh(0, dim=8))]), "embedding")
+
+    # end to end: the NULL-vector row always ships and is not stored
+    store = tmp_path / "emb-store"
+    b1, c1 = seen_embedding_filter(df, str(store))
+    assert sorted(r.vec_id for r in b1.collect()) == [1, 2]
+    c1()
+    assert (store / "_udc_emb_dim").read_text().strip() == "8"
+    b2, _ = seen_embedding_filter(
+        _vec_frame(spark, [(3, None), (4, _oh(0, scale=2.0))]),
+        str(store))
+    # 3 (NULL, always ships) survives; 4 is a cosine-1.0 dup of 2
+    assert sorted(r.vec_id for r in b2.collect()) == [3]
+
+
+def test_null_row_ids_fail_loudly(spark, tmp_path):
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter,
+        seen_near_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(None, "some text here"), (2, "other text")],
+        "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        seen_near_filter(docs, str(tmp_path / "n1"),
+                         text_col="text", id_col="doc_id")
+    vecs = _vec_frame(spark, [(None, _oh(0)), (2, _oh(1))])
+    with pytest.raises(ValueError, match="NULL 'vec_id'"):
+        seen_embedding_filter(vecs, str(tmp_path / "n2"))
+
+
+def test_record_touched_s3_unions_across_replays(spark, s3_setup):
+    """Partial apply, then a replay that records only its pending
+    subset, then a changed-input resume: with the union fix the
+    resume RAISES (genuine partial apply) instead of misreading the
+    run as provably-never-committed and abandoning it."""
+    tgt = _target(s3_setup, "touched-union")
+    run = begin_batch_run_s3(tgt, fingerprint="input-A")
+    record_touched_s3(tgt, run, [0, 1])
+    # bucket 0 commits, then the run crashes
+    tgt.commit_pointer(0, run, [], None)
+    # replay of input-A: only bucket 1 is still pending
+    assert begin_batch_run_s3(tgt, fingerprint="input-A") == run
+    record_touched_s3(tgt, run, [1])
+    stored, _ = tgt._get_json(tgt._key("_udc_batch_intent"))
+    assert stored["touched"] == [0, 1]
+    # the replay crashes again; a DIFFERENT input arrives
+    with pytest.raises(ValueError, match="partially applied"):
+        begin_batch_run_s3(tgt, fingerprint="input-B")
+
+
+def test_intent_record_touched_posix_unions(tmp_path):
+    from universal_data_connector_spark.streaming.windows import (
+        _BATCH_INTENT,
+        _intent_load,
+        _intent_record_touched,
+        begin_batch_run,
+    )
+
+    path = str(tmp_path / "state")
+    run = begin_batch_run(path, num_buckets=4, fingerprint="A")
+    _intent_record_touched(path, run, [0, 1])
+    _intent_record_touched(path, run, [1])
+    stored = _intent_load(f"{path}/{_BATCH_INTENT}")
+    assert stored["touched"] == [0, 1]
+
+
+def test_rest_maintenance_409_while_config_pipelines_run(
+        spark, tmp_path):
+    import yaml
+
+    from universal_data_connector_spark.manager import Job, PipelineManager
+    from universal_data_connector_spark.rest import ControlPlaneServer
+
+    cfg = {"pipelines": [{
+        "name": "maint-pipe",
+        "source": {"type": "file",
+                   "properties": {"path": str(tmp_path / "in")}},
+        "transformations": [{
+            "type": "dedup_state",
+            "properties": {"stateDir": str(tmp_path / "store"),
+                           "keys": "content"}}],
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out")}},
+    }]}
+    (tmp_path / "in").mkdir()
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    mgr = PipelineManager(spark)
+    # a live job of THIS config's pipeline (batch job in RUNNING state)
+    mgr._jobs["maint-pipe-1"] = Job("maint-pipe-1", "maint-pipe", 1,
+                                    "batch")
+    srv = ControlPlaneServer(mgr, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}/api/pipelines"
+    try:
+        req = urllib.request.Request(
+            f"{base}/maintenance?configFilePath={cfg_path}&op=compact",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=10)
+        assert err.value.code == 409
+        body = json.loads(err.value.read())
+        assert body["running"] == ["maint-pipe"]
+
+        # once the job is terminal the same request succeeds
+        mgr._jobs["maint-pipe-1"]._state = "COMPLETED"
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+    finally:
+        srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# 3. interleaved two-writer crash fuzz (VERDICT r14 item 6)
+# ---------------------------------------------------------------------------
+
+_BASES = [" ".join(f"w{i}tok{j}" for j in range(16)) for i in range(4)]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_two_writer_interleaved_near_store_fuzz(spark, s3_setup, seed):
+    """Two concurrent runs against ONE object-store near store:
+    filters and commits interleave randomly (and commits sometimes
+    crash-skip). Append-only PUTs make every interleaving safe —
+    each run's survivors must equal the Python-set oracle evaluated
+    against the bases committed BEFORE that run's filter step
+    (at-least-once: two writers that filter before either commits
+    both ship the same base)."""
+    import random
+
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_near_filter_s3,
+    )
+
+    rng = random.Random(seed)
+    tgt = _target(s3_setup, f"two-writer-near-{seed}")
+    committed: set[int] = set()
+    next_id = 0
+
+    for _round in range(5):
+        batches = []
+        for _w in range(2):
+            picks = [rng.randrange(len(_BASES))
+                     for _ in range(rng.randint(0, 3))]
+            rows = [(next_id + k, _BASES[p])
+                    for k, p in enumerate(picks)]
+            next_id += len(picks)
+            batches.append((rows, picks))
+
+        # schedule: filter A, then either (filter B, commit A/B in
+        # random order) or (commit A, filter B, commit B)
+        a_first_commits = rng.random() < 0.5
+        (rows_a, picks_a), (rows_b, picks_b) = batches
+
+        def run_filter(rows, picks):
+            surv, commit = seen_near_filter_s3(
+                _doc_frame(spark, rows), tgt)
+            got = sorted(r.doc_id for r in surv.collect())
+            expect = sorted(i for (i, _), p in zip(rows, picks)
+                            if p not in committed)
+            assert got == expect
+            shipped = {p for (i, _), p in zip(rows, picks) if i in got}
+            return commit, shipped
+
+        commit_a, shipped_a = run_filter(rows_a, picks_a)
+        if a_first_commits:
+            if rng.random() > 0.2:   # 20%: A crash-skips its commit
+                commit_a()
+                committed |= shipped_a
+            commit_b, shipped_b = run_filter(rows_b, picks_b)
+            commit_b()
+            committed |= shipped_b
+        else:
+            commit_b, shipped_b = run_filter(rows_b, picks_b)
+            order = [(commit_a, shipped_a), (commit_b, shipped_b)]
+            rng.shuffle(order)
+            for commit, shipped in order:
+                if rng.random() > 0.2:
+                    commit()
+                    committed |= shipped
+
+    # final probe: everything ever committed filters as seen
+    rows = [(next_id + k, b) for k, b in enumerate(_BASES)]
+    surv, _ = seen_near_filter_s3(_doc_frame(spark, rows), tgt)
+    got_bases = {r.text for r in surv.select("text").collect()}
+    assert got_bases == {_BASES[i] for i in range(len(_BASES))
+                         if i not in committed}
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_two_writer_interleaved_embedding_store_fuzz(spark, s3_setup,
+                                                     seed):
+    import random
+
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_embedding_filter_s3,
+    )
+
+    rng = random.Random(seed)
+    tgt = _target(s3_setup, f"two-writer-emb-{seed}")
+    committed: set[int] = set()
+    next_id = 0
+
+    def run_filter(rows, picks):
+        surv, commit = seen_embedding_filter_s3(
+            _vec_frame(spark, rows), tgt)
+        got = sorted(r.vec_id for r in surv.collect())
+        expect = sorted(i for (i, _), p in zip(rows, picks)
+                        if p not in committed)
+        assert got == expect
+        shipped = {p for (i, _), p in zip(rows, picks) if i in got}
+        return commit, shipped
+
+    for _round in range(4):
+        pairs = []
+        for _w in range(2):
+            picks = [rng.randrange(8) for _ in range(rng.randint(0, 3))]
+            rows = [(next_id + k, _oh(p, scale=1.0 + rng.random()))
+                    for k, p in enumerate(picks)]
+            next_id += len(picks)
+            pairs.append((rows, picks))
+        (rows_a, picks_a), (rows_b, picks_b) = pairs
+
+        commit_a, shipped_a = run_filter(rows_a, picks_a)
+        if rng.random() < 0.5:
+            commit_a()
+            committed |= shipped_a
+            commit_b, shipped_b = run_filter(rows_b, picks_b)
+            commit_b()
+            committed |= shipped_b
+        else:
+            commit_b, shipped_b = run_filter(rows_b, picks_b)
+            for commit, shipped in ((commit_a, shipped_a),
+                                    (commit_b, shipped_b)):
+                if rng.random() > 0.25:
+                    commit()
+                    committed |= shipped

@@ -608,16 +608,22 @@ def test_seen_filter_s3_partial_commit_is_safe(spark, target,
     b1, c1 = seen_filter_s3(_doc_frame(spark, rows), target, ["text"])
     assert b1.count() == 32
 
-    real_upload = S3StateTarget.upload_file
-    calls = {"n": 0}
+    # crash injection at the driver-side append seam (the per-object
+    # transport now runs executor-side, out of monkeypatch reach):
+    # upload ONE touched bucket's keys for real, then die — the same
+    # "some buckets' key objects appended" state as before
+    import universal_data_connector_spark.operators.dedup_state as ds
+    from pyspark.sql import functions as F
 
-    def crashing_upload(self, local_path, key):
-        if calls["n"] >= 1:
-            raise RuntimeError("injected crash mid-append")
-        calls["n"] += 1
-        return real_upload(self, local_path, key)
+    real_append = ds._s3_append_sub
 
-    monkeypatch.setattr(S3StateTarget, "upload_file", crashing_upload)
+    def crashing_append(frame, tgt, touched, sub=None):
+        part = list(touched)[:1]
+        real_append(frame.filter(F.col("udc_kb").isin(part)), tgt,
+                    part, sub=sub)
+        raise RuntimeError("injected crash mid-append")
+
+    monkeypatch.setattr(ds, "_s3_append_sub", crashing_append)
     with pytest.raises(RuntimeError, match="mid-append"):
         c1()
     monkeypatch.undo()
@@ -877,14 +883,16 @@ def test_seen_near_filter_s3_crash_between_appends_converges(
     b1, c1 = seen_near_filter_s3(_doc_frame(spark, [(1, _NB)]), target)
     assert b1.count() == 1
 
-    real_upload = S3StateTarget.upload_file
+    import universal_data_connector_spark.operators.dedup_state as ds
 
-    def crashing_upload(self, local_path, key):
-        if "/sigs/" in key:
+    real_append = ds._s3_append_sub
+
+    def crashing_append(frame, tgt, touched, sub=None):
+        if sub == "sigs":
             raise RuntimeError("injected crash before sig append")
-        return real_upload(self, local_path, key)
+        return real_append(frame, tgt, touched, sub=sub)
 
-    monkeypatch.setattr(S3StateTarget, "upload_file", crashing_upload)
+    monkeypatch.setattr(ds, "_s3_append_sub", crashing_append)
     with pytest.raises(RuntimeError, match="before sig append"):
         c1()
     monkeypatch.undo()
@@ -988,12 +996,14 @@ def test_seen_near_filter_s3_crash_fuzz_against_model(spark, target,
              for i in range(5)]
     committed: set[int] = set()
     next_id = 0
-    real_upload = S3StateTarget.upload_file
+    import universal_data_connector_spark.operators.dedup_state as ds
 
-    def crash_on_sigs(self, local_path, key):
-        if "/sigs/" in key:
+    real_append = ds._s3_append_sub
+
+    def crash_on_sigs(frame, tgt, touched, sub=None):
+        if sub == "sigs":
             raise RuntimeError("fuzz crash between appends")
-        return real_upload(self, local_path, key)
+        return real_append(frame, tgt, touched, sub=sub)
 
     for _ in range(7):
         picks = [rng.randrange(len(bases))
@@ -1016,12 +1026,10 @@ def test_seen_near_filter_s3_crash_fuzz_against_model(spark, target,
         if outcome < 0.35:
             if not got:
                 continue
-            monkeypatch.setattr(S3StateTarget, "upload_file",
-                                crash_on_sigs)
+            monkeypatch.setattr(ds, "_s3_append_sub", crash_on_sigs)
             with pytest.raises(RuntimeError, match="between appends"):
                 commit()
-            monkeypatch.setattr(S3StateTarget, "upload_file",
-                                real_upload)
+            monkeypatch.setattr(ds, "_s3_append_sub", real_append)
             continue
         commit()
         if outcome > 0.85:
@@ -1093,14 +1101,16 @@ def test_seen_embedding_filter_s3_crash_between_appends_converges(
         _vec_frame(spark, [(1, _oh(0))]), target)
     assert b1.count() == 1
 
-    real_upload = S3StateTarget.upload_file
+    import universal_data_connector_spark.operators.dedup_state as ds
 
-    def crashing_upload(self, local_path, key):
-        if "/vecs/" in key:
+    real_append = ds._s3_append_sub
+
+    def crashing_append(frame, tgt, touched, sub=None):
+        if sub == "vecs":
             raise RuntimeError("injected crash before vec append")
-        return real_upload(self, local_path, key)
+        return real_append(frame, tgt, touched, sub=sub)
 
-    monkeypatch.setattr(S3StateTarget, "upload_file", crashing_upload)
+    monkeypatch.setattr(ds, "_s3_append_sub", crashing_append)
     with pytest.raises(RuntimeError, match="before vec append"):
         c1()
     monkeypatch.undo()

@@ -296,10 +296,18 @@ def _seen_filter_for(df: DataFrame, props: dict):
     mode = str(props.get("mode", "exact")).lower()
     if mode == "near":
         # MinHash-LSH against history: textColumn holds the document
-        # text, idColumn a unique row id.
-        text_col = props.get("textColumn", "content")
-        id_col = props.get("idColumn", "source_file")
-        threshold = float(props.get("threshold", 0.8))
+        # text, idColumn a unique row id. Signature tuning props plumb
+        # through like the embedding branch's (ADVICE r14: silently
+        # ignoring user-set numHashes/bands/shingleN pinned the
+        # defaults into the store's _udc_near_meta for life).
+        kw = {"text_col": props.get("textColumn", "content"),
+              "id_col": props.get("idColumn", "source_file"),
+              "threshold": float(props.get("threshold", 0.8))}
+        for prop, name in (("numHashes", "num_hashes"),
+                           ("bands", "bands"),
+                           ("shingleN", "shingle_n")):
+            if props.get(prop) is not None:
+                kw[name] = int(props[prop])
         if props.get("bucketName"):
             from universal_data_connector_spark.operators.dedup_state \
                 import seen_near_filter_s3
@@ -307,17 +315,14 @@ def _seen_filter_for(df: DataFrame, props: dict):
                 s3_state_target,
             )
 
-            return seen_near_filter_s3(
-                df, s3_state_target(props), text_col=text_col,
-                id_col=id_col, threshold=threshold)
+            return seen_near_filter_s3(df, s3_state_target(props), **kw)
         from universal_data_connector_spark.operators.dedup_state import (
             seen_near_filter,
         )
 
         return seen_near_filter(
-            df, props["stateDir"], text_col=text_col, id_col=id_col,
-            threshold=threshold,
-            num_buckets=int(props.get("numBuckets", 32)))
+            df, props["stateDir"],
+            num_buckets=int(props.get("numBuckets", 32)), **kw)
     if mode == "embedding":
         # hyperplane-LSH + exact-cosine against history: vectorColumn
         # holds the embedding (array of float/double), idColumn a

@@ -297,6 +297,12 @@ class PipelineManager:
             job = self._jobs.get(job_name)
         return job is not None and job.is_running
 
+    def running_pipelines(self) -> set:
+        """Names of the PIPELINE CONFIGS with at least one running job
+        (job names carry a submission stamp; this is the config-name
+        view — what the maintenance guard needs)."""
+        return {j.pipeline for j in self._snapshot() if j.is_running}
+
     def count(self) -> int:
         return sum(1 for j in self._snapshot() if j.is_running)
 

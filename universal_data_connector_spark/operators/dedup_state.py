@@ -229,31 +229,23 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
     some buckets' keys appended — harmless, because the commit runs
     only after the sink succeeded, so re-filtering those keys as seen
     on the rerun is correct. Per-bucket listings are prefix-scoped
-    (O(touched), never O(store)); data shuttles through a driver-local
-    scratch via boto3 exactly like the state backend (same transport
-    note: with S3A, read ``s3a://.../kb=K/`` directly)."""
-    import tempfile
+    (O(touched), never O(store)); the key objects are GET executor-
+    side inside the anti-join plan (``object_state.read_objects``) —
+    no byte of history crosses the driver, no driver-local scratch
+    (VERDICT r14 item 1)."""
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+    )
 
     n = target.num_buckets
     keyed = _batch_keyed(df, cols, n)
     touched = sorted(r[0] for r in keyed.select(_KB).distinct().collect())
-    bucket_keys = {b: _seen_objects(target, f"kb={b}")
-                   for b in touched}
-    live = {b: ks for b, ks in bucket_keys.items() if ks}
-    if live:
-        spark = df.sparkSession
-        scratch = tempfile.mkdtemp(prefix="udc_seen_s3_")
-        try:
-            for b, ks in live.items():
-                bdir = os.path.join(scratch, f"{_KB}={b}")
-                os.makedirs(bdir)
-                for i, k in enumerate(ks):
-                    target.download_to(
-                        k, os.path.join(bdir, f"part-{i}.parquet"))
-            seen = (spark.read.parquet(scratch).select(_KEY).distinct()
-                    .localCheckpoint(eager=True))
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+    keyed_objects = [(k, b) for b in touched
+                     for k in _seen_objects(target, f"kb={b}")]
+    if keyed_objects:
+        seen = (read_objects(df.sparkSession, target, keyed_objects,
+                             f"{_KEY} string")
+                .distinct())
         keyed = keyed.join(seen, on=_KEY, how="left_anti")
     if persist:
         keyed = _pin(keyed)
@@ -477,6 +469,7 @@ def _near_filter_core(df: DataFrame, n: int, read_sub, append_sub, *,
     if r * bands != num_hashes:
         raise ValueError(f"bands ({bands}) must divide num_hashes "
                          f"({num_hashes})")
+    _reject_null_ids(df, id_col, "near")
 
     sb = _sig_band_df(df, text_col, id_col, num_hashes, bands, shingle_n)
     doc_key = F.sha2(F.col(text_col).cast("string"), 256)
@@ -593,34 +586,51 @@ def _ensure_near_meta_s3(target, params: dict) -> None:
 def _s3_append_sub(frame: DataFrame, target, touched: list[int],
                    sub: str | None = None) -> int:
     """Append a ``udc_kb``-carrying frame to the object store under
-    ``[<sub>/]kb=<K>/seen-<nonce>-<i>.parquet``: staged local Spark
-    write, then one atomic PUT per part (no pointer, no CAS — the
-    append-only argument in ``seen_filter_s3``). Returns objects
-    uploaded."""
-    import tempfile
+    ``[<sub>/]kb=<K>/seen-<nonce>-<i>.parquet``: one atomic PUT per
+    rolled object, issued from the upload tasks themselves
+    (``object_state.write_objects`` — no pointer, no CAS, the
+    append-only argument in ``seen_filter_s3``; no driver staging).
+    Returns objects uploaded."""
+    from universal_data_connector_spark.streaming.object_state import (
+        write_objects,
+    )
 
-    nonce = uuid.uuid4().hex[:8]
-    staged = os.path.join(
-        tempfile.mkdtemp(prefix="udc_seen_s3_c_"), "staged")
-    (frame.repartition(max(len(touched), 1), F.col(_KB))
-          .write.mode("overwrite").partitionBy(_KB).parquet(staged))
-    uploaded = 0
-    try:
-        for b in touched:
-            part_dir = os.path.join(staged, f"{_KB}={b}")
-            if not os.path.isdir(part_dir):
-                continue
-            for i, name in enumerate(sorted(
-                    f for f in os.listdir(part_dir)
-                    if f.endswith(".parquet"))):
-                parts = ([sub] if sub else []) + [
-                    f"kb={b}", f"seen-{nonce}-{i}.parquet"]
-                target.upload_file(os.path.join(part_dir, name),
-                                   target._key(*parts))
-                uploaded += 1
-    finally:
-        shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
-    return uploaded
+    parts = ([sub] if sub else []) + ["kb={b}", "seen-{nonce}-{i}.parquet"]
+    objects = write_objects(frame, target, touched, target._key(*parts))
+    return sum(len(ks) for ks in objects.values())
+
+
+#: stored column contract per seen sub-store — the writers below are
+#: the only producers, so these literals ARE the file schemas (reads
+#: select by name, so compaction's column-order drift is immaterial).
+_SUB_SCHEMAS = {
+    "bands": "doc_key string, band_idx int, band_hash bigint",
+    "sigs": "doc_key string, sig array<bigint>",
+    "vecs": "doc_key string, vec array<double>",
+    "": f"{_KEY} string",
+}
+
+
+def _s3_read_sub(target, spark, sub: str, buckets: list[int]):
+    """Frame over the existing objects of sub-store ``sub``'s touched
+    buckets, or None — GETs run executor-side inside the plan
+    (``object_state.read_objects``), so history never crosses the
+    driver. Eagerly localCheckpoint-ed: the near/embedding flows
+    consume the stored frame in several actions (candidate-bucket
+    collect, the flagging join, the survivor pin), and one distributed
+    materialization keeps the per-object GET count at one, matching
+    the op-count table in BENCH_NOTES_r14 §6."""
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+    )
+
+    keyed_objects = [(k, b) for b in buckets
+                     for k in _seen_objects(target, f"{sub}/kb={b}")]
+    if not keyed_objects:
+        return None
+    return (read_objects(spark, target, keyed_objects,
+                         _SUB_SCHEMAS[sub])
+            .localCheckpoint(eager=True))
 
 
 def seen_near_filter_s3(df: DataFrame, target,
@@ -635,37 +645,15 @@ def seen_near_filter_s3(df: DataFrame, target,
     contract verbatim (``seen_filter_s3``): atomic PUTs, duplicate
     appends harmless, a commit that crash-misses re-ships and
     converges on the rerun. Touched-bucket object listings are
-    prefix-scoped (O(touched), never O(store)); bucket data shuttles
-    through a driver-local scratch via boto3, eagerly checkpointed so
-    the scratch can be reclaimed before the join runs (same transport
-    note as the state backend — with S3A on the classpath, read
-    ``s3a://.../bands/kb=K/`` directly)."""
-    import tempfile
-
+    prefix-scoped (O(touched), never O(store)); bucket data moves
+    executor-side in both directions (``object_state.read_objects`` /
+    ``write_objects``) — nothing shuttles through the driver."""
     n = target.num_buckets
     _ensure_near_meta_s3(
         target, _near_params(num_hashes, bands, shingle_n))
 
     def read_sub(spark, sub, buckets):
-        live = {b: ks for b in buckets
-                if (ks := _seen_objects(target, f"{sub}/kb={b}"))}
-        if not live:
-            return None
-        scratch = tempfile.mkdtemp(prefix="udc_near_s3_")
-        try:
-            for b, ks in live.items():
-                bdir = os.path.join(scratch, f"{_KB}={b}")
-                os.makedirs(bdir)
-                for i, k in enumerate(ks):
-                    target.download_to(
-                        k, os.path.join(bdir, f"part-{i}.parquet"))
-            # leaf-dir reads (no partition column) + eager checkpoint,
-            # so the scratch is reclaimable before the joins run
-            return (spark.read.parquet(
-                *[os.path.join(scratch, f"{_KB}={b}") for b in live])
-                .localCheckpoint(eager=True))
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+        return _s3_read_sub(target, spark, sub, buckets)
 
     def append_sub(frame, sub, touched):
         return _s3_append_sub(frame, target, touched, sub=sub)
@@ -676,6 +664,23 @@ def seen_near_filter_s3(df: DataFrame, target,
         text_col=text_col, id_col=id_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         persist=persist)
+
+
+def _reject_null_ids(df: DataFrame, id_col: str, mode: str) -> None:
+    """Fail loudly on NULL row ids (ADVICE r14): the near/embedding
+    flows re-associate signatures and survivors with their rows by
+    equi-joining on ``id_col``, and a NULL key matches nothing — the
+    row would silently vanish from the survivors with no dedup
+    decision at all, the one failure mode worse than a duplicate.
+    One short-circuiting probe job (column-pruned, stops at the first
+    NULL) per batch buys the guarantee."""
+    if df.filter(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"dedup_state {mode} batch contains NULL {id_col!r} row "
+            "ids: the store joins signatures back to rows by this id, "
+            "so NULL-id rows would be dropped without any dedup "
+            "decision. Assign unique non-null ids upstream (e.g. "
+            "uuid() or monotonically_increasing_id).")
 
 
 def _embedding_params(n_planes: int, bands: int, seed: int) -> dict:
@@ -690,10 +695,26 @@ def _embedding_params(n_planes: int, bands: int, seed: int) -> dict:
 
 
 def _batch_dim(df: DataFrame, vec_col: str):
-    """Embedding width of the batch (None when the batch is empty);
-    one projection-only job."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return None if row is None else int(row["d"])
+    """Embedding width of the batch (None when the batch is empty or
+    holds no non-null vector); one aggregate-only job. Aggregating
+    min/max of ``size()`` over NON-NULL vectors — instead of peeking
+    at the first row (ADVICE r14) — means a leading NULL can never pin
+    a bogus width into the store meta, and a mixed-width batch fails
+    HERE instead of passing a first-row-only guard and silently
+    zeroing recall for the other width."""
+    row = (df.filter(F.col(vec_col).isNotNull())
+             .agg(F.min(F.size(F.col(vec_col))).alias("lo"),
+                  F.max(F.size(F.col(vec_col))).alias("hi"))
+             .first())
+    if row is None or row["lo"] is None:
+        return None
+    if int(row["lo"]) != int(row["hi"]):
+        raise ValueError(
+            f"dedup_state embedding batch mixes vector widths "
+            f"{int(row['lo'])} and {int(row['hi'])} in {vec_col!r}: "
+            "hyperplane codes are dim-specific, so a mixed batch "
+            "cannot be scored against one store")
+    return int(row["lo"])
 
 
 def _check_dim(stored, dim: int, label: str) -> None:
@@ -753,7 +774,10 @@ def _embedding_filter_core(df: DataFrame, n: int, read_sub, append_sub,
     store's ``_sig_band_df``. Zero-norm vectors have NULL cosine and
     therefore always ship (consistent with ``dedup_embedding_cosine``).
     Band rows are stored under the (doc_key, band_idx, band_hash)
-    schema of the MinHash store so compaction stays uniform."""
+    schema of the MinHash store so compaction stays uniform. NULL
+    vectors extend the zero-norm posture: no codes are computed for
+    them (they can never be candidates, so they always ship) and they
+    are not appended to the ``vecs`` store."""
     from universal_data_connector_spark.functions.vectors import (
         cosine_similarity,
     )
@@ -762,12 +786,14 @@ def _embedding_filter_core(df: DataFrame, n: int, read_sub, append_sub,
     )
 
     spark = df.sparkSession
+    _reject_null_ids(df, id_col, "embedding")
     keyed = (df.select(id_col, vec_col)
                .withColumn("__dk", F.sha2(F.to_json(
                    F.col(vec_col).cast("array<double>")), 256)))
     if persist:
         keyed = _pin(keyed)
-    codes = hyperplane_bands(keyed, id_col, vec_col,
+    codes = hyperplane_bands(keyed.filter(F.col(vec_col).isNotNull()),
+                             id_col, vec_col,
                              n_planes=n_planes, bands=bands, seed=seed)
     if persist:
         codes = _pin(codes)   # one Arrow matmul feeds filter AND commit
@@ -823,7 +849,9 @@ def _embedding_filter_core(df: DataFrame, n: int, read_sub, append_sub,
         tb = sorted(row[0] for row in
                     band_rows.select(_KB).distinct().collect())
         moved = append_sub(band_rows, "bands", tb)
-        vec_rows = (survivors_keys.select(
+        vec_rows = (survivors_keys
+                    .filter(F.col(vec_col).isNotNull())
+                    .select(
             F.col("__dk").alias("doc_key"),
             F.col(vec_col).cast("array<double>").alias("vec"))
             .withColumn(_KB, F.pmod(F.xxhash64("doc_key"),
@@ -901,10 +929,8 @@ def seen_embedding_filter_s3(df: DataFrame, target,
                              seed: int = 7, persist: bool = True):
     """Object-store twin of ``seen_embedding_filter`` (sub-stores
     ``bands/kb=<K>/`` and ``vecs/kb=<K>/``), inheriting the
-    append-only transport and crash contract of
+    append-only, executor-side transport and crash contract of
     ``seen_near_filter_s3``."""
-    import tempfile
-
     n = target.num_buckets
     _ensure_near_meta_s3(
         target, _embedding_params(n_planes, bands, seed))
@@ -913,23 +939,7 @@ def seen_embedding_filter_s3(df: DataFrame, target,
         _ensure_dim_s3(target, dim)
 
     def read_sub(spark, sub, buckets):
-        live = {b: ks for b in buckets
-                if (ks := _seen_objects(target, f"{sub}/kb={b}"))}
-        if not live:
-            return None
-        scratch = tempfile.mkdtemp(prefix="udc_emb_s3_")
-        try:
-            for b, ks in live.items():
-                bdir = os.path.join(scratch, f"{_KB}={b}")
-                os.makedirs(bdir)
-                for i, k in enumerate(ks):
-                    target.download_to(
-                        k, os.path.join(bdir, f"part-{i}.parquet"))
-            return (spark.read.parquet(
-                *[os.path.join(scratch, f"{_KB}={b}") for b in live])
-                .localCheckpoint(eager=True))
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+        return _s3_read_sub(target, spark, sub, buckets)
 
     def append_sub(frame, sub, touched):
         return _s3_append_sub(frame, target, touched, sub=sub)
@@ -1010,8 +1020,16 @@ def compact_seen_store_s3(spark, target) -> int:
     two concurrent compactors merely leave both compact objects
     behind — duplicates again, cleaned by the next run. Returns the
     number of superseded objects deleted; do still treat this as
-    single-maintenance-job tooling, like the POSIX twin."""
-    import tempfile
+    single-maintenance-job tooling, like the POSIX twin.
+
+    Transport: both directions run executor-side (``read_objects`` /
+    ``write_objects``) — at a 100 TB corpus the accumulated history is
+    exactly the thing that must not funnel through one machine, and
+    compaction touches ALL of it."""
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+        write_objects,
+    )
 
     deleted = 0
     for sub in ("", "bands", "sigs", "vecs"):
@@ -1020,25 +1038,17 @@ def compact_seen_store_s3(spark, target) -> int:
             ks = _seen_objects(target, under)
             if len(ks) < 2:
                 continue
-            scratch = tempfile.mkdtemp(prefix="udc_seen_s3_cmp_")
-            try:
-                src = os.path.join(scratch, "src")
-                os.makedirs(src)
-                for i, k in enumerate(ks):
-                    target.download_to(
-                        k, os.path.join(src, f"part-{i}.parquet"))
-                out = os.path.join(scratch, "out")
-                (spark.read.parquet(src).distinct()
-                 .coalesce(1).write.mode("overwrite").parquet(out))
-                part = next(f for f in sorted(os.listdir(out))
-                            if f.endswith(".parquet"))
-                nonce = uuid.uuid4().hex[:8]
-                parts = ([sub] if sub else []) + [
-                    f"kb={b}", f"seen-compact-{nonce}.parquet"]
-                target.upload_file(os.path.join(out, part),
-                                   target._key(*parts))
-            finally:
-                shutil.rmtree(scratch, ignore_errors=True)
+            distinct = (read_objects(spark, target,
+                                     [(k, b) for k in ks],
+                                     _SUB_SCHEMAS[sub])
+                        .distinct()
+                        .withColumn(_KB, F.lit(b).cast("int")))
+            parts = ([sub] if sub else []) + [
+                "kb={b}", "seen-compact-{nonce}-{i}.parquet"]
+            # write_objects repartitions to one task for the single
+            # touched bucket, so the rewrite lands as one object
+            # (plus rollovers past the buffer cap)
+            write_objects(distinct, target, [b], target._key(*parts))
             target.delete_keys(ks)
             deleted += len(ks)
     log.info("dedup_state[s3]: compacted %d superseded object(s) "

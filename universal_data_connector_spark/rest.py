@@ -120,6 +120,25 @@ class ControlPlaneServer:
                     )
                     try:
                         cfg = load_config(path)
+                        # offline-only, ENFORCED (ADVICE r14): POSIX
+                        # compaction's rename swap racing a concurrent
+                        # append silently deletes freshly appended
+                        # seen keys. The manager knows its own jobs —
+                        # refuse while any pipeline of THIS config is
+                        # running. (A different config writing the
+                        # same store from another process is outside
+                        # the manager's knowledge; that remains the
+                        # documented operator contract.)
+                        live = m.running_pipelines()
+                        running = [p.name for p in cfg.pipelines
+                                   if p.name in live]
+                        if running:
+                            return self._json(409, {
+                                "error": "store maintenance is "
+                                         "offline-only: stop the "
+                                         "running pipeline job(s) "
+                                         "first",
+                                "running": running})
                         if op == "compact":
                             out = {"compacted": compact_stores(m.spark, cfg)}
                         else:

@@ -41,13 +41,18 @@ backend enforces with ``O_CREAT|O_EXCL``.
 Scale posture: identical to the POSIX backend — per-batch cost is
 O(touched buckets), the merge reduce runs in Spark, and the commit
 adds ONE small-object GET + PUT per touched bucket (metadata-rate, not
-data-rate). Transport note: this sandbox has no hadoop-aws, so data
-objects shuttle through a driver-local scratch directory via boto3
-(the same fallback the S3 source/sink use, ``sources/files.py``). The
-COMMIT PROTOCOL is transport-independent: with S3A on the classpath,
-stage generations directly to ``s3a://`` from executors and keep only
-the pointer CAS on boto3 — nothing in the layout or the crash argument
-changes.
+data-rate). Transport (r15, VERDICT r14 item 1): the DATA path runs on
+executors — generation objects are PUT from the upload tasks
+(``write_objects``, the ``sinks/files.py`` ``foreachPartition``-PUT
+posture) and pointed-to history is GET inside an Arrow-batched
+``mapInArrow`` (``read_objects``, the ``sources/files.py`` fetch
+posture), so no byte of state crosses the driver and no driver-local
+scratch directory exists on the merge path. Only the metadata-rate
+pieces stay on the driver client: pointer reads, pointer CAS, the
+intent probe, and listings. The COMMIT PROTOCOL itself is
+transport-independent: with S3A on the classpath the same layout
+could stage via ``s3a://`` URIs — nothing in the crash argument
+changes (see ``tests/test_s3a_transport.py``).
 
 Reference parity note: the reference's S3 surface
 (``factory/sink/S3SinkContext.java:56-103``) is append-only object
@@ -57,11 +62,8 @@ PUTs; keyed state on S3 is an engine extension, recorded in SURVEY
 
 from __future__ import annotations
 
-import io
 import json
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,12 +92,41 @@ def _is_missing(exc) -> bool:
     return code in ("NoSuchKey", "404")
 
 
+def _client_kwargs_of(client) -> dict:
+    """Reconstruct boto3 ``client(...)`` kwargs from a live client so
+    EXECUTORS can build their own connection to the same endpoint (the
+    client object itself is not picklable). Endpoint/region come from
+    the public ``client.meta``; explicit credentials are recovered
+    best-effort — when absent (instance profile, env, shared config)
+    each executor resolves the ambient chain independently, the same
+    posture as the S3 source's ``mapInPandas`` fetch."""
+    kw = {}
+    try:
+        if client.meta.endpoint_url:
+            kw["endpoint_url"] = client.meta.endpoint_url
+        if client.meta.region_name:
+            kw["region_name"] = client.meta.region_name
+        creds = client._request_signer._credentials
+        if creds is not None:
+            frozen = creds.get_frozen_credentials()
+            kw["aws_access_key_id"] = frozen.access_key
+            kw["aws_secret_access_key"] = frozen.secret_key
+            if frozen.token:
+                kw["aws_session_token"] = frozen.token
+    except Exception:  # pragma: no cover - private-API drift fallback
+        pass
+    return kw
+
+
 class S3StateTarget:
     """One keyed-state target at ``s3://bucket/prefix`` plus the boto3
     client to reach it. ``client_kwargs`` mirror the S3 source/sink
     props (``aws_access_key_id`` / ``aws_secret_access_key`` /
     ``endpoint_url`` / ``region_name``); omitted entries fall to the
-    default provider chain."""
+    default provider chain. The kwargs (never the client) ship to
+    executors for the data-plane GET/PUT tasks — when a pre-built
+    ``client`` is injected instead, its endpoint/credentials are
+    recovered via ``_client_kwargs_of``."""
 
     def __init__(self, bucket: str, prefix: str, *, client=None,
                  num_buckets: int = 32, **client_kwargs):
@@ -103,7 +134,10 @@ class S3StateTarget:
             import boto3
 
             client = boto3.client("s3", **client_kwargs)
+        elif not client_kwargs:
+            client_kwargs = _client_kwargs_of(client)
         self.client = client
+        self.client_kwargs = client_kwargs
         self.bucket = bucket
         self.prefix = prefix.strip("/")
         self.num_buckets = self._ensure_meta(num_buckets)
@@ -205,60 +239,170 @@ class S3StateTarget:
                 Delete={"Objects": [{"Key": k} for k in keys[i:i + 1000]]})
 
 
-def _fetch_state_scratch(target: S3StateTarget, pointers: dict,
-                         scratch: str) -> str | None:
-    """Materialize the pointed-to generation objects of the given
-    buckets into a local partition-layout scratch dir that
-    ``spark.read.parquet`` understands (``udc_kb=<K>/part-*.parquet``).
-    Returns None when no bucket has committed state yet."""
-    any_data = False
-    for b, (ptr, _etag) in pointers.items():
-        if ptr is None or not ptr["objects"]:
-            continue
-        bdir = os.path.join(scratch, f"{_KB}={b}")
-        os.makedirs(bdir, exist_ok=True)
-        for i, key in enumerate(ptr["objects"]):
-            target.download_to(key, os.path.join(bdir, f"part-{i}.parquet"))
-            any_data = True
-    return scratch if any_data else None
+def read_objects(spark, target: S3StateTarget,
+                 keyed_objects: list[tuple[str, int]],
+                 schema) -> DataFrame:
+    """Distributed read of parquet objects: one Arrow-batched
+    ``mapInArrow`` task GETs each object via its own boto3 client and
+    yields its record batches — the data never touches the driver (the
+    ``sources/files.py`` ``_s3_source_boto3`` posture, Arrow-native so
+    decimals/arrays/timestamps survive byte-faithfully).
+
+    ``keyed_objects`` is ``[(object_key, bucket_id), ...]`` (bounded:
+    the caller's touched-bucket listings). ``schema`` (DDL string or
+    StructType) names the OUTPUT columns; every column except
+    ``udc_kb`` is selected BY NAME from the stored file (robust to
+    column-order drift across compactions), and ``udc_kb`` — when the
+    schema asks for it — is rebuilt from the object's bucket id, the
+    executor-side equivalent of the partition-directory column the old
+    scratch layout re-derived. Stored Arrow types are cast to the
+    declared schema (covers int-width drift and timestamp-tz
+    normalization across writer versions)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    arrow_out = to_arrow_schema(schema)
+    want_kb = _KB in arrow_out.names
+    bucket = target.bucket
+    client_kwargs = dict(target.client_kwargs)
+
+    kdf = spark.createDataFrame(keyed_objects, "key string, udc_kb int")
+    kdf = kdf.repartition(min(max(len(keyed_objects), 1),
+                              spark.sparkContext.defaultParallelism))
+
+    def fetch(batches):
+        import io
+
+        import boto3
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        client = boto3.client("s3", **client_kwargs)
+        for rb in batches:
+            for key, kb in zip(rb.column("key").to_pylist(),
+                               rb.column("udc_kb").to_pylist()):
+                body = client.get_object(
+                    Bucket=bucket, Key=key)["Body"].read()
+                tab = pq.read_table(io.BytesIO(body))
+                if want_kb:
+                    tab = tab.append_column(
+                        _KB, pa.array([kb] * len(tab), type=pa.int32()))
+                tab = tab.select(arrow_out.names).cast(arrow_out)
+                yield from tab.to_batches()
+
+    return kdf.mapInArrow(fetch, schema)
 
 
-def _stage_and_upload(merged: DataFrame, target: S3StateTarget,
-                      buckets: list[int], gen_id: int,
-                      staged: str) -> dict[int, list[str]]:
-    """Write the merged frame partitioned by bucket to local staging,
-    upload each part as an immutable object under its bucket's new
-    generation prefix, and return the per-bucket object lists for the
-    pointer commits. Buckets whose merge produced no rows still get an
-    (empty) entry so their pointer can record the applied id.
+def write_objects(frame: DataFrame, target: S3StateTarget,
+                  touched: list[int], key_fmt: str,
+                  max_buffer_bytes: int = 128 << 20
+                  ) -> dict[int, list[str]]:
+    """Distributed write of a ``udc_kb``-carrying frame as immutable
+    parquet objects: the frame is hash-repartitioned on the bucket
+    column (so one task owns each bucket) and each task serializes its
+    buckets' rows to parquet in memory and PUTs them with its own
+    boto3 client — the ``sinks/files.py`` ``_s3_put_objects_boto3``
+    posture, so no byte crosses the driver and no local staging
+    directory exists. Returns the per-bucket object-key lists for the
+    caller's pointer commits; buckets that produced no rows still get
+    an (empty) entry so their pointer can record an applied id.
 
-    The generation name carries a per-merge NONCE alongside the batch
-    id: data objects must be write-once under EVERY call pattern, and
-    the batch upsert sink re-merges under a constant id — without the
-    nonce its second run would overwrite the live, pointer-referenced
-    objects BEFORE any CAS, committing (or tearing, if part counts
-    differ) state without a commit. Readers only ever follow the
-    pointer's explicit object list, so the name itself carries no
-    semantics; abandoned nonces are unreferenced garbage for
-    ``vacuum_target``."""
+    ``key_fmt`` carries ``{b}`` (bucket id), ``{nonce}`` (per-task
+    uuid) and ``{i}`` (per-bucket object counter) placeholders — e.g.
+    ``pre/kb={b}/gen-7-ab12cd34/part-{nonce}-{i}.parquet``. The
+    per-task nonce keeps every PUT write-once under EVERY call pattern
+    (replays, constant-id batch re-merges, task retries, speculative
+    attempts): a retried task re-uploads under a fresh nonce and only
+    the successful attempt's keys reach the caller — losers are
+    unreferenced garbage for ``vacuum_target`` (generation stores) or
+    harmless duplicate appends (seen stores). Task memory is bounded:
+    buffered batches are flushed to rolled objects once the task's
+    total buffer crosses ``max_buffer_bytes``."""
+    bucket = target.bucket
+    client_kwargs = dict(target.client_kwargs)
+    parted = frame.repartition(max(len(touched), 1), F.col(_KB))
+
+    def upload(batches):
+        import io
+        import uuid
+
+        import boto3
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        client = boto3.client("s3", **client_kwargs)
+        nonce = uuid.uuid4().hex[:10]
+        bufs: dict[int, list] = {}
+        buffered = 0
+        counters: dict[int, int] = {}
+        done: list[tuple[int, str]] = []
+
+        def flush(b: int) -> None:
+            nonlocal buffered
+            tabs = bufs.pop(b, None)
+            if not tabs:
+                return
+            tab = pa.concat_tables(tabs)
+            buffered -= sum(t.nbytes for t in tabs)
+            i = counters.get(b, 0)
+            counters[b] = i + 1
+            key = key_fmt.format(b=b, nonce=nonce, i=i)
+            sink = io.BytesIO()
+            pq.write_table(tab.drop_columns([_KB]), sink,
+                           compression="snappy")
+            client.put_object(Bucket=bucket, Key=key,
+                              Body=sink.getvalue())
+            done.append((b, key))
+
+        for rb in batches:
+            tab = pa.Table.from_batches([rb])
+            kb_col = tab.column(_KB)
+            for b in kb_col.unique().to_pylist():
+                part = tab.filter(pc.equal(kb_col, b))
+                bufs.setdefault(int(b), []).append(part)
+                buffered += part.nbytes
+            if buffered > max_buffer_bytes:
+                for b in list(bufs):
+                    flush(b)
+        for b in list(bufs):
+            flush(b)
+        if done:
+            yield pa.record_batch(
+                [pa.array([b for b, _ in done], type=pa.int32()),
+                 pa.array([k for _, k in done], type=pa.string())],
+                names=[_KB, "key"])
+
+    rows = parted.mapInArrow(upload, f"{_KB} int, key string").collect()
+    objects: dict[int, list[str]] = {b: [] for b in touched}
+    for r in rows:
+        objects.setdefault(r[_KB], []).append(r["key"])
+    for ks in objects.values():
+        ks.sort()
+    return objects
+
+
+def _pointer_objects(pointers: dict) -> list[tuple[str, int]]:
+    """Flatten committed pointers into ``read_objects`` input."""
+    return [(key, b) for b, (ptr, _etag) in pointers.items()
+            if ptr is not None for key in ptr["objects"]]
+
+
+def _gen_key_fmt(target: S3StateTarget, gen_id: int) -> str:
+    """Object-key template for one generation upload. The RUN-level
+    nonce in the generation directory name keeps a constant-id batch
+    re-merge from ever touching the live, pointer-referenced objects
+    BEFORE any CAS (readers only ever follow the pointer's explicit
+    object list, so names carry no semantics; abandoned nonces are
+    unreferenced garbage for ``vacuum_target``); the task-level
+    ``{nonce}`` inside the part name isolates task retries."""
     import uuid
 
-    nonce = uuid.uuid4().hex[:8]
-    (merged.repartition(len(buckets), F.col(_KB))
-           .write.mode("overwrite").partitionBy(_KB).parquet(staged))
-    objects: dict[int, list[str]] = {b: [] for b in buckets}
-    for b in buckets:
-        part_dir = os.path.join(staged, f"{_KB}={b}")
-        if not os.path.isdir(part_dir):
-            continue
-        files = sorted(n for n in os.listdir(part_dir)
-                       if n.endswith(".parquet"))
-        for i, name in enumerate(files):
-            key = target._key(f"kb={b}", f"gen-{gen_id}-{nonce}",
-                              f"part-{i}.parquet")
-            target.upload_file(os.path.join(part_dir, name), key)
-            objects[b].append(key)
-    return objects
+    run_nonce = uuid.uuid4().hex[:8]
+    return target._key("kb={b}", f"gen-{gen_id}-{run_nonce}",
+                       "part-{nonce}-{i}.parquet")
 
 
 def upsert_merge_s3(batch_df: DataFrame, batch_id: int, *,
@@ -290,28 +434,23 @@ def upsert_merge_s3(batch_df: DataFrame, batch_id: int, *,
     pointers = {b: target.read_pointer(b) for b in touched}
     pending = touched
 
-    scratch_root = tempfile.mkdtemp(prefix="udc_s3_state_")
-    try:
-        state_dir = _fetch_state_scratch(
-            target, {b: pointers[b] for b in pending},
-            os.path.join(scratch_root, "current"))
-        if state_dir is not None:
-            current = (spark.read.parquet(state_dir)
-                       .filter(F.col(_KB).isin(pending)))
-            merged = current.unionByName(latest)
-            rank2 = _latest_rank(merged.schema, keys, order_col)
-            merged = (merged.withColumn("__rn", rank2)
-                            .filter(F.col("__rn") == 1).drop("__rn"))
-        else:
-            merged = latest
-        objects = _stage_and_upload(
-            merged, target, pending, batch_id,
-            os.path.join(scratch_root, "staged"))
-        for b in pending:
-            target.commit_pointer(b, batch_id, objects[b],
-                                  pointers[b][1])
-    finally:
-        shutil.rmtree(scratch_root, ignore_errors=True)
+    keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
+    if keyed_objects:
+        # read only the pending buckets' committed objects, with the
+        # batch's own schema as the read contract (state and batch
+        # share one schema by the unionByName contract)
+        current = read_objects(spark, target, keyed_objects,
+                               latest.schema)
+        merged = current.unionByName(latest)
+        rank2 = _latest_rank(merged.schema, keys, order_col)
+        merged = (merged.withColumn("__rn", rank2)
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+    else:
+        merged = latest
+    objects = write_objects(merged, target, pending,
+                            _gen_key_fmt(target, batch_id))
+    for b in pending:
+        target.commit_pointer(b, batch_id, objects[b], pointers[b][1])
 
 
 def agg_state_merge_s3(batch_df: DataFrame, batch_id: int, *,
@@ -348,52 +487,42 @@ def agg_state_merge_s3(batch_df: DataFrame, batch_id: int, *,
         return
     part = part.filter(F.col(_KB).isin(pending))
 
-    scratch_root = tempfile.mkdtemp(prefix="udc_s3_state_")
-    try:
-        state_dir = _fetch_state_scratch(
-            target, {b: pointers[b] for b in pending},
-            os.path.join(scratch_root, "current"))
-        if state_dir is not None:
-            state = (spark.read.parquet(state_dir)
-                     .filter(F.col(_KB).isin(pending))
-                     .select(*keys, F.col("n"),
-                             F.col("total").cast(_DEC).alias("total"),
-                             F.col(_KB)))
-            merged = (state.unionByName(part)
-                      .groupBy(*keys, _KB)
-                      .agg(F.sum("n").cast("bigint").alias("n"),
-                           F.sum("total").cast(_DEC).alias("total")))
-        else:
-            merged = part
-        objects = _stage_and_upload(
-            merged, target, pending, batch_id,
-            os.path.join(scratch_root, "staged"))
-        for b in pending:
-            target.commit_pointer(b, batch_id, objects[b],
-                                  pointers[b][1])
-    finally:
-        shutil.rmtree(scratch_root, ignore_errors=True)
+    keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
+    if keyed_objects:
+        state = (read_objects(spark, target, keyed_objects, part.schema)
+                 .select(*keys, F.col("n"),
+                         F.col("total").cast(_DEC).alias("total"),
+                         F.col(_KB)))
+        merged = (state.unionByName(part)
+                  .groupBy(*keys, _KB)
+                  .agg(F.sum("n").cast("bigint").alias("n"),
+                       F.sum("total").cast(_DEC).alias("total")))
+    else:
+        merged = part
+    objects = write_objects(merged, target, pending,
+                            _gen_key_fmt(target, batch_id))
+    for b in pending:
+        target.commit_pointer(b, batch_id, objects[b], pointers[b][1])
 
 
 def read_state_s3(spark, target: S3StateTarget,
-                  empty_schema: str) -> DataFrame:
+                  schema: str) -> DataFrame:
     """Read the committed state of every bucket (pointer-listed objects
-    only — uncommitted generations are invisible by construction).
-    NO-STATE-YET reads back as an empty frame of ``empty_schema``, the
-    same contract as ``windows.read_state``."""
-    scratch = tempfile.mkdtemp(prefix="udc_s3_read_")
+    only — uncommitted generations are invisible by construction) as a
+    LAZY frame of exactly ``schema``'s columns: the object GETs run
+    executor-side inside the returned plan (``read_objects``), so the
+    frame behaves like any other reader — re-fetching per action,
+    nothing staged on the driver. NO-STATE-YET reads back as an empty
+    frame of the same schema (cold and warm reads now agree column-
+    for-column, unlike the old scratch path which appended ``udc_kb``
+    only when data existed); include ``udc_kb int`` in ``schema`` to
+    get the bucket column."""
     pointers = {b: target.read_pointer(b)
                 for b in range(target.num_buckets)}
-    state_dir = _fetch_state_scratch(target, pointers, scratch)
-    if state_dir is None:
-        shutil.rmtree(scratch, ignore_errors=True)
-        return spark.createDataFrame([], empty_schema)
-    # the scratch must not outlive this call, so pin the frame's
-    # contents eagerly (type-faithful: the parquet schema — decimal
-    # totals included — survives, where a pandas round-trip would not)
-    df = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-    shutil.rmtree(scratch, ignore_errors=True)
-    return df
+    keyed_objects = _pointer_objects(pointers)
+    if not keyed_objects:
+        return spark.createDataFrame([], schema)
+    return read_objects(spark, target, keyed_objects, schema)
 
 
 def vacuum_target(target: S3StateTarget) -> int:
@@ -521,15 +650,24 @@ def record_touched_s3(target: S3StateTarget, run_id: int,
     """Persist the planned bucket set into the run's intent BEFORE the
     first pointer commit (same role as the POSIX
     ``_intent_record_touched``: it makes 'never committed' provable
-    for a later changed-input resume)."""
+    for a later changed-input resume).
+
+    The recorded set is the UNION of what the intent already carries
+    and this attempt's pending buckets (ADVICE r14): a replay after a
+    partial apply sees a smaller pending set (the committed buckets
+    dropped out), and OVERWRITING would erase the very buckets whose
+    markers prove the partial apply — a later changed-input resume
+    would then see 'no recorded bucket applied', reclaim as provably
+    never committed, and silently abandon the partial apply."""
     intent_key = target._key(_INTENT_KEY)
     stored, etag = target._get_json(intent_key)
     if stored is None or int(stored["run_id"]) != run_id:
         return
+    prior = stored.get("touched") or []
     target._put_cas(intent_key,
                     {"run_id": run_id,
                      "fingerprint": stored.get("fingerprint"),
-                     "touched": sorted(touched)}, etag)
+                     "touched": sorted(set(prior) | set(touched))}, etag)
 
 
 def end_batch_run_s3(target: S3StateTarget) -> None:

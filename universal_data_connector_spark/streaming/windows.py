@@ -438,8 +438,14 @@ def _intent_record_touched(path: str, run_id: int,
     stored = _intent_load(intent)
     if stored is None or stored["run_id"] != run_id:
         return
+    # UNION with what the intent already carries (ADVICE r14): a
+    # replay after a partial apply plans only the still-pending subset,
+    # and overwriting would erase the committed buckets whose markers
+    # prove the partial apply — a later changed-input resume would
+    # then misread the run as provably-never-committed.
+    prior = stored.get("touched") or []
     _intent_write(intent, run_id, stored.get("fingerprint"),
-                  sorted(touched))
+                  sorted(set(prior) | set(touched)))
 
 
 def begin_batch_run(path: str, num_buckets: int = 32,
