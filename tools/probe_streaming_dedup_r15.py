@@ -28,11 +28,55 @@ import sys
 import tempfile
 import time
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class _WerkzeugTap:
+    """Per-batch classification of the moto server's request log
+    (covers every process — driver and executor workers). ANSI codes
+    stripped: werkzeug colorizes non-200 lines (404 probes)."""
+
+    def __init__(self):
+        import logging
+
+        class H(logging.Handler):
+            def __init__(self, sink):
+                super().__init__()
+                self.sink = sink
+
+            def emit(self, record):
+                import re
+                self.sink.append(
+                    re.sub(r"\x1b\[[0-9;]*m", "", record.getMessage()))
+
+        self.lines: list[str] = []
+        self._h = H(self.lines)
+        import logging as _l
+        _l.getLogger("werkzeug").addHandler(self._h)
+
+    def take(self) -> dict:
+        lines, self.lines[:] = list(self.lines), []
+        return {
+            "get_data": sum(1 for x in lines if '"GET ' in x
+                            and "list-type=" not in x),
+            "put": sum(1 for x in lines if '"PUT ' in x),
+            "list": sum(1 for x in lines if "list-type=" in x),
+        }
+
+    def close(self):
+        import logging
+        logging.getLogger("werkzeug").removeHandler(self._h)
+
 
 def _series(spark, docs_parquet, batches, rows, make_props, label,
-            keep_store=None):
+            maintain=None, maintain_every=0, tap=None):
     """One backend series: fresh input/checkpoint/sink dirs, one
-    streaming query, `batches` file drops; returns per-batch walls."""
+    streaming query, `batches` file drops; returns per-batch walls
+    (plus per-batch server op counts when a ``tap`` is given).
+    ``maintain(props)`` (if given) runs after every ``maintain_every``
+    batches while the stream is quiescent — the offline-compaction
+    cadence a production ingestion would schedule."""
     from universal_data_connector_spark.config import SinkConfig
     from universal_data_connector_spark.engine import (
         TRANSFORMS,
@@ -52,7 +96,7 @@ def _series(spark, docs_parquet, batches, rows, make_props, label,
     tagged = TRANSFORMS["dedup_state"](stream, props)
     sink = SinkConfig("file", {"path": out_dir, "format": "parquet"})
 
-    walls = []
+    walls, ops = [], []
     q = start_streaming_sink(tagged, sink)
     try:
         for i in range(batches):
@@ -65,15 +109,22 @@ def _series(spark, docs_parquet, batches, rows, make_props, label,
                         if f.endswith(".parquet"))
             shutil.move(os.path.join(stage, part),
                         os.path.join(input_dir, f"batch-{i:03d}.parquet"))
+            if tap:
+                tap.take()
             t0 = time.perf_counter()
             q.processAllAvailable()
             walls.append(round(time.perf_counter() - t0, 3))
+            if tap:
+                ops.append(tap.take())
             print(f"  {label} batch {i}: {walls[-1]:.2f}s "
-                  f"(history ~{lo} docs)", flush=True)
+                  f"(history ~{lo} docs)"
+                  + (f" ops={ops[-1]}" if tap else ""), flush=True)
+            if maintain and maintain_every and (i + 1) % maintain_every == 0:
+                maintain(props)
     finally:
         q.stop()
         shutil.rmtree(work, ignore_errors=True)
-    return walls
+    return {"walls": walls, "ops": ops} if tap else walls
 
 
 def main() -> int:
@@ -89,7 +140,8 @@ def main() -> int:
              .appName("probe-r15-streaming-dedup").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet("scale_probe/sf1/documents.parquet")
+    docs = spark.read.parquet(
+        os.path.join(REPO, "scale_probe/sf1/documents.parquet"))
     out = {"batches": batches, "batch_rows": rows, "series": {}}
 
     # POSIX exact
@@ -122,20 +174,50 @@ def main() -> int:
         client = boto3.client(
             "s3", endpoint_url=endpoint, region_name="us-east-1",
             aws_access_key_id="probe", aws_secret_access_key="probe")
-        client.create_bucket(Bucket="probe-r15")
+        # SEPARATE buckets per series: moto's in-memory prefix listing
+        # scans the whole bucket, so a shared bucket would leak series
+        # A's accumulated objects into series B's LIST costs
+        client.create_bucket(Bucket="probe-r15-a")
+        client.create_bucket(Bucket="probe-r15-b")
+
+        def s3_props(bucket, prefix):
+            return lambda work: {"keys": "text",
+                                 "bucketName": bucket,
+                                 "prefix": prefix,
+                                 "endpoint": endpoint,
+                                 "accessKey": "probe",
+                                 "secretKey": "probe"}
+
+        def compact(props):
+            from universal_data_connector_spark.operators.dedup_state \
+                import compact_seen_store_s3
+            from universal_data_connector_spark.sinks.upsert import (
+                s3_state_target,
+            )
+            n = compact_seen_store_s3(spark, s3_state_target(props))
+            print(f"  [compacted {n} superseded objects]", flush=True)
+
+        tap = _WerkzeugTap()
         try:
             out["series"]["s3_exact"] = _series(
                 spark, docs, batches, rows,
-                lambda work: {"keys": "text", "bucketName": "probe-r15",
-                              "prefix": "stream-exact",
-                              "endpoint": endpoint,
-                              "accessKey": "probe",
-                              "secretKey": "probe"},
-                "s3_exact")
+                s3_props("probe-r15-a", "stream-exact"), "s3_exact",
+                tap=tap)
+            # same series with the offline-compaction cadence a real
+            # ingestion schedules: per-bucket object count stays O(1),
+            # so the per-batch GET count stays flat instead of growing
+            # with RUN COUNT (the documented compact_seen_store
+            # rationale)
+            out["series"]["s3_exact_compact4"] = _series(
+                spark, docs, batches, rows,
+                s3_props("probe-r15-b", "stream-exact-c4"),
+                "s3_exact_compact4",
+                maintain=compact, maintain_every=4, tap=tap)
         finally:
+            tap.close()
             server.stop()
 
-    path = "scale_probe/probe_r15_streaming_dedup.json"
+    path = os.path.join(REPO, "scale_probe/probe_r15_streaming_dedup.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
