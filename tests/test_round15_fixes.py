@@ -357,6 +357,47 @@ def test_rest_maintenance_409_while_config_pipelines_run(
         srv.stop()
 
 
+def test_jdbc_streaming_yaml_downgrades_to_batch(spark, tmp_path):
+    """A reference YAML with a jdbc source and streaming: 'true' used
+    to raise at submission (VERDICT r14 Missing #4). The reference's
+    jdbc 'stream' is a one-time paged read of a static query
+    (JdbcSourceContext.java:69-73), so the pipeline now runs with its
+    real semantics — a finite batch delivering the same rows exactly
+    once — and the manager records a completed BATCH job."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.manager import PipelineManager
+
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    seed = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id bigint, name string")
+    (seed.coalesce(1).write.format("jdbc")
+         .options(url=url, dbtable="people_r15", driver=driver)
+         .mode("append").save())
+
+    out = str(tmp_path / "out")
+    cfg = parse_config({"pipelines": [{
+        "name": "jdbc-streamed",
+        "source": {"type": "jdbc", "properties": {
+            "jdbcUrl": url, "driver": driver,
+            "query": 'SELECT "id", "name" FROM people_r15',
+            "streaming": "true",
+        }},
+        "sink": {"type": "file",
+                 "properties": {"path": out, "format": "parquet"}},
+    }]}).pipelines[0]
+
+    mgr = PipelineManager(spark)
+    job = mgr.start_pipeline(cfg)
+    assert mgr.wait(timeout=120)
+    info = next(j for j in mgr.jobs() if j["name"] == job)
+    assert info["status"] == "COMPLETED"
+    got = {(r.id, r.name) for r in spark.read.parquet(out)
+           .select("id", "name").collect()}
+    assert got == {(1, "alice"), (2, "bob")}
+
+
 # ---------------------------------------------------------------------------
 # 3. interleaved two-writer crash fuzz (VERDICT r14 item 6)
 # ---------------------------------------------------------------------------

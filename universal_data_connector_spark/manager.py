@@ -130,6 +130,10 @@ class PipelineManager:
                        streaming: bool | None = None) -> str:
         if streaming is None:
             streaming = _wants_streaming(cfg)
+        # jdbc "streaming" is a one-time paged read in the reference —
+        # run it with its real (batch) semantics instead of raising on
+        # a ported YAML (engine.effective_streaming logs the downgrade)
+        streaming = engine.effective_streaming(cfg, streaming)
         # monotonic submission stamp: two submissions of one pipeline
         # in the same millisecond would otherwise collide on the job
         # name, silently orphaning the first job's handle AND sharing
