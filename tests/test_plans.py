@@ -450,8 +450,11 @@ def test_driver_materialization_discipline():
         "operators/quantiles.py": 2,
         # object-store state backend: the two touched-bucket sets
         # (upsert + agg_state merge), bounded by num_buckets — the
-        # same contract as the POSIX twins in windows.py
-        "streaming/object_state.py": 2,
+        # same contract as the POSIX twins in windows.py — plus
+        # write_objects' uploaded-key manifest (one row per PUT
+        # object, bounded by touched buckets x rolled parts; metadata
+        # the pointer CAS needs on the driver anyway)
+        "streaming/object_state.py": 3,
         # cross-run dedup: touched-bucket sets (POSIX + S3 exact
         # stores; the near and embedding filters' band/candidate
         # buckets and their commits' band/sig/vec buckets), each
