@@ -523,3 +523,143 @@ def test_two_writer_interleaved_embedding_store_fuzz(spark, s3_setup,
                 if rng.random() > 0.25:
                     commit()
                     committed |= shipped
+
+
+# ---------------------------------------------------------------------------
+# 4. transport hardening: randomized schema round-trip + buffer rollover
+# ---------------------------------------------------------------------------
+
+_TYPE_POOL = [
+    ("bigint", lambda rng: rng.randrange(-2**62, 2**62)),
+    ("int", lambda rng: rng.randrange(-2**31, 2**31 - 1)),
+    ("double", lambda rng: rng.choice(
+        [rng.uniform(-1e12, 1e12), 0.0, -0.0, 1e-300])),
+    ("decimal(27,6)", lambda rng: __import__("decimal").Decimal(
+        rng.randrange(-10**20, 10**20)) / 10**6),
+    ("string", lambda rng: "".join(rng.choice(
+        "abc é中\U0001f600\n,\"") for _ in range(rng.randrange(0, 12)))),
+    ("boolean", lambda rng: rng.random() < 0.5),
+    ("date", lambda rng: __import__("datetime").date(
+        rng.randrange(1971, 2200), rng.randrange(1, 13),
+        rng.randrange(1, 28))),
+    ("timestamp", lambda rng: __import__("datetime").datetime(
+        rng.randrange(1971, 2200), rng.randrange(1, 13),
+        rng.randrange(1, 28), rng.randrange(24), rng.randrange(60),
+        rng.randrange(60), rng.randrange(0, 10**6))),
+    ("array<bigint>", lambda rng: [rng.randrange(-2**62, 2**62)
+                                   for _ in range(rng.randrange(0, 5))]),
+    ("array<double>", lambda rng: [rng.uniform(-1e6, 1e6)
+                                   for _ in range(rng.randrange(0, 5))]),
+    ("binary", lambda rng: bytes(rng.randrange(256)
+                                 for _ in range(rng.randrange(0, 16)))),
+]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_write_read_objects_roundtrip_random_schemas(spark, s3_setup,
+                                                     seed):
+    """Randomized schema round-trip through the executor transport:
+    write_objects serializes per-task Arrow tables to parquet PUTs,
+    read_objects GETs them back and casts by name to the declared
+    schema — every supported column family (ints, doubles, exact
+    decimals, multibyte/newline/comma strings, booleans, dates,
+    microsecond timestamps, arrays, binary) plus NULLs must survive
+    byte-faithfully across process boundaries."""
+    import random
+
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+        write_objects,
+    )
+
+    rng = random.Random(seed)
+    cols = rng.sample(_TYPE_POOL, rng.randrange(2, 6))
+    names = [f"c{i}" for i in range(len(cols))]
+    ddl = ", ".join(f"{n} {t}" for n, (t, _) in zip(names, cols))
+
+    n_rows = rng.randrange(1, 60)
+    rows = []
+    for _ in range(n_rows):
+        rows.append(tuple(
+            None if rng.random() < 0.15 else gen(rng)
+            for (_t, gen) in cols))
+    df = spark.createDataFrame(rows, ddl)
+
+    tgt = _target(s3_setup, f"roundtrip-{seed}")
+    from pyspark.sql import functions as F
+    kb = F.pmod(F.xxhash64(*[F.col(n) for n in names]),
+                F.lit(4)).cast("int")
+    keyed = df.withColumn("udc_kb", kb)
+    touched = sorted(r[0] for r in
+                     keyed.select("udc_kb").distinct().collect())
+    objects = write_objects(
+        keyed, tgt, touched,
+        tgt._key("kb={b}", "rt", "part-{nonce}-{i}.parquet"))
+    keyed_objects = [(k, b) for b, ks in objects.items() for k in ks]
+    assert keyed_objects
+
+    back = read_objects(spark, tgt, keyed_objects,
+                        ddl + ", udc_kb int")
+
+    def canon(frame):
+        out = []
+        for r in frame.collect():
+            row = []
+            for v in r:
+                if isinstance(v, list):
+                    v = tuple(v)
+                if isinstance(v, bytearray):
+                    v = bytes(v)
+                row.append(v)
+            out.append(tuple(row))
+        return sorted(out, key=repr)
+
+    assert canon(back) == canon(keyed)
+
+
+def test_write_objects_buffer_rollover_produces_valid_parts(
+        spark, s3_setup):
+    """Force the in-task buffer cap so one bucket rolls over multiple
+    objects: every rolled part must land, the returned key lists must
+    name all of them, and the read path must reassemble the exact
+    rows."""
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+        write_objects,
+    )
+
+    tgt = _target(s3_setup, "rollover")
+    df = (spark.range(5_000)
+          .selectExpr("id", "repeat('x', 200) as pad")
+          .withColumn("udc_kb", F.pmod(F.col("id"), F.lit(2))
+                      .cast("int")))
+    # small Arrow batches so the task sees MANY batches and the 64 KB
+    # buffer cap actually trips mid-stream (default 10k-record batches
+    # would deliver each partition as one batch — no rollover to test)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(conf, None)
+    spark.conf.set(conf, "500")
+    try:
+        objects = write_objects(
+            df, tgt, [0, 1],
+            tgt._key("kb={b}", "ro", "part-{nonce}-{i}.parquet"),
+            max_buffer_bytes=64 << 10)   # 64 KB: forces rollovers
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
+    assert all(len(ks) > 1 for ks in objects.values()), {
+        b: len(ks) for b, ks in objects.items()}
+
+    keyed_objects = [(k, b) for b, ks in objects.items() for k in ks]
+    back = read_objects(spark, tgt, keyed_objects,
+                        "id bigint, pad string, udc_kb int")
+    assert back.count() == 5_000
+    assert back.selectExpr("sum(id) s").collect()[0]["s"] \
+        == sum(range(5_000))
+    assert back.filter("length(pad) != 200").count() == 0
+    # bucket column faithfully rebuilt from the object keys
+    assert back.filter("pmod(id, 2) != udc_kb").count() == 0
