@@ -257,7 +257,17 @@ def read_objects(spark, target: S3StateTarget,
     executor-side equivalent of the partition-directory column the old
     scratch layout re-derived. Stored Arrow types are cast to the
     declared schema (covers int-width drift and timestamp-tz
-    normalization across writer versions)."""
+    normalization across writer versions).
+
+    The plan is LAZY: the GETs run when the consuming job does, which
+    widens the listing->fetch window versus the old eager download. A
+    listed object deleted in that window (a compactor racing a reader
+    it was never allowed to run beside — maintenance is offline-only,
+    now 409-enforced on the control plane) fails the task LOUDLY by
+    design: for pointer generations a missing object is corruption,
+    and for seen stores skipping it would silently under-filter; a
+    loud retry/failure is the only answer that cannot produce a wrong
+    result."""
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
