@@ -663,3 +663,108 @@ def test_write_objects_buffer_rollover_produces_valid_parts(
     assert back.filter("length(pad) != 200").count() == 0
     # bucket column faithfully rebuilt from the object keys
     assert back.filter("pmod(id, 2) != udc_kb").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 5. streaming self-compaction cadence (compactEveryBatches)
+# ---------------------------------------------------------------------------
+
+def _stream_dedup_cfg(inp, out, ckpt, extra_props):
+    import yaml  # noqa: F401 - parity with engine yaml surface
+
+    from universal_data_connector_spark.config import parse_config
+    return parse_config({"pipelines": [{
+        "name": "stream-dedup-compact",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"keys": "content",
+                            "compactEveryBatches": "1",
+                            "checkpointLocation": str(ckpt),
+                            **extra_props}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+
+def test_streaming_compaction_cadence_posix(spark, tmp_path):
+    """compactEveryBatches=1 keeps every bucket at ONE seen file no
+    matter how many micro-batches ran, with dedup behavior unchanged
+    (the r15 probe measured the uncompacted read cost growing linearly
+    in run count — this prop is the in-pipeline fix)."""
+    import os
+
+    from universal_data_connector_spark.engine import run
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    store = tmp_path / "store"
+    inp.mkdir()
+    cfg = _stream_dedup_cfg(inp, out, tmp_path / "ckpt",
+                            {"stateDir": str(store)})
+    (inp / "a.txt").write_text("first content")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        (inp / "b.txt").write_text("first content")    # dup
+        (inp / "c.txt").write_text("second content")
+        q.processAllAvailable()
+        (inp / "d.txt").write_text("third content")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(os.listdir(out)) == ["a.txt", "c.txt", "d.txt"]
+    for name in os.listdir(store):
+        if name.startswith("udc_kb="):
+            files = [f for f in os.listdir(store / name)
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (name, files)
+
+
+def test_streaming_compaction_cadence_s3(spark, tmp_path, s3_setup):
+    import os
+
+    from universal_data_connector_spark.engine import run
+
+    endpoint, client = s3_setup
+    tgt = _target(s3_setup, "stream-compact")
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir()
+    cfg = _stream_dedup_cfg(inp, out, tmp_path / "ckpt", {
+        "bucketName": BUCKET, "prefix": tgt.prefix,
+        "endpoint": endpoint, "accessKey": CREDS["aws_access_key_id"],
+        "secretKey": CREDS["aws_secret_access_key"]})
+    (inp / "a.txt").write_text("s3 first")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        (inp / "b.txt").write_text("s3 first")          # dup
+        (inp / "c.txt").write_text("s3 second")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(os.listdir(out)) == ["a.txt", "c.txt"]
+    for b in range(tgt.num_buckets):
+        ks = [k for k in tgt.list_keys(under=f"kb={b}")
+              if k.endswith(".parquet")]
+        assert len(ks) <= 1, (b, ks)
+
+
+def test_compact_cadence_on_batch_pipeline_warns_and_ignores(
+        spark, tmp_path, caplog):
+    import logging
+
+    from universal_data_connector_spark.engine import (
+        _dedup_state_transform,
+    )
+
+    df = _doc_frame(spark, [(1, "batch cadence")])
+    with caplog.at_level(logging.WARNING,
+                         logger="universal_data_connector_spark.engine"):
+        out = _dedup_state_transform(df, {
+            "keys": "text", "stateDir": str(tmp_path / "store"),
+            "compactEveryBatches": "3"})
+    assert out.count() == 1
+    assert any("compactEveryBatches" in r.message for r in caplog.records)

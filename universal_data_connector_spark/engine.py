@@ -253,6 +253,13 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
         _check_dedup_state_props(df.columns, props)
         df._udc_stream_dedup_state = dict(props)
         return df
+    if props.get("compactEveryBatches") is not None:
+        # cadence is a STREAMING notion (counted in micro-batches);
+        # batch pipelines compact offline via --compact-stores or the
+        # maintenance endpoint — warn instead of silently ignoring
+        log.warning("dedup_state: compactEveryBatches applies to "
+                    "streaming pipelines only; batch runs compact via "
+                    "--compact-stores / POST /api/pipelines/maintenance")
     survivors, commit = _seen_filter_for(df, props)
     survivors._udc_post_sink_commits = list(
         getattr(df, "_udc_post_sink_commits", [])) + [commit]
@@ -654,10 +661,26 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
     byte-identical content under new filenames); a crash between sink
     and commit re-ships that batch's content once (at-least-once, the
     same contract as every seen-store commit). Each batch's DISK_ONLY
-    pins are scoped and released inside the batch."""
+    pins are scoped and released inside the batch.
+
+    ``compactEveryBatches: N`` (optional) compacts the seen store
+    after every Nth micro-batch's commit, INSIDE the foreachBatch
+    scope — the one place compaction is safe by construction for a
+    streaming store: this query is the store's single writer, and it
+    is idle between its commit and the next batch. Without a cadence
+    the per-bucket file/object count grows one per batch and the
+    filter's read cost grows linearly in RUN COUNT (measured +50%
+    wall over 11 uncompacted batches on the object store,
+    BENCH_NOTES_r15 §3); with it the count stays O(1). A crash during
+    compaction is covered by the compactors' own crash contracts
+    (staged-rename swap repair on POSIX, listing-scoped deletes on
+    S3), and a crash-skipped cadence is caught by the next one."""
     props = getattr(df, "_udc_stream_dedup_state", None)
     if props is None:
         return create_sink(df, sink_cfg, True)
+    compact_every = int(props.get("compactEveryBatches", 0) or 0)
+    if props.get("compactEveryBatches") is not None and compact_every < 1:
+        raise ValueError("compactEveryBatches must be >= 1 when set")
     checkpoint = props.get("checkpointLocation")
     if not checkpoint and props.get("stateDir"):
         checkpoint = props["stateDir"].rstrip("/") + "_checkpoint"
@@ -669,7 +692,20 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
             "streaming dedup_state needs 'checkpointLocation' (no "
             "stateDir or sink path to derive one from)")
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def compact_store(spark) -> None:
+        if props.get("bucketName"):
+            from universal_data_connector_spark.operators.dedup_state \
+                import compact_seen_store_s3
+            from universal_data_connector_spark.sinks.upsert import (
+                s3_state_target,
+            )
+            compact_seen_store_s3(spark, s3_state_target(props))
+        else:
+            from universal_data_connector_spark.operators.dedup_state \
+                import compact_seen_store
+            compact_seen_store(spark, props["stateDir"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from universal_data_connector_spark.operators.relational import (
             pin_scope, release_frames,
         )
@@ -680,6 +716,10 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
                 commit()
             finally:
                 release_frames(pins)
+        # post-commit, pre-next-batch: the store is idle and this
+        # query is its single writer — the safe compaction window
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_store(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())
