@@ -1025,7 +1025,13 @@ def compact_seen_store_s3(spark, target) -> int:
     Transport: both directions run executor-side (``read_objects`` /
     ``write_objects``) — at a 100 TB corpus the accumulated history is
     exactly the thing that must not funnel through one machine, and
-    compaction touches ALL of it."""
+    compaction touches ALL of it. Job shape: ONE distributed
+    read+distinct+write per sub-store covering every eligible bucket
+    (the bucket column rides along and is functionally determined by
+    the row content, so ``distinct`` over rows+bucket equals per-bucket
+    distinct), instead of a pair of Spark jobs per bucket — this
+    matters now that ``compactEveryBatches`` puts compaction inside
+    the streaming loop. Deletes stay per-bucket and listing-scoped."""
     from universal_data_connector_spark.streaming.object_state import (
         read_objects,
         write_objects,
@@ -1033,22 +1039,25 @@ def compact_seen_store_s3(spark, target) -> int:
 
     deleted = 0
     for sub in ("", "bands", "sigs", "vecs"):
+        listed = {}
         for b in range(target.num_buckets):
             under = f"{sub}/kb={b}" if sub else f"kb={b}"
             ks = _seen_objects(target, under)
-            if len(ks) < 2:
-                continue
-            distinct = (read_objects(spark, target,
-                                     [(k, b) for k in ks],
-                                     _SUB_SCHEMAS[sub])
-                        .distinct()
-                        .withColumn(_KB, F.lit(b).cast("int")))
-            parts = ([sub] if sub else []) + [
-                "kb={b}", "seen-compact-{nonce}-{i}.parquet"]
-            # write_objects repartitions to one task for the single
-            # touched bucket, so the rewrite lands as one object
-            # (plus rollovers past the buffer cap)
-            write_objects(distinct, target, [b], target._key(*parts))
+            if len(ks) >= 2:
+                listed[b] = ks
+        if not listed:
+            continue
+        keyed_objects = [(k, b) for b, ks in listed.items() for k in ks]
+        distinct = (read_objects(spark, target, keyed_objects,
+                                 f"{_SUB_SCHEMAS[sub]}, {_KB} int")
+                    .distinct())
+        parts = ([sub] if sub else []) + [
+            "kb={b}", "seen-compact-{nonce}-{i}.parquet"]
+        # one task per touched bucket -> one rewrite object per bucket
+        # (plus rollovers past the buffer cap)
+        write_objects(distinct, target, sorted(listed),
+                      target._key(*parts))
+        for ks in listed.values():
             target.delete_keys(ks)
             deleted += len(ks)
     log.info("dedup_state[s3]: compacted %d superseded object(s) "
