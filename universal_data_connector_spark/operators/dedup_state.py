@@ -953,26 +953,43 @@ def seen_embedding_filter_s3(df: DataFrame, target,
 
 def _compact_root(spark, root: str, distinct_cols: list[str],
                   n: int) -> None:
-    """Rewrite each existing bucket dir under ``root`` to its distinct
-    rows in one file, via the staged-rename swap (old dir parked as
-    ``_udc_old_<b>`` beside the live dir; ``_sweep_crash_leftovers``
-    repairs a crash between the two renames on the next open)."""
-    for b in range(n):
+    """Rewrite every existing bucket dir under ``root`` to its distinct
+    rows in one file each, via the staged-rename swap (old dir parked
+    as ``_udc_old_<b>`` beside the live dir; ``_sweep_crash_leftovers``
+    repairs a crash between the two renames on the next open).
+
+    Job shape: ONE distributed read+distinct+partitioned-write over
+    all buckets (partition discovery supplies the bucket column, and
+    the bucket is functionally determined by the row content, so the
+    global distinct equals per-bucket distinct) — not a Spark job per
+    bucket, which matters now that ``compactEveryBatches`` can put
+    compaction on the streaming ingest path. The swaps stay per-bucket
+    and atomic; a crash between swaps leaves the remaining buckets
+    multi-file (harmless, caught by the next compaction)."""
+    buckets = [b for b in range(n)
+               if os.path.isdir(os.path.join(root, f"{_KB}={b}"))]
+    if not buckets:
+        return
+    nonce = uuid.uuid4().hex[:8]
+    staged = os.path.join(root, f"{_SEEN_STAGED_PREFIX}{nonce}")
+    (spark.read.parquet(root)
+     .select(*distinct_cols, _KB).distinct()
+     .repartition(len(buckets), F.col(_KB))
+     .write.mode("overwrite").partitionBy(_KB).parquet(staged))
+    for b in buckets:
+        staged_dir = os.path.join(staged, f"{_KB}={b}")
         live_dir = os.path.join(root, f"{_KB}={b}")
-        if not os.path.isdir(live_dir):
+        if not os.path.isdir(staged_dir):
             continue
-        nonce = uuid.uuid4().hex[:8]
-        staged = os.path.join(root, f"{_SEEN_STAGED_PREFIX}{nonce}")
-        (spark.read.parquet(live_dir).select(*distinct_cols).distinct()
-         .coalesce(1).write.mode("overwrite").parquet(staged))
         old = os.path.join(root, f"_udc_old_{b}")
         os.rename(live_dir, old)
-        os.rename(staged, live_dir)
+        os.rename(staged_dir, live_dir)
         shutil.rmtree(old, ignore_errors=True)
         # drop the writer metadata so only key files remain
         for name in os.listdir(live_dir):
             if not name.endswith(".parquet"):
                 os.remove(os.path.join(live_dir, name))
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def compact_seen_store(spark, state_dir: str) -> None:
