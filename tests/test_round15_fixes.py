@@ -768,3 +768,130 @@ def test_compact_cadence_on_batch_pipeline_warns_and_ignores(
             "compactEveryBatches": "3"})
     assert out.count() == 1
     assert any("compactEveryBatches" in r.message for r in caplog.records)
+
+
+# ---------------------------------------------------------------------------
+# 6. r15 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_maintenance_window_blocks_new_starts(spark, tmp_path):
+    """The one-shot running check was a TOCTOU (r15 review): a
+    pipeline could start DURING a long compaction. The window now
+    blocks new submissions for its whole duration."""
+    import yaml
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.manager import (
+        MaintenanceConflict,
+        PipelineManager,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.txt").write_text("window block")
+    cfg = parse_config({"pipelines": [{
+        "name": "blocked-pipe",
+        "source": {"type": "file", "properties": {"path": str(inp)}},
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out"),
+                                "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    mgr = PipelineManager(spark)
+    with mgr.maintenance_window([]):
+        with pytest.raises(MaintenanceConflict,
+                           match="maintenance is in progress"):
+            mgr.start_pipeline(cfg)
+        # a second window is also refused while one is open
+        with pytest.raises(MaintenanceConflict, match="another"):
+            with mgr.maintenance_window([]):
+                pass
+    # window closed: the same submission now runs to completion
+    job = mgr.start_pipeline(cfg)
+    assert mgr.wait(timeout=120)
+    assert next(j for j in mgr.jobs()
+                if j["name"] == job)["status"] == "COMPLETED"
+
+
+def test_dedup_state_tuning_props_fail_at_build(spark):
+    """Bad near/embedding tuning combinations must fail at BUILD
+    (submission), not in the first micro-batch inside foreachBatch —
+    newly reachable since the props plumb through (r15 review)."""
+    from universal_data_connector_spark.engine import (
+        _check_dedup_state_props,
+    )
+
+    with pytest.raises(ValueError, match="divide numHashes"):
+        _check_dedup_state_props(
+            ["content", "source_file"],
+            {"mode": "near", "stateDir": "/tmp/x",
+             "numHashes": "100", "bands": "32"})
+    with pytest.raises(ValueError, match="must divide n_planes"):
+        _check_dedup_state_props(
+            ["embedding", "vec_id"],
+            {"mode": "embedding", "stateDir": "/tmp/x",
+             "nPlanes": "100", "bands": "32"})
+
+
+def test_seen_store_prefix_with_braces_round_trips(spark, s3_setup):
+    """Braces are legal S3 key characters; the task-side str.format
+    over the key template must not read a user prefix like
+    'corpus-{prod}' as a placeholder (r15 review)."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+    )
+
+    tgt = _target(s3_setup, "corpus-{prod}/seen")
+    b1, c1 = seen_filter_s3(
+        _doc_frame(spark, [(1, "brace one"), (2, "brace two")]),
+        tgt, ["text"])
+    assert b1.count() == 2
+    c1()
+    b2, _ = seen_filter_s3(
+        _doc_frame(spark, [(3, "brace one"), (4, "brace three")]),
+        tgt, ["text"])
+    assert sorted(r.doc_id for r in b2.collect()) == [4]
+
+
+def test_injected_client_config_reaches_executor_kwargs(s3_setup):
+    """An injected client's botocore Config (addressing style) must
+    survive into the executor-side client kwargs (r15 review: MinIO
+    path-style clients lost it and misrouted)."""
+    from botocore.config import Config
+
+    endpoint, _client = s3_setup
+    styled = boto3.client(
+        "s3", endpoint_url=endpoint,
+        config=Config(s3={"addressing_style": "path"}), **CREDS)
+    styled.create_bucket(Bucket="styled-bucket")
+    tgt = S3StateTarget("styled-bucket", "cfg-carry", client=styled,
+                        num_buckets=4)
+    cfg = tgt.client_kwargs.get("config")
+    assert cfg is not None and cfg.s3 == {"addressing_style": "path"}
+    # and the kwargs still build a working client
+    probe = boto3.client("s3", **tgt.client_kwargs)
+    probe.put_object(Bucket="styled-bucket", Key="cfg-carry/ping",
+                     Body=b"x")
+    assert probe.get_object(Bucket="styled-bucket",
+                            Key="cfg-carry/ping")["Body"].read() == b"x"
+
+
+def test_engine_run_still_raises_for_direct_jdbc_streaming(spark):
+    """engine.run(streaming=True) keeps the loud build-time raise for
+    a jdbc source: a DIRECT API caller was promised a StreamingQuery,
+    and silently running batch and returning None would break
+    query.awaitTermination() after the work already ran (r15 review).
+    The downgrade applies on the YAML/manager surface only."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    cfg = parse_config({"pipelines": [{
+        "name": "direct-jdbc-stream",
+        "source": {"type": "jdbc", "properties": {
+            "jdbcUrl": "jdbc:derby:memory:direct;create=true",
+            "query": "SELECT 1", "streaming": "true"}},
+        "sink": {"type": "file",
+                 "properties": {"path": "/tmp/na", "format": "parquet"}},
+    }]}).pipelines[0]
+    with pytest.raises(ValueError, match="batch pipelines only"):
+        run(spark, cfg, streaming=True)

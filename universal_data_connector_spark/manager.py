@@ -28,6 +28,7 @@ FAILED — which the reference's park-forever JDBC one-shot never reaches
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 import time
@@ -102,12 +103,53 @@ class Job:
                 "submissionTime": self.submission_time_ms}
 
 
+class MaintenanceConflict(RuntimeError):
+    """Offline store maintenance refused: jobs are running (or another
+    maintenance operation holds the window)."""
+
+    def __init__(self, message: str, running: list[str]):
+        super().__init__(message)
+        self.running = running
+
+
 class PipelineManager:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._jobs: dict[str, Job] = {}
         self._lock = threading.Lock()
         self._last_ms = 0
+        self._maintenance = False
+
+    # -- maintenance window ----------------------------------------------
+
+    @contextlib.contextmanager
+    def maintenance_window(self, pipelines: list[str]):
+        """Exclusive window for offline store maintenance (r15 review:
+        the one-shot running check was a TOCTOU — a pipeline starting
+        DURING a long compaction re-opened the rename-swap data-loss
+        race the check exists to prevent). Entry refuses while any job
+        of the named pipeline configs is running or another window is
+        open; for the window's duration ``start_pipeline`` refuses new
+        submissions (checked at entry AND atomically at registration,
+        so a submission in flight when the window opens aborts before
+        its worker starts)."""
+        with self._lock:
+            if self._maintenance:
+                raise MaintenanceConflict(
+                    "another maintenance operation is running", [])
+            live = {j.pipeline for j in self._jobs.values()
+                    if j.is_running}
+            running = sorted(set(pipelines) & live)
+            if running:
+                raise MaintenanceConflict(
+                    "store maintenance is offline-only: stop the "
+                    "running pipeline job(s) first", running)
+            self._maintenance = True
+        try:
+            yield
+        finally:
+            with self._lock:
+                self._maintenance = False
 
     # -- start ----------------------------------------------------------
 
@@ -134,6 +176,11 @@ class PipelineManager:
         # run it with its real (batch) semantics instead of raising on
         # a ported YAML (engine.effective_streaming logs the downgrade)
         streaming = engine.effective_streaming(cfg, streaming)
+        with self._lock:
+            if self._maintenance:
+                raise MaintenanceConflict(
+                    "store maintenance is in progress on this manager; "
+                    "retry after it completes", [])
         # monotonic submission stamp: two submissions of one pipeline
         # in the same millisecond would otherwise collide on the job
         # name, silently orphaning the first job's handle AND sharing
@@ -236,9 +283,26 @@ class PipelineManager:
 
             job.thread = threading.Thread(target=target,
                                           name=job_name, daemon=True)
-            job.thread.start()
+        # register BEFORE any worker starts (r15 review): the old
+        # thread-start-then-register order left a window where
+        # running_pipelines()/the maintenance check could miss a job
+        # that was already doing work. The registration is also the
+        # atomic re-check against a maintenance window that opened
+        # while this pipeline was building.
         with self._lock:
-            self._jobs[job_name] = job
+            aborted = self._maintenance
+            if not aborted:
+                self._jobs[job_name] = job
+        if aborted:
+            if streaming and job.query is not None:
+                with contextlib.suppress(Exception):
+                    job.query.stop()
+            job.release_pins()
+            raise MaintenanceConflict(
+                "store maintenance began while this pipeline was "
+                "building; retry after it completes", [])
+        if not streaming:
+            job.thread.start()
         return job_name
 
     # -- stop -----------------------------------------------------------

@@ -243,9 +243,13 @@ def seen_filter_s3(df: DataFrame, target, cols: list[str],
     keyed_objects = [(k, b) for b in touched
                      for k in _seen_objects(target, f"kb={b}")]
     if keyed_objects:
+        # eager checkpoint AFTER the distinct (parity with the old
+        # transport and with _s3_read_sub): one GET per history object
+        # total, even when the survivors frame is consumed by several
+        # actions or a persist=False caller re-evaluates the plan
         seen = (read_objects(df.sparkSession, target, keyed_objects,
                              f"{_KEY} string")
-                .distinct())
+                .distinct().localCheckpoint(eager=True))
         keyed = keyed.join(seen, on=_KEY, how="left_anti")
     if persist:
         keyed = _pin(keyed)
@@ -592,11 +596,13 @@ def _s3_append_sub(frame: DataFrame, target, touched: list[int],
     append-only argument in ``seen_filter_s3``; no driver staging).
     Returns objects uploaded."""
     from universal_data_connector_spark.streaming.object_state import (
+        key_format,
         write_objects,
     )
 
     parts = ([sub] if sub else []) + ["kb={b}", "seen-{nonce}-{i}.parquet"]
-    objects = write_objects(frame, target, touched, target._key(*parts))
+    objects = write_objects(frame, target, touched,
+                            key_format(target, *parts))
     return sum(len(ks) for ks in objects.values())
 
 
@@ -1050,6 +1056,7 @@ def compact_seen_store_s3(spark, target) -> int:
     matters now that ``compactEveryBatches`` puts compaction inside
     the streaming loop. Deletes stay per-bucket and listing-scoped."""
     from universal_data_connector_spark.streaming.object_state import (
+        key_format,
         read_objects,
         write_objects,
     )
@@ -1073,7 +1080,7 @@ def compact_seen_store_s3(spark, target) -> int:
         # one task per touched bucket -> one rewrite object per bucket
         # (plus rollovers past the buffer cap)
         write_objects(distinct, target, sorted(listed),
-                      target._key(*parts))
+                      key_format(target, *parts))
         for ks in listed.values():
             target.delete_keys(ks)
             deleted += len(ks)

@@ -118,31 +118,32 @@ class ControlPlaneServer:
                         compact_stores,
                         vacuum_stores,
                     )
+                    from universal_data_connector_spark.manager import (
+                        MaintenanceConflict,
+                    )
                     try:
                         cfg = load_config(path)
-                        # offline-only, ENFORCED (ADVICE r14): POSIX
-                        # compaction's rename swap racing a concurrent
-                        # append silently deletes freshly appended
-                        # seen keys. The manager knows its own jobs —
-                        # refuse while any pipeline of THIS config is
-                        # running. (A different config writing the
-                        # same store from another process is outside
-                        # the manager's knowledge; that remains the
-                        # documented operator contract.)
-                        live = m.running_pipelines()
-                        running = [p.name for p in cfg.pipelines
-                                   if p.name in live]
-                        if running:
-                            return self._json(409, {
-                                "error": "store maintenance is "
-                                         "offline-only: stop the "
-                                         "running pipeline job(s) "
-                                         "first",
-                                "running": running})
-                        if op == "compact":
-                            out = {"compacted": compact_stores(m.spark, cfg)}
-                        else:
-                            out = {"vacuumed": vacuum_stores(cfg)}
+                        # offline-only, ENFORCED (ADVICE r14 + r15
+                        # review): POSIX compaction's rename swap
+                        # racing a concurrent append silently deletes
+                        # freshly appended seen keys. The window is
+                        # held for the WHOLE operation — entry refuses
+                        # while any pipeline of THIS config runs, and
+                        # new start_pipeline calls refuse while it is
+                        # open (no TOCTOU). A different config writing
+                        # the same store from another process remains
+                        # outside the manager's knowledge — documented
+                        # operator contract.
+                        names = [p.name for p in cfg.pipelines]
+                        with m.maintenance_window(names):
+                            if op == "compact":
+                                out = {"compacted":
+                                       compact_stores(m.spark, cfg)}
+                            else:
+                                out = {"vacuumed": vacuum_stores(cfg)}
+                    except MaintenanceConflict as exc:
+                        return self._json(409, {
+                            "error": str(exc), "running": exc.running})
                     except Exception as exc:  # noqa: BLE001
                         return self._json(500, {"error": str(exc)})
                     return self._json(200, out)

@@ -95,19 +95,43 @@ def _is_missing(exc) -> bool:
 def _client_kwargs_of(client) -> dict:
     """Reconstruct boto3 ``client(...)`` kwargs from a live client so
     EXECUTORS can build their own connection to the same endpoint (the
-    client object itself is not picklable). Endpoint/region come from
-    the public ``client.meta``; explicit credentials are recovered
-    best-effort — when absent (instance profile, env, shared config)
-    each executor resolves the ambient chain independently, the same
-    posture as the S3 source's ``mapInPandas`` fetch."""
+    client object itself is not picklable). Endpoint/region and the
+    botocore ``Config`` (addressing style, retries — picklable) come
+    from the public ``client.meta``; explicit credentials are
+    recovered best-effort — when absent (instance profile, env, shared
+    config) each executor resolves the ambient chain independently,
+    the same posture as the S3 source's ``mapInPandas`` fetch.
+
+    REFRESHABLE credentials (STS / assumed role) are snapshotted at
+    this point in time — the frozen token ships to every task and will
+    expire with the session it came from, while the driver's client
+    keeps refreshing (r15 review). That is unavoidable for an injected
+    client; a long-running pipeline should pass explicit
+    ``client_kwargs`` to ``S3StateTarget`` or omit credentials and let
+    executors resolve the ambient chain — warned here so the eventual
+    ExpiredToken failure is attributable."""
     kw = {}
     try:
         if client.meta.endpoint_url:
             kw["endpoint_url"] = client.meta.endpoint_url
         if client.meta.region_name:
             kw["region_name"] = client.meta.region_name
+        if client.meta.config is not None:
+            kw["config"] = client.meta.config
         creds = client._request_signer._credentials
         if creds is not None:
+            from botocore.credentials import RefreshableCredentials
+
+            if isinstance(creds, RefreshableCredentials):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "S3StateTarget: the injected client uses "
+                    "REFRESHABLE credentials; executor tasks get a "
+                    "point-in-time snapshot that expires with the "
+                    "session. Pass explicit client kwargs, or omit "
+                    "credentials so executors resolve the ambient "
+                    "provider chain.")
             frozen = creds.get_frozen_credentials()
             kw["aws_access_key_id"] = frozen.access_key
             kw["aws_secret_access_key"] = frozen.secret_key
@@ -400,6 +424,17 @@ def _pointer_objects(pointers: dict) -> list[tuple[str, int]]:
             if ptr is not None for key in ptr["objects"]]
 
 
+def key_format(target: S3StateTarget, *parts: str) -> str:
+    """Object-key template for ``write_objects``: the target PREFIX is
+    brace-escaped (braces are legal S3 key characters — a user prefix
+    like ``corpus-{prod}`` must not be read as a placeholder by the
+    task-side ``str.format``), so the ``{b}``/``{nonce}``/``{i}``
+    placeholders in ``parts`` — which the transport itself supplies —
+    are the only ones."""
+    prefix = target.prefix.replace("{", "{{").replace("}", "}}")
+    return "/".join(([prefix] if prefix else []) + list(parts))
+
+
 def _gen_key_fmt(target: S3StateTarget, gen_id: int) -> str:
     """Object-key template for one generation upload. The RUN-level
     nonce in the generation directory name keeps a constant-id batch
@@ -411,8 +446,8 @@ def _gen_key_fmt(target: S3StateTarget, gen_id: int) -> str:
     import uuid
 
     run_nonce = uuid.uuid4().hex[:8]
-    return target._key("kb={b}", f"gen-{gen_id}-{run_nonce}",
-                       "part-{nonce}-{i}.parquet")
+    return key_format(target, "kb={b}", f"gen-{gen_id}-{run_nonce}",
+                      "part-{nonce}-{i}.parquet")
 
 
 def upsert_merge_s3(batch_df: DataFrame, batch_id: int, *,
