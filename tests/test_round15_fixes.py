@@ -895,3 +895,70 @@ def test_engine_run_still_raises_for_direct_jdbc_streaming(spark):
     }]}).pipelines[0]
     with pytest.raises(ValueError, match="batch pipelines only"):
         run(spark, cfg, streaming=True)
+
+
+# ---------------------------------------------------------------------------
+# 7. cadence x restart interaction
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compaction_cadence_survives_query_restarts(spark, tmp_path,
+                                                    seed):
+    """compactEveryBatches composed with kill-and-restart: the query
+    is stopped and re-run between drops (offsets replay, batch ids
+    continue from the checkpoint) while the cadence compacts the store
+    mid-history. Model: every distinct content ships exactly once
+    across the whole history, and the store never exceeds one file
+    per bucket plus the post-compaction appends."""
+    import os
+    import random
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    rng = random.Random(seed)
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    store = tmp_path / "seen"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "cadence-restart-fuzz",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"stateDir": str(store), "keys": "content",
+                            "numBuckets": "4",
+                            "compactEveryBatches": "2",
+                            "checkpointLocation":
+                                str(tmp_path / "ckpt")}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    vocab = [f"cadence fuzz variant {i}" for i in range(6)]
+    shipped: set[str] = set()
+    next_id = 0
+    for _round in range(6):
+        for _ in range(rng.randint(0, 3)):
+            text = vocab[rng.randrange(len(vocab))]
+            (inp / f"f{next_id}.txt").write_text(text)
+            next_id += 1
+            shipped.add(text)
+        q = run(spark, cfg, streaming=True)   # fresh query each round
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted((out / n).read_text().rstrip("\n")
+                     for n in os.listdir(out))
+        assert got == sorted(shipped), f"round {_round}"
+        # compaction bound: at most 2 files per bucket (the compacted
+        # file plus at most one post-compaction append at cadence 2)
+        for name in os.listdir(store):
+            if name.startswith("udc_kb="):
+                files = [f for f in os.listdir(store / name)
+                         if f.endswith(".parquet")]
+                assert len(files) <= 2, (name, files)
