@@ -962,3 +962,64 @@ def test_compaction_cadence_survives_query_restarts(spark, tmp_path,
                 files = [f for f in os.listdir(store / name)
                          if f.endswith(".parquet")]
                 assert len(files) <= 2, (name, files)
+
+
+def test_compaction_cadence_survives_restarts_s3(spark, tmp_path,
+                                                 s3_setup):
+    """Object-store twin of the cadence x restart fuzz (one seed):
+    same exactly-once model, per-bucket OBJECT count bounded by the
+    cadence."""
+    import os
+    import random
+
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.engine import run
+
+    endpoint, _client = s3_setup
+    tgt = _target(s3_setup, "cadence-restart")
+    rng = random.Random(3)
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    cfg = parse_config({"pipelines": [{
+        "name": "cadence-restart-s3",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"keys": "content",
+                            "bucketName": BUCKET,
+                            "prefix": tgt.prefix,
+                            "endpoint": endpoint,
+                            "accessKey": CREDS["aws_access_key_id"],
+                            "secretKey": CREDS["aws_secret_access_key"],
+                            "compactEveryBatches": "2",
+                            "checkpointLocation":
+                                str(tmp_path / "ckpt")}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+    vocab = [f"s3 cadence variant {i}" for i in range(5)]
+    shipped: set[str] = set()
+    next_id = 0
+    for _round in range(4):
+        for _ in range(rng.randint(0, 3)):
+            text = vocab[rng.randrange(len(vocab))]
+            (inp / f"f{next_id}.txt").write_text(text)
+            next_id += 1
+            shipped.add(text)
+        q = run(spark, cfg, streaming=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted((out / n).read_text().rstrip("\n")
+                     for n in os.listdir(out))
+        assert got == sorted(shipped), f"round {_round}"
+        for b in range(tgt.num_buckets):
+            ks = [k for k in tgt.list_keys(under=f"kb={b}")
+                  if k.endswith(".parquet")]
+            assert len(ks) <= 2, (b, ks)
