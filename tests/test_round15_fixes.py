@@ -1023,3 +1023,26 @@ def test_compaction_cadence_survives_restarts_s3(spark, tmp_path,
             ks = [k for k in tgt.list_keys(under=f"kb={b}")
                   if k.endswith(".parquet")]
             assert len(ks) <= 2, (b, ks)
+
+
+def test_read_objects_schema_evolution_fails_descriptively(
+        spark, s3_setup):
+    """A read schema asking for a column the stored objects never had
+    (pipeline schema evolution) must fail naming the object and the
+    missing column — not with pyarrow's bare KeyError inside a task."""
+    from universal_data_connector_spark.streaming.object_state import (
+        read_objects,
+    )
+
+    tgt = _target(s3_setup, "schema-evo")
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0)]), 1, target=tgt,
+                    keys=["user_id"], order_col="ord")
+    ptr = next(tgt.read_pointer(b)[0]
+               for b in range(tgt.num_buckets)
+               if tgt.read_pointer(b)[0] is not None)
+    keyed = [(k, 0) for k in ptr["objects"]]
+    evolved = read_objects(
+        spark, tgt, keyed,
+        "user_id bigint, ord bigint, value double, new_col string")
+    with pytest.raises(Exception, match="lacks column.*new_col"):
+        evolved.collect()

@@ -323,6 +323,15 @@ def read_objects(spark, target: S3StateTarget,
                 if want_kb:
                     tab = tab.append_column(
                         _KB, pa.array([kb] * len(tab), type=pa.int32()))
+                missing = [n for n in arrow_out.names
+                           if n not in tab.column_names]
+                if missing:
+                    raise ValueError(
+                        f"stored object {key!r} lacks column(s) "
+                        f"{missing} expected by the read schema — a "
+                        "state target's schema is fixed at first "
+                        "commit; evolved pipelines need a new target "
+                        "(or an offline backfill of the old objects)")
                 tab = tab.select(arrow_out.names).cast(arrow_out)
                 yield from tab.to_batches()
 
