@@ -18,60 +18,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-15 rotation
-# (VERDICT r14 item 2): the 49-key r12-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r12 (recomputed union over
-# r01..r14: split r12:49 / r13:48 / r14:50) — plus the flagship.
-# This cohort carries the wave-3f-touched agg_rollup / agg_cube /
-# scan_partition_pruned, so their r14 oracle-side changes get driver
-# confirmation. 49 + 1 = 50; catalog holds at 147.
+# recent driver evidence goes stale (>2 rounds old). Round-16 rotation
+# (VERDICT r15 item 2): the 48-key r13-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r13 (recomputed union over
+# r01..r15: split r13:48 / r14:49 / r15:50) — plus the flagship and one
+# spare, dedup_exact (adjacent to the store-lease surface r16 touches).
+# 48 + 1 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r12 aggregation keys (nine)
-    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
-    "agg_grouping_sets", "agg_hash_sum_avg", "agg_histogram_bins",
-    "agg_pivot", "agg_rollup", "agg_stats_moments",
-    # r12 cast keys (two)
-    "cast_currency_double", "cast_lenient_int",
-    # r12 dedup key
-    "dedup_simhash",
-    # r12 map/defaults key
-    "defaults_on_null",
-    # r12 data-quality keys (two)
-    "dq_column_profile", "dq_expectations",
-    # r12 analytics keys (three)
-    "events_funnel_steps", "events_window_funnel_conversion",
-    "retention_cohorts",
-    # r12 filter keys (four)
-    "filter_any_row_per_file", "filter_contains", "filter_equality",
-    "filter_null_safe",
-    # r12 join keys (ten)
-    "join_anti", "join_asof", "join_full_outer", "join_inner_hash",
-    "join_interval_overlap", "join_left", "join_range_theta",
-    "join_salted_skew", "join_semi", "join_star_schema",
-    # r12 maintenance key
-    "maintenance_compact_files",
-    # r12 map key
-    "map_prefix_suffix",
-    # r12 multimodal key (rows-only)
-    "multimodal_resize",
-    # r12 composition key (perf-watch key: fresh driver row each window)
-    "pipeline_training_data",
-    # r12 projection keys (two)
-    "project_columns", "rename_columns",
-    # r12 reshape / sampling keys (two)
-    "reshape_chunk_tokens", "sample_capped_per_key",
-    # r12 scan keys (two)
-    "scan_jsonl_roundtrip", "scan_partition_pruned",
-    # r12 streaming keys (two)
-    "stream_stateful_totals", "stream_stream_interval_join",
-    # r12 text key
-    "text_repetition_ratio",
-    # r12 time-series keys (two)
-    "ts_rollup_gapfill", "ts_subsequence_search",
-    # r12 window keys (two)
-    "window_row_number_topk", "window_running_sum",
+    # r13-evidence cohort (48 keys)
+    "agg_array_collect", "agg_grouped_mad_pandas", "agg_mode_per_group",
+    "agg_percentile_exact", "agg_regression_ols", "base64_roundtrip",
+    "cogroup_asof_merge", "csv_parse_rfc4180", "date_funcs",
+    "dedup_near_minhash", "dq_fk_integrity", "events_dau_wau",
+    "events_rfm_segments", "events_sessionize_gap", "events_top_paths",
+    "join_asof_nearest", "join_bucketed_colocated", "join_null_safe_eq",
+    "json_funcs", "limit_topk", "math_funcs",
+    "sample_hash_split", "scan_csv_malformed_permissive", "scan_parquet",
+    "scan_schema_evolution_merge", "set_except", "set_intersect",
+    "set_union_all", "sort_multi_key", "str_funcs",
+    "stream_agg_state_totals", "stream_late_data_watermark", "stream_session_window",
+    "stream_sliding_agg", "stream_tumbling_count", "stream_upsert_latest",
+    "text_boilerplate_ngrams", "text_vocab_topk", "ts_anomaly_mad",
+    "ts_ewma", "ts_moving_window_avg", "ts_resample_interp",
+    "window_first_last", "window_gap_islands", "window_lag_lead",
+    "window_percent_of_total", "window_range_frame", "window_rank_family",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
+    # spare: adjacent to the r16 store-lease surface
+    "dedup_exact",
 ]
 
 
