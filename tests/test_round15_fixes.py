@@ -141,7 +141,7 @@ class _CountingClient:
 
     def __getattr__(self, name):
         attr = getattr(self._inner, name)
-        if name in ("get_object", "put_object"):
+        if name in ("get_object", "put_object", "delete_object"):
             def wrapped(*a, **k):
                 self.counts[name] = self.counts.get(name, 0) + 1
                 return attr(*a, **k)
@@ -151,11 +151,14 @@ class _CountingClient:
 
 def test_driver_client_is_metadata_rate_only(spark, s3_setup):
     """Steady-state warm agg merge over k touched buckets: the driver
-    client performs exactly k+1 GETs (k pointers + 1 intent probe)
-    and k PUTs (k pointer CAS) — the k data GETs and k data PUTs of
-    the BENCH_NOTES_r14 §6 table moved into the executor tasks, so
-    the 2k+1 / 2k protocol totals are unchanged while the driver's
-    share is metadata-rate."""
+    client performs exactly k+2 GETs (k pointers + 1 intent probe +
+    1 store-lease probe) and k+1 PUTs (k pointer CAS + 1 writer mark)
+    — the k data GETs and k data PUTs of the BENCH_NOTES_r14 §6 table
+    moved into the executor tasks, so the driver's share is
+    metadata-rate. The r16 store-lease writer mark adds a CONSTANT
+    +1 GET / +1 PUT / +1 DELETE per merge (flat in k), the price of
+    fencing the merge's fresh generation against a concurrent
+    vacuum."""
     endpoint, real_client = s3_setup
     counting = _CountingClient(real_client)
     tgt = S3StateTarget(BUCKET, "metadata-rate", client=counting,
@@ -171,8 +174,9 @@ def test_driver_client_is_metadata_rate_only(spark, s3_setup):
     counting.counts.clear()
     agg_state_merge_s3(_frame(spark, rows), 2, target=tgt,
                        keys=["user_id"], value_col="value")
-    assert counting.counts.get("get_object", 0) == k + 1
-    assert counting.counts.get("put_object", 0) == k
+    assert counting.counts.get("get_object", 0) == k + 2
+    assert counting.counts.get("put_object", 0) == k + 1
+    assert counting.counts.get("delete_object", 0) == 1
     # the data plane still moved: every bucket's pointer advanced to a
     # fresh, non-empty generation object list (PUT by the executors)
     for b in range(tgt.num_buckets):

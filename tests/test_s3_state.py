@@ -1342,3 +1342,22 @@ def test_dedup_state_streaming_s3_store(spark, tmp_path, s3_client,
     # keys landed on the object store, not on local disk
     assert any(k for k in target.list_keys()
                if "seen-" in k and k.endswith(".parquet"))
+
+
+def test_read_state_s3_eager_snapshot_survives_merge_and_vacuum(
+        spark, target):
+    """ADVICE r15: the default frame is LAZY (re-GETs pointer-listed
+    objects per action), so a caller interleaving reads with a merge
+    commit plus vacuum would re-evaluate against deleted generations.
+    ``eager=True`` restores the pinned-snapshot behavior."""
+    upsert_merge_s3(_frame(spark, [(1, 10, 1.0)]), 1, target=target,
+                    keys=["user_id"], order_col="ord")
+    snap = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double",
+        eager=True)
+    # supersede the generation the snapshot came from, then vacuum it
+    upsert_merge_s3(_frame(spark, [(1, 20, 9.0)]), 2, target=target,
+                    keys=["user_id"], order_col="ord")
+    vacuum_target(target)
+    got = {r.user_id: (r.ord, r.value) for r in snap.collect()}
+    assert got == {1: (10, 1.0)}  # the pinned pre-merge state

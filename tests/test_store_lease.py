@@ -1,0 +1,521 @@
+"""Store-carried maintenance exclusion (``store_lease``, VERDICT r15
+item 1): compaction/vacuum acquire a lease carried BY THE STORE and
+writer commits register marks there, so the exclusion holds across
+configs, managers and processes — where the manager's config-name
+``maintenance_window`` alone could not see a second config or a second
+process writing the same store path.
+
+The two race tests the verdict prescribed are here: a TWO-CONFIG race
+(config B's maintenance vs a store config A is mid-commit on — both
+through the same public surfaces the REST endpoint drives) and a
+TWO-PROCESS race (a separate OS process holds the mark/lease). Both
+fail against the pre-r16 code, where compaction proceeded into the
+rename-swap data-loss window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+import uuid
+
+import pytest
+
+from universal_data_connector_spark.operators.dedup_state import (
+    compact_seen_store,
+    seen_filter,
+    seen_near_filter,
+)
+from universal_data_connector_spark.store_lease import (
+    LEASE_NAME,
+    WRITERS_DIR,
+    StoreLeaseHeld,
+    lease_owner,
+    posix_maintenance_lease,
+    posix_writer_mark,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.collect())
+
+
+def _seed_store(spark, store) -> None:
+    _, c = seen_filter(_docs(spark, [(1, "aa"), (2, "bb")]),
+                       store, ["text"], num_buckets=4)
+    c()
+
+
+# ---------------------------------------------------------------------------
+# POSIX: primitive + wiring
+# ---------------------------------------------------------------------------
+
+def test_posix_lease_excludes_second_lease(tmp_path):
+    store = str(tmp_path / "seen")
+    with posix_maintenance_lease(store):
+        with pytest.raises(StoreLeaseHeld):
+            with posix_maintenance_lease(store):
+                pass
+    # released on exit: re-acquirable
+    with posix_maintenance_lease(store):
+        pass
+
+
+def test_posix_compaction_refused_while_commit_in_flight(
+        spark, tmp_path):
+    """THE data-loss race the lease exists to close: a commit in
+    flight (writer mark held — any config, any process) must make
+    compaction refuse instead of swapping bucket dirs out from under
+    the commit's renames. Fails against pre-r16 code (compaction
+    proceeded)."""
+    store = str(tmp_path / "seen")
+    _seed_store(spark, store)
+    with posix_writer_mark(store):
+        with pytest.raises(StoreLeaseHeld):
+            compact_seen_store(spark, store)
+    # mark released: compaction proceeds
+    compact_seen_store(spark, store)
+
+
+def test_posix_commit_refused_under_maintenance_lease(spark, tmp_path):
+    """The reverse direction: a commit arriving while maintenance
+    holds the store lease refuses BEFORE any append (store unchanged —
+    the rerun ships the same survivors)."""
+    store = str(tmp_path / "seen")
+    _seed_store(spark, store)
+    survivors, commit = seen_filter(
+        _docs(spark, [(3, "cc")]), store, ["text"], num_buckets=4)
+    assert _ids(survivors) == [3]
+    with posix_maintenance_lease(store):
+        with pytest.raises(StoreLeaseHeld):
+            commit()
+    # nothing appended: the same content still filters as NEW
+    again, commit2 = seen_filter(
+        _docs(spark, [(4, "cc")]), store, ["text"], num_buckets=4)
+    assert _ids(again) == [4]
+    commit2()
+
+
+def test_posix_near_commit_refused_under_maintenance_lease(
+        spark, tmp_path):
+    """The near store's two-sub-store commit goes through the same
+    writer mark (one per sub-store append)."""
+    store = str(tmp_path / "near")
+    s1, c1 = seen_near_filter(
+        _docs(spark, [(1, "the quick brown fox jumps over the dog")]),
+        store, text_col="text", id_col="doc_id", num_buckets=4)
+    c1()
+    s2, c2 = seen_near_filter(
+        _docs(spark, [(2, "an entirely different document body here")]),
+        store, text_col="text", id_col="doc_id", num_buckets=4)
+    with posix_maintenance_lease(store):
+        with pytest.raises(StoreLeaseHeld):
+            c2()
+    c2()  # after release the same commit completes
+
+
+def test_posix_stale_dead_pid_artifacts_are_broken(spark, tmp_path):
+    """A crashed holder must not wedge the store: lease AND mark files
+    recorded by a dead pid on this host are broken by the next
+    checker."""
+    store = str(tmp_path / "seen")
+    _seed_store(spark, store)
+    proc = subprocess.run([sys.executable, "-c",
+                           "import os; print(os.getpid())"],
+                          capture_output=True, text=True, check=True)
+    dead = {"owner": None, "op": "compact", "pid": int(proc.stdout),
+            "host": __import__("socket").gethostname(),
+            "acquired_unix": time.time(), "ttl_seconds": None}
+    with open(os.path.join(store, LEASE_NAME), "w") as fh:
+        json.dump(dead, fh)
+    # writer breaks the dead lease and commits
+    _, commit = seen_filter(_docs(spark, [(3, "cc")]), store,
+                            ["text"], num_buckets=4)
+    commit()
+    # dead writer mark likewise broken by maintenance
+    os.makedirs(os.path.join(store, WRITERS_DIR), exist_ok=True)
+    with open(os.path.join(store, WRITERS_DIR, "deadmark"), "w") as fh:
+        json.dump(dict(dead, op="commit"), fh)
+    compact_seen_store(spark, store)
+    assert not os.path.exists(os.path.join(store, WRITERS_DIR,
+                                           "deadmark"))
+
+
+def test_posix_same_owner_breaks_stale_predecessor(tmp_path):
+    """A restarted incarnation of the SAME logical owner (a streaming
+    query resuming its checkpoint) supersedes its predecessor's
+    artifacts even when pid-liveness can't decide (same live pid)."""
+    store = str(tmp_path / "seen")
+    os.makedirs(store, exist_ok=True)
+    stale = {"owner": "stream:ckpt-1", "op": "compact",
+             "pid": os.getpid(),
+             "host": __import__("socket").gethostname(),
+             "acquired_unix": time.time(), "ttl_seconds": None}
+    with open(os.path.join(store, LEASE_NAME), "w") as fh:
+        json.dump(stale, fh)
+    with lease_owner("stream:ckpt-1"):
+        with posix_maintenance_lease(store):
+            pass  # acquired by breaking the same-owner leftover
+    # a DIFFERENT owner may not break it (live pid, no TTL)
+    with open(os.path.join(store, LEASE_NAME), "w") as fh:
+        json.dump(stale, fh)
+    with lease_owner("stream:ckpt-2"), pytest.raises(StoreLeaseHeld):
+        with posix_maintenance_lease(store):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# POSIX: the two-process race (VERDICT r15 item 1 done-criterion)
+# ---------------------------------------------------------------------------
+
+def _hold_in_subprocess(kind: str, store: str) -> subprocess.Popen:
+    """A real second OS process holding a writer mark or the
+    maintenance lease on ``store`` via the public API."""
+    ctx = ("posix_writer_mark" if kind == "mark"
+           else "posix_maintenance_lease")
+    code = textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, {REPO!r})
+        from universal_data_connector_spark.store_lease import {ctx}
+        with {ctx}({store!r}):
+            print("HELD", flush=True)
+            time.sleep(60)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, text=True)
+    assert proc.stdout.readline().strip() == "HELD"
+    return proc
+
+
+def test_two_process_compaction_refused(spark, tmp_path):
+    """Compaction racing a concurrent append from ANOTHER PROCESS on
+    the SAME store path: the store-carried mark makes it refuse. The
+    pre-r16 manager window could not see this process at all."""
+    store = str(tmp_path / "seen")
+    _seed_store(spark, store)
+    proc = _hold_in_subprocess("mark", store)
+    try:
+        with pytest.raises(StoreLeaseHeld):
+            compact_seen_store(spark, store)
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_two_process_commit_refused(spark, tmp_path):
+    """The mirror image: this process's commit refuses while another
+    process holds the store's maintenance lease."""
+    store = str(tmp_path / "seen")
+    _seed_store(spark, store)
+    _, commit = seen_filter(_docs(spark, [(3, "cc")]), store,
+                            ["text"], num_buckets=4)
+    proc = _hold_in_subprocess("lease", store)
+    try:
+        with pytest.raises(StoreLeaseHeld):
+            commit()
+    finally:
+        proc.kill()
+        proc.wait()
+    commit()  # holder gone: the same commit completes
+
+
+# ---------------------------------------------------------------------------
+# the two-config race (VERDICT r15 item 1 done-criterion)
+# ---------------------------------------------------------------------------
+
+def test_two_config_maintenance_409_on_shared_store(spark, tmp_path):
+    """Config B (different pipeline names — the manager window sees
+    nothing running) compacts the SAME stateDir config A is mid-commit
+    on: the store lease refuses, and the REST endpoint maps it to 409
+    keyed on store identity. Fails against pre-r16 code, where the
+    config-name window let compaction proceed."""
+    import urllib.request
+
+    from universal_data_connector_spark.manager import PipelineManager
+    from universal_data_connector_spark.rest import ControlPlaneServer
+
+    store = str(tmp_path / "shared-store")
+    _seed_store(spark, store)
+    src_b = tmp_path / "in-b"
+    src_b.mkdir()
+    (src_b / "x.txt").write_text("hello")
+    cfg_b = tmp_path / "config-b.yaml"
+    cfg_b.write_text(f"""
+pipelines:
+  - name: pipeline-b-{uuid.uuid4().hex[:6]}
+    source:
+      type: file
+      properties:
+        directoryPath: {src_b}
+    transformations:
+      - type: dedup_state
+        properties:
+          stateDir: {store}
+          keys: content
+    sink:
+      type: file
+      properties:
+        directoryPath: {tmp_path / "out-b"}
+""")
+    server = ControlPlaneServer(PipelineManager(spark), port=0).start()
+    try:
+        url = (f"http://127.0.0.1:{server.port}/api/pipelines/"
+               f"maintenance?configFilePath={cfg_b}&op=compact")
+        # config A's commit is in flight on the shared store
+        with posix_writer_mark(store):
+            req = urllib.request.Request(url, method="POST")
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected HTTP 409")
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 409
+                body = json.loads(exc.read())
+                assert "writer commit" in body["error"]
+        # mark released: the same request succeeds
+        req = urllib.request.Request(url, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["compacted"] == [{"store": store}]
+    finally:
+        server.stop()
+
+
+# ---------------------------------------------------------------------------
+# concurrency stress: no committed key is ever lost
+# ---------------------------------------------------------------------------
+
+def test_posix_interleaved_commits_and_compactions_lose_nothing(
+        spark, tmp_path):
+    """Interleave commits with compaction attempts from a second
+    thread; every commit that RETURNED must have its keys present at
+    the end (losers of the exclusion raise loudly instead)."""
+    import threading
+
+    store = str(tmp_path / "seen")
+    committed: list[str] = []
+    stop = threading.Event()
+    refused = [0]
+
+    def compact_loop():
+        # bounded cadence: a back-to-back loop would hold the lease
+        # nearly continuously and starve the writer (the exclusion is
+        # correct but not fair — maintenance is an OFFLINE op)
+        while not stop.is_set():
+            try:
+                compact_seen_store(spark, store)
+            except StoreLeaseHeld:
+                refused[0] += 1
+            stop.wait(0.4)
+
+    t = threading.Thread(target=compact_loop, daemon=True)
+    t.start()
+    try:
+        i = 0
+        for batch in range(8):
+            texts = [f"doc-{batch}-{j}" for j in range(3)]
+            rows = [(i + j, t_) for j, t_ in enumerate(texts)]
+            i += len(texts)
+            # the production contract under contention: a refused
+            # commit (StoreLeaseHeld) or a read that raced a bucket
+            # swap (loud FAILED_READ_FILE — reader fencing is a
+            # documented non-goal) RERUNS the batch; what must never
+            # happen is a commit that RETURNED losing keys
+            while True:
+                try:
+                    _, commit = seen_filter(_docs(spark, rows), store,
+                                            ["text"], num_buckets=4)
+                    commit()
+                    break
+                except StoreLeaseHeld:
+                    time.sleep(0.01)
+                except Exception as exc:  # noqa: BLE001
+                    # both shapes of the swapped-file race: read-time
+                    # FAILED_READ_FILE and plan-time footer reads
+                    if not any(s in str(exc) for s in
+                               ("FAILED_READ_FILE",
+                                "FileNotFoundException",
+                                "does not exist")):
+                        raise
+                    time.sleep(0.01)
+            committed.extend(texts)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    # every committed text must filter as SEEN
+    probe, _ = seen_filter(
+        _docs(spark, list(enumerate(committed))), store, ["text"],
+        num_buckets=4, persist=False)
+    assert probe.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# object store (moto loopback)
+# ---------------------------------------------------------------------------
+
+moto_server = pytest.importorskip("moto.server")
+boto3 = pytest.importorskip("boto3")
+
+BUCKET = "udc-lease-loopback"
+
+
+@pytest.fixture(scope="module")
+def s3_client():
+    server = moto_server.ThreadedMotoServer(port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    client = boto3.client(
+        "s3", endpoint_url=f"http://127.0.0.1:{port}",
+        region_name="us-east-1",
+        aws_access_key_id="test-access",
+        aws_secret_access_key="test-secret")
+    client.create_bucket(Bucket=BUCKET)
+    yield client
+    server.stop()
+
+
+@pytest.fixture
+def target(s3_client):
+    from universal_data_connector_spark.streaming.object_state import (
+        S3StateTarget,
+    )
+    return S3StateTarget(BUCKET, f"lease-{uuid.uuid4().hex[:8]}",
+                         client=s3_client, num_buckets=4)
+
+
+def _seed_s3(spark, target) -> None:
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+    )
+    _, c = seen_filter_s3(_docs(spark, [(1, "aa"), (2, "bb")]),
+                          target, ["text"])
+    c()
+
+
+def test_s3_compaction_refused_while_commit_in_flight(spark, target):
+    from universal_data_connector_spark.operators.dedup_state import (
+        compact_seen_store_s3,
+    )
+    from universal_data_connector_spark.store_lease import s3_writer_mark
+    _seed_s3(spark, target)
+    with s3_writer_mark(target):
+        with pytest.raises(StoreLeaseHeld):
+            compact_seen_store_s3(spark, target)
+    compact_seen_store_s3(spark, target)
+
+
+def test_s3_seen_append_proceeds_during_maintenance(spark, target):
+    """Deliberate asymmetry vs POSIX (see ``_s3_append_sub``): the
+    object-store seen append is provably safe against compaction
+    (listing-scoped deletes) and vacuum (namespace-excluded), so it
+    takes NO writer mark — at 100 TB a compaction pass is long and a
+    refusal would stall every ingest commit for its duration. The
+    append must succeed under a held lease and its keys must stick."""
+    from universal_data_connector_spark.operators.dedup_state import (
+        seen_filter_s3,
+    )
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+    )
+    _seed_s3(spark, target)
+    survivors, commit = seen_filter_s3(
+        _docs(spark, [(3, "cc")]), target, ["text"])
+    assert _ids(survivors) == [3]
+    with s3_maintenance_lease(target):
+        commit()  # not refused, not lost
+    probe, _ = seen_filter_s3(_docs(spark, [(4, "cc")]),
+                              target, ["text"])
+    assert _ids(probe) == []
+
+
+def test_s3_vacuum_refused_while_merge_in_flight(spark, target):
+    """A vacuum racing a merge would delete the merge's fresh, not-
+    yet-pointer-referenced generation objects; the merge's writer mark
+    makes the vacuum refuse instead."""
+    from universal_data_connector_spark.store_lease import s3_writer_mark
+    from universal_data_connector_spark.streaming.object_state import (
+        vacuum_target,
+    )
+    with s3_writer_mark(target):
+        with pytest.raises(StoreLeaseHeld):
+            vacuum_target(target)
+    assert vacuum_target(target) == 0
+
+
+def test_s3_merge_refused_under_maintenance_lease(spark, target):
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+    )
+    from universal_data_connector_spark.streaming.object_state import (
+        upsert_merge_s3,
+    )
+    frame = spark.createDataFrame(
+        [(1, 10, 1.0)], "user_id bigint, ord bigint, value double")
+    with s3_maintenance_lease(target):
+        with pytest.raises(StoreLeaseHeld):
+            upsert_merge_s3(frame, 1, target=target,
+                            keys=["user_id"], order_col="ord")
+    upsert_merge_s3(frame, 1, target=target, keys=["user_id"],
+                    order_col="ord")
+
+
+def test_s3_vacuum_never_deletes_lease_namespace(spark, target):
+    """The control objects (lease while held, writer-mark namespace)
+    are excluded from the vacuum's garbage listing."""
+    from universal_data_connector_spark.streaming.object_state import (
+        upsert_merge_s3,
+        vacuum_target,
+    )
+    frame = spark.createDataFrame(
+        [(1, 10, 1.0)], "user_id bigint, ord bigint, value double")
+    upsert_merge_s3(frame, 1, target=target, keys=["user_id"],
+                    order_col="ord")
+    # a stale (ttl=0) mark: vacuum cleans it via the staleness rule,
+    # but never lists the namespace as data garbage
+    key = target._key(WRITERS_DIR, "stale-mark")
+    target.client.put_object(
+        Bucket=target.bucket, Key=key, Body=json.dumps(
+            {"owner": "gone", "op": "commit", "pid": 1, "host": "x",
+             "acquired_unix": 0.0, "ttl_seconds": 0.0}).encode())
+    vacuum_target(target)
+    # state intact after the vacuum
+    from universal_data_connector_spark.streaming.object_state import (
+        read_state_s3,
+    )
+    out = read_state_s3(
+        spark, target, "user_id bigint, ord bigint, value double")
+    assert out.count() == 1
+
+
+def test_s3_ttl_expired_lease_is_broken(target):
+    """No cross-host pid liveness exists on an object store, so a
+    crashed holder's lease must expire via its TTL — both a writer
+    and a later maintenance op may break it."""
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    def plant_expired():
+        target.client.put_object(
+            Bucket=target.bucket, Key=target._key(LEASE_NAME),
+            Body=json.dumps(
+                {"owner": "crashed-elsewhere", "op": "vacuum",
+                 "pid": 1, "host": "another-host",
+                 "acquired_unix": 0.0, "ttl_seconds": 0.0}).encode())
+
+    plant_expired()
+    with s3_writer_mark(target):
+        pass  # broke the expired lease instead of raising
+    plant_expired()
+    with s3_maintenance_lease(target):
+        pass  # claimed over the expired predecessor

@@ -730,17 +730,28 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
         from universal_data_connector_spark.operators.relational import (
             pin_scope, release_frames,
         )
-        with pin_scope() as pins:
-            try:
-                survivors, commit = _seen_filter_for(batch_df, props)
-                create_sink(survivors, sink_cfg, streaming=False)
-                commit()
-            finally:
-                release_frames(pins)
-        # post-commit, pre-next-batch: the store is idle and this
-        # query is its single writer — the safe compaction window
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_store(batch_df.sparkSession)
+        from universal_data_connector_spark.store_lease import (
+            lease_owner,
+        )
+
+        # checkpoint-scoped lease owner: the store_lease marks this
+        # loop's commits take, and the lease its cadence compaction
+        # takes, all record this identity — a kill-and-restart of the
+        # query (same checkpoint, single-writer by Spark's checkpoint
+        # contract) may break its dead predecessor's stale artifacts
+        # instead of wedging on them
+        with lease_owner(f"stream:{checkpoint}"):
+            with pin_scope() as pins:
+                try:
+                    survivors, commit = _seen_filter_for(batch_df, props)
+                    create_sink(survivors, sink_cfg, streaming=False)
+                    commit()
+                finally:
+                    release_frames(pins)
+            # post-commit, pre-next-batch: the store is idle and this
+            # query is its single writer — the safe compaction window
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_store(batch_df.sparkSession)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

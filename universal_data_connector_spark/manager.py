@@ -206,9 +206,43 @@ class PipelineManager:
         # cached plans would silently substitute into later builds.
         try:
             if streaming:
-                query = engine.start_streaming_sink(df, cfg.sink)
+                # Register the job BEFORE the query starts (ADVICE
+                # r15): a streaming query's micro-batch 0 can append
+                # to a seen store the moment start() returns, so the
+                # job must already be visible to maintenance_window —
+                # the old start-then-register order left a window
+                # where a maintenance op opened during the build ran
+                # compaction concurrently with batch 0 until the
+                # abort's stop() landed. Registration is the atomic
+                # re-check: under the lock, a live maintenance window
+                # refuses BEFORE anything runs.
                 job = Job(job_name, cfg.name, submit_ms,
-                          "streaming", query=query, pins=build_pins)
+                          "streaming", pins=build_pins)
+                with self._lock:
+                    if self._maintenance:
+                        raise MaintenanceConflict(
+                            "store maintenance began while this "
+                            "pipeline was building; retry after it "
+                            "completes", [])
+                    self._jobs[job_name] = job
+                try:
+                    query = engine.start_streaming_sink(df, cfg.sink)
+                except BaseException:
+                    with self._lock:
+                        self._jobs.pop(job_name, None)
+                    raise
+                # a stop()/stop_all() that landed between registration
+                # and start marked the job CANCELLED: honor it instead
+                # of leaving an orphaned live query behind
+                with job._lock:
+                    cancelled = job._state != "RUNNING"
+                    if not cancelled:
+                        job.query = query
+                if cancelled:
+                    with contextlib.suppress(Exception):
+                        query.stop()
+                    job.release_pins()
+                return job_name
             else:
                 job = Job(job_name, cfg.name, submit_ms, "batch",
                           pins=build_pins)
@@ -226,83 +260,79 @@ class PipelineManager:
             )
             release_frames(build_pins)
             raise
-        if not streaming:
+        # batch only from here (the streaming branch returned above)
 
-            def target() -> None:
-                from universal_data_connector_spark.sinks import create_sink
+        def target() -> None:
+            from universal_data_connector_spark.sinks import create_sink
+            try:
+                # Tag every Spark job this pipeline submits with its
+                # own job group so stop(job_name) can cancel just
+                # this pipeline (the reference's per-job
+                # stopPipeline, PipelineManager.java:74-81).
+                # PySpark's pinned-thread mode makes the group local
+                # to this worker thread.
+                sc = self.spark.sparkContext
+                sc.setJobGroup(job_name, f"pipeline {cfg.name}",
+                               interruptOnCancel=True)
+                if job.status == "CANCELLED":
+                    # stop() landed before the group tag existed;
+                    # its cancelJobGroup hit nothing — bail before
+                    # the first action instead of running the
+                    # pipeline to completion under a CANCELLED
+                    # status
+                    return
                 try:
-                    # Tag every Spark job this pipeline submits with its
-                    # own job group so stop(job_name) can cancel just
-                    # this pipeline (the reference's per-job
-                    # stopPipeline, PipelineManager.java:74-81).
-                    # PySpark's pinned-thread mode makes the group local
-                    # to this worker thread.
-                    sc = self.spark.sparkContext
-                    sc.setJobGroup(job_name, f"pipeline {cfg.name}",
-                                   interruptOnCancel=True)
+                    # ONE shared implementation of the agg_state
+                    # intent deferral + post-sink bookkeeping
+                    # ordering (engine.prepare_batch_sink_cfg /
+                    # finalize_batch_sink): the r10 reviews found
+                    # the hand-mirrored copies here drifting from
+                    # engine.run's — crash-ordering fixes must land
+                    # in one place. A stop() that lands mid-
+                    # sequence is re-checked before every step.
+                    sink_cfg, defer_state = \
+                        engine.prepare_batch_sink_cfg(
+                            cfg.sink, source_df, streaming=False)
+                    create_sink(df, sink_cfg, streaming=False)
+                    engine.finalize_batch_sink(
+                        source_df.sparkSession, cfg, source_df,
+                        archive_dir, consumed, source_root,
+                        manifest_dir, manifest_files, defer_state,
+                        cancelled=lambda: job.status == "CANCELLED",
+                        transformed_df=df)
+                    job._finish("COMPLETED")
+                except Exception as exc:  # noqa: BLE001
                     if job.status == "CANCELLED":
-                        # stop() landed before the group tag existed;
-                        # its cancelJobGroup hit nothing — bail before
-                        # the first action instead of running the
-                        # pipeline to completion under a CANCELLED
-                        # status
-                        return
-                    try:
-                        # ONE shared implementation of the agg_state
-                        # intent deferral + post-sink bookkeeping
-                        # ordering (engine.prepare_batch_sink_cfg /
-                        # finalize_batch_sink): the r10 reviews found
-                        # the hand-mirrored copies here drifting from
-                        # engine.run's — crash-ordering fixes must land
-                        # in one place. A stop() that lands mid-
-                        # sequence is re-checked before every step.
-                        sink_cfg, defer_state = \
-                            engine.prepare_batch_sink_cfg(
-                                cfg.sink, source_df, streaming=False)
-                        create_sink(df, sink_cfg, streaming=False)
-                        engine.finalize_batch_sink(
-                            source_df.sparkSession, cfg, source_df,
-                            archive_dir, consumed, source_root,
-                            manifest_dir, manifest_files, defer_state,
-                            cancelled=lambda: job.status == "CANCELLED",
-                            transformed_df=df)
-                        job._finish("COMPLETED")
-                    except Exception as exc:  # noqa: BLE001
-                        if job.status == "CANCELLED":
-                            return  # stop() already recorded the outcome
-                        log.exception("pipeline %s failed", cfg.name)
-                        job._finish("FAILED", str(exc))
-                finally:
-                    # terminal state (completed / failed / cancelled):
-                    # free exactly this job's pinned intermediates (the
-                    # build ran under pin_scope)
-                    job.release_pins()
-                # No clearJobGroup needed: the group is local to this
-                # dedicated worker thread (pinned-thread mode) and the
-                # thread ends with the pipeline.
+                        return  # stop() already recorded the outcome
+                    log.exception("pipeline %s failed", cfg.name)
+                    job._finish("FAILED", str(exc))
+            finally:
+                # terminal state (completed / failed / cancelled):
+                # free exactly this job's pinned intermediates (the
+                # build ran under pin_scope)
+                job.release_pins()
+            # No clearJobGroup needed: the group is local to this
+            # dedicated worker thread (pinned-thread mode) and the
+            # thread ends with the pipeline.
 
-            job.thread = threading.Thread(target=target,
-                                          name=job_name, daemon=True)
-        # register BEFORE any worker starts (r15 review): the old
-        # thread-start-then-register order left a window where
-        # running_pipelines()/the maintenance check could miss a job
-        # that was already doing work. The registration is also the
-        # atomic re-check against a maintenance window that opened
-        # while this pipeline was building.
+        job.thread = threading.Thread(target=target,
+                                      name=job_name, daemon=True)
+        # register BEFORE the worker starts (r15 review; the streaming
+        # path above registers before its query starts for the same
+        # reason): running_pipelines()/the maintenance check must never
+        # miss a job that is already doing work. The registration is
+        # also the atomic re-check against a maintenance window that
+        # opened while this pipeline was building.
         with self._lock:
             aborted = self._maintenance
             if not aborted:
                 self._jobs[job_name] = job
         if aborted:
-            if streaming and job.query is not None:
-                with contextlib.suppress(Exception):
-                    job.query.stop()
             job.release_pins()
             raise MaintenanceConflict(
                 "store maintenance began while this pipeline was "
                 "building; retry after it completes", [])
-        if not streaming:
-            job.thread.start()
+        job.thread.start()
         return job_name
 
     # -- stop -----------------------------------------------------------
@@ -316,6 +346,12 @@ class PipelineManager:
             job.query.stop()
             # the stream is down: its build-time pins have no consumer
             job.release_pins()
+        elif job.kind == "streaming":
+            # registered but the query handle is not attached yet (the
+            # instant between registration and start()): mark CANCELLED
+            # — start_pipeline observes the terminal state right after
+            # start() and stops the fresh query instead of orphaning it
+            job._finish("CANCELLED")
         elif job.thread is not None and job.thread.is_alive():
             # Cancel only this pipeline's Spark jobs — other running
             # pipelines keep their isolation (the worker thread tagged

@@ -83,18 +83,32 @@ def _sweep_crash_leftovers(root: str) -> None:
                 os.rename(old, live)
 
 
-def _ensure_seen_meta(state_dir: str, num_buckets: int) -> int:
+def _ensure_seen_meta(state_dir: str, num_buckets: int,
+                      in_maintenance: bool = False) -> int:
     """Create/validate the store marker; the bucket count persisted at
     creation wins for the store's life (same rule as the state sinks).
     Also sweeps crash leftovers at the store root AND under the near
     store's ``bands``/``sigs`` sub-roots (their commits stage under
-    their own root, ``_append_buckets``)."""
+    their own root, ``_append_buckets``) — UNLESS a live maintenance
+    lease is held by someone else (r16): the sweep's ``_udc_old_``
+    repair would put a parked bucket dir back mid-swap and make the
+    in-flight compaction's second rename fail. The compactor itself
+    passes ``in_maintenance=True`` (it holds the lease and MUST sweep
+    its predecessor's crash leftovers before swapping)."""
+    from universal_data_connector_spark.store_lease import (
+        LEASE_NAME,
+        _posix_stale,
+        current_owner,
+    )
     from universal_data_connector_spark.streaming.windows import (
         _reject_remote_target,
     )
 
     _reject_remote_target(state_dir)
-    if os.path.isdir(state_dir):
+    lease = os.path.join(state_dir, LEASE_NAME)
+    foreign_maintenance = (not in_maintenance and os.path.exists(lease)
+                           and not _posix_stale(lease, current_owner()))
+    if os.path.isdir(state_dir) and not foreign_maintenance:
         _sweep_crash_leftovers(state_dir)
         for sub in ("bands", "sigs", "vecs"):
             sub_root = os.path.join(state_dir, sub)
@@ -181,27 +195,37 @@ def seen_filter(df: DataFrame, state_dir: str, cols: list[str],
         keyed = _pin(keyed)
 
     def commit() -> None:
-        nonce = uuid.uuid4().hex[:8]
-        staged = os.path.join(state_dir, f"{_SEEN_STAGED_PREFIX}{nonce}")
-        new_keys = keyed.select(_KEY, _KB)
-        (new_keys.repartition(max(len(touched), 1), F.col(_KB))
-                 .write.mode("overwrite").partitionBy(_KB)
-                 .parquet(staged))
-        moved = 0
-        for b in touched:
-            part_dir = os.path.join(staged, f"{_KB}={b}")
-            if not os.path.isdir(part_dir):
-                continue
-            live_dir = os.path.join(state_dir, f"{_KB}={b}")
-            os.makedirs(live_dir, exist_ok=True)
-            for i, name in enumerate(sorted(
-                    f for f in os.listdir(part_dir)
-                    if f.endswith(".parquet"))):
-                os.rename(os.path.join(part_dir, name),
-                          os.path.join(live_dir,
-                                       f"seen-{nonce}-{i}.parquet"))
-                moved += 1
-        shutil.rmtree(staged, ignore_errors=True)
+        # the whole append (staged write + renames) runs under a
+        # store-carried writer mark: maintenance holding the store
+        # lease refuses this commit BEFORE anything is staged, and a
+        # compaction attempt from ANY config/process refuses while
+        # this mark lives (store_lease module docstring)
+        from universal_data_connector_spark.store_lease import (
+            posix_writer_mark,
+        )
+        with posix_writer_mark(state_dir):
+            nonce = uuid.uuid4().hex[:8]
+            staged = os.path.join(state_dir,
+                                  f"{_SEEN_STAGED_PREFIX}{nonce}")
+            new_keys = keyed.select(_KEY, _KB)
+            (new_keys.repartition(max(len(touched), 1), F.col(_KB))
+                     .write.mode("overwrite").partitionBy(_KB)
+                     .parquet(staged))
+            moved = 0
+            for b in touched:
+                part_dir = os.path.join(staged, f"{_KB}={b}")
+                if not os.path.isdir(part_dir):
+                    continue
+                live_dir = os.path.join(state_dir, f"{_KB}={b}")
+                os.makedirs(live_dir, exist_ok=True)
+                for i, name in enumerate(sorted(
+                        f for f in os.listdir(part_dir)
+                        if f.endswith(".parquet"))):
+                    os.rename(os.path.join(part_dir, name),
+                              os.path.join(live_dir,
+                                           f"seen-{nonce}-{i}.parquet"))
+                    moved += 1
+            shutil.rmtree(staged, ignore_errors=True)
         log.info("dedup_state: appended %d file(s) across %d touched "
                  "bucket(s) in %s", moved, len(touched), state_dir)
 
@@ -448,8 +472,14 @@ def seen_near_filter(df: DataFrame, store_dir: str,
         return _read_buckets(spark, root, buckets)
 
     def append_sub(frame, sub, touched):
+        from universal_data_connector_spark.store_lease import (
+            posix_writer_mark,
+        )
         root = bands_root if sub == "bands" else sigs_root
-        return _append_buckets(frame, root, touched)
+        # one writer mark per sub-store append: the lease domain is
+        # the STORE root, each rename window is individually fenced
+        with posix_writer_mark(store_dir):
+            return _append_buckets(frame, root, touched)
 
     return _near_filter_core(
         df, n, read_sub, append_sub, label=store_dir,
@@ -600,6 +630,17 @@ def _s3_append_sub(frame: DataFrame, target, touched: list[int],
         write_objects,
     )
 
+    # Deliberately NO store_lease writer mark here (r16): the object-
+    # store seen append is provably safe against BOTH maintenance ops
+    # by construction — compact_seen_store_s3 deletes only objects in
+    # its OWN listing (a racing append lands under a fresh nonce the
+    # listing didn't see; pinned by test_s3_state's racing-append
+    # test), and vacuum_target excludes the seen namespaces outright.
+    # Serializing it would cost availability for nothing: at 100 TB a
+    # compaction pass is long, and the POSIX-style refusal would stall
+    # every ingest commit for its whole duration. The POSIX twin DOES
+    # mark (its rename swap is the lossy race); the S3 state-sink
+    # merges DO mark (vacuum would eat their fresh generations).
     parts = ([sub] if sub else []) + ["kb={b}", "seen-{nonce}-{i}.parquet"]
     objects = write_objects(frame, target, touched,
                             key_format(target, *parts))
@@ -918,8 +959,12 @@ def seen_embedding_filter(df: DataFrame, store_dir: str,
         return _read_buckets(spark, root, buckets)
 
     def append_sub(frame, sub, touched):
+        from universal_data_connector_spark.store_lease import (
+            posix_writer_mark,
+        )
         root = bands_root if sub == "bands" else vecs_root
-        return _append_buckets(frame, root, touched)
+        with posix_writer_mark(store_dir):
+            return _append_buckets(frame, root, touched)
 
     return _embedding_filter_core(
         df, n, read_sub, append_sub, label=store_dir,
@@ -978,7 +1023,15 @@ def _compact_root(spark, root: str, distinct_cols: list[str],
         return
     nonce = uuid.uuid4().hex[:8]
     staged = os.path.join(root, f"{_SEEN_STAGED_PREFIX}{nonce}")
-    (spark.read.parquet(root)
+    # explicit bucket dirs under a basePath, not a bare-root read
+    # (ADVICE r15): a root holding both exact-store udc_kb= dirs AND
+    # near/embedding sub-roots (bands/sigs/vecs — reachable because
+    # seen_filter and seen_near_filter accept the same stateDir) makes
+    # whole-root partition discovery fail with 'Conflicting directory
+    # structures'; listing the bucket dirs keeps the udc_kb partition
+    # column while ignoring foreign sub-trees.
+    bucket_dirs = [os.path.join(root, f"{_KB}={b}") for b in buckets]
+    (spark.read.option("basePath", root).parquet(*bucket_dirs)
      .select(*distinct_cols, _KB).distinct()
      .repartition(len(buckets), F.col(_KB))
      .write.mode("overwrite").partitionBy(_KB).parquet(staged))
@@ -1011,20 +1064,34 @@ def compact_seen_store(spark, state_dir: str) -> None:
     row per ``doc_key`` (duplicates are byte-identical by construction
     — ``doc_key`` is the content hash the signature derives from, and
     the parameters are pinned by ``_udc_near_meta``). Uses the state
-    sinks' staged-rename swap per bucket; do not run concurrently with
-    a pipeline writing the same store."""
-    n = _ensure_seen_meta(state_dir, 32)
-    _compact_root(spark, state_dir, [_KEY], n)
-    bands_root = os.path.join(state_dir, "bands")
-    if os.path.isdir(bands_root):
-        _compact_root(spark, bands_root,
-                      ["band_idx", "band_hash", "doc_key"], n)
-    sigs_root = os.path.join(state_dir, "sigs")
-    if os.path.isdir(sigs_root):
-        _compact_root(spark, sigs_root, ["doc_key", "sig"], n)
-    vecs_root = os.path.join(state_dir, "vecs")
-    if os.path.isdir(vecs_root):
-        _compact_root(spark, vecs_root, ["doc_key", "vec"], n)
+    sinks' staged-rename swap per bucket.
+
+    Exclusion is carried BY THE STORE (``store_lease``, r16): this
+    acquires the store's exclusive maintenance lease and refuses while
+    any writer commit is in flight — across configs, managers and
+    processes, which one manager's config-name ``maintenance_window``
+    cannot see. Raises ``StoreLeaseHeld`` on conflict."""
+    from universal_data_connector_spark.store_lease import (
+        posix_maintenance_lease,
+    )
+
+    with posix_maintenance_lease(state_dir, op="compact"):
+        # meta check AND crash-leftover sweep run INSIDE the lease:
+        # the sweep's _udc_old_ repair must never race another
+        # compactor's swap, and no writer may slip between sweep and
+        # swap
+        n = _ensure_seen_meta(state_dir, 32, in_maintenance=True)
+        _compact_root(spark, state_dir, [_KEY], n)
+        bands_root = os.path.join(state_dir, "bands")
+        if os.path.isdir(bands_root):
+            _compact_root(spark, bands_root,
+                          ["band_idx", "band_hash", "doc_key"], n)
+        sigs_root = os.path.join(state_dir, "sigs")
+        if os.path.isdir(sigs_root):
+            _compact_root(spark, sigs_root, ["doc_key", "sig"], n)
+        vecs_root = os.path.join(state_dir, "vecs")
+        if os.path.isdir(vecs_root):
+            _compact_root(spark, vecs_root, ["doc_key", "vec"], n)
 
 
 def compact_seen_store_s3(spark, target) -> int:
@@ -1054,7 +1121,15 @@ def compact_seen_store_s3(spark, target) -> int:
     the row content, so ``distinct`` over rows+bucket equals per-bucket
     distinct), instead of a pair of Spark jobs per bucket — this
     matters now that ``compactEveryBatches`` puts compaction inside
-    the streaming loop. Deletes stay per-bucket and listing-scoped."""
+    the streaming loop. Deletes stay per-bucket and listing-scoped.
+
+    Exclusion is carried BY THE STORE (``store_lease``, r16): the
+    exclusive maintenance lease (CAS-created ``_udc_lease`` object)
+    refuses while any writer commit holds a mark — across configs,
+    managers and processes. Raises ``StoreLeaseHeld`` on conflict."""
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+    )
     from universal_data_connector_spark.streaming.object_state import (
         key_format,
         read_objects,
@@ -1062,28 +1137,30 @@ def compact_seen_store_s3(spark, target) -> int:
     )
 
     deleted = 0
-    for sub in ("", "bands", "sigs", "vecs"):
-        listed = {}
-        for b in range(target.num_buckets):
-            under = f"{sub}/kb={b}" if sub else f"kb={b}"
-            ks = _seen_objects(target, under)
-            if len(ks) >= 2:
-                listed[b] = ks
-        if not listed:
-            continue
-        keyed_objects = [(k, b) for b, ks in listed.items() for k in ks]
-        distinct = (read_objects(spark, target, keyed_objects,
-                                 f"{_SUB_SCHEMAS[sub]}, {_KB} int")
-                    .distinct())
-        parts = ([sub] if sub else []) + [
-            "kb={b}", "seen-compact-{nonce}-{i}.parquet"]
-        # one task per touched bucket -> one rewrite object per bucket
-        # (plus rollovers past the buffer cap)
-        write_objects(distinct, target, sorted(listed),
-                      key_format(target, *parts))
-        for ks in listed.values():
-            target.delete_keys(ks)
-            deleted += len(ks)
+    with s3_maintenance_lease(target, op="compact"):
+        for sub in ("", "bands", "sigs", "vecs"):
+            listed = {}
+            for b in range(target.num_buckets):
+                under = f"{sub}/kb={b}" if sub else f"kb={b}"
+                ks = _seen_objects(target, under)
+                if len(ks) >= 2:
+                    listed[b] = ks
+            if not listed:
+                continue
+            keyed_objects = [(k, b)
+                             for b, ks in listed.items() for k in ks]
+            distinct = (read_objects(spark, target, keyed_objects,
+                                     f"{_SUB_SCHEMAS[sub]}, {_KB} int")
+                        .distinct())
+            parts = ([sub] if sub else []) + [
+                "kb={b}", "seen-compact-{nonce}-{i}.parquet"]
+            # one task per touched bucket -> one rewrite object per
+            # bucket (plus rollovers past the buffer cap)
+            write_objects(distinct, target, sorted(listed),
+                          key_format(target, *parts))
+            for ks in listed.values():
+                target.delete_keys(ks)
+                deleted += len(ks)
     log.info("dedup_state[s3]: compacted %d superseded object(s) "
              "under %s/%s", deleted, target.bucket, target.prefix)
     return deleted

@@ -121,19 +121,21 @@ class ControlPlaneServer:
                     from universal_data_connector_spark.manager import (
                         MaintenanceConflict,
                     )
+                    from universal_data_connector_spark.store_lease import (
+                        StoreLeaseHeld,
+                    )
                     try:
                         cfg = load_config(path)
-                        # offline-only, ENFORCED (ADVICE r14 + r15
-                        # review): POSIX compaction's rename swap
-                        # racing a concurrent append silently deletes
-                        # freshly appended seen keys. The window is
-                        # held for the WHOLE operation — entry refuses
-                        # while any pipeline of THIS config runs, and
-                        # new start_pipeline calls refuse while it is
-                        # open (no TOCTOU). A different config writing
-                        # the same store from another process remains
-                        # outside the manager's knowledge — documented
-                        # operator contract.
+                        # offline-only, ENFORCED twice over: the
+                        # manager window (ADVICE r14 + r15 review)
+                        # refuses while any pipeline of THIS config
+                        # runs and blocks new submissions for the
+                        # window's duration; and (r16) the compactors
+                        # and vacuum acquire each STORE's own lease,
+                        # so a different config or a different
+                        # process writing the same store path — which
+                        # one manager's config-name view cannot see —
+                        # also 409s, keyed on store identity.
                         names = [p.name for p in cfg.pipelines]
                         with m.maintenance_window(names):
                             if op == "compact":
@@ -144,6 +146,10 @@ class ControlPlaneServer:
                     except MaintenanceConflict as exc:
                         return self._json(409, {
                             "error": str(exc), "running": exc.running})
+                    except StoreLeaseHeld as exc:
+                        return self._json(409, {
+                            "error": str(exc), "running": [],
+                            "holder": exc.holder})
                     except Exception as exc:  # noqa: BLE001
                         return self._json(500, {"error": str(exc)})
                     return self._json(200, out)

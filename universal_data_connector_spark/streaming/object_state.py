@@ -138,7 +138,18 @@ def _client_kwargs_of(client) -> dict:
             if frozen.token:
                 kw["aws_session_token"] = frozen.token
     except Exception:  # pragma: no cover - private-API drift fallback
-        pass
+        # ADVICE r15: never degrade silently — without this warning an
+        # executor-only auth failure (tasks falling back to the
+        # executors' ambient provider chain while the driver's injected
+        # client keeps working) is nearly impossible to attribute
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "S3StateTarget: could not recover endpoint/credentials "
+            "from the injected client (botocore private-API drift?); "
+            "executor-side GET/PUT tasks will resolve the AMBIENT "
+            "credential chain instead. Pass explicit client kwargs to "
+            "make executor auth deterministic.", exc_info=True)
     return kw
 
 
@@ -150,7 +161,15 @@ class S3StateTarget:
     default provider chain. The kwargs (never the client) ship to
     executors for the data-plane GET/PUT tasks — when a pre-built
     ``client`` is injected instead, its endpoint/credentials are
-    recovered via ``_client_kwargs_of``."""
+    recovered via ``_client_kwargs_of``.
+
+    SECURITY NOTE (ADVICE r15): whatever credentials end up in
+    ``client_kwargs`` — passed explicitly or recovered from an
+    injected client — are serialized into every task closure shipped
+    to executors (long-term secret keys included). On a shared
+    cluster, prefer omitting credentials so executors resolve their
+    own ambient provider chain (instance profile / env / shared
+    config), which ships nothing."""
 
     def __init__(self, bucket: str, prefix: str, *, client=None,
                  num_buckets: int = 32, **client_kwargs):
@@ -226,16 +245,6 @@ class S3StateTarget:
                        objects: list[str], etag: str | None) -> None:
         self._put_cas(self._ptr_key(bucket_id),
                       {"applied": applied, "objects": objects}, etag)
-
-    def upload_file(self, local_path: str, key: str) -> None:
-        with open(local_path, "rb") as fh:
-            self.client.put_object(Bucket=self.bucket, Key=key,
-                                   Body=fh.read())
-
-    def download_to(self, key: str, local_path: str) -> None:
-        r = self.client.get_object(Bucket=self.bucket, Key=key)
-        with open(local_path, "wb") as fh:
-            fh.write(r["Body"].read())
 
     def list_keys(self, under: str | None = None) -> list[str]:
         """Keys under the target prefix, optionally narrowed to a
@@ -481,30 +490,38 @@ def upsert_merge_s3(batch_df: DataFrame, batch_id: int, *,
     touched = sorted(r[0] for r in latest.select(_KB).distinct().collect())
     if not touched:
         return
-    # NO applied-id gate here, matching the POSIX twin: keep-latest is
-    # idempotent, so a replay (or a direct batch call with a constant
-    # id) simply re-merges against the committed pointers and
-    # converges; the recorded id is informational
-    pointers = {b: target.read_pointer(b) for b in touched}
-    pending = touched
+    from universal_data_connector_spark.store_lease import s3_writer_mark
 
-    keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
-    if keyed_objects:
-        # read only the pending buckets' committed objects, with the
-        # batch's own schema as the read contract (state and batch
-        # share one schema by the unionByName contract)
-        current = read_objects(spark, target, keyed_objects,
-                               latest.schema)
-        merged = current.unionByName(latest)
-        rank2 = _latest_rank(merged.schema, keys, order_col)
-        merged = (merged.withColumn("__rn", rank2)
-                        .filter(F.col("__rn") == 1).drop("__rn"))
-    else:
-        merged = latest
-    objects = write_objects(merged, target, pending,
-                            _gen_key_fmt(target, batch_id))
-    for b in pending:
-        target.commit_pointer(b, batch_id, objects[b], pointers[b][1])
+    # store-carried writer mark (store_lease, r16): a vacuum from ANY
+    # config/process would otherwise list this merge's fresh, not-yet-
+    # pointer-referenced generation objects as garbage and delete them
+    # out from under the pointer commit
+    with s3_writer_mark(target):
+        # NO applied-id gate here, matching the POSIX twin: keep-latest
+        # is idempotent, so a replay (or a direct batch call with a
+        # constant id) simply re-merges against the committed pointers
+        # and converges; the recorded id is informational
+        pointers = {b: target.read_pointer(b) for b in touched}
+        pending = touched
+
+        keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
+        if keyed_objects:
+            # read only the pending buckets' committed objects, with
+            # the batch's own schema as the read contract (state and
+            # batch share one schema by the unionByName contract)
+            current = read_objects(spark, target, keyed_objects,
+                                   latest.schema)
+            merged = current.unionByName(latest)
+            rank2 = _latest_rank(merged.schema, keys, order_col)
+            merged = (merged.withColumn("__rn", rank2)
+                            .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            merged = latest
+        objects = write_objects(merged, target, pending,
+                                _gen_key_fmt(target, batch_id))
+        for b in pending:
+            target.commit_pointer(b, batch_id, objects[b],
+                                  pointers[b][1])
 
 
 def agg_state_merge_s3(batch_df: DataFrame, batch_id: int, *,
@@ -528,39 +545,45 @@ def agg_state_merge_s3(batch_df: DataFrame, batch_id: int, *,
     touched = sorted(r[0] for r in part.select(_KB).distinct().collect())
     if not touched:
         return
-    pointers = {b: target.read_pointer(b) for b in touched}
-    pending = [b for b in touched
-               if pointers[b][0] is None
-               or pointers[b][0]["applied"] < batch_id]
-    # record BEFORE the early return and the first commit (same role
-    # as the POSIX _intent_record_touched: an empty pending set
-    # recorded = "this run's merge is complete"; no-op when no intent
-    # exists — the streaming path carries none)
-    record_touched_s3(target, batch_id, pending)
-    if not pending:
-        return
-    part = part.filter(F.col(_KB).isin(pending))
+    from universal_data_connector_spark.store_lease import s3_writer_mark
 
-    keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
-    if keyed_objects:
-        state = (read_objects(spark, target, keyed_objects, part.schema)
-                 .select(*keys, F.col("n"),
-                         F.col("total").cast(_DEC).alias("total"),
-                         F.col(_KB)))
-        merged = (state.unionByName(part)
-                  .groupBy(*keys, _KB)
-                  .agg(F.sum("n").cast("bigint").alias("n"),
-                       F.sum("total").cast(_DEC).alias("total")))
-    else:
-        merged = part
-    objects = write_objects(merged, target, pending,
-                            _gen_key_fmt(target, batch_id))
-    for b in pending:
-        target.commit_pointer(b, batch_id, objects[b], pointers[b][1])
+    # same vacuum-vs-fresh-generation fence as upsert_merge_s3
+    with s3_writer_mark(target):
+        pointers = {b: target.read_pointer(b) for b in touched}
+        pending = [b for b in touched
+                   if pointers[b][0] is None
+                   or pointers[b][0]["applied"] < batch_id]
+        # record BEFORE the early return and the first commit (same
+        # role as the POSIX _intent_record_touched: an empty pending
+        # set recorded = "this run's merge is complete"; no-op when no
+        # intent exists — the streaming path carries none)
+        record_touched_s3(target, batch_id, pending)
+        if not pending:
+            return
+        part = part.filter(F.col(_KB).isin(pending))
+
+        keyed_objects = _pointer_objects({b: pointers[b] for b in pending})
+        if keyed_objects:
+            state = (read_objects(spark, target, keyed_objects,
+                                  part.schema)
+                     .select(*keys, F.col("n"),
+                             F.col("total").cast(_DEC).alias("total"),
+                             F.col(_KB)))
+            merged = (state.unionByName(part)
+                      .groupBy(*keys, _KB)
+                      .agg(F.sum("n").cast("bigint").alias("n"),
+                           F.sum("total").cast(_DEC).alias("total")))
+        else:
+            merged = part
+        objects = write_objects(merged, target, pending,
+                                _gen_key_fmt(target, batch_id))
+        for b in pending:
+            target.commit_pointer(b, batch_id, objects[b],
+                                  pointers[b][1])
 
 
-def read_state_s3(spark, target: S3StateTarget,
-                  schema: str) -> DataFrame:
+def read_state_s3(spark, target: S3StateTarget, schema: str,
+                  eager: bool = False) -> DataFrame:
     """Read the committed state of every bucket (pointer-listed objects
     only — uncommitted generations are invisible by construction) as a
     LAZY frame of exactly ``schema``'s columns: the object GETs run
@@ -570,45 +593,74 @@ def read_state_s3(spark, target: S3StateTarget,
     frame of the same schema (cold and warm reads now agree column-
     for-column, unlike the old scratch path which appended ``udc_kb``
     only when data existed); include ``udc_kb int`` in ``schema`` to
-    get the bucket column."""
+    get the bucket column.
+
+    LAZY also means the pointer-listed objects are re-GET on every
+    action (ADVICE r15 — the pre-r15 scratch transport pinned an eager
+    snapshot): a caller that holds the frame across a later merge
+    commit plus ``vacuum_target`` would re-evaluate against deleted
+    generations (NoSuchKey) or silently see the NEWER state. Pass
+    ``eager=True`` to restore the pinned-snapshot behavior (one
+    distributed materialization via ``localCheckpoint``) when reads
+    interleave with merges/vacuum."""
     pointers = {b: target.read_pointer(b)
                 for b in range(target.num_buckets)}
     keyed_objects = _pointer_objects(pointers)
     if not keyed_objects:
         return spark.createDataFrame([], schema)
-    return read_objects(spark, target, keyed_objects, schema)
+    frame = read_objects(spark, target, keyed_objects, schema)
+    return frame.localCheckpoint(eager=True) if eager else frame
 
 
 def vacuum_target(target: S3StateTarget) -> int:
     """Delete data objects no pointer references (crashed-attempt
-    generations, superseded generations). Safe under the single-writer
-    contract once no reader still holds a pre-vacuum pointer; returns
-    the number of objects deleted.
+    generations, superseded generations). Returns the number of
+    objects deleted.
+
+    Exclusion is carried BY THE STORE (``store_lease``, r16): the
+    exclusive maintenance lease refuses while any merge holds a
+    writer mark — a vacuum racing a merge would list the merge's
+    fresh, not-yet-pointer-referenced generation as garbage and
+    delete it out from under the pointer commit. Raises
+    ``StoreLeaseHeld`` on conflict; readers holding a pre-vacuum
+    pointer remain the caller's concern (``read_state_s3`` notes).
 
     A dedup seen store co-located under the same bucket+prefix shares
     the ``kb=<K>/`` namespace but is APPEND-ONLY (no pointer ever
     references its objects) — vacuuming it would delete the whole
     dedup history, so its namespaces are excluded: ``seen-*`` object
     names, the ``bands/``/``sigs/``/``vecs/`` sub-prefixes, and the
-    near/embedding meta records."""
-    live: set[str] = set()
-    for b in range(target.num_buckets):
-        ptr, _ = target.read_pointer(b)
-        if ptr:
-            live.update(ptr["objects"])
-    keep_suffixes = ("/_ptr",)
-    keep_names = {target._key(_META_KEY), target._key(_INTENT_KEY),
-                  target._key("_udc_near_meta"),
-                  target._key("_udc_emb_dim")}
-    prefix = f"{target.prefix}/" if target.prefix else ""
-    seen_subs = tuple(f"{prefix}{s}/" for s in ("bands", "sigs", "vecs"))
-    garbage = [k for k in target.list_keys()
-               if k not in live and not k.endswith(keep_suffixes)
-               and k not in keep_names
-               and not k.startswith(seen_subs)
-               and not os.path.basename(k).startswith("seen-")]
-    if garbage:
-        target.delete_keys(garbage)
+    near/embedding meta records. The lease/writer-mark control
+    objects are likewise excluded (this vacuum holds the one lease
+    that exists while it runs)."""
+    from universal_data_connector_spark.store_lease import (
+        LEASE_NAME,
+        WRITERS_DIR,
+        s3_maintenance_lease,
+    )
+
+    with s3_maintenance_lease(target, op="vacuum"):
+        live: set[str] = set()
+        for b in range(target.num_buckets):
+            ptr, _ = target.read_pointer(b)
+            if ptr:
+                live.update(ptr["objects"])
+        keep_suffixes = ("/_ptr",)
+        keep_names = {target._key(_META_KEY), target._key(_INTENT_KEY),
+                      target._key("_udc_near_meta"),
+                      target._key("_udc_emb_dim"),
+                      target._key(LEASE_NAME)}
+        prefix = f"{target.prefix}/" if target.prefix else ""
+        seen_subs = tuple(f"{prefix}{s}/"
+                          for s in ("bands", "sigs", "vecs",
+                                    WRITERS_DIR))
+        garbage = [k for k in target.list_keys()
+                   if k not in live and not k.endswith(keep_suffixes)
+                   and k not in keep_names
+                   and not k.startswith(seen_subs)
+                   and not os.path.basename(k).startswith("seen-")]
+        if garbage:
+            target.delete_keys(garbage)
     return len(garbage)
 
 
@@ -621,8 +673,14 @@ def foreachbatch_upsert_s3(stream: DataFrame, target: S3StateTarget,
     swap atomic, and the applied id in the pointer makes replays
     converge — exactly-once end to end."""
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_merge_s3(batch_df, batch_id, target=target, keys=keys,
-                        order_col=order_col)
+        from universal_data_connector_spark.store_lease import (
+            lease_owner,
+        )
+        # checkpoint-scoped owner: a restarted query may break its
+        # dead predecessor's stale writer mark (store_lease docstring)
+        with lease_owner(f"stream:{checkpoint}"):
+            upsert_merge_s3(batch_df, batch_id, target=target,
+                            keys=keys, order_col=order_col)
 
     writer = (stream.writeStream.foreachBatch(merge)
               .option("checkpointLocation", checkpoint))
@@ -639,8 +697,12 @@ def foreachbatch_agg_state_s3(stream: DataFrame, target: S3StateTarget,
     at-least-once foreachBatch delivery + applied-id-in-pointer CAS
     commits = exactly-once additive state, no rename required."""
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        agg_state_merge_s3(batch_df, batch_id, target=target, keys=keys,
-                           value_col=value_col)
+        from universal_data_connector_spark.store_lease import (
+            lease_owner,
+        )
+        with lease_owner(f"stream:{checkpoint}"):
+            agg_state_merge_s3(batch_df, batch_id, target=target,
+                               keys=keys, value_col=value_col)
 
     writer = (stream.writeStream.foreachBatch(merge)
               .option("checkpointLocation", checkpoint))
