@@ -18,34 +18,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-16 rotation
-# (VERDICT r15 item 2): the 48-key r13-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r13 (recomputed union over
-# r01..r15: split r13:48 / r14:49 / r15:50) — plus the flagship and one
-# spare, dedup_exact (adjacent to the store-lease surface r16 touches).
+# recent driver evidence goes stale (>2 rounds old). Round-17 rotation
+# (VERDICT r16 item 2): the 48-key r14-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r14 (recomputed union over
+# r01..r16: split r14:48 / r15:49 / r16:50) — plus the flagship and one
+# spare, pipeline_training_data (r15 evidence; advances the rotation).
 # 48 + 1 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r13-evidence cohort (48 keys)
-    "agg_array_collect", "agg_grouped_mad_pandas", "agg_mode_per_group",
-    "agg_percentile_exact", "agg_regression_ols", "base64_roundtrip",
-    "cogroup_asof_merge", "csv_parse_rfc4180", "date_funcs",
-    "dedup_near_minhash", "dq_fk_integrity", "events_dau_wau",
-    "events_rfm_segments", "events_sessionize_gap", "events_top_paths",
-    "join_asof_nearest", "join_bucketed_colocated", "join_null_safe_eq",
-    "json_funcs", "limit_topk", "math_funcs",
-    "sample_hash_split", "scan_csv_malformed_permissive", "scan_parquet",
-    "scan_schema_evolution_merge", "set_except", "set_intersect",
-    "set_union_all", "sort_multi_key", "str_funcs",
-    "stream_agg_state_totals", "stream_late_data_watermark", "stream_session_window",
-    "stream_sliding_agg", "stream_tumbling_count", "stream_upsert_latest",
-    "text_boilerplate_ngrams", "text_vocab_topk", "ts_anomaly_mad",
-    "ts_ewma", "ts_moving_window_avg", "ts_resample_interp",
-    "window_first_last", "window_gap_islands", "window_lag_lead",
-    "window_percent_of_total", "window_range_frame", "window_rank_family",
+    # r14-evidence cohort (48 keys)
+    "agg_argmax_struct", "agg_corr_exact", "agg_weighted_avg",
+    "dedup_cluster_cc", "dedup_containment_ngram", "dedup_contamination_ngram",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dq_uniqueness_orders",
+    "embedding_normalize", "events_attribution_first_last", "join_asof_tolerance",
+    "join_broadcast", "market_basket_pairs", "multimodal_binary_meta",
+    "multimodal_decode_features", "multimodal_frame_sample", "reshape_pack_sequences",
+    "reshape_sliding_windows", "reshape_unpivot", "sample_deterministic",
+    "sample_stratified", "sample_weighted_mix", "scan_csv_typed",
+    "scan_glob_filter", "sim_search_cosine_topk", "sim_search_ivf",
+    "sim_search_lsh", "sink_csv_per_source", "sink_jdbc_append",
+    "sink_parquet_snappy", "sql_full_surface", "stream_dedup_first_per_key",
+    "stream_dedup_watermark", "stream_file_ingest_exactly_once", "stream_static_enrich_join",
+    "text_fingerprint", "text_language_id", "text_pii_redact",
+    "text_quality_score", "text_rolling_hash", "text_tfidf_topk",
+    "text_token_count_bpe", "text_tokenize_stats", "text_unigram_logprob",
+    "ts_cumulative_distinct", "ts_outlier_iqr", "window_ntile_quartiles",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
-    # spare: adjacent to the r16 store-lease surface
-    "dedup_exact",
+    # spare: r15 evidence — advances the rotation
+    "pipeline_training_data",
 ]
 
 
