@@ -1,0 +1,133 @@
+"""Round-17 fixes (ADVICE r16): cadence compaction survives a held
+store lease, and the read-side crash-leftover sweep participates in
+the store-lease mark-then-check protocol instead of a bare
+check-then-act lease probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from universal_data_connector_spark.operators.dedup_state import (
+    seen_filter,
+)
+from universal_data_connector_spark.store_lease import (
+    posix_maintenance_lease,
+    posix_writer_mark,
+)
+
+
+def _stream_dedup_cfg(inp, out, ckpt, extra_props):
+    from universal_data_connector_spark.config import parse_config
+    return parse_config({"pipelines": [{
+        "name": "stream-dedup-cadence-skip",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt",
+                                  "streaming": "true"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"keys": "content",
+                            "compactEveryBatches": "1",
+                            "checkpointLocation": str(ckpt),
+                            **extra_props}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+
+def test_cadence_skip_on_held_lease_keeps_query_alive(
+        spark, tmp_path, caplog):
+    """A refused cadence compaction (foreign writer mark in flight)
+    must be SKIPPED with a warning, not kill the streaming query whose
+    batch already committed (ADVICE r16 medium). Once the mark is
+    released the next cadence compacts as usual."""
+    import logging
+
+    from universal_data_connector_spark.engine import run
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    store = tmp_path / "store"
+    inp.mkdir()
+    cfg = _stream_dedup_cfg(inp, out, tmp_path / "ckpt",
+                            {"stateDir": str(store)})
+    (inp / "a.txt").write_text("cadence first")
+    q = run(spark, cfg, streaming=True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="universal_data_connector_spark"
+                                    ".engine"):
+            q.processAllAvailable()  # batch 0 commits, then cadence
+            # a foreign commit is in flight for the next two batches:
+            # its writer mark makes compaction refuse
+            with posix_writer_mark(str(store)):
+                (inp / "b.txt").write_text("cadence second")
+                q.processAllAvailable()
+                assert q.isActive  # pre-r17: foreachBatch died here
+                (inp / "c.txt").write_text("cadence third")
+                q.processAllAvailable()
+                assert q.isActive
+        assert any("cadence compaction skipped" in r.message
+                   for r in caplog.records)
+        # mark released: the next cadence compacts back to 1 file/bucket
+        (inp / "d.txt").write_text("cadence fourth")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt", "c.txt",
+                                       "d.txt"]
+    for name in os.listdir(store):
+        if name.startswith("udc_kb="):
+            files = [f for f in os.listdir(store / name)
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (name, files)
+
+
+def test_read_side_sweep_skips_under_live_lease_and_repairs_after(
+        spark, tmp_path):
+    """The read-side crash-leftover sweep takes a writer mark: under a
+    live foreign maintenance lease it is refused and SKIPS (leaving the
+    parked ``_udc_old_`` dir for the compactor to repair), and once the
+    lease is gone the same setup path repairs the leftover. The bare
+    r16 lease-exists probe could race a compactor acquiring the lease
+    right after the check (ADVICE r16 low)."""
+    store = str(tmp_path / "seen")
+    _, commit = seen_filter(
+        spark.createDataFrame([(1, "aa")], "doc_id bigint, text string"),
+        store, ["text"], num_buckets=4)
+    commit()
+    # park a bucket dir the way a compactor crash between renames does
+    bucket = next(n for n in os.listdir(store)
+                  if n.startswith("udc_kb="))
+    b = bucket.split("=", 1)[1]
+    os.rename(os.path.join(store, bucket),
+              os.path.join(store, f"_udc_old_{b}"))
+    with posix_maintenance_lease(store):
+        survivors, _ = seen_filter(
+            spark.createDataFrame([(2, "zz")],
+                                  "doc_id bigint, text string"),
+            store, ["text"], num_buckets=4)
+        # sweep was SKIPPED: the parked dir is untouched mid-maintenance
+        assert os.path.isdir(os.path.join(store, f"_udc_old_{b}"))
+    # lease released: the next setup's marked sweep repairs the park
+    survivors, _ = seen_filter(
+        spark.createDataFrame([(3, "aa")], "doc_id bigint, text string"),
+        store, ["text"], num_buckets=4)
+    assert not os.path.exists(os.path.join(store, f"_udc_old_{b}"))
+    assert os.path.isdir(os.path.join(store, bucket))
+    # and the repaired store still remembers "aa"
+    assert [r.doc_id for r in survivors.collect()] == []
+
+
+def test_sweep_mark_leaves_nothing_behind(spark, tmp_path):
+    """The sweep's short-lived mark is removed on exit: a plain setup
+    leaves the writers dir empty (no leaked exclusion artifacts)."""
+    from universal_data_connector_spark.store_lease import WRITERS_DIR
+
+    store = str(tmp_path / "seen")
+    _, commit = seen_filter(
+        spark.createDataFrame([(1, "aa")], "doc_id bigint, text string"),
+        store, ["text"], num_buckets=4)
+    commit()
+    wdir = os.path.join(store, WRITERS_DIR)
+    assert not os.path.isdir(wdir) or os.listdir(wdir) == []

@@ -519,3 +519,149 @@ def test_s3_ttl_expired_lease_is_broken(target):
     plant_expired()
     with s3_maintenance_lease(target):
         pass  # claimed over the expired predecessor
+
+
+# ---------------------------------------------------------------------------
+# r17: heartbeat renewal (VERDICT r16 item 1) + staleness-rule fixes
+# ---------------------------------------------------------------------------
+
+def test_s3_slow_commit_under_renewal_still_excludes_maintenance(target):
+    """A writer commit that outlives its own TTL keeps its exclusion
+    via the heartbeat: the mark's acquired_unix is refreshed every
+    ttl/3, so a concurrent maintenance attempt is refused instead of
+    breaking a LIVE (but slow) commit. Fails against the pre-r17
+    fixed-TTL code, where the elapsed mark read as stale."""
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    with s3_writer_mark(target, ttl=0.9):
+        time.sleep(1.6)  # well past the un-renewed TTL; ~5 renewals
+        with pytest.raises(StoreLeaseHeld):
+            with s3_maintenance_lease(target):
+                pass
+    # commit finished: its mark is gone and maintenance proceeds
+    with s3_maintenance_lease(target):
+        pass
+
+
+def test_s3_slow_maintenance_under_renewal_still_excludes_commit(target):
+    """The mirror: a compaction longer than its TTL keeps refusing
+    writer commits while live (the >1h-compaction edge of ADVICE
+    r16), and a crashed (non-renewing) holder still expires —
+    ``test_s3_ttl_expired_lease_is_broken`` above pins that side."""
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    with s3_maintenance_lease(target, ttl=0.9):
+        time.sleep(1.6)
+        with pytest.raises(StoreLeaseHeld):
+            with s3_writer_mark(target):
+                pass
+    with s3_writer_mark(target):
+        pass
+
+
+def test_s3_lost_renewal_never_clobbers_successor(target):
+    """Fenced renewal: if the holder's lease is broken and re-claimed
+    by a successor (here: planted externally), the next renewal loses
+    its ETag CAS, the renewer flips ``lost``, and the holder's release
+    SKIPS its delete — the successor's lease survives intact."""
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+    )
+
+    foreign = {"owner": "successor", "op": "vacuum", "pid": 1,
+               "host": "another-host", "acquired_unix": time.time(),
+               "ttl_seconds": 3600.0}
+    with s3_maintenance_lease(target, ttl=0.6):
+        # simulate a breaker: replace the lease under the holder
+        target.client.put_object(
+            Bucket=target.bucket, Key=target._key(LEASE_NAME),
+            Body=json.dumps(foreign).encode())
+        time.sleep(0.7)  # at least one renewal fires and loses CAS
+    got = json.loads(target.client.get_object(
+        Bucket=target.bucket,
+        Key=target._key(LEASE_NAME))["Body"].read())
+    assert got["owner"] == "successor"  # release did not delete it
+
+
+def test_same_owner_live_other_process_is_not_broken(tmp_path):
+    """ADVICE r16 (medium): owner match alone must NOT break a
+    still-LIVE predecessor in another process — a second incarnation
+    starting while a zombie holds the lease mid-compaction would
+    reopen the compaction-vs-append race. Once the zombie dies, the
+    same-host dead-pid rule breaks the leftover."""
+    store = str(tmp_path / "seen")
+    os.makedirs(store, exist_ok=True)
+    code = textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, {REPO!r})
+        from universal_data_connector_spark.store_lease import (
+            lease_owner, posix_maintenance_lease)
+        with lease_owner("stream:ckpt-z"):
+            with posix_maintenance_lease({store!r}):
+                print("HELD", flush=True)
+                time.sleep(60)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, text=True)
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        with lease_owner("stream:ckpt-z"), pytest.raises(StoreLeaseHeld):
+            with posix_maintenance_lease(store):
+                pass
+    finally:
+        proc.kill()
+        proc.wait()
+    # predecessor dead: the same owner now supersedes its leftover
+    with lease_owner("stream:ckpt-z"):
+        with posix_maintenance_lease(store):
+            pass
+
+
+def test_posix_foreign_host_staleness_is_mtime_bounded(tmp_path):
+    """VERDICT r16 item 3: a parseable POSIX payload whose host is
+    not this host (crashed container, hostname changed on restart)
+    falls back to mtime + the default TTL — old enough breaks, fresh
+    refuses."""
+    from universal_data_connector_spark.store_lease import (
+        DEFAULT_S3_TTL,
+    )
+
+    store = str(tmp_path / "seen")
+    os.makedirs(store, exist_ok=True)
+    lease = os.path.join(store, LEASE_NAME)
+    payload = {"owner": "who-knows", "op": "compact", "pid": 12345,
+               "host": "some-dead-container", "acquired_unix": 0.0,
+               "ttl_seconds": None}
+    with open(lease, "w") as fh:
+        json.dump(payload, fh)
+    # fresh mtime: refused
+    with pytest.raises(StoreLeaseHeld):
+        with posix_maintenance_lease(store):
+            pass
+    # mtime older than the TTL: broken
+    old = time.time() - DEFAULT_S3_TTL - 5
+    os.utime(lease, (old, old))
+    with posix_maintenance_lease(store):
+        pass
+
+
+def test_posix_heartbeat_refreshes_payload_and_mtime(tmp_path):
+    """The POSIX heartbeat rewrites acquired_unix (and thereby mtime)
+    so a long-running local holder never ages past the foreign-host
+    mtime bound a shared-filesystem checker applies."""
+    store = str(tmp_path / "seen")
+    entered = time.time()
+    with posix_maintenance_lease(store, renew_every=0.1):
+        time.sleep(0.45)
+        lease = os.path.join(store, LEASE_NAME)
+        with open(lease) as fh:
+            payload = json.load(fh)
+        assert payload["acquired_unix"] > entered + 0.2
+        assert os.path.getmtime(lease) > entered + 0.2
+    assert not os.path.exists(os.path.join(store, LEASE_NAME))

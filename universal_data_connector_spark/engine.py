@@ -749,9 +749,21 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
                 finally:
                     release_frames(pins)
             # post-commit, pre-next-batch: the store is idle and this
-            # query is its single writer — the safe compaction window
+            # query is its single writer — the safe compaction window.
+            # A refused cadence (foreign writer mark, concurrent REST
+            # maintenance) must NOT kill the query: the batch already
+            # committed and the next cadence catches up (ADVICE r16)
             if compact_every and (batch_id + 1) % compact_every == 0:
-                compact_store(batch_df.sparkSession)
+                from universal_data_connector_spark.store_lease import (
+                    StoreLeaseHeld,
+                )
+                try:
+                    compact_store(batch_df.sparkSession)
+                except StoreLeaseHeld as exc:
+                    log.warning(
+                        "dedup_state cadence compaction skipped at "
+                        "batch %d (store lease held: %s); the next "
+                        "cadence will compact", batch_id, exc)
 
     return (df.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint).start())

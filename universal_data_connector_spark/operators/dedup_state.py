@@ -89,31 +89,42 @@ def _ensure_seen_meta(state_dir: str, num_buckets: int,
     creation wins for the store's life (same rule as the state sinks).
     Also sweeps crash leftovers at the store root AND under the near
     store's ``bands``/``sigs`` sub-roots (their commits stage under
-    their own root, ``_append_buckets``) — UNLESS a live maintenance
-    lease is held by someone else (r16): the sweep's ``_udc_old_``
-    repair would put a parked bucket dir back mid-swap and make the
-    in-flight compaction's second rename fail. The compactor itself
-    passes ``in_maintenance=True`` (it holds the lease and MUST sweep
-    its predecessor's crash leftovers before swapping)."""
+    their own root, ``_append_buckets``) — under a WRITER MARK (r17):
+    the r16 bare lease-exists check was check-then-act (a compactor
+    acquiring the lease right after it put a parked ``_udc_old_``
+    bucket dir back mid-swap, ADVICE r16). The mark-then-check claim
+    order makes the exclusion airtight: if the sweep holds its mark
+    and saw no lease, a concurrent compactor's lease-then-marks check
+    sees the mark and refuses; if a lease is live the sweep is
+    refused and SKIPPED (the compactor sweeps its predecessor's
+    leftovers itself). The compactor passes ``in_maintenance=True``
+    (it holds the lease and MUST sweep before swapping)."""
     from universal_data_connector_spark.store_lease import (
-        LEASE_NAME,
-        _posix_stale,
-        current_owner,
+        StoreLeaseHeld,
+        posix_writer_mark,
     )
     from universal_data_connector_spark.streaming.windows import (
         _reject_remote_target,
     )
 
     _reject_remote_target(state_dir)
-    lease = os.path.join(state_dir, LEASE_NAME)
-    foreign_maintenance = (not in_maintenance and os.path.exists(lease)
-                           and not _posix_stale(lease, current_owner()))
-    if os.path.isdir(state_dir) and not foreign_maintenance:
+
+    def _sweep_all() -> None:
         _sweep_crash_leftovers(state_dir)
         for sub in ("bands", "sigs", "vecs"):
             sub_root = os.path.join(state_dir, sub)
             if os.path.isdir(sub_root):
                 _sweep_crash_leftovers(sub_root)
+
+    if os.path.isdir(state_dir):
+        if in_maintenance:
+            _sweep_all()
+        else:
+            try:
+                with posix_writer_mark(state_dir):
+                    _sweep_all()
+            except StoreLeaseHeld:
+                pass  # foreign maintenance in flight; it sweeps itself
     meta = os.path.join(state_dir, _SEEN_META)
     if os.path.isfile(meta):
         with open(meta) as fh:

@@ -204,14 +204,17 @@ class S3StateTarget:
             raise
         return json.loads(r["Body"].read()), r["ETag"]
 
-    def _put_cas(self, key: str, payload, etag: str | None) -> None:
-        """Create-if-absent (etag None) or ETag-CAS overwrite."""
+    def _put_cas(self, key: str, payload, etag: str | None) -> str | None:
+        """Create-if-absent (etag None) or ETag-CAS overwrite. Returns
+        the written object's ETag (for follow-up CAS renewals, e.g.
+        the store-lease heartbeat)."""
         body = json.dumps(payload).encode()
         cond = ({"IfNoneMatch": "*"} if etag is None
                 else {"IfMatch": etag})
         try:
-            self.client.put_object(Bucket=self.bucket, Key=key,
-                                   Body=body, **cond)
+            resp = self.client.put_object(Bucket=self.bucket, Key=key,
+                                          Body=body, **cond)
+            return resp.get("ETag")
         except Exception as exc:
             if _is_precondition_failed(exc):
                 raise CasConflict(
