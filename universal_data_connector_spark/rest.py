@@ -124,6 +124,8 @@ class ControlPlaneServer:
                     from universal_data_connector_spark.store_lease import (
                         StoreLeaseHeld,
                     )
+                    run_async = (qs.get("async") or ["false"])[0] \
+                        .lower() in ("true", "1", "yes")
                     try:
                         cfg = load_config(path)
                         # offline-only, ENFORCED twice over: the
@@ -136,6 +138,17 @@ class ControlPlaneServer:
                         # process writing the same store path — which
                         # one manager's config-name view cannot see —
                         # also 409s, keyed on store identity.
+                        if run_async:
+                            # r17 (VERDICT r16 item 5): long
+                            # compactions must not monopolize a
+                            # handler thread — return a job handle,
+                            # poll it on the jobs surface. Conflicts
+                            # still 409 synchronously (the window is
+                            # entered before the thread spawns).
+                            job = m.run_maintenance_async(cfg, op)
+                            return self._json(202, {
+                                "message": "Maintenance started",
+                                "job": job})
                         names = [p.name for p in cfg.pipelines]
                         with m.maintenance_window(names):
                             if op == "compact":
