@@ -93,7 +93,9 @@ def main() -> int:
 
     out = {"sf_dir": sf_dir, "keys": len(keys), "failed": bad,
            "results": results}
-    path = os.path.join(REPO, "scale_probe", "sf1_differential_r16.json")
+    tag = os.environ.get("UDC_SF1_TAG", "r16")
+    path = os.path.join(REPO, "scale_probe",
+                        f"sf1_differential_{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"-- {len(keys) - bad}/{len(keys)} differential-green at sf1 "
