@@ -17,7 +17,7 @@ Per-batch op counts come from the moto server's werkzeug access log
 (ANSI-stripped), so driver AND executor traffic is visible.
 
 Usage: python tools/soak_cadence_r16.py [batches] [batch_rows] [cadence]
-Writes scale_probe/soak_cadence_r16.json; exit 1 on any violation.
+Writes scale_probe/soak_cadence_<UDC_SOAK_TAG|r16>.json; exit 1 on any violation.
 """
 
 from __future__ import annotations
@@ -164,7 +164,8 @@ def main() -> int:
            "input_distinct": n_input_distinct, "exact": exact,
            "cycle_start_gets": cycle_start_gets,
            "get_band_ratio": round(band, 3), "get_band_flat": flat}
-    path = os.path.join(REPO, "scale_probe/soak_cadence_r16.json")
+    tag = os.environ.get("UDC_SOAK_TAG", "r16")
+    path = os.path.join(REPO, f"scale_probe/soak_cadence_{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"-- exact={exact} ({n_shipped} shipped, "
