@@ -131,3 +131,102 @@ def test_sweep_mark_leaves_nothing_behind(spark, tmp_path):
     commit()
     wdir = os.path.join(store, WRITERS_DIR)
     assert not os.path.isdir(wdir) or os.listdir(wdir) == []
+
+
+def test_posix_renewer_never_overwrites_successor(tmp_path):
+    """Inode fence (r17 review): after a breaker unlinks and re-claims
+    the lease, the old holder's heartbeat must neither overwrite the
+    successor's file (writes go through the held fd -> orphaned
+    inode) nor delete it at release (lost flips on the inode
+    mismatch)."""
+    import json as _json
+    import time as _time
+
+    from universal_data_connector_spark.store_lease import LEASE_NAME
+
+    store = str(tmp_path / "seen")
+    lease = os.path.join(store, LEASE_NAME)
+    successor = {"owner": "successor", "op": "compact", "pid": 1,
+                 "host": "elsewhere", "acquired_unix": 0.0,
+                 "ttl_seconds": None}
+    with posix_maintenance_lease(store, renew_every=0.1):
+        os.unlink(lease)  # a breaker...
+        with open(lease, "w") as fh:  # ...and its successor's claim
+            _json.dump(successor, fh)
+        _time.sleep(0.45)  # several heartbeat ticks fire
+        with open(lease) as fh:
+            assert _json.load(fh)["owner"] == "successor"
+    # release skipped its unlink: the successor's lease survives
+    with open(lease) as fh:
+        assert _json.load(fh)["owner"] == "successor"
+
+
+def test_async_maintenance_stop_lands_cancelled(spark, tmp_path,
+                                                monkeypatch):
+    """stop() racing an async maintenance submission always lands: the
+    thread is attached before registration and stop() marks CANCELLED
+    even in the register-to-start instant (r17 review), so the job
+    never silently runs to COMPLETED after a 200 from /stop."""
+    import time as _time
+
+    import yaml
+
+    from universal_data_connector_spark import maintenance as maint
+    from universal_data_connector_spark.config import load_config
+    from universal_data_connector_spark.manager import PipelineManager
+
+    def slow_compact(sp, cfg):
+        _time.sleep(1.5)
+        return []
+
+    monkeypatch.setattr(maint, "compact_stores", slow_compact)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"pipelines": [{
+        "name": "m-stop",
+        "source": {"type": "file",
+                   "properties": {"path": str(tmp_path / "in")}},
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out")}},
+    }]}))
+    mgr = PipelineManager(spark)
+    job = mgr.run_maintenance_async(load_config(str(cfg_path)),
+                                    "compact")
+    assert mgr.stop(job) is True
+    assert mgr.wait(timeout=60)
+    assert {j["name"]: j for j in mgr.jobs()}[job]["status"] \
+        == "CANCELLED"
+    # window released: a follow-up maintenance acquires it
+    with mgr.maintenance_window(["m-stop"]):
+        pass
+
+
+def test_failed_pipeline_job_keeps_reference_dto_shape(spark, tmp_path):
+    """A FAILED pipeline job's info() stays exactly JobInfo.java's
+    three keys — the r17 result/error extension applies to async
+    maintenance handles only."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.manager import PipelineManager
+
+    cfg = parse_config({"pipelines": [{
+        "name": "will-fail",
+        "source": {"type": "file",
+                   "properties": {"path": str(tmp_path / "does"),
+                                  "pattern": "*.txt"}},
+        "transformations": [{"type": "sql", "properties": {
+            "query": "SELECT no_such_column FROM input"}}],
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out")}},
+    }]}).pipelines[0]
+    os.makedirs(tmp_path / "does", exist_ok=True)
+    (tmp_path / "does" / "a.txt").write_text("x")
+    mgr = PipelineManager(spark)
+    try:
+        mgr.start_pipeline(cfg)
+        mgr.wait(timeout=60)
+        infos = [j for j in mgr.jobs() if j["name"].startswith("will-fail")]
+        if infos:
+            assert set(infos[0]) == {"name", "status", "submissionTime"}
+    except Exception:
+        # submission-time failure: nothing registered — equally fine,
+        # the DTO contract is about REGISTERED failed jobs
+        assert mgr.jobs() == []

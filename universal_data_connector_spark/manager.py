@@ -98,19 +98,22 @@ class Job:
         return self.status == "RUNNING"
 
     #: async-maintenance result payload (compacted/vacuumed listing);
-    #: None for pipeline jobs — info() adds keys only when set so the
-    #: pipeline DTO shape stays exactly JobInfo.java's
+    #: None for pipeline jobs
     result: dict | None = None
 
     def info(self) -> dict:
-        """DTO shape of ``dto/JobInfo.java:8-34``; async maintenance
-        jobs additionally carry their result / error once terminal."""
+        """DTO shape of ``dto/JobInfo.java:8-34``. PIPELINE jobs keep
+        exactly that shape (failed ones included — the reference
+        exposes no error field either); async MAINTENANCE jobs, which
+        have no reference DTO to match, additionally carry their
+        result / error once terminal so the handle is pollable."""
         out = {"name": self.name, "status": self.status,
                "submissionTime": self.submission_time_ms}
-        if self.result is not None:
-            out["result"] = self.result
-        if self.error is not None:
-            out["error"] = self.error
+        if self.pipeline.startswith("maintenance:"):
+            if self.result is not None:
+                out["result"] = self.result
+            if self.error is not None:
+                out["error"] = self.error
         return out
 
 
@@ -190,34 +193,44 @@ class PipelineManager:
                 self._last_ms = submit_ms
             job_name = f"maintenance-{op}-{submit_ms}"
             job = Job(job_name, f"maintenance:{op}", submit_ms, "batch")
+
+            def target() -> None:
+                try:
+                    self.spark.sparkContext.setJobGroup(
+                        job_name, f"maintenance {op}", True)
+                    if not job.is_running:  # stop() landed first
+                        return
+                    if op == "compact":
+                        job.result = {"compacted":
+                                      compact_stores(self.spark, cfg)}
+                    else:
+                        job.result = {"vacuumed": vacuum_stores(cfg)}
+                    job._finish("COMPLETED")
+                except Exception as exc:  # noqa: BLE001 - job records it
+                    job._finish("FAILED", str(exc))
+                    log.exception("async maintenance %s failed",
+                                  job_name)
+                finally:
+                    window.__exit__(None, None, None)
+
+            # attach the thread BEFORE registering so a stop() racing
+            # the registration always sees a stoppable job, and keep
+            # thread.start() inside the cleanup scope: a start() that
+            # raises (thread exhaustion) must release the window and
+            # unregister instead of wedging the manager forever
+            job.thread = threading.Thread(target=target, name=job_name,
+                                          daemon=True)
             with self._lock:
                 self._jobs[job_name] = job
+            try:
+                job.thread.start()
+            except BaseException:
+                with self._lock:
+                    self._jobs.pop(job_name, None)
+                raise
         except BaseException:
             window.__exit__(None, None, None)
             raise
-
-        def target() -> None:
-            try:
-                self.spark.sparkContext.setJobGroup(
-                    job_name, f"maintenance {op}", True)
-                if not job.is_running:  # stop() landed before the tag
-                    return
-                if op == "compact":
-                    job.result = {"compacted":
-                                  compact_stores(self.spark, cfg)}
-                else:
-                    job.result = {"vacuumed": vacuum_stores(cfg)}
-                job._finish("COMPLETED")
-            except Exception as exc:  # noqa: BLE001 - job records it
-                job._finish("FAILED", str(exc))
-                log.exception("async maintenance %s failed", job_name)
-            finally:
-                window.__exit__(None, None, None)
-
-        thread = threading.Thread(target=target, name=job_name,
-                                  daemon=True)
-        job.thread = thread
-        thread.start()
         return job_name
 
     # -- start ----------------------------------------------------------
@@ -421,12 +434,16 @@ class PipelineManager:
             # — start_pipeline observes the terminal state right after
             # start() and stops the fresh query instead of orphaning it
             job._finish("CANCELLED")
-        elif job.thread is not None and job.thread.is_alive():
+        elif job.thread is not None:
             # Cancel only this pipeline's Spark jobs — other running
             # pipelines keep their isolation (the worker thread tagged
             # them with setJobGroup(job_name) at start). Mark CANCELLED
             # first: the worker re-checks it after setJobGroup, closing
-            # the stop-before-tag race.
+            # the stop-before-tag race. No is_alive() gate (r17): a
+            # stop() landing in the register-to-start instant must
+            # still mark CANCELLED (the worker's re-check honors it);
+            # on an already-finished job both the mark and the group
+            # cancel are no-ops.
             job._finish("CANCELLED")
             sc = self.spark.sparkContext
             try:

@@ -11,7 +11,7 @@ Every key is one operator from SURVEY.md §2B. Each entry pairs
 Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
 
 * double sums go through ``exact_sum`` (decimal-exact, order-free);
-  the oracle mirrors with CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE),
+  the oracle mirrors with CAST(CAST(SUM(CAST(CAST(x AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE),
 * ranking windows always include a unique key as the final tiebreak,
 * timestamps are emitted as formatted strings (session TZ pinned UTC),
 * count/length-ish integers are cast to bigint on both sides,
@@ -111,8 +111,21 @@ def query(name: str, oracle: str | None = None):
 
 
 def _dsum(sql_expr: str) -> str:
-    """Oracle-side mirror of operators.relational.exact_sum."""
-    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL(27,6))) AS DOUBLE)"
+    """Oracle-side mirror of operators.relational.exact_sum, with a
+    STRING hop on BOTH conversions (r17, caught by the sf1
+    differential on sample_hash_split/agg_weighted_avg):
+
+    * inner (double -> decimal): the hop makes DuckDB convert via the
+      shortest decimal repr — exactly Spark's Cast
+      (``BigDecimal(Double.toString(d))``, HALF_UP) — where a direct
+      cast rounds the exact binary expansion;
+    * outer (decimal -> double): DuckDB's direct cast computes
+      unscaled/10^scale in floating point and DOUBLE-ROUNDS (one ulp
+      off once the unscaled value exceeds 2^53, e.g. a 3e11 revenue
+      total at sf1), while Spark's Decimal.toDouble is correctly
+      rounded; the string round-trip is correctly rounded in both."""
+    return (f"CAST(CAST(SUM(CAST(CAST({sql_expr} AS STRING)"
+            " AS DECIMAL(27,6))) AS STRING) AS DOUBLE)")
 
 
 # ---------------------------------------------------------------------------
@@ -799,7 +812,7 @@ def agg_grouping_sets(spark, sf_dir):
         return spark.sql(f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+                   CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE) AS sum_qty
             FROM {view}
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """)
@@ -858,7 +871,7 @@ def window_row_number_topk(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+           CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
     FROM orders
@@ -2616,7 +2629,7 @@ def reshape_pack_sequences(spark, sf_dir):
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+           CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id ORDER BY value
                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS near_sum
@@ -2820,7 +2833,7 @@ def multimodal_decode_features(spark, sf_dir):
     "sql_full_surface",
     oracle="""
     SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(CAST(c.c_acctbal AS STRING) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY n.n_name
@@ -2845,7 +2858,7 @@ def sql_full_surface(spark, sf_dir):
     try:
         return spark.sql(f"""
             SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
-                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+                   CAST(CAST(SUM(CAST(CAST(c.c_acctbal AS STRING) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total_acctbal
             FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY n.n_name
@@ -3599,7 +3612,7 @@ def ts_subsequence_search(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation, l.l_returnflag AS returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE)
                AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3922,14 +3935,15 @@ def dq_fk_integrity(spark, sf_dir):
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+               SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,6))) AS rev
         FROM orders GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
-           CAST(rev AS DOUBLE) AS revenue,
-           CAST(SUM(rev) OVER w AS DOUBLE) AS sum_7d,
+           CAST(CAST(rev AS STRING) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) OVER w AS STRING) AS DOUBLE) AS sum_7d,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d,
-           CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+           CAST(CAST(SUM(rev) OVER w AS STRING) AS DOUBLE)
+               / COUNT(*) OVER w AS avg_7d
     FROM daily
     WINDOW w AS (ORDER BY d
                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
@@ -4322,7 +4336,7 @@ def join_asof_nearest(spark, sf_dir):
     oracle="""
     WITH hourly AS (
         SELECT date_trunc('hour', ts) AS h,
-               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE)
                    / COUNT(*) AS v
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     ), bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
@@ -4434,14 +4448,15 @@ def agg_array_collect(spark, sf_dir):
     "window_percent_of_total",
     oracle="""
     WITH per_nation AS (
-        SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+        SELECT n_name, SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,6))) AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     )
-    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
-           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+    SELECT n_name, CAST(CAST(rev AS STRING) AS DOUBLE) AS revenue,
+           CAST(CAST(rev AS STRING) AS DOUBLE)
+               / CAST(CAST(SUM(rev) OVER () AS STRING) AS DOUBLE) AS share
     FROM per_nation
     """,
 )
@@ -4656,9 +4671,9 @@ def stream_agg_state_totals(spark, sf_dir):
     "agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice * l_quantity AS STRING) AS DECIMAL(38,6))) AS STRING)
                 AS DOUBLE)
-           / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE)
                AS w_avg_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -4716,13 +4731,13 @@ def agg_argmax_struct(spark, sf_dir):
     WITH s AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+               CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity * l_quantity AS STRING) AS DECIMAL(38,6))) AS STRING)
                     AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice * l_extendedprice
+                             AS STRING) AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity * l_extendedprice AS STRING) AS DECIMAL(38,6))) AS STRING)
                     AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
@@ -4899,7 +4914,7 @@ def ts_outlier_iqr(spark, sf_dir):
     WITH rfm AS (
         SELECT o_custkey AS custkey,
                CAST(COUNT(*) AS BIGINT) AS f,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS m,
+               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(27,6))) AS STRING) AS DOUBLE) AS m,
                strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
         FROM orders GROUP BY o_custkey
     ), cuts AS (

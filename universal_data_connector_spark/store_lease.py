@@ -97,8 +97,11 @@ class StoreLeaseHeld(RuntimeError):
 @contextlib.contextmanager
 def lease_owner(owner: str | None):
     """Scope a logical-owner identity (e.g. ``stream:<checkpoint>``)
-    over the marks/leases taken inside: a restarted incarnation of the
-    same owner may break its dead predecessor's artifacts."""
+    over the marks/leases taken inside: a SAME-PROCESS restart of the
+    same owner supersedes its own leftover artifacts immediately (r17
+    narrowing — a dead predecessor in another process breaks via
+    same-host pid-liveness, and a cross-host one waits out its
+    TTL/mtime bound so a live zombie is never broken)."""
     token = _OWNER.set(owner)
     try:
         yield
@@ -230,18 +233,39 @@ def _posix_renewer(path: str, payload: dict,
                    renew_every: float) -> _Renewer:
     """Heartbeat for a held POSIX lease/mark: rewrite the payload with
     a fresh ``acquired_unix`` (which also refreshes the mtime the
-    foreign-host staleness bound reads). The in-place truncate+write
-    is torn-read-safe: a checker reading mid-write sees an unparseable
-    payload and falls back to the (fresh) mtime."""
+    foreign-host staleness bound reads). Inode-fenced, mirroring the
+    S3 renewer's ETag fence: the renewer holds an fd on the file it
+    claimed and ONLY writes through that fd, so after a breaker
+    unlinks (and possibly recreates) the path the write lands on the
+    orphaned inode — invisible, never on a successor's file — and the
+    stat-vs-fstat inode comparison flips ``lost``. The in-place
+    truncate+write is torn-read-safe: a checker reading mid-write
+    sees an unparseable payload and falls back to the (fresh)
+    mtime."""
+    fd = os.open(path, os.O_RDWR)
+    my_ino = os.fstat(fd).st_ino
 
     def renew() -> bool:
-        if not os.path.exists(path):
+        try:
+            if os.stat(path).st_ino != my_ino:
+                return False  # broken + re-claimed by a successor
+        except FileNotFoundError:
             return False  # broken by a checker
-        with open(path, "w") as fh:
-            json.dump(dict(payload, acquired_unix=time.time()), fh)
+        body = json.dumps(dict(payload, acquired_unix=time.time()))
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, body.encode(), 0)
         return True
 
-    return _Renewer(renew, renew_every)
+    renewer = _Renewer(renew, renew_every)
+    inner_stop = renewer.stop
+
+    def stop() -> None:
+        inner_stop()
+        with contextlib.suppress(OSError):
+            os.close(fd)
+
+    renewer.stop = stop
+    return renewer
 
 
 def _posix_claim(path: str, payload: dict, checker_owner: str | None,
@@ -420,6 +444,15 @@ def _s3_renewer(target, key: str, payload: dict, etag: str | None,
             state["etag"] = target._put_cas(key, fresh, state["etag"])
             return True
         except CasConflict:
+            # disambiguate a self-conflict: an HTTP-level retry can
+            # replay the PUT after the first attempt landed, and the
+            # replay 412s against OUR OWN fresh write. If the key now
+            # holds exactly the payload this tick wrote, the renewal
+            # succeeded — adopt the new ETag and keep going.
+            holder, new_etag = target._get_json(key)
+            if holder == fresh:
+                state["etag"] = new_etag
+                return True
             return False
         except Exception as exc:  # noqa: BLE001
             code = getattr(exc, "response", {}).get(
