@@ -665,3 +665,80 @@ def test_posix_heartbeat_refreshes_payload_and_mtime(tmp_path):
         assert payload["acquired_unix"] > entered + 0.2
         assert os.path.getmtime(lease) > entered + 0.2
     assert not os.path.exists(os.path.join(store, LEASE_NAME))
+
+
+def test_s3_renewal_exclusion_holds_under_hammering(target):
+    """Contention stress for the heartbeat: a commit holding its mark
+    well past the TTL (renewing at ttl/3) is hammered by maintenance
+    attempts every ~40 ms — NONE may succeed while the commit is live,
+    and the first attempt after release must succeed. Pre-r17 the
+    first post-TTL attempt would break the live mark."""
+    import threading
+
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    holding = threading.Event()
+    released = threading.Event()
+
+    def slow_commit():
+        with s3_writer_mark(target, ttl=0.4):
+            holding.set()
+            time.sleep(1.3)  # > 3 TTLs; ~9 renewals
+        released.set()
+
+    t = threading.Thread(target=slow_commit, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    breaches = 0
+    while not released.is_set():
+        try:
+            with s3_maintenance_lease(target):
+                if not released.is_set():
+                    breaches += 1  # maintenance ran over a live commit
+        except StoreLeaseHeld:
+            pass
+        time.sleep(0.04)
+    t.join(10)
+    assert breaches == 0
+    with s3_maintenance_lease(target):
+        pass  # released: acquirable
+
+
+def test_s3_renewal_exclusion_holds_mirror_direction(target):
+    """The mirror: a long maintenance hold (renewing past its TTL) is
+    hammered by writer commits — none lands while the lease is live."""
+    import threading
+
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    holding = threading.Event()
+    released = threading.Event()
+
+    def slow_maintenance():
+        with s3_maintenance_lease(target, ttl=0.4):
+            holding.set()
+            time.sleep(1.3)
+        released.set()
+
+    t = threading.Thread(target=slow_maintenance, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    breaches = 0
+    while not released.is_set():
+        try:
+            with s3_writer_mark(target):
+                if not released.is_set():
+                    breaches += 1
+        except StoreLeaseHeld:
+            pass
+        time.sleep(0.04)
+    t.join(10)
+    assert breaches == 0
+    with s3_writer_mark(target):
+        pass
