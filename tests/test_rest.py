@@ -176,7 +176,7 @@ def test_rest_maintenance_async_polls_to_completion(
 
     real_compact = maint.compact_stores
 
-    def slow_compact(sp, cfg):
+    def slow_compact(sp, cfg, keep_going=None):
         _time.sleep(1.2)
         return real_compact(sp, cfg)
 
@@ -253,7 +253,7 @@ def test_rest_maintenance_async_failure_is_recorded(
     the error attached, and releases the window."""
     from universal_data_connector_spark import maintenance as maint
 
-    def boom(sp, cfg):
+    def boom(sp, cfg, keep_going=None):
         raise RuntimeError("compaction exploded")
 
     monkeypatch.setattr(maint, "compact_stores", boom)

@@ -83,14 +83,22 @@ def test_cadence_skip_on_held_lease_keeps_query_alive(
             assert len(files) == 1, (name, files)
 
 
-def test_read_side_sweep_skips_under_live_lease_and_repairs_after(
+def test_read_side_sweep_refuses_on_parked_bucket_under_live_lease(
         spark, tmp_path):
     """The read-side crash-leftover sweep takes a writer mark: under a
-    live foreign maintenance lease it is refused and SKIPS (leaving the
-    parked ``_udc_old_`` dir for the compactor to repair), and once the
-    lease is gone the same setup path repairs the leftover. The bare
-    r16 lease-exists probe could race a compactor acquiring the lease
-    right after the check (ADVICE r16 low)."""
+    live foreign maintenance lease with a PARKED ``_udc_old_`` bucket
+    dir, the read refuses LOUDLY (r17 review: reading past the park
+    would silently treat that bucket as empty and pass already-seen
+    keys as new), and once the lease is gone the same setup path
+    repairs the leftover. The bare r16 lease-exists probe could race a
+    compactor acquiring the lease right after the check (ADVICE r16
+    low)."""
+    import pytest
+
+    from universal_data_connector_spark.store_lease import (
+        StoreLeaseHeld,
+    )
+
     store = str(tmp_path / "seen")
     _, commit = seen_filter(
         spark.createDataFrame([(1, "aa")], "doc_id bigint, text string"),
@@ -103,11 +111,13 @@ def test_read_side_sweep_skips_under_live_lease_and_repairs_after(
     os.rename(os.path.join(store, bucket),
               os.path.join(store, f"_udc_old_{b}"))
     with posix_maintenance_lease(store):
-        survivors, _ = seen_filter(
-            spark.createDataFrame([(2, "zz")],
-                                  "doc_id bigint, text string"),
-            store, ["text"], num_buckets=4)
-        # sweep was SKIPPED: the parked dir is untouched mid-maintenance
+        with pytest.raises(StoreLeaseHeld, match="parked"):
+            seen_filter(
+                spark.createDataFrame([(2, "aa")],
+                                      "doc_id bigint, text string"),
+                store, ["text"], num_buckets=4)
+        # the parked dir is untouched mid-maintenance (the holder
+        # repairs it; the refused reader must not)
         assert os.path.isdir(os.path.join(store, f"_udc_old_{b}"))
     # lease released: the next setup's marked sweep repairs the park
     survivors, _ = seen_filter(
@@ -117,6 +127,24 @@ def test_read_side_sweep_skips_under_live_lease_and_repairs_after(
     assert os.path.isdir(os.path.join(store, bucket))
     # and the repaired store still remembers "aa"
     assert [r.doc_id for r in survivors.collect()] == []
+
+
+def test_read_side_sweep_skips_silently_without_parked_dirs(
+        spark, tmp_path):
+    """A live lease WITHOUT parked dirs only skips the sweep — the
+    read itself proceeds (the store is consistent; only the repair is
+    the maintenance holder's job)."""
+    store = str(tmp_path / "seen")
+    _, commit = seen_filter(
+        spark.createDataFrame([(1, "aa")], "doc_id bigint, text string"),
+        store, ["text"], num_buckets=4)
+    commit()
+    with posix_maintenance_lease(store):
+        survivors, _ = seen_filter(
+            spark.createDataFrame([(2, "aa"), (3, "zz")],
+                                  "doc_id bigint, text string"),
+            store, ["text"], num_buckets=4)
+        assert [r.doc_id for r in survivors.collect()] == [3]
 
 
 def test_sweep_mark_leaves_nothing_behind(spark, tmp_path):
@@ -175,7 +203,7 @@ def test_async_maintenance_stop_lands_cancelled(spark, tmp_path,
     from universal_data_connector_spark.config import load_config
     from universal_data_connector_spark.manager import PipelineManager
 
-    def slow_compact(sp, cfg):
+    def slow_compact(sp, cfg, keep_going=None):
         _time.sleep(1.5)
         return []
 
@@ -230,3 +258,103 @@ def test_failed_pipeline_job_keeps_reference_dto_shape(spark, tmp_path):
         # submission-time failure: nothing registered — equally fine,
         # the DTO contract is about REGISTERED failed jobs
         assert mgr.jobs() == []
+
+
+def test_streaming_batch_refuses_before_shipping_under_maintenance(
+        spark, tmp_path):
+    """The batch-spanning writer mark (r17 review): a streaming dedup
+    batch arriving while a POSIX store is under a maintenance lease
+    refuses BEFORE reading or shipping anything — no output files land
+    from the refused attempt — and a restart after release ships the
+    batch exactly once."""
+    import pyspark.errors
+
+    from universal_data_connector_spark.engine import run
+
+    inp, out = tmp_path / "in", tmp_path / "out"
+    store = tmp_path / "store"
+    inp.mkdir()
+    cfg = _stream_dedup_cfg(inp, out, tmp_path / "ckpt",
+                            {"stateDir": str(store)})
+    (inp / "a.txt").write_text("span first")
+    q = run(spark, cfg, streaming=True)
+    try:
+        q.processAllAvailable()
+        assert sorted(os.listdir(out)) == ["a.txt"]
+        with posix_maintenance_lease(str(store)):
+            (inp / "b.txt").write_text("span second")
+            try:
+                q.processAllAvailable()
+                raise AssertionError("expected the batch to refuse")
+            except pyspark.errors.exceptions.captured.StreamingQueryException:
+                pass
+            # refused BEFORE shipping: b.txt never landed
+            assert sorted(os.listdir(out)) == ["a.txt"]
+    finally:
+        with __import__("contextlib").suppress(Exception):
+            q.stop()
+    # lease released: the restarted query replays and ships b once
+    q2 = run(spark, cfg, streaming=True)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(os.listdir(out)) == ["a.txt", "b.txt"]
+
+
+def test_posix_renewer_failure_releases_claim(tmp_path, monkeypatch):
+    """A renewer that fails to construct (fd exhaustion) must release
+    the just-claimed artifact instead of wedging the store until the
+    process exits (r17 review)."""
+    import pytest
+
+    from universal_data_connector_spark import store_lease as sl
+
+    def boom(path, payload, renew_every):
+        raise OSError(24, "Too many open files")
+
+    monkeypatch.setattr(sl, "_posix_renewer", boom)
+    store = str(tmp_path / "seen")
+    with pytest.raises(OSError):
+        with sl.posix_maintenance_lease(store):
+            pass
+    assert not os.path.exists(os.path.join(store, sl.LEASE_NAME))
+    with pytest.raises(OSError):
+        with sl.posix_writer_mark(store):
+            pass
+    wdir = os.path.join(store, sl.WRITERS_DIR)
+    assert os.listdir(wdir) == []
+
+
+def test_maintenance_keep_going_stops_at_store_boundary(spark, tmp_path):
+    """compact_stores/vacuum_stores re-check keep_going between
+    stores: an async stop() lands at the next boundary instead of
+    walking every remaining store (r17 review — vacuum runs no Spark
+    jobs, so the job-group cancel alone could never reach it)."""
+    from universal_data_connector_spark.config import parse_config
+    from universal_data_connector_spark.maintenance import compact_stores
+
+    stores = [str(tmp_path / f"s{i}") for i in range(3)]
+    for s in stores:
+        _, c = seen_filter(
+            spark.createDataFrame([(1, "x")],
+                                  "doc_id bigint, text string"),
+            s, ["text"], num_buckets=2)
+        c()
+        c()
+    cfg = parse_config({"pipelines": [{
+        "name": f"p{i}",
+        "source": {"type": "file", "properties": {"path": str(tmp_path)}},
+        "transformations": [{"type": "dedup_state", "properties": {
+            "stateDir": s, "keys": "text", "numBuckets": "2"}}],
+        "sink": {"type": "file",
+                 "properties": {"path": str(tmp_path / "out")}},
+    } for i, s in enumerate(stores)]})
+    calls = {"n": 0}
+
+    def two_then_stop():
+        calls["n"] += 1
+        return calls["n"] <= 2
+
+    done = compact_stores(spark, cfg, keep_going=two_then_stop)
+    assert len(done) < 3  # stopped at a store boundary, not after all

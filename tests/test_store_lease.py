@@ -742,3 +742,34 @@ def test_s3_renewal_exclusion_holds_mirror_direction(target):
     assert breaches == 0
     with s3_writer_mark(target):
         pass
+
+
+def test_s3_renewal_recovers_own_landed_write(target):
+    """Nonce fencing (r17 review): a renewal whose earlier PUT landed
+    but whose response was lost (stale cached ETag) CAS-conflicts
+    against the holder's OWN write — the nonce identifies it and the
+    heartbeat recovers instead of flipping lost; release still deletes
+    the lease."""
+    import botocore.exceptions  # noqa: F401 - env guard parity
+
+    from universal_data_connector_spark.store_lease import (
+        LEASE_NAME,
+        s3_maintenance_lease,
+    )
+
+    key = target._key(LEASE_NAME)
+    with s3_maintenance_lease(target, ttl=0.6):
+        # simulate "previous tick landed, response lost": re-PUT our
+        # own payload (same nonce, fresh acquired_unix) so the ETag
+        # the renewer cached goes stale against our own write
+        payload, _ = target._get_json(key)
+        target.client.put_object(
+            Bucket=target.bucket, Key=key,
+            Body=json.dumps(dict(payload,
+                                 acquired_unix=time.time())).encode())
+        time.sleep(0.7)  # renewals CAS-conflict, must recover via nonce
+        holder, _ = target._get_json(key)
+        assert holder is not None and holder["nonce"] == payload["nonce"]
+    # not lost: release deleted the lease as usual
+    holder, _ = target._get_json(key)
+    assert holder is None

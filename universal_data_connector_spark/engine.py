@@ -740,8 +740,29 @@ def start_streaming_sink(df: DataFrame, sink_cfg):
         # query (same checkpoint, single-writer by Spark's checkpoint
         # contract) may break its dead predecessor's stale artifacts
         # instead of wedging on them
+        # POSIX stores: the batch's writer mark spans the WHOLE
+        # read-filter-ship-commit (r17 review), not just the commit —
+        # a compaction's rename swap mid-READ makes a bucket dir
+        # silently vanish from the listing, letting already-seen keys
+        # ship as new BEFORE the commit's own refusal lands. With the
+        # span, a batch starting during maintenance refuses before
+        # reading anything, and maintenance starting mid-batch sees
+        # the mark and refuses. The object-store twin deliberately
+        # keeps its no-mark read (r16 asymmetry): its compaction
+        # deletes only listed objects, so a racing read fails LOUDLY
+        # on a missing object instead of silently missing a bucket.
+        import contextlib
+
+        def batch_span():
+            if props.get("stateDir"):
+                from universal_data_connector_spark.store_lease import (
+                    posix_writer_mark,
+                )
+                return posix_writer_mark(props["stateDir"])
+            return contextlib.nullcontext()
+
         with lease_owner(f"stream:{checkpoint}"):
-            with pin_scope() as pins:
+            with batch_span(), pin_scope() as pins:
                 try:
                     survivors, commit = _seen_filter_for(batch_df, props)
                     create_sink(survivors, sink_cfg, streaming=False)

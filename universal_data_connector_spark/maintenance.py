@@ -15,12 +15,16 @@ argument).
 from __future__ import annotations
 
 
-def compact_stores(spark, cfg) -> list[dict]:
+def compact_stores(spark, cfg, keep_going=None) -> list[dict]:
     """Compact every dedup_state seen store referenced by ``cfg``
     (exact, near and embedding stores alike — the compactors walk
     whichever sub-stores exist), deduplicated so a store shared by
     several pipelines compacts once. Returns one summary dict per
-    store."""
+    store. ``keep_going`` (optional callable) is re-checked between
+    STORES: an async-maintenance stop() lands at the next store
+    boundary instead of running the remaining stores to completion —
+    each store's own compaction stays atomic (lease-scoped), so an
+    abort never leaves a store half-compacted."""
     from universal_data_connector_spark.operators.dedup_state import (
         compact_seen_store,
         compact_seen_store_s3,
@@ -32,6 +36,8 @@ def compact_stores(spark, cfg) -> list[dict]:
     done, seen = [], set()
     for p in cfg.pipelines:
         for t in p.transformations:
+            if keep_going is not None and not keep_going():
+                return done
             if t.type != "dedup_state":
                 continue
             props = t.properties
@@ -55,11 +61,14 @@ def compact_stores(spark, cfg) -> list[dict]:
     return done
 
 
-def vacuum_stores(cfg) -> list[dict]:
+def vacuum_stores(cfg, keep_going=None) -> list[dict]:
     """Vacuum every object-store state-sink target referenced by
     ``cfg`` (sink types ``upsert``/``agg_state`` with ``bucketName``),
     deduplicated. Co-located dedup seen stores are excluded by
-    ``vacuum_target`` itself. Returns one summary dict per target."""
+    ``vacuum_target`` itself. Returns one summary dict per target.
+    ``keep_going`` as in ``compact_stores`` — vacuum runs no Spark
+    jobs, so a stop()'s job-group cancel alone could never reach it
+    (r17 review)."""
     from universal_data_connector_spark.sinks.upsert import (
         s3_state_target,
     )
@@ -69,6 +78,8 @@ def vacuum_stores(cfg) -> list[dict]:
 
     done, seen = [], set()
     for p in cfg.pipelines:
+        if keep_going is not None and not keep_going():
+            return done
         props = p.sink.properties if p.sink else {}
         if (p.sink and p.sink.type in ("upsert", "agg_state")
                 and props.get("bucketName")):

@@ -200,11 +200,16 @@ class PipelineManager:
                         job_name, f"maintenance {op}", True)
                     if not job.is_running:  # stop() landed first
                         return
+                    # keep_going: a stop() mid-op lands at the next
+                    # STORE boundary (vacuum runs no Spark jobs, so
+                    # the job-group cancel alone can't reach it)
                     if op == "compact":
-                        job.result = {"compacted":
-                                      compact_stores(self.spark, cfg)}
+                        job.result = {"compacted": compact_stores(
+                            self.spark, cfg,
+                            keep_going=lambda: job.is_running)}
                     else:
-                        job.result = {"vacuumed": vacuum_stores(cfg)}
+                        job.result = {"vacuumed": vacuum_stores(
+                            cfg, keep_going=lambda: job.is_running)}
                     job._finish("COMPLETED")
                 except Exception as exc:  # noqa: BLE001 - job records it
                     job._finish("FAILED", str(exc))

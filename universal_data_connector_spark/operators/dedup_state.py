@@ -116,6 +116,12 @@ def _ensure_seen_meta(state_dir: str, num_buckets: int,
             if os.path.isdir(sub_root):
                 _sweep_crash_leftovers(sub_root)
 
+    def _parked() -> list[str]:
+        roots = [state_dir] + [os.path.join(state_dir, s)
+                               for s in ("bands", "sigs", "vecs")]
+        return [os.path.join(r, n) for r in roots if os.path.isdir(r)
+                for n in os.listdir(r) if n.startswith("_udc_old_")]
+
     if os.path.isdir(state_dir):
         if in_maintenance:
             _sweep_all()
@@ -124,7 +130,21 @@ def _ensure_seen_meta(state_dir: str, num_buckets: int,
                 with posix_writer_mark(state_dir):
                     _sweep_all()
             except StoreLeaseHeld:
-                pass  # foreign maintenance in flight; it sweeps itself
+                # foreign maintenance in flight: it sweeps crash
+                # leftovers itself — but reading PAST a parked bucket
+                # dir would silently treat that bucket as empty and
+                # pass already-seen keys as new (r17 review). Refuse
+                # loudly instead; the maintenance holder repairs the
+                # park first thing under its lease, so the retry
+                # reads a consistent store.
+                parked = _parked()
+                if parked:
+                    raise StoreLeaseHeld(
+                        f"store {state_dir!r} is under maintenance "
+                        f"with parked bucket dir(s) {parked[:3]} not "
+                        "yet repaired; reading now would silently "
+                        "miss those buckets — retry after the "
+                        "maintenance holder's sweep")
     meta = os.path.join(state_dir, _SEEN_META)
     if os.path.isfile(meta):
         with open(meta) as fh:

@@ -114,8 +114,12 @@ def current_owner() -> str | None:
 
 
 def _payload(op: str, owner: str | None, ttl: float | None) -> dict:
+    # nonce: per-CLAIM identity — heartbeat renewals rewrite the
+    # payload (fresh acquired_unix) but keep the nonce, so a renewer
+    # can recognize its OWN landed write after a lost PUT response
+    # without false-matching a successor's claim
     return {"owner": owner, "op": op, "pid": os.getpid(),
-            "host": socket.gethostname(),
+            "host": socket.gethostname(), "nonce": uuid.uuid4().hex,
             "acquired_unix": time.time(), "ttl_seconds": ttl}
 
 
@@ -323,7 +327,15 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
     os.makedirs(store_dir, exist_ok=True)
     payload = _payload(op, owner, None)
     _posix_claim(path, payload, owner, "lease")
-    renewer = _posix_renewer(path, payload, renew_every)
+    try:
+        # a failed renewer construction (fd exhaustion) must release
+        # the just-claimed artifact, or it wedges the store until this
+        # process exits (its pid stays live)
+        renewer = _posix_renewer(path, payload, renew_every)
+    except BaseException:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+        raise
     try:
         live = _posix_live_writers(store_dir, owner)
         if live:
@@ -352,7 +364,12 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
     mark = os.path.join(wdir, uuid.uuid4().hex)
     payload = _payload("commit", owner, None)
     _posix_claim(mark, payload, owner, "mark")
-    renewer = _posix_renewer(mark, payload, renew_every)
+    try:
+        renewer = _posix_renewer(mark, payload, renew_every)
+    except BaseException:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(mark)
+        raise
     try:
         lease = os.path.join(store_dir, LEASE_NAME)
         if os.path.exists(lease):
@@ -445,12 +462,17 @@ def _s3_renewer(target, key: str, payload: dict, etag: str | None,
             return True
         except CasConflict:
             # disambiguate a self-conflict: an HTTP-level retry can
-            # replay the PUT after the first attempt landed, and the
-            # replay 412s against OUR OWN fresh write. If the key now
-            # holds exactly the payload this tick wrote, the renewal
-            # succeeded — adopt the new ETag and keep going.
+            # replay the PUT after the first attempt landed (412 vs
+            # our own fresh write), and a PREVIOUS tick's PUT may have
+            # landed while its response was lost (stale cached ETag
+            # CAS-conflicting with our own earlier write). The claim
+            # nonce identifies OUR artifact regardless of which tick's
+            # acquired_unix is current — if it matches, re-adopt the
+            # ETag and keep renewing; only a foreign nonce means the
+            # exclusion was truly lost.
             holder, new_etag = target._get_json(key)
-            if holder == fresh:
+            if (isinstance(holder, dict)
+                    and holder.get("nonce") == payload.get("nonce")):
                 state["etag"] = new_etag
                 return True
             return False
