@@ -111,6 +111,12 @@ def test_maintenance_window_interleaving_fuzz(spark, tmp_path):
                 counts["starts"] += 1
             except MaintenanceConflict:
                 counts["start_refusals"] += 1
+            except StoreLeaseHeld:
+                # r17: a build racing a live compaction refuses
+                # LOUDLY at the store (sweep-mark vs lease, or a
+                # transient mid-swap park) instead of reading an
+                # inconsistent store — a refusal, not a failure
+                counts["lease_refusals"] += 1
             except Exception as exc:  # noqa: BLE001
                 # a submission whose store read raced a bucket swap
                 # fails LOUDLY (reader fencing is a store_lease
