@@ -18,34 +18,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-17 rotation
-# (VERDICT r16 item 2): the 48-key r14-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r14 (recomputed union over
-# r01..r16: split r14:48 / r15:49 / r16:50) — plus the flagship and one
-# spare, pipeline_training_data (r15 evidence; advances the rotation).
+# recent driver evidence goes stale (>2 rounds old). Round-18 rotation
+# (VERDICT r17 item 2): the 48-key r15-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r15 (recomputed union over
+# r01..r17: split r15:48 / r16:49 / r17:50) — plus the flagship and one
+# spare, dedup_exact (r16 evidence; advances the rotation).
 # 48 + 1 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r14-evidence cohort (48 keys)
-    "agg_argmax_struct", "agg_corr_exact", "agg_weighted_avg",
-    "dedup_cluster_cc", "dedup_containment_ngram", "dedup_contamination_ngram",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dq_uniqueness_orders",
-    "embedding_normalize", "events_attribution_first_last", "join_asof_tolerance",
-    "join_broadcast", "market_basket_pairs", "multimodal_binary_meta",
-    "multimodal_decode_features", "multimodal_frame_sample", "reshape_pack_sequences",
-    "reshape_sliding_windows", "reshape_unpivot", "sample_deterministic",
-    "sample_stratified", "sample_weighted_mix", "scan_csv_typed",
-    "scan_glob_filter", "sim_search_cosine_topk", "sim_search_ivf",
-    "sim_search_lsh", "sink_csv_per_source", "sink_jdbc_append",
-    "sink_parquet_snappy", "sql_full_surface", "stream_dedup_first_per_key",
-    "stream_dedup_watermark", "stream_file_ingest_exactly_once", "stream_static_enrich_join",
-    "text_fingerprint", "text_language_id", "text_pii_redact",
-    "text_quality_score", "text_rolling_hash", "text_tfidf_topk",
-    "text_token_count_bpe", "text_tokenize_stats", "text_unigram_logprob",
-    "ts_cumulative_distinct", "ts_outlier_iqr", "window_ntile_quartiles",
+    # r15-evidence cohort (48 keys)
+    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
+    "agg_grouping_sets", "agg_hash_sum_avg", "agg_histogram_bins",
+    "agg_pivot", "agg_rollup", "agg_stats_moments",
+    "cast_currency_double", "cast_lenient_int", "dedup_simhash",
+    "defaults_on_null", "dq_column_profile", "dq_expectations",
+    "events_funnel_steps", "events_window_funnel_conversion", "filter_any_row_per_file",
+    "filter_contains", "filter_equality", "filter_null_safe",
+    "join_anti", "join_asof", "join_full_outer",
+    "join_inner_hash", "join_interval_overlap", "join_left",
+    "join_range_theta", "join_salted_skew", "join_semi",
+    "join_star_schema", "maintenance_compact_files", "map_prefix_suffix",
+    "multimodal_resize", "project_columns", "rename_columns",
+    "reshape_chunk_tokens", "retention_cohorts", "sample_capped_per_key",
+    "scan_jsonl_roundtrip", "scan_partition_pruned", "stream_stateful_totals",
+    "stream_stream_interval_join", "text_repetition_ratio", "ts_rollup_gapfill",
+    "ts_subsequence_search", "window_row_number_topk", "window_running_sum",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
-    # spare: r15 evidence — advances the rotation
-    "pipeline_training_data",
+    # spare: r16 evidence — advances the rotation
+    "dedup_exact",
 ]
 
 
