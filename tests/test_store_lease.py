@@ -773,3 +773,202 @@ def test_s3_renewal_recovers_own_landed_write(target):
     # not lost: release deleted the lease as usual
     holder, _ = target._get_json(key)
     assert holder is None
+
+
+# ---------------------------------------------------------------------------
+# r18: renewer-construction release parity, pause self-fence, in-process
+# same-owner live holders (VERDICT r17 items 3-4, ADVICE r17)
+# ---------------------------------------------------------------------------
+
+def test_s3_lease_released_when_renewer_construction_fails(
+        target, monkeypatch):
+    """VERDICT r17 item 3: a renewer-construction failure (thread/fd
+    exhaustion) right after the claim PUT must release the S3 lease —
+    the POSIX paths already do; pre-r18 the S3 lease leaked until its
+    1 h TTL. Fails against the r17 code."""
+    import universal_data_connector_spark.store_lease as sl
+
+    def boom(*a, **k):
+        raise RuntimeError("can't start thread")
+
+    monkeypatch.setattr(sl, "_s3_renewer", boom)
+    with pytest.raises(RuntimeError, match="can't start thread"):
+        with sl.s3_maintenance_lease(target):
+            pass
+    holder, _ = target._get_json(target._key(LEASE_NAME))
+    assert holder is None  # released, not leaked until TTL
+
+
+def test_s3_mark_released_when_renewer_construction_fails(
+        target, monkeypatch):
+    """The writer-mark twin of the construction-failure release."""
+    import universal_data_connector_spark.store_lease as sl
+
+    def boom(*a, **k):
+        raise RuntimeError("can't start thread")
+
+    monkeypatch.setattr(sl, "_s3_renewer", boom)
+    with pytest.raises(RuntimeError, match="can't start thread"):
+        with sl.s3_writer_mark(target):
+            pass
+    assert target.list_keys(under=WRITERS_DIR) == []
+
+
+def test_s3_paused_holder_release_never_deletes_successor(
+        target, monkeypatch):
+    """VERDICT r17 item 4: a holder paused past its TTL (no landed
+    renewal) must SELF-FENCE at release — a successor may have broken
+    and re-claimed the lease during the pause, and the pre-r18
+    unconditional delete_object destroyed the successor's LIVE lease.
+    Renewals are forced to fail transiently (the pause), a successor
+    claims after the TTL lapses, and the paused holder's release must
+    leave the successor's lease intact."""
+    import universal_data_connector_spark.store_lease as sl
+
+    def frozen_renewer(*a, **k):
+        def never_lands():
+            raise OSError("simulated pause: renewal cannot land")
+        return sl._Renewer(never_lands, 0.05)
+
+    monkeypatch.setattr(sl, "_s3_renewer", frozen_renewer)
+    key = target._key(LEASE_NAME)
+    successor = {"owner": "successor", "op": "vacuum", "pid": 1,
+                 "host": "other-host", "nonce": "succ-nonce",
+                 "acquired_unix": time.time(), "ttl_seconds": 3600.0}
+    with sl.s3_maintenance_lease(target, ttl=0.3):
+        time.sleep(0.5)  # past the TTL with zero landed renewals
+        # the successor legitimately broke the now-expired lease and
+        # claimed its own
+        target.client.put_object(Bucket=target.bucket, Key=key,
+                                 Body=json.dumps(successor).encode())
+    got, _ = target._get_json(key)
+    assert got is not None and got["nonce"] == "succ-nonce"
+
+
+def test_posix_paused_holder_release_never_deletes_successor(
+        tmp_path, monkeypatch):
+    """POSIX twin of the pause self-fence: the lease file is a fixed
+    name, so a paused holder's unconditional unlink would delete a
+    successor's live lease."""
+    import universal_data_connector_spark.store_lease as sl
+
+    def frozen_renewer(*a, **k):
+        def never_lands():
+            raise OSError("simulated pause")
+        return sl._Renewer(never_lands, 0.05)
+
+    monkeypatch.setattr(sl, "_posix_renewer", frozen_renewer)
+    monkeypatch.setattr(sl, "DEFAULT_S3_TTL", 0.3)
+    store = str(tmp_path / "seen")
+    lease = os.path.join(store, LEASE_NAME)
+    successor = {"owner": "successor", "op": "vacuum", "pid": 1,
+                 "host": "other-host", "nonce": "succ-nonce",
+                 "acquired_unix": time.time(), "ttl_seconds": 3600.0}
+    with sl.posix_maintenance_lease(store):
+        time.sleep(0.5)
+        os.unlink(lease)  # successor broke the lapsed lease...
+        with open(lease, "w") as fh:  # ...and claimed its own
+            json.dump(successor, fh)
+    with open(lease) as fh:
+        assert json.load(fh)["nonce"] == "succ-nonce"
+
+
+def test_in_process_same_owner_live_lease_not_broken(tmp_path):
+    """ADVICE r17: two live threads sharing one ``lease_owner`` must
+    not break each other's LIVE lease — pre-r18 the own-pid
+    supersession rule treated any same-owner-same-pid artifact as a
+    breakable leftover. The nonce registry distinguishes a HELD
+    artifact from a leftover. Fails against the r17 code."""
+    import threading
+
+    store = str(tmp_path / "seen")
+    holding, release = threading.Event(), threading.Event()
+
+    def holder():
+        with lease_owner("job:x"):
+            with posix_maintenance_lease(store):
+                holding.set()
+                release.wait(30)
+
+    t = threading.Thread(target=holder, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    try:
+        with lease_owner("job:x"), pytest.raises(StoreLeaseHeld):
+            with posix_maintenance_lease(store):
+                pass
+        assert os.path.exists(os.path.join(store, LEASE_NAME))
+    finally:
+        release.set()
+        t.join(10)
+    # holder released: the same owner acquires normally now
+    with lease_owner("job:x"):
+        with posix_maintenance_lease(store):
+            pass
+
+
+def test_in_process_same_owner_live_mark_excludes_maintenance(tmp_path):
+    """The dangerous direction of ADVICE r17: a live writer mark from
+    a same-owner sibling thread must keep excluding maintenance —
+    pre-r18, _posix_live_writers broke the LIVE mark as stale and
+    compaction proceeded concurrently with the commit."""
+    import threading
+
+    store = str(tmp_path / "seen")
+    os.makedirs(store, exist_ok=True)
+    holding, release = threading.Event(), threading.Event()
+
+    def committer():
+        with lease_owner("job:x"):
+            with posix_writer_mark(store):
+                holding.set()
+                release.wait(30)
+
+    t = threading.Thread(target=committer, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    try:
+        with lease_owner("job:x"), pytest.raises(StoreLeaseHeld):
+            with posix_maintenance_lease(store):
+                pass
+        # the sibling's mark survived the refused attempt
+        assert len(os.listdir(os.path.join(store, WRITERS_DIR))) == 1
+    finally:
+        release.set()
+        t.join(10)
+    with lease_owner("job:x"):
+        with posix_maintenance_lease(store):
+            pass
+
+
+def test_s3_in_process_same_owner_live_mark_excludes_maintenance(target):
+    """S3 twin of the in-process same-owner mark exclusion."""
+    import threading
+
+    from universal_data_connector_spark.store_lease import (
+        s3_maintenance_lease,
+        s3_writer_mark,
+    )
+
+    holding, release = threading.Event(), threading.Event()
+
+    def committer():
+        with lease_owner("job:x"):
+            with s3_writer_mark(target):
+                holding.set()
+                release.wait(30)
+
+    t = threading.Thread(target=committer, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    try:
+        with lease_owner("job:x"), pytest.raises(StoreLeaseHeld):
+            with s3_maintenance_lease(target):
+                pass
+        assert len(target.list_keys(under=WRITERS_DIR)) == 1
+    finally:
+        release.set()
+        t.join(10)
+    with lease_owner("job:x"):
+        with s3_maintenance_lease(target):
+            pass

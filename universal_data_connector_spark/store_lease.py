@@ -53,9 +53,14 @@ renewals are ETag-CAS fenced: a renewal that loses the CAS marks the
 exclusion LOST and the holder's release skips the delete (it no
 longer owns the artifact). Clock-skew assumption: cross-host clock
 skew must stay well under 2/3 of the TTL (the slack between the
-last renewal a breaker could observe and expiry); process pauses
-longer than 2/3 TTL between the final renewal and release re-expose
-the pre-heartbeat residual and are out of scope.
+last renewal a breaker could observe and expiry). A process paused
+longer than the TTL between its last landed renewal and release
+SELF-FENCES (r18, VERDICT r17 item 4): the release checks
+``_Renewer.last_ok`` and skips its delete when the TTL has lapsed —
+a successor may have legitimately broken and re-claimed the
+artifact during the pause, and an unconditional delete would
+destroy the successor's LIVE exclusion. The skipped artifact is
+cleaned up by the ordinary staleness rules.
 
 Non-goals: writer-vs-writer exclusion (the stores keep their
 single-writer contract; marks are visible to maintenance only) and
@@ -67,6 +72,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import heapq
 import json
 import logging
 import os
@@ -123,6 +129,40 @@ def _payload(op: str, owner: str | None, ttl: float | None) -> dict:
             "acquired_unix": time.time(), "ttl_seconds": ttl}
 
 
+# nonces of every lease/mark currently HELD by this process (claimed,
+# not yet released). The own-process supersession rule in ``_is_stale``
+# consults it: an artifact recorded by our own pid is a breakable
+# LEFTOVER only when no live context in this process still holds it —
+# two live threads sharing one ``lease_owner`` must never break each
+# other's LIVE exclusion (ADVICE r17). A context whose cleanup never
+# ran (thread killed between claim and finally) keeps its nonce
+# registered and therefore wedges same-process supersession until the
+# process exits — the finally blocks below make that window one
+# Python-level frame unwind, and a process crash clears the registry
+# trivially.
+_LIVE_NONCES: set[str] = set()
+_LIVE_NONCES_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def _held_nonce(nonce: str | None):
+    if nonce is None:
+        yield
+        return
+    with _LIVE_NONCES_LOCK:
+        _LIVE_NONCES.add(nonce)
+    try:
+        yield
+    finally:
+        with _LIVE_NONCES_LOCK:
+            _LIVE_NONCES.discard(nonce)
+
+
+def _nonce_is_live_here(nonce) -> bool:
+    with _LIVE_NONCES_LOCK:
+        return nonce in _LIVE_NONCES
+
+
 def _is_stale(payload: dict | None, checker_owner: str | None) -> bool:
     """Breakable per the module docstring's three rules. An unreadable
     payload (crash mid-write) is NOT breakable here — the POSIX paths
@@ -132,11 +172,15 @@ def _is_stale(payload: dict | None, checker_owner: str | None) -> bool:
     owner = payload.get("owner")
     same_host = payload.get("host") == socket.gethostname()
     if (owner is not None and owner == checker_owner
-            and same_host and payload.get("pid") == os.getpid()):
+            and same_host and payload.get("pid") == os.getpid()
+            and not _nonce_is_live_here(payload.get("nonce"))):
         # our own process's leftover: a same-process restart of this
         # logical owner supersedes it. Owner match with a DIFFERENT
         # pid falls through to the liveness/TTL rules — a still-live
-        # zombie predecessor keeps its exclusion (ADVICE r16).
+        # zombie predecessor keeps its exclusion (ADVICE r16) — and so
+        # does a nonce some live context in THIS process still holds:
+        # pid-match alone must not let two concurrent in-process
+        # holders of one logical owner break each other (ADVICE r17).
         return True
     if same_host and isinstance(payload.get("pid"), int):
         try:
@@ -153,39 +197,114 @@ def _is_stale(payload: dict | None, checker_owner: str | None) -> bool:
     return False
 
 
+class _Scheduler:
+    """ONE process-wide daemon thread driving every live heartbeat.
+    Each held lease/mark used to spawn (and join) its own thread; on
+    the hot foreachBatch loop that meant three thread create/joins per
+    micro-batch whose ttl/3 interval almost never fires (ADVICE r17).
+    Registering with a shared deadline heap costs a heap push/pop
+    instead. The thread is created lazily on the first registration
+    and then parks on the condition while idle."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._heap: list = []  # (deadline, seq, renewer)
+        self._seq = 0
+        self._thread: threading.Thread | None = None
+
+    def add(self, renewer: "_Renewer") -> None:
+        with self._cond:
+            heapq.heappush(self._heap,
+                           (time.time() + renewer.interval,
+                            self._seq, renewer))
+            self._seq += 1
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run,
+                    name="udc-store-lease-heartbeat", daemon=True)
+                self._thread.start()
+            self._cond.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._heap:
+                    self._cond.wait()
+                deadline, seq, renewer = self._heap[0]
+                now = time.time()
+                if deadline > now:
+                    self._cond.wait(deadline - now)
+                    continue
+                heapq.heappop(self._heap)
+            # tick OUTSIDE the lock: a slow renewal (network I/O) must
+            # not block other holders' registrations or deadlines
+            if renewer._tick():
+                with self._cond:
+                    heapq.heappush(
+                        self._heap,
+                        (time.time() + renewer.interval, seq, renewer))
+                    self._cond.notify()
+
+
+_SCHEDULER = _Scheduler()
+
+
 class _Renewer:
-    """Daemon heartbeat refreshing a held lease/mark every ``interval``
-    seconds so a live long operation never expires (module docstring,
-    "Long operations vs the TTL"). ``lost`` flips when a fenced
-    renewal discovers the artifact was broken/replaced; the holder's
-    release checks it before deleting. ``renew`` returns True to keep
-    renewing, False once the exclusion is lost."""
+    """Heartbeat handle refreshing a held lease/mark every
+    ``interval`` seconds so a live long operation never expires
+    (module docstring, "Long operations vs the TTL"). ``lost`` flips
+    when a fenced renewal discovers the artifact was broken/replaced;
+    the holder's release checks it before deleting. ``last_ok`` is the
+    wall time of the last renewal known to have landed (the claim
+    itself counts): a holder paused longer than the TTL past it must
+    treat its exclusion as lost at release — a successor may have
+    legitimately broken and re-claimed the artifact in the gap, and an
+    unconditional release delete would clobber the successor's LIVE
+    exclusion (VERDICT r17 item 4). Ticks are driven by the shared
+    ``_SCHEDULER`` daemon, not a per-holder thread."""
 
     def __init__(self, renew, interval: float):
         self.lost = False
+        self.last_ok = time.time()
+        self.interval = max(interval, 0.05)
         self._renew = renew
-        self._stop = threading.Event()
-        self._thread = threading.Thread(
-            target=self._run, args=(max(interval, 0.05),),
-            name="udc-store-lease-heartbeat", daemon=True)
-        self._thread.start()
+        self._lock = threading.Lock()  # stop-vs-tick barrier
+        self._stopped = False
+        _SCHEDULER.add(self)
 
-    def _run(self, interval: float) -> None:
-        while not self._stop.wait(interval):
+    def _tick(self) -> bool:
+        """One renewal attempt; returns True to stay scheduled."""
+        with self._lock:
+            if self._stopped or self.lost:
+                return False
             try:
-                if not self._renew():
-                    self.lost = True
-                    log.error("store_lease: heartbeat lost its "
-                              "lease/mark — exclusion was broken by "
-                              "another party; release will not delete")
-                    return
+                if self._renew():
+                    self.last_ok = time.time()
+                    return True
+                self.lost = True
+                log.error("store_lease: heartbeat lost its "
+                          "lease/mark — exclusion was broken by "
+                          "another party; release will not delete")
+                return False
             except Exception:  # noqa: BLE001 - transient I/O: retry
                 log.warning("store_lease: heartbeat renewal failed; "
                             "retrying next tick", exc_info=True)
+                return True
+
+    def expired(self, ttl: float) -> bool:
+        """True when the exclusion may have lapsed out from under a
+        paused holder: more than ``ttl`` since the last landed
+        renewal. Checked at release time — an expired holder skips its
+        delete (self-fence) instead of risking a successor's artifact."""
+        return time.time() - self.last_ok > ttl
 
     def stop(self) -> None:
-        self._stop.set()
-        self._thread.join(timeout=10)
+        self._stopped = True
+        # barrier: a tick in flight holds _lock; once acquired, no
+        # renewal is running and none will start (the _stopped check
+        # runs under the same lock), so callers may close fds safely
+        with self._lock:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -327,28 +446,34 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
     os.makedirs(store_dir, exist_ok=True)
     payload = _payload(op, owner, None)
     _posix_claim(path, payload, owner, "lease")
-    try:
-        # a failed renewer construction (fd exhaustion) must release
-        # the just-claimed artifact, or it wedges the store until this
-        # process exits (its pid stays live)
-        renewer = _posix_renewer(path, payload, renew_every)
-    except BaseException:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
-        raise
-    try:
-        live = _posix_live_writers(store_dir, owner)
-        if live:
-            raise StoreLeaseHeld(
-                f"store {store_dir!r} has {len(live)} writer commit(s) "
-                f"in flight ({live[:3]}); maintenance is exclusive — "
-                "retry after they finish")
-        yield
-    finally:
-        renewer.stop()
-        if not renewer.lost:
+    with _held_nonce(payload["nonce"]):
+        try:
+            # a failed renewer construction (fd exhaustion) must
+            # release the just-claimed artifact, or it wedges the
+            # store until this process exits (its pid stays live)
+            renewer = _posix_renewer(path, payload, renew_every)
+        except BaseException:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(path)
+            raise
+        try:
+            live = _posix_live_writers(store_dir, owner)
+            if live:
+                raise StoreLeaseHeld(
+                    f"store {store_dir!r} has {len(live)} writer "
+                    f"commit(s) in flight ({live[:3]}); maintenance is "
+                    "exclusive — retry after they finish")
+            yield
+        finally:
+            renewer.stop()
+            if renewer.expired(DEFAULT_S3_TTL):
+                log.error("store_lease: release self-fenced — more "
+                          "than the TTL since the last landed renewal "
+                          "of %s (process pause?); a successor may "
+                          "hold it now, leaving it in place", path)
+            elif not renewer.lost:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
 
 
 @contextlib.contextmanager
@@ -364,33 +489,41 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
     mark = os.path.join(wdir, uuid.uuid4().hex)
     payload = _payload("commit", owner, None)
     _posix_claim(mark, payload, owner, "mark")
-    try:
-        renewer = _posix_renewer(mark, payload, renew_every)
-    except BaseException:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(mark)
-        raise
-    try:
-        lease = os.path.join(store_dir, LEASE_NAME)
-        if os.path.exists(lease):
-            if _posix_stale(lease, owner):
-                log.warning("store_lease: breaking stale lease %s", lease)
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lease)
-            else:
-                holder = None
-                with contextlib.suppress(FileNotFoundError):
-                    holder = _posix_read(lease)
-                raise StoreLeaseHeld(
-                    f"store {store_dir!r} is under maintenance "
-                    f"({holder}); the commit was refused BEFORE any "
-                    "append — rerun after maintenance completes", holder)
-        yield
-    finally:
-        renewer.stop()
-        if not renewer.lost:
+    with _held_nonce(payload["nonce"]):
+        try:
+            renewer = _posix_renewer(mark, payload, renew_every)
+        except BaseException:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(mark)
+            raise
+        try:
+            lease = os.path.join(store_dir, LEASE_NAME)
+            if os.path.exists(lease):
+                if _posix_stale(lease, owner):
+                    log.warning("store_lease: breaking stale lease %s",
+                                lease)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(lease)
+                else:
+                    holder = None
+                    with contextlib.suppress(FileNotFoundError):
+                        holder = _posix_read(lease)
+                    raise StoreLeaseHeld(
+                        f"store {store_dir!r} is under maintenance "
+                        f"({holder}); the commit was refused BEFORE "
+                        "any append — rerun after maintenance "
+                        "completes", holder)
+            yield
+        finally:
+            renewer.stop()
+            if renewer.expired(DEFAULT_S3_TTL):
+                log.error("store_lease: release self-fenced — more "
+                          "than the TTL since the last landed renewal "
+                          "of %s (process pause?); leaving it for the "
+                          "staleness rules", mark)
+            elif not renewer.lost:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(mark)
 
 
 # ---------------------------------------------------------------------------
@@ -511,21 +644,38 @@ def s3_maintenance_lease(target, op: str = "maintenance",
     owner = owner if owner is not None else current_owner()
     payload = _payload(op, owner, ttl)
     etag = _s3_claim_lease(target, payload, owner)
-    renewer = _s3_renewer(target, _s3_lease_key(target), payload,
-                          etag, ttl)
-    try:
-        live = _s3_live_writers(target, owner)
-        if live:
-            raise StoreLeaseHeld(
-                f"store s3://{target.bucket}/{target.prefix} has "
-                f"{len(live)} writer commit(s) in flight ({live[:3]}); "
-                "maintenance is exclusive — retry after they finish")
-        yield
-    finally:
-        renewer.stop()
-        if not renewer.lost:
+    with _held_nonce(payload["nonce"]):
+        try:
+            # a failed renewer construction must release the
+            # just-claimed lease, or it lingers until its TTL
+            # (VERDICT r17 item 3 — the POSIX paths got this in r17)
+            renewer = _s3_renewer(target, _s3_lease_key(target),
+                                  payload, etag, ttl)
+        except BaseException:
             with contextlib.suppress(Exception):
                 _s3_delete_control(target, _s3_lease_key(target))
+            raise
+        try:
+            live = _s3_live_writers(target, owner)
+            if live:
+                raise StoreLeaseHeld(
+                    f"store s3://{target.bucket}/{target.prefix} has "
+                    f"{len(live)} writer commit(s) in flight "
+                    f"({live[:3]}); maintenance is exclusive — retry "
+                    "after they finish")
+            yield
+        finally:
+            renewer.stop()
+            if renewer.expired(ttl):
+                log.error("store_lease: release self-fenced — more "
+                          "than the TTL since the last landed renewal "
+                          "of the lease under s3://%s/%s (process "
+                          "pause?); a successor may hold it now, "
+                          "leaving it in place",
+                          target.bucket, target.prefix)
+            elif not renewer.lost:
+                with contextlib.suppress(Exception):
+                    _s3_delete_control(target, _s3_lease_key(target))
 
 
 @contextlib.contextmanager
@@ -545,23 +695,38 @@ def s3_writer_mark(target, owner: str | None = None,
     resp = target.client.put_object(
         Bucket=target.bucket, Key=key,
         Body=json.dumps(payload).encode())
-    renewer = _s3_renewer(target, key, payload, resp.get("ETag"), ttl)
-    try:
-        holder, _ = target._get_json(_s3_lease_key(target))
-        if holder is not None:
-            if _s3_stale(holder, owner):
-                log.warning("store_lease: breaking stale lease under "
-                            "s3://%s/%s", target.bucket, target.prefix)
-                _s3_delete_control(target, _s3_lease_key(target))
-            else:
-                raise StoreLeaseHeld(
-                    f"store s3://{target.bucket}/{target.prefix} is "
-                    f"under maintenance ({holder}); the commit was "
-                    "refused BEFORE any append — rerun after "
-                    "maintenance completes", holder)
-        yield
-    finally:
-        renewer.stop()
-        if not renewer.lost:
+    with _held_nonce(payload["nonce"]):
+        try:
+            # release the just-registered mark if the renewer cannot
+            # be constructed (VERDICT r17 item 3)
+            renewer = _s3_renewer(target, key, payload,
+                                  resp.get("ETag"), ttl)
+        except BaseException:
             with contextlib.suppress(Exception):
                 _s3_delete_control(target, key)
+            raise
+        try:
+            holder, _ = target._get_json(_s3_lease_key(target))
+            if holder is not None:
+                if _s3_stale(holder, owner):
+                    log.warning("store_lease: breaking stale lease "
+                                "under s3://%s/%s",
+                                target.bucket, target.prefix)
+                    _s3_delete_control(target, _s3_lease_key(target))
+                else:
+                    raise StoreLeaseHeld(
+                        f"store s3://{target.bucket}/{target.prefix} "
+                        f"is under maintenance ({holder}); the commit "
+                        "was refused BEFORE any append — rerun after "
+                        "maintenance completes", holder)
+            yield
+        finally:
+            renewer.stop()
+            if renewer.expired(ttl):
+                log.error("store_lease: release self-fenced — more "
+                          "than the TTL since the last landed renewal "
+                          "of mark %s (process pause?); leaving it "
+                          "for the staleness rules", key)
+            elif not renewer.lost:
+                with contextlib.suppress(Exception):
+                    _s3_delete_control(target, key)
