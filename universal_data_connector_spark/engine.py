@@ -260,10 +260,57 @@ def _dedup_state_transform(df: DataFrame, props: dict) -> DataFrame:
         log.warning("dedup_state: compactEveryBatches applies to "
                     "streaming pipelines only; batch runs compact via "
                     "--compact-stores / POST /api/pipelines/maintenance")
-    survivors, commit = _seen_filter_for(df, props)
+    # POSIX stores: the batch's writer mark spans the WHOLE
+    # read-filter-ship-commit, exactly like the streaming path's
+    # batch_span (ADVICE r17 medium): without it, a cross-process
+    # compaction's rename swap mid-READ makes a bucket dir silently
+    # vanish from seen_filter's listing, letting already-seen keys
+    # ship as new BEFORE the commit's own mark-guarded refusal could
+    # land. With the span, a batch building during maintenance refuses
+    # up front, and maintenance starting mid-batch sees the mark and
+    # refuses. The object-store twin deliberately keeps its no-mark
+    # read (r16 asymmetry): its compaction deletes only listed
+    # objects, so a racing read fails LOUDLY instead of silently
+    # missing a bucket. The span is closed by the wrapped commit
+    # post-sink, or by the runner's finally on any failure path
+    # (close_store_spans — ExitStack.close is idempotent).
+    import contextlib
+
+    span = contextlib.ExitStack()
+    if props.get("stateDir") and not props.get("bucketName"):
+        from universal_data_connector_spark.store_lease import (
+            posix_writer_mark,
+        )
+        span.enter_context(posix_writer_mark(props["stateDir"]))
+    try:
+        survivors, commit = _seen_filter_for(df, props)
+    except BaseException:
+        span.close()
+        raise
+
+    def commit_and_release(_commit=commit, _span=span):
+        try:
+            _commit()
+        finally:
+            _span.close()
+
     survivors._udc_post_sink_commits = list(
-        getattr(df, "_udc_post_sink_commits", [])) + [commit]
+        getattr(df, "_udc_post_sink_commits", [])) + [commit_and_release]
+    survivors._udc_store_spans = list(
+        getattr(df, "_udc_store_spans", [])) + [span]
     return survivors
+
+
+def close_store_spans(df) -> None:
+    """Release any batch dedup_state writer-mark spans riding on a
+    frame — called by every batch runner's failure/cleanup path; a
+    span already closed by its commit is a no-op (ExitStack.close is
+    idempotent)."""
+    import contextlib
+
+    for span in getattr(df, "_udc_store_spans", ()) or ():
+        with contextlib.suppress(Exception):
+            span.close()
 
 
 def _check_dedup_state_props(columns: list, props: dict) -> None:
@@ -420,13 +467,20 @@ def apply_transformations(df: DataFrame,
                 f"so no further transformation ({t.type!r}) can apply "
                 "after it — move it to the end, or pre-shape columns "
                 "with a sql transformation before it")
-        out = fn(df, t.properties)
-        # post-sink commit callbacks (dedup_state) ride on the frame;
-        # transforms that don't add their own must not drop upstream
-        # ones — DataFrame attributes do not propagate through ops
-        if (hasattr(df, "_udc_post_sink_commits")
-                and not hasattr(out, "_udc_post_sink_commits")):
-            out._udc_post_sink_commits = df._udc_post_sink_commits
+        try:
+            out = fn(df, t.properties)
+        except BaseException:
+            # a later transform failing must release any writer-mark
+            # spans an earlier dedup_state already opened
+            close_store_spans(df)
+            raise
+        # post-sink commit callbacks + writer-mark spans (dedup_state)
+        # ride on the frame; transforms that don't add their own must
+        # not drop upstream ones — DataFrame attributes do not
+        # propagate through ops
+        for attr in ("_udc_post_sink_commits", "_udc_store_spans"):
+            if hasattr(df, attr) and not hasattr(out, attr):
+                setattr(out, attr, getattr(df, attr))
         df = out
     return df
 
@@ -649,6 +703,7 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
     # to this job and free them on the way out (success or failure) —
     # a long-lived caller never accumulates corpus-sized cache entries,
     # and concurrent jobs' pins are untouched (per-build scope).
+    df = None
     with pin_scope() as pins:
         try:
             source_df, df = build_parts(spark, cfg, streaming)
@@ -665,6 +720,10 @@ def run(spark: SparkSession, cfg: PipelineConfig, streaming: bool = False):
                                 defer_state_finalize,
                                 transformed_df=df)
         finally:
+            # a failed sink (commit never ran) must not leave the
+            # batch dedup_state writer-mark span behind
+            if df is not None:
+                close_store_spans(df)
             release_frames(pins)
     return result
 

@@ -345,6 +345,7 @@ class PipelineManager:
             from universal_data_connector_spark.operators.relational import (
                 release_frames,
             )
+            engine.close_store_spans(df)
             release_frames(build_pins)
             raise
         # batch only from here (the streaming branch returned above)
@@ -395,8 +396,11 @@ class PipelineManager:
                     job._finish("FAILED", str(exc))
             finally:
                 # terminal state (completed / failed / cancelled):
-                # free exactly this job's pinned intermediates (the
-                # build ran under pin_scope)
+                # release any batch dedup_state writer-mark span the
+                # build opened (no-op if the commit already closed it)
+                # and free exactly this job's pinned intermediates
+                # (the build ran under pin_scope)
+                engine.close_store_spans(df)
                 job.release_pins()
             # No clearJobGroup needed: the group is local to this
             # dedicated worker thread (pinned-thread mode) and the
