@@ -27,6 +27,15 @@ All exact fields go through the canonicalizer `oracle_harness._canon`
 uses (repr for floats: shortest round-trip, so "exact" means
 bit-exact); only ``*__fsum`` fields get the tolerance.
 
+Oracle-side feasibility guard: a few keys' ORACLES are intrinsically
+quadratic (brute-force all-pairs cosine at 200k sf10 embeddings is
+~4e10 dot products in single-threaded-ish DuckDB — hours), which is an
+oracle limitation, not an engine one (those keys carry full-row sf1
+VALUE passes). A watchdog interrupts any oracle running past
+``UDC_CKSUM_ORACLE_TIMEOUT`` seconds (default 900) and records
+ORACLE-TIMEOUT — distinct from FAIL. Results flush to the artifact
+after every key, so a killed run keeps its evidence.
+
 Usage: python tools/sf10_checksum_differential.py [sf_dir] [key ...]
        (default sf_dir: scale_probe/sf10; default keys: every oracled
         catalog key)
@@ -40,6 +49,7 @@ import json
 import math
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +57,36 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 FSUM_REL_TOL = 1e-9
+ORACLE_TIMEOUT = float(os.environ.get("UDC_CKSUM_ORACLE_TIMEOUT", "900"))
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def _oracle_row_with_watchdog(con, sql: str) -> dict:
+    """Run the DuckDB checksum query, interrupting it past
+    ORACLE_TIMEOUT seconds (con.interrupt is thread-safe)."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(ORACLE_TIMEOUT):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    try:
+        rel = con.sql(sql)
+        row = dict(zip(rel.columns, rel.fetchone()))
+    except Exception as exc:  # noqa: BLE001
+        if time.perf_counter() - t0 >= ORACLE_TIMEOUT - 1:
+            raise OracleTimeout(
+                f"oracle exceeded {ORACLE_TIMEOUT:.0f}s") from exc
+        raise
+    finally:
+        done.set()
+    return row
 
 
 def _hash_expr(col: str, spark: bool) -> str:
@@ -141,7 +181,11 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     keys = sys.argv[2:] or [k for k in qs if k in osql]
 
-    results, bad = {}, 0
+    tag = os.environ.get("UDC_SF10_TAG", "r18")
+    path = os.path.join(REPO, "scale_probe", f"sf10_checksum_{tag}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    results, bad, timed_out = {}, 0, 0
     for name in keys:
         if name not in osql:
             results[name] = {"verdict": "NO-ORACLE"}
@@ -157,36 +201,46 @@ def main() -> int:
             sp_row = spark.sql(
                 checksum_sql(fields, f"SELECT * FROM {view}", spark=True)
             ).collect()[0].asDict()
-            du_rel = con.sql(checksum_sql(fields, osql[name],
-                                          spark=False))
-            # fetchone, not .df(): pandas coerces DECIMAL(38,0)/HUGEINT
-            # to float64, destroying the exactness the checksum exists
-            # to carry
-            du_row = dict(zip(du_rel.columns, du_rel.fetchone()))
+            # native fetch, not .df(): pandas coerces DECIMAL(38,0)/
+            # HUGEINT to float64, destroying the exactness the
+            # checksum exists to carry
+            du_row = _oracle_row_with_watchdog(
+                con, checksum_sql(fields, osql[name], spark=False))
             ok, detail = compare_checksums(sp_row, du_row)
+        except OracleTimeout as exc:
+            ok, detail, sp_row = None, str(exc), None
         except Exception as exc:  # noqa: BLE001
             ok, detail = False, f"ERROR: {exc!r}"[:400]
             sp_row = None
         wall = round(time.perf_counter() - t0, 2)
-        rec = {"verdict": "PASS" if ok else "FAIL", "wall_sec": wall}
-        if ok and sp_row is not None:
-            rec["n"] = int(sp_row.get("n", -1))
-        if not ok:
-            rec["detail"] = str(detail)[:400]
+        if ok is None:
+            rec = {"verdict": "ORACLE-TIMEOUT", "wall_sec": wall,
+                   "detail": str(detail)[:400]}
+            timed_out += 1
+            print(f"{name}: ORACLE-TIMEOUT ({wall}s)", flush=True)
+        else:
+            rec = {"verdict": "PASS" if ok else "FAIL",
+                   "wall_sec": wall}
+            if ok and sp_row is not None:
+                rec["n"] = int(sp_row.get("n", -1))
+            if not ok:
+                rec["detail"] = str(detail)[:400]
+            print(f"{name}: "
+                  f"{'ok' if ok else 'MISMATCH ' + str(detail)[:250]}"
+                  f" ({wall}s)", flush=True)
+            bad += 0 if ok else 1
         results[name] = rec
-        print(f"{name}: {'ok' if ok else 'MISMATCH ' + str(detail)[:250]}"
-              f" ({wall}s)", flush=True)
-        bad += 0 if ok else 1
+        # flush after every key so a killed run keeps its evidence
+        with open(path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "keys": len(keys),
+                       "failed": bad, "oracle_timeouts": timed_out,
+                       "fsum_rel_tol": FSUM_REL_TOL,
+                       "oracle_timeout_sec": ORACLE_TIMEOUT,
+                       "results": results}, fh, indent=1)
 
-    out = {"sf_dir": sf_dir, "keys": len(keys), "failed": bad,
-           "fsum_rel_tol": FSUM_REL_TOL, "results": results}
-    tag = os.environ.get("UDC_SF10_TAG", "r18")
-    path = os.path.join(REPO, "scale_probe", f"sf10_checksum_{tag}.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
-    print(f"-- {len(keys) - bad}/{len(keys)} checksum-green at "
-          f"{sf_dir} -> {path}", flush=True)
+    print(f"-- {len(keys) - bad - timed_out}/{len(keys)} checksum-green "
+          f"({timed_out} oracle-timeout) at {sf_dir} -> {path}",
+          flush=True)
     return 1 if bad else 0
 
 
