@@ -178,6 +178,16 @@ def main() -> int:
     from oracle_harness import duck_connection
 
     con = duck_connection(sf_dir)
+    # bound the oracle engine and let it SPILL instead of dying: at
+    # sf10 a few oracles (order-pair self-joins, shingle explosions)
+    # exceed DuckDB's default in-memory budget next to the 48g Spark
+    # driver JVM — an oracle OOM is a resource artifact, not a value
+    # verdict
+    duck_mem = os.environ.get("UDC_CKSUM_DUCK_MEM", "40GB")
+    spill = os.environ.get("UDC_CKSUM_DUCK_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     qs, osql = e.queries(), e.oracle_sql()
     keys = sys.argv[2:] or [k for k in qs if k in osql]
 
