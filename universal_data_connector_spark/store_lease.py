@@ -237,8 +237,18 @@ class _Scheduler:
                     continue
                 heapq.heappop(self._heap)
             # tick OUTSIDE the lock: a slow renewal (network I/O) must
-            # not block other holders' registrations or deadlines
-            if renewer._tick():
+            # not block other holders' registrations or deadlines.
+            # The tick is belt-and-braces guarded here too: _tick
+            # already catches Exception, but the scheduler thread
+            # dying would silently stop EVERY holder's heartbeat, so
+            # nothing a single renewer does may escape this loop.
+            try:
+                again = renewer._tick()
+            except BaseException:  # noqa: BLE001
+                log.exception("store_lease: heartbeat tick escaped "
+                              "its own guard; keeping it scheduled")
+                again = True
+            if again:
                 with self._cond:
                     heapq.heappush(
                         self._heap,
@@ -445,8 +455,11 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
     path = os.path.join(store_dir, LEASE_NAME)
     os.makedirs(store_dir, exist_ok=True)
     payload = _payload(op, owner, None)
-    _posix_claim(path, payload, owner, "lease")
+    # nonce registered BEFORE the claim lands: the instant the artifact
+    # exists it must read as LIVE to same-process checkers, or a
+    # sibling thread racing the registration gap could break it
     with _held_nonce(payload["nonce"]):
+        _posix_claim(path, payload, owner, "lease")
         try:
             # a failed renewer construction (fd exhaustion) must
             # release the just-claimed artifact, or it wedges the
@@ -488,8 +501,8 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
     os.makedirs(wdir, exist_ok=True)
     mark = os.path.join(wdir, uuid.uuid4().hex)
     payload = _payload("commit", owner, None)
-    _posix_claim(mark, payload, owner, "mark")
-    with _held_nonce(payload["nonce"]):
+    with _held_nonce(payload["nonce"]):  # registered before the claim
+        _posix_claim(mark, payload, owner, "mark")
         try:
             renewer = _posix_renewer(mark, payload, renew_every)
         except BaseException:
@@ -643,8 +656,8 @@ def s3_maintenance_lease(target, op: str = "maintenance",
     (VERDICT r16 item 1)."""
     owner = owner if owner is not None else current_owner()
     payload = _payload(op, owner, ttl)
-    etag = _s3_claim_lease(target, payload, owner)
-    with _held_nonce(payload["nonce"]):
+    with _held_nonce(payload["nonce"]):  # registered before the claim
+        etag = _s3_claim_lease(target, payload, owner)
         try:
             # a failed renewer construction must release the
             # just-claimed lease, or it lingers until its TTL
@@ -692,10 +705,10 @@ def s3_writer_mark(target, owner: str | None = None,
     owner = owner if owner is not None else current_owner()
     key = target._key(WRITERS_DIR, uuid.uuid4().hex)
     payload = _payload("commit", owner, ttl)
-    resp = target.client.put_object(
-        Bucket=target.bucket, Key=key,
-        Body=json.dumps(payload).encode())
-    with _held_nonce(payload["nonce"]):
+    with _held_nonce(payload["nonce"]):  # registered before the claim
+        resp = target.client.put_object(
+            Bucket=target.bucket, Key=key,
+            Body=json.dumps(payload).encode())
         try:
             # release the just-registered mark if the renewer cannot
             # be constructed (VERDICT r17 item 3)
