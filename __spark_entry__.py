@@ -18,34 +18,34 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS check oracles the FIRST 50 keys in dict
 # iteration order. The window below ROTATES per round so no key's most
-# recent driver evidence goes stale (>2 rounds old). Round-18 rotation
-# (VERDICT r17 item 2): the 48-key r15-evidence cohort — every key whose
-# latest driver evidence is CORRECTNESS_r15 (recomputed union over
-# r01..r17: split r15:48 / r16:49 / r17:50) — plus the flagship and one
-# spare, dedup_exact (r16 evidence; advances the rotation).
+# recent driver evidence goes stale (>2 rounds old). Round-19 rotation
+# (VERDICT r18 item 1): the 48-key r16-evidence cohort — every key whose
+# latest driver evidence is CORRECTNESS_r16 (recomputed union over
+# r01..r18: split r16:48 / r17:49 / r18:50) — plus the flagship and one
+# spare, dedup_ngram_jaccard (r17 evidence; advances the rotation).
 # 48 + 1 + 1 = 50; catalog holds at 147.
 _CHECK_FIRST = [
-    # r15-evidence cohort (48 keys)
-    "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
-    "agg_grouping_sets", "agg_hash_sum_avg", "agg_histogram_bins",
-    "agg_pivot", "agg_rollup", "agg_stats_moments",
-    "cast_currency_double", "cast_lenient_int", "dedup_simhash",
-    "defaults_on_null", "dq_column_profile", "dq_expectations",
-    "events_funnel_steps", "events_window_funnel_conversion", "filter_any_row_per_file",
-    "filter_contains", "filter_equality", "filter_null_safe",
-    "join_anti", "join_asof", "join_full_outer",
-    "join_inner_hash", "join_interval_overlap", "join_left",
-    "join_range_theta", "join_salted_skew", "join_semi",
-    "join_star_schema", "maintenance_compact_files", "map_prefix_suffix",
-    "multimodal_resize", "project_columns", "rename_columns",
-    "reshape_chunk_tokens", "retention_cohorts", "sample_capped_per_key",
-    "scan_jsonl_roundtrip", "scan_partition_pruned", "stream_stateful_totals",
-    "stream_stream_interval_join", "text_repetition_ratio", "ts_rollup_gapfill",
-    "ts_subsequence_search", "window_row_number_topk", "window_running_sum",
+    # r16-evidence cohort (48 keys)
+    "agg_array_collect", "agg_grouped_mad_pandas", "agg_mode_per_group",
+    "agg_percentile_exact", "agg_regression_ols", "base64_roundtrip",
+    "cogroup_asof_merge", "csv_parse_rfc4180", "date_funcs",
+    "dedup_near_minhash", "dq_fk_integrity", "events_dau_wau",
+    "events_rfm_segments", "events_sessionize_gap", "events_top_paths",
+    "join_asof_nearest", "join_bucketed_colocated", "join_null_safe_eq",
+    "json_funcs", "limit_topk", "math_funcs",
+    "sample_hash_split", "scan_csv_malformed_permissive", "scan_parquet",
+    "scan_schema_evolution_merge", "set_except", "set_intersect",
+    "set_union_all", "sort_multi_key", "str_funcs",
+    "stream_agg_state_totals", "stream_late_data_watermark", "stream_session_window",
+    "stream_sliding_agg", "stream_tumbling_count", "stream_upsert_latest",
+    "text_boilerplate_ngrams", "text_vocab_topk", "ts_anomaly_mad",
+    "ts_ewma", "ts_moving_window_avg", "ts_resample_interp",
+    "window_first_last", "window_gap_islands", "window_lag_lead",
+    "window_percent_of_total", "window_range_frame", "window_rank_family",
     # flagship: insurance row each round
     "pipeline_clean_corpus",
-    # spare: r16 evidence — advances the rotation
-    "dedup_exact",
+    # spare: r17 evidence — advances the rotation
+    "dedup_ngram_jaccard",
 ]
 
 
