@@ -205,6 +205,35 @@ def test_posix_paused_holder_replaced_artifact_still_fenced(
         assert json.load(fh)["nonce"] == "succ-nonce"
 
 
+def test_embedding_cosine_banded_oracle_equals_brute_force():
+    """VERDICT r18 item 5: the dedup_embedding_cosine oracle now bands
+    candidates with the engine's own fixed-seed hyperplanes so it
+    scales to the sf10 population. This differential pins the banded
+    SQL to the retired brute-force SQL on real testdata — identical
+    result sets (both all-pairs-verified here, since the data holds no
+    >=0.95 pair the bands could miss; planted-dup recall is pinned
+    separately in tests/test_dedup.py)."""
+    import duckdb
+
+    from universal_data_connector_spark.plans.catalog import ORACLES
+
+    brute = """
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.95
+    """
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+        got = sorted(con.sql(ORACLES["dedup_embedding_cosine"]).fetchall())
+        want = sorted(con.sql(brute).fetchall())
+        assert got == want, f"banded != brute at {sf_dir}"
+
+
 def test_hung_renewal_does_not_starve_other_heartbeats():
     """ADVICE r18 (low): ticks run on a small worker pool, so a single
     hung renewal (boto retries can take minutes) cannot head-of-line

@@ -17,9 +17,13 @@ connector path itself:
 * ``s3_filter_s3``         — N objects on a moto endpoint → substring
   filter → S3 sink (object-per-file boto3 PUTs). Exercises S5 + K5;
   dominated by per-object HTTP, which is exactly the path's real cost.
+* ``jdbc_filter_jdbc``     — N rows seeded into embedded Derby →
+  pass-through SQL query source → record-mode column filter → batched
+  JDBC sink (VERDICT r18 item 3). Exercises S3 query pushdown + K3;
+  dominated by per-batch INSERT round-trips, the path's real cost.
 
-Usage: python tools/bench_connector_path.py [n_files] [n_records] [n_objects]
-       (defaults 20000 / 50000 / 2000)
+Usage: python tools/bench_connector_path.py [n_files] [n_records] [n_objects] [n_rows]
+       (defaults 20000 / 50000 / 2000 / 20000)
 Writes scale_probe/bench_connector_<UDC_CONNBENCH_TAG>.json and prints
 one JSON line per pipeline.
 """
@@ -176,12 +180,51 @@ def bench_s3_filter_s3(spark, texts: list[str], workdir: str) -> dict:
         server.stop()
 
 
+def bench_jdbc_filter_jdbc(spark, texts: list[str],
+                           workdir: str) -> dict:
+    db = os.path.join(workdir, "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    seed = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string")
+    t0 = time.perf_counter()
+    (seed.repartition(8).write.format("jdbc")
+         .options(url=url, dbtable="docs", driver=driver,
+                  batchsize="1000").mode("append").save())
+    seed_wall = time.perf_counter() - t0
+    status, wall = _run_pipeline(spark, {
+        "name": "jdbc-filter-jdbc",
+        "source": {"type": "jdbc", "properties": {
+            # Spark's JDBC writer creates quoted (case-exact) columns,
+            # so the pass-through SQL quotes them for Derby
+            "jdbcUrl": url, "driver": driver,
+            "query": 'SELECT "id", "text" FROM docs',
+            "oneTimeOperation": True}},
+        "transformations": [
+            {"type": "filter", "properties": {"column": "text",
+                                              "condition": "a"}},
+        ],
+        "sink": {"type": "jdbc", "properties": {
+            "jdbcUrl": url, "table": "docs_out", "driver": driver,
+            "batchSize": 1000}},
+    })
+    rows_out = (spark.read.format("jdbc")
+                .options(url=url, dbtable="docs_out", driver=driver)
+                .load().count())
+    return {"pipeline": "jdbc_filter_jdbc", "status": status,
+            "rows_in": len(texts), "rows_out": rows_out,
+            "seed_wall_sec": round(seed_wall, 2),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(len(texts) / wall, 1)}
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_records = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n_objects = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    n_rows = int(sys.argv[4]) if len(sys.argv) > 4 else 20_000
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.driver.memory", "48g")
              .config("spark.sql.shuffle.partitions", "32")
@@ -189,10 +232,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
-    texts = _sf1_texts(max(n_files, n_records, n_objects))
+    texts = _sf1_texts(max(n_files, n_records, n_objects, n_rows))
     for fn, n in ((bench_file_filter_parquet, n_files),
                   (bench_kafka_filter_kafka, n_records),
-                  (bench_s3_filter_s3, n_objects)):
+                  (bench_s3_filter_s3, n_objects),
+                  (bench_jdbc_filter_jdbc, n_rows)):
         workdir = tempfile.mkdtemp(prefix="connbench-")
         try:
             rec = fn(spark, texts[:n], workdir)
@@ -206,7 +250,8 @@ def main() -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
         json.dump({"n_files": n_files, "n_records": n_records,
-                   "n_objects": n_objects, "results": results},
+                   "n_objects": n_objects, "n_rows": n_rows,
+                   "results": results},
                   fh, indent=1)
     print(f"-> {path}", flush=True)
     return 0 if all(r["status"] == "COMPLETED" for r in results) else 1

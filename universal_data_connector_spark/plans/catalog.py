@@ -1519,16 +1519,73 @@ def dedup_simhash(spark, sf_dir):
     return od.simhash_candidates(d, max_hamming=3)
 
 
+def _embedding_cosine_banded_oracle_sql(dim: int = 64,
+                                        n_planes: int = 1280,
+                                        bands: int = 64, seed: int = 7,
+                                        threshold: float = 0.95) -> str:
+    """Banded candidate oracle for ``dedup_embedding_cosine``
+    (VERDICT r18 item 5): replicate the engine's fixed-seed hyperplane
+    banding (`lsh_plane_weights` — the sim_search_lsh precedent) in
+    DuckDB, then exact-verify cosine on the candidates, so the oracle
+    scales like the engine (sum of bucket^2 per band) instead of the
+    O(n^2) brute force that watchdog-timed-out on the sf10 population
+    (~4e10 dot products). Semantics are IDENTICAL to the engine's
+    pipeline: candidate iff some 20-bit band code matches, pair iff
+    the exact cosine clears the threshold — and identical to the old
+    brute-force oracle wherever band recall is exact (pinned both
+    ways: the planted-dup recall bound in tests/test_dedup.py, and the
+    banded-vs-brute SQL equality differential in
+    tests/test_round19_fixes.py). Sign decisions are safe across
+    engines exactly as in `_lsh_oracle_sql`: the plane constants are
+    shortest-round-trip float64 literals, so both engines dot the same
+    doubles. The zero-norm guard mirrors the engine's NULL-on-zero
+    (Spark drops the row; bare DuckDB would compare NaN)."""
+    from universal_data_connector_spark.operators.similarity import (
+        lsh_plane_weights,
+    )
+
+    W = lsh_plane_weights(dim, n_planes, seed)
+    width = n_planes // bands
+
+    def plane_lit(p: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in W[:, p]) + "]"
+
+    band_exprs = ",\n               ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(b * width + i)})"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(width)) + ")"
+        for b in range(bands))
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sigs AS (
+        SELECT vec_id,
+               [{band_exprs}] AS bv
+        FROM base
+    ), memb AS (
+        SELECT vec_id, i AS band_idx, bv[i + 1] AS band_val
+        FROM sigs, range({bands}) t(i)
+    ), cand AS (
+        SELECT DISTINCT m1.vec_id AS id_1, m2.vec_id AS id_2
+        FROM memb m1 JOIN memb m2
+          ON m1.band_idx = m2.band_idx AND m1.band_val = m2.band_val
+        WHERE m1.vec_id < m2.vec_id
+    )
+    SELECT id_1, id_2
+    FROM cand
+    JOIN base a ON a.vec_id = id_1
+    JOIN base b ON b.vec_id = id_2
+    WHERE list_dot_product(a.e, a.e) > 0 AND list_dot_product(b.e, b.e) > 0
+      AND {cos} >= {threshold}
+    """
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    SELECT a.vec_id AS id_1, b.vec_id AS id_2
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= 0.95
-    """,
+    oracle=_embedding_cosine_banded_oracle_sql(),
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs: cosine >= 0.95, candidates-then-verify
@@ -1536,7 +1593,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     equi-join generates candidates, one dot product over once-normalized
     vectors verifies each. No all-pairs join anywhere in the plan (the
     exact pairwise form lives only in tests/test_dedup.py as the
-    oracle). Cosine values are excluded from the output so the check is
+    oracle). Since r19 the DuckDB oracle replicates the SAME fixed-seed
+    banding (see _embedding_cosine_banded_oracle_sql) so it scales to
+    the sf10 population the brute-force form timed out on; banded ==
+    brute-force SQL equality is pinned in tests/test_round19_fixes.py.
+    Cosine values are excluded from the output so the check is
     robust to last-ulp float differences; 0.95 sits far above the
     testdata's max pairwise cosine (~0.51 — random vectors, no planted
     dups), so no pair rides a float boundary, and banding recall at the
