@@ -44,13 +44,35 @@ ORACLES: dict[str, str] = {}
 def _scratch_dir(prefix: str) -> str:
     """Process-scoped scratch dir for sink/stream catalog queries,
     removed at interpreter exit. A bare mkdtemp per call accumulated
-    dozens of udc_* directories in /tmp across bench/test sessions."""
+    dozens of udc_* directories in /tmp across bench/test sessions —
+    and atexit alone still leaks them when a run is SIGKILLed (driver
+    watchdogs, canceled sweeps), multiple GB per killed bench. So each
+    call also best-effort sweeps SAME-PREFIX siblings whose mtime is
+    older than 12 h: every consumer of these dirs writes and reads
+    within one minutes-long process, so a half-day-old sibling can
+    only be a corpse from a killed process, never a live run's."""
     import atexit
+    import os
     import shutil
     import tempfile
+    import time as _time
 
     out = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, out, True)
+    parent = os.path.dirname(out)
+    cutoff = _time.time() - 12 * 3600
+    try:
+        for name in os.listdir(parent):
+            if not name.startswith(prefix) or name == os.path.basename(out):
+                continue
+            stale = os.path.join(parent, name)
+            try:
+                if os.path.isdir(stale) and os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
     return out
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
