@@ -205,6 +205,132 @@ def test_posix_paused_holder_replaced_artifact_still_fenced(
         assert json.load(fh)["nonce"] == "succ-nonce"
 
 
+def test_abort_interleaving_fuzz_never_wedges_maintenance(
+        spark, tmp_path, monkeypatch):
+    """Randomized start/maintenance/stop interleavings AIMED at the
+    registration-re-check abort (the maintainer synchronizes on
+    build-start, so windows open mid-build with high probability),
+    then the round's invariant: once every job is terminal,
+    maintenance on the shared store must SUCCEED. Pre-r19, any abort
+    that fired with a dedup_state span open leaked it, its heartbeat
+    renewed the writer mark forever, and this final compaction
+    retried StoreLeaseHeld until process exit."""
+    import random
+
+    from universal_data_connector_spark import engine
+    from universal_data_connector_spark.manager import (
+        MaintenanceConflict,
+        PipelineManager,
+    )
+    from universal_data_connector_spark.store_lease import StoreLeaseHeld
+
+    store = str(tmp_path / "shared-store")
+    _seed(spark, store)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(3):
+        (inp / f"doc-{i}.txt").write_text(f"fuzz document {i}")
+
+    def mk_cfg(i: int):
+        return parse_config({"pipelines": [{
+            "name": "abort-fuzz",
+            "source": {"type": "file",
+                       "properties": {"path": str(inp),
+                                      "pattern": "*.txt"}},
+            "transformations": [
+                {"type": "dedup_state",
+                 "properties": {"stateDir": store, "keys": "content",
+                                "numBuckets": "4"}}],
+            "sink": {"type": "file", "properties": {
+                "path": str(tmp_path / "out" / f"run-{i}"),
+                "extension": ".txt"}},
+        }]}).pipelines[0]
+
+    mgr = PipelineManager(spark)
+    build_started = threading.Event()
+    real_build = engine.build_parts
+
+    def tracked_build(*a, **k):
+        build_started.set()  # maintainer races to open a window NOW
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(engine, "build_parts", tracked_build)
+    stop_flag = threading.Event()
+    counts = {"starts": 0, "refused": 0, "windows": 0,
+              "window_refused": 0, "lease_refused": 0}
+    unexpected: list[str] = []
+
+    def maintainer():
+        rng = random.Random(1901)
+        while not stop_flag.is_set():
+            build_started.wait(0.5)
+            build_started.clear()
+            try:
+                with mgr.maintenance_window(["abort-fuzz"]):
+                    counts["windows"] += 1
+                    time.sleep(rng.uniform(0.02, 0.15))
+            except MaintenanceConflict:
+                counts["window_refused"] += 1
+            except Exception as exc:  # noqa: BLE001
+                unexpected.append(f"maintainer: {exc!r}")
+            stop_flag.wait(rng.uniform(0.0, 0.03))
+
+    def starter(seed: int):
+        rng = random.Random(seed)
+        i = seed * 1000
+        while not stop_flag.is_set():
+            i += 1
+            try:
+                mgr.start_pipeline(mk_cfg(i), streaming=False)
+                counts["starts"] += 1
+            except MaintenanceConflict:
+                counts["refused"] += 1  # up-front OR registration abort
+            except StoreLeaseHeld:
+                counts["lease_refused"] += 1
+            except Exception as exc:  # noqa: BLE001
+                if any(s in str(exc) for s in
+                       ("FAILED_READ_FILE", "FileNotFoundException",
+                        "does not exist")):
+                    pass  # reader-fencing non-goal: loud retryable race
+                else:
+                    unexpected.append(f"starter: {exc!r}")
+            if rng.random() < 0.3:
+                mgr.stop_all()
+            stop_flag.wait(rng.uniform(0.0, 0.05))
+
+    threads = [threading.Thread(target=maintainer, daemon=True),
+               threading.Thread(target=starter, args=(2,), daemon=True),
+               threading.Thread(target=starter, args=(3,), daemon=True)]
+    for t in threads:
+        t.start()
+    time.sleep(12.0)
+    stop_flag.set()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    for _ in range(200):
+        mgr.stop_all()
+        if not any(j.is_running for j in list(mgr._jobs.values())):
+            break
+        time.sleep(0.25)
+    assert unexpected == [], unexpected[:5]
+    # both sides actually exercised
+    assert counts["starts"] + counts["refused"] >= 3, counts
+    assert counts["windows"] >= 3, counts
+    # THE invariant: no leaked span — a wedge never clears, so a short
+    # retry distinguishes a draining commit from a leaked heartbeat
+    deadline = time.monotonic() + 30.0
+    while True:
+        try:
+            compact_seen_store(spark, store)
+            break
+        except StoreLeaseHeld:
+            if time.monotonic() > deadline:
+                pytest.fail("maintenance wedged after the fuzz — a "
+                            "leaked writer-mark span survives drain")
+            time.sleep(0.5)
+
+
 def test_window_rotation_invariant_holds():
     """The rotation invariant the judge recomputes each round
     (latest-evidence union over all CORRECTNESS files = all live keys;
