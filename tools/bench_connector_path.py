@@ -43,6 +43,18 @@ sys.path.insert(0, REPO)
 BUCKET = "udc-connbench"
 CREDS = {"accessKey": "bench", "secretKey": "bench"}
 
+# Standing acceptance floors (BENCH_NOTES_r19 §3): ~0.7× of the min of
+# the r18/r19 idle-machine observations at the default sizes, wide
+# enough for mock-endpoint jitter, tight enough to catch a real
+# connector-path regression. Checked whenever the run uses the default
+# sizes (a non-default run measures something else); breach -> exit 1.
+FLOORS_ROWS_PER_SEC = {
+    "file_filter_parquet": 1200.0,   # r18 1723, r19 1817
+    "kafka_filter_kafka": 5200.0,    # r18 7554, r19 7338
+    "s3_filter_s3": 85.0,            # r18 122,  r19 113
+    "jdbc_filter_jdbc": 11000.0,     # r19 16088
+}
+
 
 def _sf1_texts(limit: int) -> list[str]:
     import pyarrow.parquet as pq
@@ -254,7 +266,17 @@ def main() -> int:
                    "results": results},
                   fh, indent=1)
     print(f"-> {path}", flush=True)
-    return 0 if all(r["status"] == "COMPLETED" for r in results) else 1
+    ok = all(r["status"] == "COMPLETED" for r in results)
+    defaults = (n_files, n_records, n_objects, n_rows) == (
+        20_000, 50_000, 2_000, 20_000)
+    if defaults:
+        for r in results:
+            floor = FLOORS_ROWS_PER_SEC.get(r["pipeline"])
+            if floor and r["rows_per_sec"] < floor:
+                print(f"FLOOR BREACH: {r['pipeline']} "
+                      f"{r['rows_per_sec']} < {floor} rows/s", flush=True)
+                ok = False
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
