@@ -409,6 +409,72 @@ def test_embedding_cosine_banded_oracle_equals_brute_force():
         assert got == want, f"banded != brute at {sf_dir}"
 
 
+def test_is_stale_decision_matrix(monkeypatch):
+    """Exhaustive truth table for the staleness rules after the r19
+    nonce-TTL narrowing — every (owner-match, pid, host, nonce-state,
+    ttl-state) combination asserted against the module docstring's
+    three rules, so any future edit that flips one cell fails here
+    with the exact combination named."""
+    import socket as _socket
+
+    import universal_data_connector_spark.store_lease as sl
+
+    me_host = _socket.gethostname()
+    me_pid = os.getpid()
+    now = time.time()
+    live_nonce = "tt-live-nonce"
+    with sl._LIVE_NONCES_LOCK:
+        sl._LIVE_NONCES.add(live_nonce)
+    try:
+        def payload(owner="job:x", pid=me_pid, host=me_host,
+                    nonce="tt-unregistered", age=0.0, ttl=None):
+            return {"owner": owner, "op": "t", "pid": pid, "host": host,
+                    "nonce": nonce, "acquired_unix": now - age,
+                    "ttl_seconds": ttl}
+
+        dead_pid = 2 ** 22 + 12345  # outside this sandbox's pid space
+        cases = [
+            # (description, payload, checker_owner, expect_stale)
+            ("own pid + owner + unregistered nonce -> leftover",
+             payload(), "job:x", True),
+            ("own pid + owner + LIVE fresh nonce -> held (ADVICE r17)",
+             payload(nonce=live_nonce), "job:x", False),
+            ("own pid + owner + live nonce but artifact aged past TTL"
+             " -> wedged, breakable (VERDICT r18 item 4)",
+             payload(nonce=live_nonce, age=sl.DEFAULT_S3_TTL + 1),
+             "job:x", True),
+            ("owner mismatch + our live pid -> held",
+             payload(), "job:OTHER", False),
+            ("no owner recorded + our live pid -> held",
+             payload(owner=None), "job:x", False),
+            ("same host, dead pid -> breakable regardless of owner",
+             payload(owner="someone", pid=dead_pid), "job:x", True),
+            ("same host, live pid, no ttl -> held",
+             payload(owner="someone"), "job:x", False),
+            ("foreign host, no ttl -> undecidable here (mtime bound"
+             " lives in _posix_stale, not _is_stale)",
+             payload(host="elsewhere"), "job:OTHER", False),
+            ("foreign host, ttl expired -> breakable",
+             payload(host="elsewhere", age=10.0, ttl=5.0),
+             "job:OTHER", True),
+            ("foreign host, ttl not yet expired -> held",
+             payload(host="elsewhere", age=2.0, ttl=500.0),
+             "job:OTHER", False),
+            ("same OWNER but different pid, live ttl -> held"
+             " (ADVICE r16: zombie predecessor keeps exclusion)",
+             payload(pid=dead_pid + 1, host="elsewhere", ttl=500.0),
+             "job:x", False),
+            ("unreadable payload -> not breakable here",
+             None, "job:x", False),
+        ]
+        for desc, p, checker, want in cases:
+            got = sl._is_stale(p, checker)
+            assert got == want, f"{desc}: got {got}, want {want}"
+    finally:
+        with sl._LIVE_NONCES_LOCK:
+            sl._LIVE_NONCES.discard(live_nonce)
+
+
 def test_embedding_cosine_banded_oracle_boundary_pairs(tmp_path):
     """Threshold semantics of the banded oracle on PLANTED vectors:
     pairs engineered just above and just below cosine 0.95 (and an
