@@ -90,16 +90,35 @@ def main() -> int:
         import __spark_entry__ as e
         window = list(e._CHECK_FIRST)
         wset = set(window)
+        well_formed = (len(window) == 50 and len(wset) == 50
+                       and FLAGSHIP in wset and wset <= live)
+        # Phase A — pre-rotation (or mid-round): _CHECK_FIRST is the
+        # NEXT prescribed window: oldest cohort + flagship + spares
+        # drawn from the middle cohort.
         missing = sorted(set(cohort) - wset)
         mid_keys = set(split[middle[0]]) if middle else set()
         extras = sorted(wset - set(cohort) - {FLAGSHIP} - mid_keys)
+        phase_next = well_formed and not missing and not extras
+        # Phase B — window-already-ran (VERDICT r19 wrong #1): the
+        # driver just landed CORRECTNESS_r{newest}.json for THIS
+        # window, which shifts the "next window" derivation above to
+        # the following cohort. _CHECK_FIRST exactly equal to the
+        # newest CORRECTNESS file's key set is evidence the current
+        # window already executed — green, not stale. A genuinely
+        # wrong window matches NEITHER phase and still fails.
+        newest_keys = set(split[max(newest3)])
+        phase_ran = well_formed and wset == newest_keys
         print(f"_CHECK_FIRST: {len(window)} keys; "
               f"oldest-cohort keys missing from it: {missing}; "
               f"keys that are neither cohort, flagship nor "
-              f"middle-cohort spare: {extras}")
-        ok = (ok and len(window) == 50 and len(wset) == 50
-              and not missing and not extras and FLAGSHIP in wset
-              and wset <= live)
+              f"middle-cohort spare: {extras}; "
+              f"equals newest-evidence (r{max(newest3)}) key set: "
+              f"{phase_ran}")
+        if phase_next:
+            print("window phase: NEXT (pre-rotation / mid-round)")
+        elif phase_ran:
+            print("window phase: ALREADY-RAN (driver artifact landed)")
+        ok = ok and (phase_next or phase_ran)
     print("INVARIANT", "OK" if ok else "VIOLATED")
     return 0 if ok else 1
 
