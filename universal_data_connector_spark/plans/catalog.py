@@ -47,17 +47,23 @@ def _scratch_dir(prefix: str) -> str:
     dozens of udc_* directories in /tmp across bench/test sessions —
     and atexit alone still leaks them when a run is SIGKILLed (driver
     watchdogs, canceled sweeps), multiple GB per killed bench. So each
-    call also best-effort sweeps SAME-PREFIX siblings whose mtime is
-    older than 12 h: every consumer of these dirs writes and reads
-    within one minutes-long process, so a half-day-old sibling can
-    only be a corpse from a killed process, never a live run's."""
+    call also best-effort sweeps SAME-PREFIX siblings — but only ones
+    whose CREATOR PROCESS is provably gone (ADVICE r19): the creator
+    pid is embedded in the dir name, and a sibling whose pid still
+    runs is never touched, however old. The previous mtime-only 12 h
+    rule read the TOP-LEVEL dir mtime, which POSIX does not refresh
+    for writes inside nested subdirectories — a consumer legitimately
+    alive past 12 h (or a concurrent session sharing the prefix)
+    could lose a live dir. Legacy pid-less dirs keep the 12 h mtime
+    aging so pre-r20 corpses still get collected."""
     import atexit
     import os
+    import re as _re
     import shutil
     import tempfile
     import time as _time
 
-    out = tempfile.mkdtemp(prefix=prefix)
+    out = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     atexit.register(shutil.rmtree, out, True)
     parent = os.path.dirname(out)
     cutoff = _time.time() - 12 * 3600
@@ -67,8 +73,20 @@ def _scratch_dir(prefix: str) -> str:
                 continue
             stale = os.path.join(parent, name)
             try:
-                if os.path.isdir(stale) and os.path.getmtime(stale) < cutoff:
-                    shutil.rmtree(stale, ignore_errors=True)
+                if not os.path.isdir(stale):
+                    continue
+                m = _re.match(_re.escape(prefix) + r"p(\d+)_", name)
+                if m:
+                    try:
+                        os.kill(int(m.group(1)), 0)
+                        continue  # creator alive: never sweep
+                    except ProcessLookupError:
+                        pass  # creator dead: corpse, sweep now
+                    except PermissionError:
+                        continue  # alive under another user
+                elif os.path.getmtime(stale) >= cutoff:
+                    continue  # legacy dir, too young to judge
+                shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 pass
     except OSError:

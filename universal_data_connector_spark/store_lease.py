@@ -60,12 +60,17 @@ SELF-FENCES (r18, VERDICT r17 item 4): the release checks
 a successor may have legitimately broken and re-claimed the
 artifact during the pause, and an unconditional delete would
 destroy the successor's LIVE exclusion. On POSIX the fence is
-inode-narrowed (r19, ADVICE r18): the holder created the file, so
-an unchanged inode PROVES no breaker/successor touched it and the
-delete proceeds — without this, a paused same-host holder (live
-pid, no TTL in POSIX payloads) would leave a leftover no
-different-owner checker can ever find stale, wedging maintenance
-until process exit. A skipped S3 artifact expires via its TTL.
+inode-narrowed (r19, ADVICE r18) and — since r20 (ADVICE r19) —
+decided while the claim fd is STILL OPEN: the open fd pins our
+inode so its number cannot be recycled into a successor's file,
+nlink-through-the-fd detects a breaker's unlink, and a payload
+nonce re-read immediately precedes the unlink, so an unchanged
+inode genuinely PROVES no breaker/successor touched it and the
+delete proceeds — without this narrowing, a paused same-host
+holder (live pid, no TTL in POSIX payloads) would leave a leftover
+no different-owner checker can ever find stale, wedging
+maintenance until process exit. A skipped S3 artifact expires via
+its TTL.
 
 Non-goals: writer-vs-writer exclusion (the stores keep their
 single-writer contract; marks are visible to maintenance only) and
@@ -124,14 +129,19 @@ def current_owner() -> str | None:
     return _OWNER.get()
 
 
-def _payload(op: str, owner: str | None, ttl: float | None) -> dict:
+def _payload(op: str, owner: str | None, ttl: float | None,
+             renew_every: float | None = None) -> dict:
     # nonce: per-CLAIM identity — heartbeat renewals rewrite the
     # payload (fresh acquired_unix) but keep the nonce, so a renewer
     # can recognize its OWN landed write after a lost PUT response
-    # without false-matching a successor's claim
+    # without false-matching a successor's claim. renew_seconds
+    # records the holder's heartbeat cadence so freshness bounds
+    # (``_nonce_holds_exclusion``) scale with the ACTUAL renewal
+    # schedule instead of assuming the default TTL/3 (ADVICE r19).
     return {"owner": owner, "op": op, "pid": os.getpid(),
             "host": socket.gethostname(), "nonce": uuid.uuid4().hex,
-            "acquired_unix": time.time(), "ttl_seconds": ttl}
+            "acquired_unix": time.time(), "ttl_seconds": ttl,
+            "renew_seconds": renew_every}
 
 
 # nonces of every lease/mark currently HELD by this process (claimed,
@@ -180,12 +190,25 @@ def _nonce_holds_exclusion(payload: dict) -> bool:
     artifact's ``acquired_unix`` within ttl/3 of now while the claim
     is truly held, so a registered nonce whose artifact has aged past
     the default TTL without a renewal is a wedge, not a live holder
-    (VERDICT r18 item 4)."""
+    (VERDICT r18 item 4).
+
+    The aging bound scales with the claim's ACTUAL schedule (ADVICE
+    r19): a caller-supplied ttl > 3x the default, or renew_every >
+    the default TTL, puts legitimate renewal gaps past the bare
+    DEFAULT_S3_TTL — a live on-schedule holder must never age into
+    same-process breakability between two of its own renewals."""
     if not _nonce_is_live_here(payload.get("nonce")):
         return False
     acquired = payload.get("acquired_unix")
+    bound = DEFAULT_S3_TTL
+    ttl = payload.get("ttl_seconds")
+    if isinstance(ttl, (int, float)):
+        bound = max(bound, ttl)
+    renew = payload.get("renew_seconds")
+    if isinstance(renew, (int, float)):
+        bound = max(bound, 4.0 * renew)  # a few missed ticks, not one
     if (isinstance(acquired, (int, float))
-            and time.time() > acquired + DEFAULT_S3_TTL):
+            and time.time() > acquired + bound):
         return False
     return True
 
@@ -242,7 +265,13 @@ class _Scheduler:
     # the 2/3-TTL slack the cross-host staleness bound relies on. The
     # pool bounds concurrency to a handful of threads — far below the
     # one-thread-per-holder model r18 replaced — while restoring its
-    # no-head-of-line-blocking property. Workers are hand-rolled
+    # no-head-of-line-blocking property. The cap scales with the
+    # number of live renewers (ADVICE r19): each renewer has at most
+    # one tick in flight, so a cap of max(_POOL_SIZE, live) restores
+    # the per-holder model's guarantee that N simultaneously hung
+    # renewals (an S3 outage stalling several boto calls) can never
+    # starve an (N+1)th holder's heartbeat — while still spawning
+    # lazily, only under actual backlog. Workers are hand-rolled
     # daemons (not concurrent.futures, whose atexit join would let a
     # hung renewal block interpreter exit, something the old daemon
     # per-holder threads never did).
@@ -252,6 +281,7 @@ class _Scheduler:
         self._cond = threading.Condition()
         self._heap: list = []  # (deadline, seq, renewer)
         self._seq = 0
+        self._live = 0  # renewers currently scheduled or mid-tick
         self._thread: threading.Thread | None = None
         self._due_cond = threading.Condition()
         self._due: list = []  # (seq, renewer) ready to tick
@@ -264,6 +294,7 @@ class _Scheduler:
                            (time.time() + renewer.interval,
                             self._seq, renewer))
             self._seq += 1
+            self._live += 1
             if self._thread is None or not self._thread.is_alive():
                 self._thread = threading.Thread(
                     target=self._run,
@@ -296,7 +327,8 @@ class _Scheduler:
             # pruned so fresh workers replace them
             self._workers = [w for w in self._workers if w.is_alive()]
             if (len(self._due) > self._idle
-                    and len(self._workers) < self._POOL_SIZE):
+                    and len(self._workers)
+                    < max(self._POOL_SIZE, self._live)):
                 w = threading.Thread(
                     target=self._work,
                     name=f"udc-store-lease-tick-{len(self._workers)}",
@@ -331,6 +363,12 @@ class _Scheduler:
                         self._heap,
                         (time.time() + renewer.interval, seq, renewer))
                     self._cond.notify()
+            else:
+                # stopped/lost renewers leave the live count (and
+                # with it the worker-pool cap) when their final tick
+                # returns — symmetric with add()
+                with self._cond:
+                    self._live -= 1
 
 
 _SCHEDULER = _Scheduler()
@@ -467,34 +505,94 @@ def _posix_renewer(path: str, payload: dict,
         return True
 
     renewer = _Renewer(renew, renew_every)
-    renewer.ino = my_ino  # release-time fence: see _posix_still_mine
+    renewer.ino = my_ino  # exposed for tests / diagnostics
     inner_stop = renewer.stop
+    closed = [False]
+
+    def _close_fd() -> None:
+        # exactly-once close: release() and stop() may both run, and a
+        # second os.close on a recycled fd number would close someone
+        # else's descriptor
+        if not closed[0]:
+            closed[0] = True
+            with contextlib.suppress(OSError):
+                os.close(fd)
 
     def stop() -> None:
         inner_stop()
-        with contextlib.suppress(OSError):
-            os.close(fd)
+        _close_fd()
+
+    def release() -> None:
+        """Fenced release (ADVICE r19): stop the ticks, then decide
+        ownership WHILE the claim fd is still open — the open fd pins
+        our inode so the number cannot be recycled into a successor's
+        file — and unlink BEFORE closing the fd. The r18/r19 ordering
+        (stop-and-close, then stat, then unlink) was check-then-act:
+        once the fd closed, a checker could break the expired artifact,
+        a successor re-claim it, and inode reuse make the stat match —
+        letting a paused holder delete the successor's LIVE exclusion."""
+        inner_stop()  # tick barrier; the fd intentionally stays open
+        try:
+            if renewer.lost:
+                return  # a breaker took it; no longer ours to delete
+            if renewer.expired(DEFAULT_S3_TTL):
+                # paused past the TTL: the artifact has been breakable,
+                # so prove it is still literally OUR file before the
+                # unlink. fstat through the held fd: st_nlink == 0 iff
+                # our file was unlinked (we never hardlink these);
+                # a path-inode mismatch means a successor's file sits
+                # at the path (it can't reuse our pinned inode); a
+                # nonce re-read immediately before the unlink shrinks
+                # the residual stat-to-unlink window to microseconds.
+                try:
+                    current = None
+                    if (os.fstat(fd).st_nlink > 0
+                            and os.stat(path).st_ino == my_ino):
+                        current = _posix_read(path)
+                except OSError:
+                    current = None
+                if (not isinstance(current, dict)
+                        or current.get("nonce") != payload.get("nonce")):
+                    log.error(
+                        "store_lease: release self-fenced — more than "
+                        "the TTL since the last landed renewal of %s "
+                        "(process pause?) and the file is no longer "
+                        "provably ours; a successor may hold it now, "
+                        "leaving it in place", path)
+                    return
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+        finally:
+            _close_fd()
 
     renewer.stop = stop
+    renewer.release = release
     return renewer
 
 
-def _posix_still_mine(path: str, ino: int | None) -> bool:
-    """True when the artifact on disk is literally the file this
-    holder created (same inode): deleting it can never clobber a
-    successor's claim, because any breaker unlinks and any successor
-    recreates — both change the inode. Used to narrow the release
-    self-fence (ADVICE r18): a holder paused past the TTL whose
-    artifact was in fact never touched — the common POSIX same-host
-    case, where no different-owner checker can ever find a live-pid
-    no-TTL payload stale — deletes it instead of leaving a leftover
-    that wedges maintenance until process exit."""
-    if ino is None:
-        return False  # no recorded inode: stay conservative
-    try:
-        return os.stat(path).st_ino == ino
-    except OSError:
-        return False
+def _posix_release(renewer, path: str) -> None:
+    """Release a held POSIX lease/mark through the renewer's fenced
+    ``release`` (ownership decided while the claim fd is open — see
+    ``_posix_renewer``, ADVICE r19). A bare ``_Renewer`` without a
+    claim fd (tests substituting the renewal machinery) falls back to
+    the conservative form: delete only when the exclusion provably
+    never lapsed, self-fence otherwise."""
+    release = getattr(renewer, "release", None)
+    if release is not None:
+        release()
+        return
+    renewer.stop()
+    if renewer.lost:
+        return
+    if renewer.expired(DEFAULT_S3_TTL):
+        log.error("store_lease: release self-fenced — more than the "
+                  "TTL since the last landed renewal of %s (process "
+                  "pause?) and no claim fd to verify ownership; a "
+                  "successor may hold it now, leaving it in place",
+                  path)
+        return
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(path)
 
 
 def _posix_claim(path: str, payload: dict, checker_owner: str | None,
@@ -550,7 +648,7 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
     owner = owner if owner is not None else current_owner()
     path = os.path.join(store_dir, LEASE_NAME)
     os.makedirs(store_dir, exist_ok=True)
-    payload = _payload(op, owner, None)
+    payload = _payload(op, owner, None, renew_every)
     # nonce registered BEFORE the claim lands: the instant the artifact
     # exists it must read as LIVE to same-process checkers, or a
     # sibling thread racing the registration gap could break it
@@ -574,22 +672,9 @@ def posix_maintenance_lease(store_dir: str, op: str = "maintenance",
                     "exclusive — retry after they finish")
             yield
         finally:
-            renewer.stop()
-            if renewer.lost:
-                pass  # a breaker took it; no longer ours to delete
-            elif (renewer.expired(DEFAULT_S3_TTL)
-                    and not _posix_still_mine(path, getattr(renewer, "ino", None))):
-                log.error("store_lease: release self-fenced — more "
-                          "than the TTL since the last landed renewal "
-                          "of %s (process pause?) and the file is no "
-                          "longer ours; a successor may hold it now, "
-                          "leaving it in place", path)
-            else:
-                # normal release, or paused-past-TTL but the inode
-                # check proves nobody broke/re-claimed it in the gap
-                # (ADVICE r18): safe to delete either way
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+            # fenced release: ownership is decided while the claim fd
+            # is still open (see _posix_renewer.release, ADVICE r19)
+            _posix_release(renewer, path)
 
 
 @contextlib.contextmanager
@@ -603,7 +688,7 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
     wdir = os.path.join(store_dir, WRITERS_DIR)
     os.makedirs(wdir, exist_ok=True)
     mark = os.path.join(wdir, uuid.uuid4().hex)
-    payload = _payload("commit", owner, None)
+    payload = _payload("commit", owner, None, renew_every)
     with _held_nonce(payload["nonce"]):  # registered before the claim
         _posix_claim(mark, payload, owner, "mark")
         try:
@@ -631,21 +716,9 @@ def posix_writer_mark(store_dir: str, owner: str | None = None,
                         "completes", holder)
             yield
         finally:
-            renewer.stop()
-            if renewer.lost:
-                pass  # a breaker took it; no longer ours to delete
-            elif (renewer.expired(DEFAULT_S3_TTL)
-                    and not _posix_still_mine(mark, getattr(renewer, "ino", None))):
-                log.error("store_lease: release self-fenced — more "
-                          "than the TTL since the last landed renewal "
-                          "of %s (process pause?) and the file is no "
-                          "longer ours; leaving it for the staleness "
-                          "rules", mark)
-            else:
-                # inode unchanged -> provably still our mark even
-                # after a pause past the TTL (ADVICE r18)
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(mark)
+            # fenced release: ownership is decided while the claim fd
+            # is still open (see _posix_renewer.release, ADVICE r19)
+            _posix_release(renewer, mark)
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +837,7 @@ def s3_maintenance_lease(target, op: str = "maintenance",
     ttl/3, so a compaction longer than the TTL keeps its exclusion
     (VERDICT r16 item 1)."""
     owner = owner if owner is not None else current_owner()
-    payload = _payload(op, owner, ttl)
+    payload = _payload(op, owner, ttl, ttl / 3.0)
     with _held_nonce(payload["nonce"]):  # registered before the claim
         etag = _s3_claim_lease(target, payload, owner)
         try:
@@ -813,7 +886,7 @@ def s3_writer_mark(target, owner: str | None = None,
     holds."""
     owner = owner if owner is not None else current_owner()
     key = target._key(WRITERS_DIR, uuid.uuid4().hex)
-    payload = _payload("commit", owner, ttl)
+    payload = _payload("commit", owner, ttl, ttl / 3.0)
     with _held_nonce(payload["nonce"]):  # registered before the claim
         resp = target.client.put_object(
             Bucket=target.bucket, Key=key,
