@@ -52,12 +52,7 @@ FLOORS_ROWS_PER_SEC = {
     "file_filter_parquet": 1200.0,   # r18 1723, r19 1817
     "kafka_filter_kafka": 5200.0,    # r18 7554, r19 7338
     "s3_filter_s3": 85.0,            # r18 122,  r19 113
-    # jdbc has a single idle-machine observation (r19 16088), so its
-    # floor starts looser (~0.5x) until a second-round sample exists
-    # — a one-sample 0.7x floor risks false breaches on a contended
-    # host (ADVICE r19). Tighten to ~0.7x of min(r19, r20) once the
-    # r20 run lands.
-    "jdbc_filter_jdbc": 8000.0,      # r19 16088
+    "jdbc_filter_jdbc": 11000.0,     # r19 16088, r20 19078
 }
 
 
