@@ -279,3 +279,28 @@ def test_scratch_dir_sweep_is_pid_aware(tmp_path, monkeypatch):
     assert not dead.exists(), "dead-creator corpse should sweep now"
     assert not legacy_old.exists(), "legacy dir past 12 h sweeps"
     assert legacy_new.is_dir(), "young legacy dir is kept"
+
+
+def test_flat_transformation_props_lifted_not_silently_dropped():
+    """A transformation (or source/sink) written flat —
+    ``{type: filter, condition: X}`` instead of nesting under
+    ``properties:`` — must parse as the intended filter, not as a
+    no-op filter with an empty condition that keeps every row
+    (caught live in the r20 verify pass). Nested properties win on
+    collision."""
+    from universal_data_connector_spark.config import parse_config
+
+    cfg = parse_config({"pipelines": [{
+        "name": "flat",
+        "source": {"type": "file", "path": "/in", "pattern": "*.txt"},
+        "transformations": [
+            {"type": "filter", "condition": "IMPORTANT"},
+            {"type": "filter", "condition": "flat-loses",
+             "properties": {"condition": "nested-wins"}},
+        ],
+        "sink": {"type": "file", "properties": {"path": "/out"}},
+    }]}).pipelines[0]
+    assert cfg.source.properties == {"path": "/in", "pattern": "*.txt"}
+    assert cfg.transformations[0].properties == {"condition": "IMPORTANT"}
+    assert cfg.transformations[1].properties == {"condition": "nested-wins"}
+    assert cfg.sink.properties == {"path": "/out"}

@@ -82,6 +82,33 @@ def _norm_props(props: dict[str, Any] | None) -> dict[str, Any]:
     return dict(props or {})
 
 
+def _typed_block(raw: dict[str, Any] | None, kind: str,
+                 pipeline_name: Any) -> tuple[str, dict[str, Any]]:
+    """``{type, properties}`` of a source/sink/transformation block.
+
+    Keys sitting BESIDE ``type`` instead of under ``properties:`` are
+    lifted into properties with a warning (nested ones win on
+    collision). Without this, ``- {type: filter, condition: X}`` — a
+    natural flattening of the reference shape — parsed as a filter
+    with NO condition, which contains('') keeps everything: the
+    pipeline ran and silently filtered nothing (caught live in the
+    r20 verify pass, the same failure class as the r11 `transforms:`
+    typo)."""
+    raw = raw or {}
+    props = _norm_props(raw.get("properties"))
+    stray = {k: v for k, v in raw.items()
+             if k not in ("type", "properties")}
+    if stray:
+        log.warning(
+            "pipeline %r: %s key(s) %s found beside `type` — "
+            "interpreting them as properties (nest them under "
+            "`properties:` to silence this)",
+            pipeline_name, kind, sorted(stray))
+        for k, v in stray.items():
+            props.setdefault(k, v)
+    return str(raw.get("type") or ""), props
+
+
 _PIPELINE_KEYS = {"name", "source", "sink", "transformations"}
 
 
@@ -99,17 +126,15 @@ def parse_config(raw: dict[str, Any]) -> EngineConfig:
                 "pipeline %r: ignoring unrecognized key(s) %s — known "
                 "keys are %s", p.get("name"), sorted(unknown),
                 sorted(_PIPELINE_KEYS))
-        src = p.get("source") or {}
-        snk = p.get("sink") or {}
+        name = p.get("name")
+        src_type, src_props = _typed_block(p.get("source"), "source", name)
+        snk_type, snk_props = _typed_block(p.get("sink"), "sink", name)
         cfg = PipelineConfig(
-            name=str(p.get("name") or ""),
-            source=SourceConfig(type=str(src.get("type") or ""),
-                                properties=_norm_props(src.get("properties"))),
-            sink=SinkConfig(type=str(snk.get("type") or ""),
-                            properties=_norm_props(snk.get("properties"))),
+            name=str(name or ""),
+            source=SourceConfig(type=src_type, properties=src_props),
+            sink=SinkConfig(type=snk_type, properties=snk_props),
             transformations=[
-                TransformationConfig(type=str(t.get("type") or ""),
-                                     properties=_norm_props(t.get("properties")))
+                TransformationConfig(*_typed_block(t, "transformation", name))
                 for t in (p.get("transformations") or [])
             ],
         )
