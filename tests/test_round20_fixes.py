@@ -304,3 +304,33 @@ def test_flat_transformation_props_lifted_not_silently_dropped():
     assert cfg.transformations[0].properties == {"condition": "IMPORTANT"}
     assert cfg.transformations[1].properties == {"condition": "nested-wins"}
     assert cfg.sink.properties == {"path": "/out"}
+
+
+def test_posix_fenced_release_catches_same_inode_overwrite(
+        tmp_path, monkeypatch):
+    """Third fence layer: a successor that OVERWRITES the expired
+    lease in place (truncate+write — same path, same inode, so
+    neither fstat-nlink nor the inode compare can see it) is caught
+    by the payload-nonce re-read immediately before the unlink."""
+    import json as _json
+    import os
+    import time
+
+    import universal_data_connector_spark.store_lease as sl
+
+    monkeypatch.setattr(sl, "DEFAULT_S3_TTL", 0.3)
+    store = str(tmp_path / "seen")
+    lease = os.path.join(store, sl.LEASE_NAME)
+    successor = {"owner": "successor", "op": "vacuum", "pid": 1,
+                 "host": "other-host", "nonce": "succ-nonce",
+                 "acquired_unix": time.time(), "ttl_seconds": 3600.0}
+    with sl.posix_maintenance_lease(store, renew_every=3600.0):
+        time.sleep(0.5)  # expired with zero landed renewals
+        ino_before = os.stat(lease).st_ino
+        with open(lease, "w") as fh:  # in-place adoption, inode kept
+            _json.dump(successor, fh)
+        assert os.stat(lease).st_ino == ino_before
+    with open(lease) as fh:
+        assert _json.load(fh)["nonce"] == "succ-nonce", (
+            "release deleted a successor's in-place claim the inode "
+            "checks cannot distinguish — the nonce re-read must fence")
