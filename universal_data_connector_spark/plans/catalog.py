@@ -446,7 +446,7 @@ def join_inner_hash(spark, sf_dir):
     return (o.join(c, o.o_custkey == c.c_custkey, "inner")
              .groupBy(F.col("c_mktsegment").alias("mktsegment"))
              .agg(F.count("*").alias("n_orders"),
-                  orel.exact_sum("o_totalprice").alias("sum_price")))
+                  orel.exact_sum_scaled("o_totalprice").alias("sum_price")))
 
 
 @query(
@@ -467,7 +467,7 @@ def join_broadcast(spark, sf_dir):
     return (li.join(orel.broadcast_dim(p), li.l_partkey == p.p_partkey)
               .groupBy(F.col("p_brand").alias("brand"))
               .agg(F.count("*").alias("n_items"),
-                   orel.exact_sum(revenue).alias("revenue")))
+                   orel.exact_sum_scaled(revenue).alias("revenue")))
 
 
 @query(
@@ -718,7 +718,7 @@ def join_salted_skew(spark, sf_dir):
     j = orel.salted_join(li, dim, on=["k"], salt=16)
     return (j.groupBy("label")
              .agg(F.count("*").cast("bigint").alias("n_rows"),
-                  orel.exact_sum("l_extendedprice").alias("revenue")))
+                  orel.exact_sum_scaled("l_extendedprice").alias("revenue")))
 
 
 @query(
@@ -774,11 +774,11 @@ def agg_hash_sum_avg(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(orel.exact_sum("l_quantity").alias("sum_qty"),
-                   orel.exact_sum("l_extendedprice").alias("sum_base_price"),
-                   orel.exact_sum(disc_price).alias("sum_disc_price"),
-                   orel.exact_avg("l_quantity").alias("avg_qty"),
-                   orel.exact_avg("l_extendedprice").alias("avg_price"),
+              .agg(orel.exact_sum_scaled("l_quantity").alias("sum_qty"),
+                   orel.exact_sum_scaled("l_extendedprice").alias("sum_base_price"),
+                   orel.exact_sum_scaled(disc_price).alias("sum_disc_price"),
+                   orel.exact_avg_scaled("l_quantity").alias("avg_qty"),
+                   orel.exact_avg_scaled("l_extendedprice").alias("avg_price"),
                    F.count("*").alias("count_order")))
 
 
@@ -825,7 +825,7 @@ def agg_approx_count_distinct(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     return (load(spark, sf_dir, "lineitem")
             .rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"), orel.exact_sum("l_quantity").alias("sum_qty")))
+            .agg(F.count("*").alias("n"), orel.exact_sum_scaled("l_quantity").alias("sum_qty")))
 
 
 @query(
@@ -841,7 +841,7 @@ def agg_rollup(spark, sf_dir):
 def agg_cube(spark, sf_dir):
     return (load(spark, sf_dir, "lineitem")
             .cube("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"), orel.exact_sum("l_quantity").alias("sum_qty")))
+            .agg(F.count("*").alias("n"), orel.exact_sum_scaled("l_quantity").alias("sum_qty")))
 
 
 @query(
@@ -935,7 +935,8 @@ def window_running_sum(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     out = orel.running_sum(o, ["o_custkey"],
                            [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
-                           F.col("o_totalprice"), "running_total")
+                           F.col("o_totalprice"), "running_total",
+                           clean6=True)  # 2dp money column: scaled fast path
     return out.select("o_custkey", "o_orderkey", "running_total")
 
 
@@ -1333,7 +1334,7 @@ def stream_tumbling_count(spark, sf_dir):
     Structured-Streaming-native replacement)."""
     e = load(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-             .agg(F.count("*").alias("n"), orel.exact_sum("value").alias("sum_value"))
+             .agg(F.count("*").alias("n"), orel.exact_sum_scaled("value").alias("sum_value"))
              .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
                      F.date_format("w.end", TS_FMT_SPARK).alias("window_end"),
                      "event_type", "n", "sum_value"))
@@ -1358,7 +1359,7 @@ def stream_sliding_agg(spark, sf_dir):
     windows; Spark explodes window assignment before the aggregation."""
     e = load(spark, sf_dir, "events")
     return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-             .agg(F.count("*").alias("n"), orel.exact_sum("value").alias("sum_value"))
+             .agg(F.count("*").alias("n"), orel.exact_sum_scaled("value").alias("sum_value"))
              .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
                      F.date_format("w.end", TS_FMT_SPARK).alias("window_end"),
                      "n", "sum_value"))
@@ -2316,7 +2317,7 @@ def stream_file_ingest_exactly_once(spark, sf_dir):
     return out.agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
-        orel.exact_sum("value").alias("sum_value"))
+        orel.exact_sum_scaled("value").alias("sum_value"))
 
 
 @query(
@@ -2364,7 +2365,7 @@ def stream_late_data_watermark(spark, sf_dir):
              .filter(F.col("__wm").isNull() | (win_end > F.col("__wm"))))
     return (kept.groupBy(F.window("ts", "1 hour").alias("w"))
                 .agg(F.count("*").alias("n"),
-                     orel.exact_sum("value").alias("sum_value"))
+                     orel.exact_sum_scaled("value").alias("sum_value"))
                 .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
                         "n", "sum_value"))
 
@@ -2490,7 +2491,7 @@ def stream_static_enrich_join(spark, sf_dir):
                            stream.user_id == cust.c_custkey)
     agg = (enriched.groupBy(F.col("c_mktsegment").alias("segment"))
            .agg(F.count("*").cast("bigint").alias("n_events"),
-                orel.exact_sum("value").alias("sum_value")))
+                orel.exact_sum_scaled("value").alias("sum_value")))
     sink = f"udc_enrich_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(sink)
          .outputMode("complete").option("checkpointLocation", ckpt)
@@ -2821,7 +2822,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     first = orel.top_k_per_group(kept, ["__fp"], [F.col("doc_id").asc()], 1)
     return (first.groupBy("lang")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
-                 F.round(orel.exact_sum("q") / F.count("*"), 6).alias("avg_quality"),
+                 F.round(orel.exact_sum_scaled("q") / F.count("*"), 6).alias("avg_quality"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
 
 
@@ -3165,7 +3166,7 @@ def ts_rollup_gapfill(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
                .agg(F.count("*").cast("bigint").alias("n"),
-                    orel.exact_sum("value").alias("sv")))
+                    orel.exact_sum_scaled("value").alias("sv")))
     # rollup-sized (users x active hours), consumed by two branches:
     # recoverable persistence, one scan of the raw table
     hourly = orel.materialize_reliable(hourly)
@@ -3755,7 +3756,7 @@ def join_star_schema(spark, sf_dir):
               .groupBy(F.col("n_name").alias("nation"),
                        F.col("l_returnflag").alias("returnflag"))
               .agg(F.count("*").cast("bigint").alias("n_lines"),
-                   orel.exact_sum("l_extendedprice").alias("revenue")))
+                   orel.exact_sum_scaled("l_extendedprice").alias("revenue")))
 
 
 @query(
@@ -4076,19 +4077,26 @@ def ts_moving_window_avg(spark, sf_dir):
     Spark's rangeBetween needs a numeric axis: days since epoch via
     datediff, a rank-preserving 1:1 mapping of the date axis."""
     o = load(spark, sf_dir, "orders")
+    # scaled fast path (exact_sum_scaled formulation): daily revenue
+    # accumulates as integer 1e-6 units in decimal(28,0) — the same
+    # exact decimal the (27,6) cast summed to, minus the per-row
+    # string-based cast — and every consumer divides by 1e6 exactly
+    # once at the edge (exact division, correctly-rounded double).
+    scaled = F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)) \
+              .cast("decimal(28,0)")
+    unscale = F.lit(1000000).cast("decimal(7,0)")
     daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
-              .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                    .alias("rev")))
+              .agg(F.sum(scaled).alias("rev6")))
     daily = daily.withColumn(
         "__day_no", F.datediff(F.col("d"), F.lit("1970-01-01")))
     w = (Window.orderBy("__day_no")
                .rangeBetween(-6, Window.currentRow))
     return daily.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.col("rev").cast("double").alias("revenue"),
-        F.sum("rev").over(w).cast("double").alias("sum_7d"),
+        (F.col("rev6") / unscale).cast("double").alias("revenue"),
+        (F.sum("rev6").over(w) / unscale).cast("double").alias("sum_7d"),
         F.count("*").over(w).cast("bigint").alias("n_days_7d"),
-        (F.sum("rev").over(w).cast("double")
+        ((F.sum("rev6").over(w) / unscale).cast("double")
          / F.count("*").over(w)).alias("avg_7d"))
 
 
@@ -4168,7 +4176,7 @@ def join_null_safe_eq(spark, sf_dir):
                 .groupBy(F.coalesce("fs", F.lit("<null>"))
                           .alias("status_key"))
                 .agg(F.count("*").cast("bigint").alias("n"),
-                     orel.exact_sum("o_totalprice").alias("total")))
+                     orel.exact_sum_scaled("o_totalprice").alias("total")))
 
 
 @query(
@@ -4277,7 +4285,7 @@ def sample_hash_split(spark, sf_dir):
     return (o.select(split.alias("split"), "o_totalprice")
              .groupBy("split")
              .agg(F.count("*").cast("bigint").alias("n"),
-                  orel.exact_sum("o_totalprice").alias("total")))
+                  orel.exact_sum_scaled("o_totalprice").alias("total")))
 
 
 @query(
@@ -4499,8 +4507,8 @@ def ts_resample_interp(spark, sf_dir):
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase")
     hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
-               .agg((F.sum(F.col("value").cast("decimal(27,6)"))
-                     .cast("double") / F.count("*")).alias("v")))
+               .agg((orel.exact_sum_scaled("value")
+                     / F.count("*")).alias("v")))
     bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx",
@@ -4591,14 +4599,20 @@ def window_percent_of_total(spark, sf_dir):
                    .join(F.broadcast(n),
                          F.col("c_nationkey") == F.col("n_nationkey"))
                    .groupBy("n_name")
-                   .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                         .alias("rev")))
+                   .agg(F.sum(F.floor(F.col("o_totalprice")
+                                      * F.lit(1000000.0) + F.lit(0.5))
+                               .cast("decimal(28,0)")).alias("rev6")))
+    # scaled fast path (exact_sum_scaled formulation): per-nation and
+    # global revenue carry as exact 1e-6 integer units; one exact
+    # division by 1e6 per emitted double — bit-identical to the old
+    # (27,6) casts without the per-row string hop
+    unscale = F.lit(1000000).cast("decimal(7,0)")
     w = Window.partitionBy()
     return per_nation.select(
         "n_name",
-        F.col("rev").cast("double").alias("revenue"),
-        (F.col("rev").cast("double")
-         / F.sum("rev").over(w).cast("double")).alias("share"))
+        (F.col("rev6") / unscale).cast("double").alias("revenue"),
+        ((F.col("rev6") / unscale).cast("double")
+         / (F.sum("rev6").over(w) / unscale).cast("double")).alias("share"))
 
 
 @query(
@@ -4642,8 +4656,8 @@ def scan_csv_malformed_permissive(spark, sf_dir):
     return back.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.count("_corrupt").cast("bigint").alias("n_corrupt"),
-        orel.exact_sum(F.when(F.col("_corrupt").isNull(),
-                              F.col("l_quantity"))).alias("sum_good_qty"))
+        orel.exact_sum_scaled(F.when(F.col("_corrupt").isNull(),
+                                     F.col("l_quantity"))).alias("sum_good_qty"))
 
 
 @query(
@@ -4802,9 +4816,12 @@ def agg_weighted_avg(spark, sf_dir):
     sees identical operands. Single partial-aggregated shuffle on a
     3-value key."""
     li = load(spark, sf_dir, "lineitem")
-    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
-                .cast("decimal(38,6)")).cast("double")
-    den = F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+    # scaled fast path (operators/relational.exact_sum_scaled): the
+    # price*qty product is a true 4-dp value <= ~5.3e6 and qty is a
+    # small integer, so both sums are bit-identical to the decimal
+    # casts while skipping the per-row Double.toString hop
+    num = orel.exact_sum_scaled(F.col("l_extendedprice") * F.col("l_quantity"))
+    den = orel.exact_sum_scaled("l_quantity")
     return (li.groupBy("l_returnflag")
               .agg((num / den).alias("w_avg_price"),
                    F.count("*").cast("bigint").alias("n")))
@@ -4879,13 +4896,19 @@ def agg_corr_exact(spark, sf_dir):
     def dsum(e, t="decimal(38,6)"):
         return F.sum(e.cast(t)).cast("double")
 
+    # Four of the five moment sums ride the scaled fast path
+    # (operators/relational.exact_sum_scaled): qty is a small integer
+    # (so qty and qty^2 are exact), price is 2-dp clean, and qty*price
+    # is a true 2-dp value <= ~5.3e6 — all within the clean-6dp
+    # contract, bit-identical to the decimal casts. price^2 (~1e10,
+    # 4 dp) exceeds the scaled bound, so syy keeps the decimal cast.
     s = (li.groupBy("l_returnflag")
            .agg(F.count("*").cast("double").alias("n"),
-                dsum(x, "decimal(27,6)").alias("sx"),
-                dsum(y, "decimal(27,6)").alias("sy"),
-                dsum(x * x).alias("sxx"),
+                orel.exact_sum_scaled(x).alias("sx"),
+                orel.exact_sum_scaled(y).alias("sy"),
+                orel.exact_sum_scaled(x * x).alias("sxx"),
                 dsum(y * y).alias("syy"),
-                dsum(x * y).alias("sxy")))
+                orel.exact_sum_scaled(x * y).alias("sxy")))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     varx, vary = n * sxx - sx * sx, n * syy - sy * sy
@@ -5097,7 +5120,7 @@ def events_rfm_segments(spark, sf_dir):
     rfm = orel.pin_frame(
         o.groupBy(F.col("o_custkey").alias("custkey"))
          .agg(F.count("*").cast("bigint").alias("f"),
-              orel.exact_sum(F.col("o_totalprice")).alias("m"),
+              orel.exact_sum_scaled(F.col("o_totalprice")).alias("m"),
               F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
                .alias("last_order"))
          .persist(StorageLevel.MEMORY_AND_DISK))
