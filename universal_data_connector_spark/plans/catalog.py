@@ -3156,28 +3156,50 @@ def ts_rollup_gapfill(spark, sf_dir):
     first and last event exists — empty buckets get 0 and the
     last-observation-carried-forward running value (the time_bucket_
     gapfill + locf pattern of time-series stores, re-expressed as
-    DataFrame ops). Plan: ONE scan and one shuffle build the rollup,
-    which is then materialized — both the spine derivation (per-user
-    min/max + sequence + explode) and the gap join read the rollup,
-    never the raw table again (unmaterialized, each branch re-scanned
-    events: two full scans of the 100 TB input). Spine size is bounded
-    by user_count x span hours — it never explodes past the densified
-    output itself."""
+    DataFrame ops).
+
+    Plan (r21): ONE scan, TWO exchanges, NO join. The old shape built
+    a per-user min/max spine, exploded it, and LEFT-joined it back to
+    the (persisted) rollup — a spine-sized shuffle join plus the
+    persist, and the densified output (10x the rollup here) squeezed
+    through whatever partition count AQE sized for the PRE-explode
+    bytes. Instead, each rollup row now emits its own preceding gap
+    hours from lag(h) over (user_id ORDER BY h): union-of-gaps ==
+    spine-minus-rollup by construction, the explode happens AFTER the
+    window shuffle (so the LOCF window below reuses the same user_id
+    partitioning with no further exchange), and the rollup is consumed
+    exactly once (the materialize_reliable persist is gone with the
+    second consumer). Same row set, same columns, bit-identical
+    values."""
     e = load(spark, sf_dir, "events")
     hourly = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
                .agg(F.count("*").cast("bigint").alias("n"),
                     orel.exact_sum_scaled("value").alias("sv")))
-    # rollup-sized (users x active hours), consumed by two branches:
-    # recoverable persistence, one scan of the raw table
-    hourly = orel.materialize_reliable(hourly)
-    spine = (hourly.groupBy("user_id")
-                   .agg(F.min("h").alias("__lo"), F.max("h").alias("__hi"))
-                   .select("user_id",
-                           F.explode(F.sequence(
-                               "__lo", "__hi",
-                               F.expr("INTERVAL 1 HOUR"))).alias("h")))
-    filled = (spine.join(hourly, ["user_id", "h"], "left")
-                   .withColumn("n", F.coalesce("n", F.lit(0))))
+    wlag = Window.partitionBy("user_id").orderBy("h")
+    one_h = F.expr("INTERVAL 1 HOUR")
+    prev = F.col("__prev")
+    gap_rows = F.when(
+        prev.isNotNull() & (F.col("h") > prev + one_h),
+        F.transform(F.sequence(prev + one_h, F.col("h") - one_h, one_h),
+                    lambda g: F.struct(
+                        g.alias("h"),
+                        F.lit(0).cast("bigint").alias("n"),
+                        F.lit(None).cast("double").alias("sv"))))
+    rows = F.concat(
+        F.coalesce(gap_rows, F.array()),
+        F.array(F.struct(F.col("h").alias("h"), F.col("n").alias("n"),
+                         F.col("sv").alias("sv"))))
+    # Pin the window exchange's width: AQE sizes partitions from the
+    # PRE-explode rollup bytes (tiny), then the gap explode fans out
+    # 10x+ inside the same stage — at sf0.1 that coalesced the whole
+    # densify+LOCF+format pass onto ONE task. An explicit repartition
+    # on the window key keeps the conf-driven width (cluster-sized on
+    # a real deployment, cores locally) through the fan-out.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    filled = (hourly.repartition(n_part, "user_id")
+                    .withColumn("__prev", F.lag("h").over(wlag))
+                    .select("user_id", F.explode(rows).alias("r"))
+                    .select("user_id", "r.h", "r.n", "r.sv"))
     locf = Window.partitionBy("user_id").orderBy("h")
     return filled.select(
         "user_id", F.date_format("h", TS_FMT_SPARK).alias("hour"), "n",
