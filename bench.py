@@ -90,6 +90,28 @@ HEADLINE = [
 ]
 
 
+def read_steal_jiffies() -> int | None:
+    """Aggregate steal time (field 8 of /proc/stat's cpu line): time
+    this guest's vCPUs were runnable but not scheduled by the host.
+    Recorded before/after the run so every BENCH artifact carries its
+    own ambient-contention evidence (r20's 49 s headline landed in a
+    ~26%-steal window that only separate canary files could prove)."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        return int(fields[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def read_loadavg_1min() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -171,6 +193,9 @@ def main() -> None:
         return ts
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    steal_before = read_steal_jiffies()
+    loadavg_before = read_loadavg_1min()
+    wall_t0 = time.perf_counter()
     noise_before = noise_probe()
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -186,6 +211,12 @@ def main() -> None:
         # of adjudicating from the run-level floor alone
         noise_by_key[name] = round(noise_probe(1)[0], 4)
     noise_after = noise_probe()
+    steal_after = read_steal_jiffies()
+    loadavg_after = read_loadavg_1min()
+    wall_sec = round(time.perf_counter() - wall_t0, 1)
+    steal_delta = (steal_after - steal_before
+                   if steal_before is not None and steal_after is not None
+                   else None)
 
     import statistics
     import sys
@@ -205,6 +236,12 @@ def main() -> None:
         "sf": sf,
         "spark_version": spark.version,
         "cpus": int(cpus),
+        "steal_jiffies_before": steal_before,
+        "steal_jiffies_after": steal_after,
+        "steal_jiffies_delta": steal_delta,
+        "loadavg_1min_before": loadavg_before,
+        "loadavg_1min_after": loadavg_after,
+        "timed_wall_sec": wall_sec,
     }
     # The driver records only the LAST 2000 bytes of stdout, so the
     # full (~4 KB) artifact goes to stderr + a sidecar file, and the
@@ -229,6 +266,9 @@ def main() -> None:
         "sf": sf,
         "noise_floor": full["noise_floor"]["median"],
         "reps": reps,
+        "steal_jiffies_delta": steal_delta,
+        "loadavg_1min": loadavg_after,
+        "timed_wall_sec": wall_sec,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:

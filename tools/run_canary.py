@@ -49,8 +49,22 @@ def main() -> int:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         return proc.returncode
-    line = proc.stdout.strip().splitlines()[-1]
-    data = json.loads(line)
+    # Scan from the end for the first line that parses as a JSON
+    # object — a trailing JVM shutdown/log line must not discard a
+    # multi-minute bench run (ADVICE r20).
+    data = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict):
+            data = parsed
+            break
+    if data is None:
+        sys.stderr.write("no JSON object line in bench stdout:\n")
+        sys.stderr.write(proc.stdout[-2000:])
+        return 1
     data["steal_jiffies_before"] = before
     data["steal_jiffies_after"] = after
     data["steal_delta"] = (after - before
@@ -61,7 +75,7 @@ def main() -> int:
     if out_path:
         with open(os.path.join(REPO, out_path), "w") as fh:
             fh.write(body)
-        print(f"-> {out_path}: headline {data['value']} s, "
+        print(f"-> {out_path}: headline {data.get('value')} s, "
               f"steal_delta {data['steal_delta']} jiffies over "
               f"{data['wall_sec']} s")
     else:
