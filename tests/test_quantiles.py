@@ -32,8 +32,13 @@ def _ref(df, group_cols):
 
 
 def _assert_bit_equal(spark, df, group_cols):
+    # small_input_bytes=0 pins the RANK-SELECTION path: these parity
+    # tests exist to prove the distributed machinery matches the
+    # aggregate bit-for-bit, so the small-input aggregate fast path
+    # (which IS the reference) must not shadow it on tiny test frames
     ref = _ref(df, group_cols)
-    got = exact_group_percentiles(df, group_cols, "v", PS, NAMES)
+    got = exact_group_percentiles(df, group_cols, "v", PS, NAMES,
+                                  small_input_bytes=0)
     key = (lambda r: tuple(r[c] for c in group_cols)) if group_cols \
         else (lambda r: ())
     r = {key(row): [row[n] for n in NAMES] for row in ref.collect()}
@@ -84,7 +89,8 @@ def test_parity_non_representable_fractions(spark):
            for r in df.groupBy("g").agg(pct.alias("q")).collect()}
     got = {r.g: [r[n] for n in names]
            for r in exact_group_percentiles(
-               df, ["g"], "v", ps, names).collect()}
+               df, ["g"], "v", ps, names,
+               small_input_bytes=0).collect()}
     for k in ref:
         for a, b in zip(ref[k], got[k]):
             assert repr(a) == repr(b), (k, repr(a), repr(b))
@@ -164,9 +170,12 @@ def test_all_null_group_absent(spark):
     null-percentile row)."""
     df = spark.createDataFrame(
         [("A", 1.0), ("A", 2.0), ("B", None)], "g string, v double")
-    out = exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"])
-    rows = {r.g: r.p50 for r in out.collect()}
-    assert rows == {"A": 1.5}
+    # both paths share the contract
+    for sib in (0, None):
+        out = exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"],
+                                      small_input_bytes=sib)
+        rows = {r.g: r.p50 for r in out.collect()}
+        assert rows == {"A": 1.5}
 
 
 def test_rank_selection_shape_lint():
@@ -182,21 +191,84 @@ def test_rank_selection_shape_lint():
 
     src = inspect.getsource(quantiles)
     tree = ast.parse(src)
-    calls = [n.func.attr for n in ast.walk(tree)
-             if isinstance(n, ast.Call)
-             and isinstance(n.func, ast.Attribute)]
-    assert "repartitionByRange" in calls
-    assert "percentile" not in calls, \
-        "percentile aggregate crept into the rank-selection module"
+
+    def attr_calls(node):
+        return [n.func.attr for n in ast.walk(node)
+                if isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)]
+
+    # the percentile aggregate may appear ONLY inside the size-guarded
+    # small-input fast path; the rank-selection body must never call
+    # it (that is the unbounded-buffer regression this lint exists
+    # to catch)
+    funcs = {n.name: n for n in ast.walk(tree)
+             if isinstance(n, ast.FunctionDef)}
+    assert "_small_input_percentiles" in funcs
+    rank_sel = funcs["exact_group_percentiles"]
+    assert "repartitionByRange" in attr_calls(rank_sel)
+    assert "percentile" not in attr_calls(rank_sel), \
+        "percentile aggregate crept into the rank-selection body"
+    assert "percentile" in attr_calls(funcs["_small_input_percentiles"])
     body = src[src.index("def exact_group_percentiles"):]
     assert "slice_counts.limit(max_meta_rows + 1).collect()" in body, \
         "metadata collect lost its driver-side materialization bound"
+    # the fast path must be reachable only through the size guard
+    guard = src[src.index("if small_input_bytes > 0:"):]
+    assert "_small_input_percentiles" in guard.split("def ")[0]
+
+
+def test_small_input_fast_path_fires_and_matches(spark, monkeypatch,
+                                                 tmp_path):
+    """Below the size threshold the helper takes ONE aggregate job
+    (the 4-job rank-selection machinery is pure overhead on tiny
+    inputs — measured ~1 s/call at local sf0.1) and returns values
+    identical to the forced rank-selection path. The input must be
+    parquet-backed: Python-local frames carry an UNKNOWN (Long.Max)
+    size estimate, which the guard correctly treats as huge."""
+    from universal_data_connector_spark.operators import quantiles
+
+    calls = []
+    orig = quantiles._small_input_percentiles
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(quantiles, "_small_input_percentiles", spy)
+    random.seed(5)
+    rows = [("A", random.random() * 100) for _ in range(500)]
+    rows += [("B", float(i % 9)) for i in range(77)]
+    spark.createDataFrame(rows, "g string, v double") \
+         .write.mode("overwrite").parquet(str(tmp_path / "q"))
+    df = spark.read.parquet(str(tmp_path / "q"))
+    fast = quantiles.exact_group_percentiles(
+        df, ["g"], "v", PS, NAMES, small_input_bytes=1 << 30)
+    assert calls, "size guard did not route a tiny input to the " \
+                  "aggregate fast path"
+    slow = quantiles.exact_group_percentiles(
+        df, ["g"], "v", PS, NAMES, small_input_bytes=0)
+    f = {r.g: [r[n] for n in NAMES] for r in fast.collect()}
+    s = {r.g: [r[n] for n in NAMES] for r in slow.collect()}
+    assert set(f) == set(s)
+    for k in f:
+        for a, b in zip(f[k], s[k]):
+            assert repr(a) == repr(b), (k, repr(a), repr(b))
+    # threshold 0 disables the fast path entirely
+    n_before = len(calls)
+    quantiles.exact_group_percentiles(
+        df, ["g"], "v", [0.5], ["m"], small_input_bytes=0)
+    assert len(calls) == n_before
 
 
 def test_meta_rows_guard_raises_before_collect(spark):
     df = spark.createDataFrame(
         [("g%d" % i, float(i)) for i in range(200)],
         "g string, v double")
+    with pytest.raises(ValueError, match="max_meta_rows"):
+        exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"],
+                                max_meta_rows=10, small_input_bytes=0)
+    # the fast path's own group-count overflow falls back to
+    # rank-selection, whose guard then raises the same error
     with pytest.raises(ValueError, match="max_meta_rows"):
         exact_group_percentiles(df, ["g"], "v", [0.5], ["p50"],
                                 max_meta_rows=10)
@@ -236,7 +308,8 @@ def test_concurrent_quantile_calls_restore_conf(spark):
 
     def work():
         try:
-            out = exact_group_percentiles(df, ["g"], "v", [0.5], ["m"])
+            out = exact_group_percentiles(df, ["g"], "v", [0.5], ["m"],
+                                          small_input_bytes=0)
             results.append({r["g"]: r["m"] for r in out.collect()})
         except Exception as exc:  # noqa: BLE001
             errs.append(exc)

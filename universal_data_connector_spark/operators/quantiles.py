@@ -119,11 +119,61 @@ def _cached_part_exit(spark) -> None:
                     pass  # session already stopped
 
 
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate of ``df`` (driver-side, no job). For
+    file scans this is the input file bytes scaled by pruning; for
+    derived plans Spark propagates a coarse upper-ish bound — exactly
+    the right signal for a conservative small-input switch."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _small_input_percentiles(vals: DataFrame, g: list[str],
+                             ps: list[float], max_meta_rows: int):
+    """Small-input fast path: ONE eager percentile-aggregate job.
+
+    ``F.percentile`` IS the JVM aggregate whose interpolation the
+    rank-selection path replicates bit-for-bit, so the two paths are
+    value-identical by construction; this one buffers each group's
+    multiset in a single aggregation buffer, which is only safe when
+    the whole input is provably tiny (the caller's size guard). Rows
+    with null values were already filtered, so all-null groups are
+    absent — same contract as rank-selection. Returns the collected
+    rows, or None when the group count overflows ``max_meta_rows``
+    (the caller then falls back to rank-selection, which enforces its
+    own bound)."""
+    arr = F.array(*[F.lit(float(p)) for p in ps])
+    agg = (vals.groupBy(*g)
+               .agg(F.percentile(F.col("__v"), arr).alias("__qs")))
+    rows = agg.limit(max_meta_rows + 1).collect()
+    if len(rows) > max_meta_rows:
+        return None
+    return [(*[r[c] for c in g], *r["__qs"]) for r in rows]
+
+
+# Guard for the fast path above: below this estimated input size the
+# single-buffer percentile aggregate is strictly cheaper than the
+# 4-job rank-selection machinery (sampling pass, range shuffle + sort,
+# count collect, pick join) — measured ~0.7-1.2 s of fixed overhead
+# per call at local sf0.1 vs milliseconds for one tiny aggregate. The
+# default (64 MB) bounds the worst case (one group owning every row)
+# to one aggregation buffer of a few million doubles; production
+# deployments tune via env, and the estimate grows with the data so
+# the 100 TB regime always takes rank-selection.
+_SMALL_INPUT_BYTES_ENV = "UDC_PCTL_AGG_MAX_BYTES"
+_SMALL_INPUT_BYTES_DEFAULT = 64 << 20
+
+
 def exact_group_percentiles(df: DataFrame, group_cols: list[str],
                             value_col, ps: list[float],
                             out_cols: list[str],
                             max_meta_rows: int = 2_000_000,
-                            persist_input: bool = True) -> DataFrame:
+                            persist_input: bool = True,
+                            small_input_bytes: int | None = None
+                            ) -> DataFrame:
     """Per-group exact percentiles of ``value_col`` at each fraction
     in ``ps``, returned wide: ``group_cols + out_cols`` (one double
     column per fraction), bit-identical to
@@ -161,6 +211,20 @@ def exact_group_percentiles(df: DataFrame, group_cols: list[str],
     vcol = F.col(value_col) if isinstance(value_col, str) else value_col
     vals = (df.select(*g, vcol.cast("double").alias("__v"))
               .filter(F.col("__v").isNotNull()))
+    if small_input_bytes is None:
+        import os
+        small_input_bytes = int(os.environ.get(
+            _SMALL_INPUT_BYTES_ENV, _SMALL_INPUT_BYTES_DEFAULT))
+    if small_input_bytes > 0:
+        est = _estimated_bytes(vals)
+        if est is not None and est <= small_input_bytes:
+            rows = _small_input_percentiles(vals, g, ps, max_meta_rows)
+            if rows is not None:
+                out_schema = T.StructType(
+                    list(df.select(*g).schema.fields) +
+                    [T.StructField(c, T.DoubleType()) for c in out_cols])
+                out = spark.createDataFrame(rows, out_schema)
+                return out.drop("__g") if const else out
     if persist_input:
         vals = vals.persist(StorageLevel.DISK_ONLY)
 
