@@ -206,7 +206,7 @@ def cosine_topk_pandas(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def lsh_signatures(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_planes: int = 16,
-                   seed: int = 7) -> DataFrame:
+                   seed: int = 7, spread_input: bool = True) -> DataFrame:
     """Random-hyperplane LSH signatures: sign bit of the dot product
     against `n_planes` fixed Gaussian hyperplanes, packed into one int.
 
@@ -235,7 +235,8 @@ def lsh_signatures(df: DataFrame, id_col: str = "vec_id",
         packed = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
         return pd.Series(packed.astype(np.int64))
 
-    return spread(df, id_col).select(
+    base = spread(df, id_col) if spread_input else df
+    return base.select(
         F.col(id_col), F.col(vec_col), sig(vec_col).alias("__sig"))
 
 
@@ -252,11 +253,12 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     (band_idx, band_value); bucket sizes are balanced because random
     hyperplanes split the space evenly.
     """
-    pairs = _lsh_candidate_pairs(queries, corpus, id_col, vec_col,
-                                 n_planes, bands, seed)
-    scored = _join_pair_vectors(pairs, queries, corpus, id_col, vec_col) \
-        .withColumn("cosine",
-                    cosine_similarity(F.col("__qv"), F.col("__nv")))
+    cand = _lsh_candidates_with_vecs(queries, corpus, id_col, vec_col,
+                                     n_planes, bands, seed)
+    scored = (cand.withColumn("cosine",
+                              cosine_similarity(F.col("__qv"), F.col("__nv")))
+                  .select("query_id", "neighbor_id", "cosine")
+                  .distinct())
     ranked = top_k_per_group(
         scored, ["query_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()], k,
@@ -264,19 +266,22 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return ranked.select("query_id", "neighbor_id", "cosine", "rank")
 
 
-def _lsh_candidate_pairs(queries: DataFrame, corpus: DataFrame,
-                         id_col: str, vec_col: str, n_planes: int,
-                         bands: int, seed: int) -> DataFrame:
-    """Distinct (query_id, neighbor_id) LSH candidates — ids ONLY.
+def _lsh_candidates_with_vecs(queries: DataFrame, corpus: DataFrame,
+                              id_col: str, vec_col: str, n_planes: int,
+                              bands: int, seed: int) -> DataFrame:
+    """LSH candidate rows (query_id, neighbor_id, __qv, __nv) — one
+    corpus pass, no shuffle of the corpus.
 
-    The band explode, checkpoint, equi-join, and distinct all carry
-    two longs per row; vectors rejoin AFTER candidate selection
-    (``_join_pair_vectors``). Carrying the vectors through instead
-    duplicates every embedding `bands` times through the checkpoint
-    and shuffle and runs distinct over full double arrays — the
-    ids-then-rejoin form is the same discipline lsh_near_dup_pairs
-    uses. Shared by lsh_topk and lsh_verified_matches (previously two
-    hand-kept copies)."""
+    Corpus rows flow scan -> signature matmul -> band explode ->
+    broadcast-probe against the (small-by-contract) query codes, with
+    the vectors riding along, so the corpus is scanned ONCE and never
+    checkpointed, shuffled, or re-joined to attach vectors. The query
+    side skips `spread` (repartitioning a handful of rows across the
+    cluster costs an exchange plus one Python-worker round trip per
+    core for no parallelism gain). Duplicate (query, neighbor) rows —
+    several bands matching — are NOT collapsed here; callers dedup
+    after computing their per-pair values, which are deterministic
+    expressions and therefore equal across duplicates."""
     if n_planes % bands:
         raise ValueError(
             f"bands ({bands}) must divide n_planes ({n_planes}); the top "
@@ -284,38 +289,26 @@ def _lsh_candidate_pairs(queries: DataFrame, corpus: DataFrame,
     width = n_planes // bands
     mask = (1 << width) - 1
 
-    def codes(df: DataFrame, prefix: str) -> DataFrame:
-        sig = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+    def codes(df: DataFrame, prefix: str, vec_alias: str,
+              spread_input: bool) -> DataFrame:
+        sig = lsh_signatures(df, id_col, vec_col, n_planes, seed,
+                             spread_input=spread_input)
         bs = F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
                      F.shiftright("__sig", b * width).bitwiseAND(mask)
                       .alias("band_val"))
             for b in range(bands)]))
         return (sig.select(F.col(id_col).alias(f"{prefix}_id"),
+                           F.col(vec_col).alias(vec_alias),
                            bs.alias("b"))
-                   .select(f"{prefix}_id", "b.band_idx", "b.band_val"))
+                   .select(f"{prefix}_id", vec_alias,
+                           "b.band_idx", "b.band_val"))
 
-    # eager checkpoints so the Arrow signature matmul runs once per
-    # side, not once per AQE-materialized join branch
-    qb = codes(queries, "query").localCheckpoint(eager=True)
-    cb = codes(corpus, "neighbor").localCheckpoint(eager=True)
+    qb = codes(queries, "query", "__qv", spread_input=False)
+    cb = codes(corpus, "neighbor", "__nv", spread_input=True)
     return (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id")
-              .distinct())
-
-
-def _join_pair_vectors(pairs: DataFrame, queries: DataFrame,
-                       corpus: DataFrame, id_col: str,
-                       vec_col: str) -> DataFrame:
-    """Attach raw vectors (__qv, __nv) to candidate id pairs: query
-    side broadcast (small by contract), corpus side joined on the
-    already-small pair set."""
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("__qv"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("__nv"))
-    return pairs.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+              .select("query_id", "neighbor_id", "__qv", "__nv"))
 
 
 def lsh_plane_weights(dim: int, n_planes: int = 16, seed: int = 7):
@@ -349,14 +342,14 @@ def lsh_verified_matches(queries: DataFrame, corpus: DataFrame,
     Output: (query_id, neighbor_id, cosine ROUND 6), self-pairs
     excluded; the threshold is applied to the unrounded cosine.
     """
-    pairs = _lsh_candidate_pairs(queries, corpus, id_col, vec_col,
-                                 n_planes, bands, seed)
-    cand = _join_pair_vectors(pairs, queries, corpus, id_col, vec_col)
+    cand = _lsh_candidates_with_vecs(queries, corpus, id_col, vec_col,
+                                     n_planes, bands, seed)
     cos = cosine_similarity(F.col("__qv"), F.col("__nv"))
     return (cand.withColumn("__cos", cos)
                 .filter(F.col("__cos") >= threshold)
                 .select("query_id", "neighbor_id",
-                        F.round("__cos", 6).alias("cosine")))
+                        F.round("__cos", 6).alias("cosine"))
+                .distinct())
 
 
 def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
