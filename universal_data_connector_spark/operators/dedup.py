@@ -713,7 +713,8 @@ def _require_integral_ids(df: DataFrame, cols: list[str],
 
 def connected_components(edges: DataFrame, src: str = "id_1",
                          dst: str = "id_2",
-                         max_iterations: int = 30) -> DataFrame:
+                         max_iterations: int = 30,
+                         edges_unique: bool = False) -> DataFrame:
     """Connected components over a pair graph -> (node, component),
     component = min node id in the component.
 
@@ -736,15 +737,23 @@ def connected_components(edges: DataFrame, src: str = "id_1",
     edge out and return an empty component set (and downstream
     dedup_clusters would then mark NO row canonical — deleting the
     corpus with no error), so non-integral id columns raise instead.
+
+    `edges_unique=True` skips the initial dedup shuffle when the caller
+    guarantees one row per undirected pair (e.g. pairs produced by a
+    groupBy) — the star rounds are insensitive to residual duplicates
+    anyway (collect_set), only the convergence signature needs the
+    per-round edge sets it compares to be duplicate-free, which the
+    rounds' own distinct guarantees.
     """
     _require_integral_ids(edges, [src, dst], "connected_components")
     e = (edges.select(F.col(src).cast("bigint").alias("u"),
                       F.col(dst).cast("bigint").alias("v"))
               .filter(F.col("u") != F.col("v"))
               .select(F.greatest("u", "v").alias("u"),
-                      F.least("u", "v").alias("v"))
-              .distinct()
-              .localCheckpoint(eager=True))
+                      F.least("u", "v").alias("v")))
+    if not edges_unique:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
 
     def _signature(df: DataFrame) -> tuple[int, int]:
         # xor-fold (overflow-free under ANSI mode) of the edge hashes:
@@ -757,22 +766,26 @@ def connected_components(edges: DataFrame, src: str = "id_1",
 
     def large_star(df: DataFrame) -> DataFrame:
         # For each node u: connect every strictly-larger neighbor to
-        # the minimum of u's neighborhood (including u itself).
+        # the minimum of u's neighborhood (including u itself). Output
+        # edges are (b, m) with b > m — already large->small oriented —
+        # and NOT deduplicated: the only consumer is small_star, whose
+        # collect_set dedups per neighborhood, so a distinct here would
+        # be a full extra shuffle per round for nothing (duplicates are
+        # bounded by cross-neighborhood overlap).
         sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nbrs = sym.groupBy("u").agg(F.collect_set("v").alias("nn"))
         m = F.array_min(F.array_append(F.col("nn"), F.col("u")))
         big = F.filter(F.col("nn"), lambda x: x > F.col("u"))
         return (nbrs.select(m.alias("m"), F.explode(big).alias("b"))
                     .select(F.col("b").alias("u"), F.col("m").alias("v"))
-                    .filter(F.col("u") != F.col("v"))
-                    .distinct())
+                    .filter(F.col("u") != F.col("v")))
 
     def small_star(df: DataFrame) -> DataFrame:
-        # Edges oriented large->small; for each node u: connect u and
-        # all smaller neighbors to the minimum of that set.
-        oriented = df.select(F.greatest("u", "v").alias("u"),
-                             F.least("u", "v").alias("v"))
-        nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("nn"))
+        # Input edges oriented large->small (large_star's output
+        # contract — b > m by construction, so no re-orientation
+        # select); for each node u: connect u and all smaller
+        # neighbors to the minimum of that set.
+        nbrs = df.groupBy("u").agg(F.collect_set("v").alias("nn"))
         m = F.array_min(F.col("nn"))  # all nn < u, so min includes the answer
         members = F.array_append(F.col("nn"), F.col("u"))
         return (nbrs.select(m.alias("m"), F.explode(members).alias("b"))
@@ -807,15 +820,19 @@ def connected_components(edges: DataFrame, src: str = "id_1",
 
 
 def dedup_clusters(df: DataFrame, dup_pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   pairs_unique: bool = False) -> DataFrame:
     """Cluster-consistent dedup decision per document.
 
     Output: every input row's id, its duplicate-cluster id (min id in
     the connected component; singletons are their own cluster), and
     whether this row is the cluster's canonical keeper.
+    `pairs_unique=True` asserts one row per undirected pair (pair
+    generators that end in a groupBy guarantee this) and skips the CC
+    input dedup shuffle.
     """
     _require_integral_ids(df, [id_col], "dedup_clusters")
-    cc = connected_components(dup_pairs)
+    cc = connected_components(dup_pairs, edges_unique=pairs_unique)
     out = (df.select(F.col(id_col).cast("bigint").alias(id_col))
              .join(cc, F.col(id_col) == F.col("node"), "left")
              .select(id_col,

@@ -1548,7 +1548,8 @@ def dedup_cluster_cc(spark, sf_dir):
     O(log n)-round formulation that holds at 100 TB."""
     d = load(spark, sf_dir, "documents")
     pairs = od.ngram_jaccard_pairs(d, threshold=0.8).select("id_1", "id_2")
-    return od.dedup_clusters(d, pairs)
+    # pairs end in a groupBy on (id_1, id_2) -> unique by construction
+    return od.dedup_clusters(d, pairs, pairs_unique=True)
 
 
 @query("dedup_simhash")  # signature internals engine-specific -> rows-only
