@@ -364,6 +364,18 @@ def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
     batch, fixed-seed hyperplanes, bounded fan-out of `bands` rows per
     vector — the pass rides the scan, no shuffle.
     """
+    return (spread(df, id_col)
+            .select(F.col(id_col),
+                    _band_vals_udf(n_planes, bands, seed)(vec_col)
+                    .alias("__bands"))
+            .select(id_col, F.posexplode("__bands").alias("band_idx", "band_val")))
+
+
+def _band_vals_udf(n_planes: int, bands: int, seed: int):
+    """The Arrow-batched band-code projection `hyperplane_bands` and
+    `lsh_near_dup_pairs` share: vector -> array of `bands` packed
+    sign-bit codes (one int64 per band, `width = n_planes // bands`
+    bits each), fixed-seed hyperplanes."""
     from pyspark.sql import types as T
 
     if n_planes % bands:
@@ -392,9 +404,7 @@ def hyperplane_bands(df: DataFrame, id_col: str = "vec_id",
         vals = np.concatenate(out)                     # (n, bands)
         return pd.Series(list(vals))
 
-    return (spread(df, id_col)
-            .select(F.col(id_col), band_vals(vec_col).alias("__bands"))
-            .select(id_col, F.posexplode("__bands").alias("band_idx", "band_val")))
+    return band_vals
 
 
 def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -471,13 +481,23 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     from universal_data_connector_spark.operators.relational import (
         materialize_reliable,
     )
-    # reused by both verify sides; corpus-sized vectors -> recoverable
-    # persistence (localCheckpoint would truncate lineage)
-    unit = materialize_reliable(
+    # ONE materialization carrying both the normalized vector (JVM
+    # expression — exact-equality contract with the oracle's verify
+    # stage) and the packed band-code array: the verify sides and the
+    # band self-join all project from the same persisted frame, where
+    # the previous shape (separate unit persist + band-frame
+    # checkpoint) scanned the corpus twice and ran two eager
+    # materialization jobs. Corpus-sized -> recoverable persistence
+    # (persist+count, lineage retained), not localCheckpoint.
+    combined = materialize_reliable(
         spread(df, id_col)
-        .select(F.col(id_col).alias("__id"),
-                l2_normalize(F.col(vec_col)).alias("__u")))
-    bands_df = hyperplane_bands(df, id_col, vec_col, n_planes, bands, seed)
+        .select(F.col(id_col),
+                l2_normalize(F.col(vec_col)).alias("__u"),
+                _band_vals_udf(n_planes, bands, seed)(vec_col)
+                .alias("__bands")))
+    unit = combined.select(F.col(id_col).alias("__id"), "__u")
+    bands_df = combined.select(
+        id_col, F.posexplode("__bands").alias("band_idx", "band_val"))
     if bucket_cap is not None:
         if bucket_cap < 2:
             raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
@@ -504,9 +524,10 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 bucket_cap, dropped)
         b = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     else:
-        # eager checkpoint: the self-join below would otherwise run
-        # the Arrow signature matmul once per side under AQE
-        b = bands_df.localCheckpoint(eager=True)
+        # no second materialization: both self-join sides project +
+        # explode the already-persisted combined frame (the matmul ran
+        # exactly once, inside the persist)
+        b = bands_df
     cand = (b.select(F.col(id_col).alias("id_1"), "band_idx", "band_val")
              .join(b.select(F.col(id_col).alias("id_2"), "band_idx", "band_val"),
                    ["band_idx", "band_val"])
