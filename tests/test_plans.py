@@ -300,18 +300,18 @@ def test_histogram_bins_map_side_combine(spark):
 
 
 def test_gapfill_no_cartesian_and_single_scan(spark):
-    """Gap-fill: the rollup is materialized and feeds BOTH the spine
-    derivation and the gap join — the raw events table is scanned
-    once, and the join is an equi-join, never nested-loop."""
+    """Gap-fill: the lag-window gap-explode shape — no spine join at
+    all (no join operator of any kind), the raw events table scanned
+    exactly once, gaps generated in-row by sequence()+explode."""
     p = plan_str(QUERIES["ts_rollup_gapfill"](spark, SF_DIR))
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    # both join branches read the persisted rollup (InMemoryTableScan);
-    # the only "Scan parquet" lines left are inside the cached
-    # relation's build description, which executes once
-    assert p.count("InMemoryTableScan") >= 2
-    live = p.split("InMemoryRelation")[0]  # plan above the cache
-    assert "Scan parquet" not in live
+    for join_op in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in p
+    # formatted explain lists each scan twice (tree node + detail
+    # section) — one physical scan therefore shows as exactly 2 hits
+    assert p.count("Scan parquet") <= 2
+    assert "Explode" in p or "Generate" in p
+    assert "Window" in p
 
 
 def test_funnel_single_data_shuffle(spark):
@@ -445,9 +445,10 @@ def test_driver_materialization_discipline():
         # stays on executors)
         "sources/files.py": 1,
         # rank-selection metadata: per-(slice, group) counts guarded
-        # by max_meta_rows, and the picked interpolation endpoints
-        # (<= 2 * |ps| * |groups| rows)
-        "operators/quantiles.py": 2,
+        # by max_meta_rows, the picked interpolation endpoints
+        # (<= 2 * |ps| * |groups| rows), and the small-input fast
+        # path's per-group percentile rows (limit(max_meta_rows + 1))
+        "operators/quantiles.py": 3,
         # object-store state backend: the two touched-bucket sets
         # (upsert + agg_state merge), bounded by num_buckets — the
         # same contract as the POSIX twins in windows.py — plus
