@@ -4408,23 +4408,23 @@ def ts_anomaly_mad(spark, sf_dir):
     """Robust per-key anomaly counts: |value - median| > 3 * MAD — the
     outlier rule that survives the outliers it hunts (z-scores don't:
     one spike inflates the stddev that judges it). Exact interpolated
-    medians (`F.percentile`, = quantile_cont) in two grouped passes
-    plus a count pass, all on the SAME user_id key — three
-    aggregations but the wide table shuffles once and the tiny
-    per-user stats broadcast back. The MAD *value* itself is
-    `agg_grouped_mad_pandas`; this key is the applied gate."""
+    medians (`F.percentile`, = quantile_cont) as whole-partition
+    WINDOW aggregates over user_id, not grouped aggregates joined
+    back: median, MAD, and the final count all key on the same
+    user_id, so the wide table shuffles ONCE and the two medians ride
+    that partitioning as window passes — the grouped form paid three
+    Exchanges, two broadcast joins, and an eager materialization of
+    the deviation frame for the identical numbers (same F.percentile
+    expression, same groups, bit-identical medians; r21 A/B + plan
+    diff). Per-user partitions are bounded at any scale, so the
+    window buffers no more than the percentile aggregate did."""
     e = load(spark, sf_dir, "events")
-    med = (e.groupBy("user_id")
-            .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("m")))
-    # dev feeds BOTH the MAD aggregate and the outlier-count pass:
-    # materialize it so the events scan + median join run once, not
-    # once per consuming branch (same discipline as ts_rollup_gapfill)
-    dev = orel.materialize_reliable(
-        e.join(F.broadcast(med), "user_id")
-         .select("user_id", F.abs(F.col("value") - F.col("m")).alias("d")))
-    mad = (dev.groupBy("user_id")
-              .agg(F.percentile(F.col("d"), F.lit(0.5)).alias("mad")))
-    return (dev.join(F.broadcast(mad), "user_id")
+    w = Window.partitionBy("user_id")
+    dev = e.select(
+        "user_id",
+        F.abs(F.col("value")
+              - F.percentile(F.col("value"), F.lit(0.5)).over(w)).alias("d"))
+    return (dev.withColumn("mad", F.percentile(F.col("d"), F.lit(0.5)).over(w))
                .groupBy("user_id")
                .agg(F.count("*").cast("bigint").alias("n"),
                     F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
