@@ -285,17 +285,22 @@ def upsert_merge(batch_df: DataFrame, batch_id: int, *, path: str,
     n_buckets = _upsert_ensure_meta(path, num_buckets)
 
     kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    # touched-bucket set: bounded by n_buckets (small by
+    # construction), so the collect is driver-safe at any scale.
+    # Derived from the RAW batch keys, not the keep-latest frame —
+    # the rank filter keeps >=1 row per key, so the bucket sets are
+    # identical, and the raw form is a partial-aggregated distinct
+    # over one projection where the latest form re-ran the whole
+    # rank window+shuffle a second time just to list buckets.
+    touched = sorted(r[0] for r in
+                     batch_df.select(kb.alias(_UPSERT_BUCKET_COL))
+                             .distinct().collect())
+    if not touched:
+        return
     rank = _latest_rank(batch_df.schema, keys, order_col)
     latest = (batch_df.withColumn("__rn", rank)
                       .filter(F.col("__rn") == 1).drop("__rn")
                       .withColumn(_UPSERT_BUCKET_COL, kb))
-    # touched-bucket set: bounded by n_buckets (small by
-    # construction), so the collect is driver-safe at any scale
-    touched = sorted(r[0] for r in
-                     latest.select(_UPSERT_BUCKET_COL)
-                           .distinct().collect())
-    if not touched:
-        return
 
     any_live = any(
         os.path.isdir(os.path.join(path, f"{_UPSERT_BUCKET_COL}={b}"))
