@@ -624,10 +624,15 @@ def agg_state_merge(batch_df: DataFrame, batch_id: int, *, path: str,
                  F.sum(F.col(value_col).cast(_DEC)).cast(_DEC)
                   .alias("total"))
             .withColumn(_UPSERT_BUCKET_COL, kb))
-    # bounded by n_buckets -> driver-safe at any scale
+    # bounded by n_buckets -> driver-safe at any scale. Derived from
+    # the RAW batch keys: the aggregate emits one row per key group,
+    # so its bucket set equals the raw keys' bucket set — and the raw
+    # form is a partial-aggregated distinct over one projection where
+    # the aggregate form re-ran the group-by shuffle a second time
+    # just to list buckets (same reasoning as upsert_merge).
     touched = sorted(r[0] for r in
-                     part.select(_UPSERT_BUCKET_COL)
-                         .distinct().collect())
+                     batch_df.select(kb.alias(_UPSERT_BUCKET_COL))
+                             .distinct().collect())
     pending = [b for b in touched
                if _bucket_applied_id(os.path.join(
                    path, f"{_UPSERT_BUCKET_COL}={b}")) < batch_id]
