@@ -436,22 +436,43 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 def _inverted_shared_counts(df: DataFrame, text_col: str, id_col: str,
                             shingle_n: int, max_postings: int | None):
     """Shared inverted-shingle-index core of the exact pair metrics:
-    explode gram keys -> (sizes per doc, shared-gram counts per pair).
+    explode gram keys -> shared-gram counts per (id_1 < id_2) pair,
+    with BOTH documents' total gram counts (n1, n2) carried through
+    the explode — every gram row rides its doc's array size (one int),
+    so the pair aggregate reads sizes off its own rows and the two
+    doc-count-sized sizes joins (and the sizes aggregation, and the
+    eager materialization that fed three consumers) disappear. The
+    self-join's two sides are identical subplans, so the gram-key
+    Exchange computes once and the other side is a ReusedExchange —
+    no cache needed for sharing (r21 plans).
 
     `max_postings` caps the join's per-shingle quadratic cost: shingles
     whose posting list exceeds the cap (stop shingles) are dropped from
-    the JOIN ONLY; document sizes still count every gram, so capped
+    the JOIN ONLY; sizes ride every gram row pre-filter, so capped
     metrics are strict UNDERESTIMATES — pairs never appear spuriously.
+    The cap's hot-gram scan is a third consumer, so only that path
+    still materializes the exploded grams eagerly (lazy caches race
+    under AQE's concurrent stage launch).
     Consumed by both jaccard and containment so the cap and the plan
     stay in one place."""
-    grams = spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(gram_hashes(F.col(text_col), shingle_n)).alias("g"))
-    # consumed three times (both join sides + sizes): compute once,
-    # eagerly (lazy caches race under AQE's concurrent stage launch).
-    # Corpus-sized exploded grams -> recoverable persistence.
+    # λ-bind the gram array so tokenize+ngram+hash evaluates ONCE per
+    # row even though both the per-element explode and the doc size
+    # reference it (Catalyst collapses the aliasing projection and
+    # higher-order functions run interpreted — a plain
+    # size(__ga)/explode(__ga) pair re-runs the whole pipeline twice)
+    gn = bind_once(
+        gram_hashes(F.col(text_col), shingle_n),
+        lambda ga: F.transform(
+            ga, lambda x: F.struct(x.alias("g"), F.size(ga).alias("n"))))
+    grams = (spread(df, id_col)
+             .select(F.col(id_col), F.explode(gn).alias("__gn"))
+             .select(F.col(id_col), F.col("__gn.n").alias("__n"),
+                     F.col("__gn.g").alias("g")))
+    # both join sides (+ the cap's hot-gram scan) read the exploded
+    # grams: compute once, eagerly (lazy caches race under AQE's
+    # concurrent stage launch, and AQE's broadcast choice on one side
+    # defeats plain exchange reuse). Corpus-sized -> recoverable.
     grams = materialize_reliable(grams)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     joinable = grams
     if max_postings is not None:
         hot = (grams.groupBy("g").agg(F.count("*").alias("__p"))
@@ -460,12 +481,13 @@ def _inverted_shared_counts(df: DataFrame, text_col: str, id_col: str,
         # stop-shingle set is tiny by construction -> broadcast anti-join
         joinable = grams.join(F.broadcast(hot), "g", "left_anti")
     a, b = joinable.alias("a"), joinable.alias("b")
-    shared = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-               .groupBy(F.col(f"a.{id_col}").alias("id_1"),
-                        F.col(f"b.{id_col}").alias("id_2"))
-               .agg(F.count("*").alias("shared")))
-    return sizes, shared
+    return (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_1"),
+                      F.col(f"b.{id_col}").alias("id_2"))
+             .agg(F.count("*").alias("shared"),
+                  F.any_value(F.col("a.__n")).alias("n1"),
+                  F.any_value(F.col("b.__n")).alias("n2")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -490,13 +512,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     at 100 TB set a cap or use minhash_dedup_pairs, which is the scale
     path (this exact variant is the verify-stage primitive).
     """
-    sizes, shared = _inverted_shared_counts(df, text_col, id_col,
-                                            shingle_n, max_postings)
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    shared = _inverted_shared_counts(df, text_col, id_col,
+                                     shingle_n, max_postings)
     jac = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
-    return (shared.join(s1, "id_1").join(s2, "id_2")
-                  .withColumn("jaccard", jac)
+    return (shared.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select("id_1", "id_2", "jaccard"))
 
@@ -520,14 +539,11 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     Pairs with an empty smaller side never appear (no grams -> no
     postings -> no join rows), so the min() division is always > 0.
     """
-    sizes, shared = _inverted_shared_counts(df, text_col, id_col,
-                                            shingle_n, max_postings)
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    shared = _inverted_shared_counts(df, text_col, id_col,
+                                     shingle_n, max_postings)
     cont = (F.col("shared").cast("double")
             / F.least("n1", "n2").cast("double"))
-    return (shared.join(s1, "id_1").join(s2, "id_2")
-                  .withColumn("containment", cont)
+    return (shared.withColumn("containment", cont)
                   .filter(F.col("containment") >= threshold)
                   .select("id_1", "id_2", "containment"))
 
