@@ -323,10 +323,14 @@ def test_connected_components_shapes(spark):
     assert (21, 20, False) in clusters and (20, 20, True) in clusters
 
 
-def test_connected_components_long_chain_converges(spark):
+def test_connected_components_long_chain_converges(spark, monkeypatch):
     """A 64-node path is the adversarial diameter case: plain label
-    propagation needs 63 rounds, large-star/small-star needs O(log n)."""
+    propagation needs 63 rounds, large-star/small-star needs O(log n).
+    Forces the DISTRIBUTED rounds (the small-graph local fast path
+    would otherwise absorb this case; parity between the two paths is
+    pinned in test_round21_fixes)."""
     from universal_data_connector_spark.operators.dedup import connected_components
+    monkeypatch.setenv("UDC_CC_LOCAL_MAX_EDGES", "0")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_1 bigint, id_2 bigint")
     out = connected_components(edges, max_iterations=12).collect()

@@ -437,7 +437,10 @@ def test_driver_materialization_discipline():
         # two touched-bucket sets (upsert + additive agg state), each
         # <= num_buckets rows
         "streaming/windows.py": 2,
-        "operators/dedup.py": 1,
+        # CC convergence signature + the size-guarded local
+        # union-find's edge collect (bounded by the edge count the
+        # signature action just measured, <= UDC_CC_LOCAL_MAX_EDGES)
+        "operators/dedup.py": 2,
         "operators/similarity.py": 1,
         "sinks/files.py": 1,
         # manifest_record's anti-join survivors: bounded by the number

@@ -77,3 +77,29 @@ def test_canary_wrapper_survives_trailing_non_json_line(tmp_path):
     out = json.loads(proc.stdout)
     assert out["value"] == 1.5
     assert "steal_delta" in out
+
+
+def test_cc_local_fast_path_matches_distributed(spark, monkeypatch):
+    """The size-guarded driver union-find must emit EXACTLY the star
+    rounds' output on the same edges — same (node, component-min)
+    set — across chains, triangles, overlapping clusters, self-loops,
+    and reversed/duplicated pairs."""
+    from universal_data_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(40)]                 # chain
+    edges += [(100, 101), (101, 102), (100, 102)]           # triangle
+    edges += [(200, 205), (205, 203), (203, 201), (208, 201)]
+    edges += [(300, 300)]                                   # self-loop
+    edges += [(401, 400), (400, 401), (401, 400)]           # dup + rev
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+
+    monkeypatch.setenv("UDC_CC_LOCAL_MAX_EDGES", "500000")
+    local = {(r.node, r.component)
+             for r in connected_components(df).collect()}
+    monkeypatch.setenv("UDC_CC_LOCAL_MAX_EDGES", "0")
+    dist = {(r.node, r.component)
+            for r in connected_components(df).collect()}
+    assert local == dist
+    assert (208, 200) in local and (5, 0) in local
