@@ -35,7 +35,11 @@ from universal_data_connector_spark.operators import dedup as od
 from universal_data_connector_spark.operators import multimodal as om
 from universal_data_connector_spark.operators import relational as orel
 from universal_data_connector_spark.operators import similarity as osim
-from universal_data_connector_spark.tables import load, watermarkable_ts
+from universal_data_connector_spark.tables import (
+    _read_parquet,
+    load,
+    watermarkable_ts,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -2401,7 +2405,7 @@ def stream_stateful_totals(spark, sf_dir):
     # TIMESTAMP_NTZ depending on the parquet layout), then normalise to
     # TimestampType exactly as tables.load does for the batch path —
     # withWatermark rejects anything else.
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _read_parquet(spark, path).schema  # memoized
     # the file stream source wants a directory: stream the sf dir with
     # a glob pinned to the events table
     stream = (spark.readStream.schema(raw_schema)
@@ -2484,7 +2488,7 @@ def stream_static_enrich_join(spark, sf_dir):
     import uuid
     ckpt = os.path.join(_scratch_dir("udc_stream_enrich_"), "ckpt")
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _read_parquet(spark, path).schema  # memoized
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -3093,7 +3097,7 @@ def stream_stream_interval_join(spark, sf_dir):
     import uuid
 
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _read_parquet(spark, path).schema  # memoized
 
     def side(event_type: str, prefix: str) -> DataFrame:
         s = (spark.readStream.schema(raw_schema)
@@ -3288,7 +3292,7 @@ def stream_upsert_latest(spark, sf_dir):
     target = os.path.join(scratch, f"t_{uuid.uuid4().hex[:8]}")
     ckpt = os.path.join(scratch, "ckpt_" + os.path.basename(target))
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _read_parquet(spark, path).schema  # memoized
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     stream = watermarkable_ts(stream, "ts")
@@ -4800,7 +4804,7 @@ def stream_agg_state_totals(spark, sf_dir):
     target = os.path.join(scratch, f"t_{uuid.uuid4().hex[:8]}")
     ckpt = os.path.join(scratch, "ckpt_" + os.path.basename(target))
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _read_parquet(spark, path).schema  # memoized
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     stream = watermarkable_ts(stream, "ts")
