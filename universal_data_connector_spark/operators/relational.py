@@ -131,9 +131,32 @@ def materialize_reliable(df: DataFrame) -> DataFrame:
     on one thread can never unpersist frames a concurrently-running
     job (PipelineManager worker threads) still depends on.
     """
+    import os
+
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.DISK_ONLY)
+    # Storage level by estimated input size (same conservative switch
+    # as the percentile fast path): DISK_ONLY is the right call for
+    # corpus-scale frames — it keeps 100 TB-proportional blocks out of
+    # executor heap — but at small scale it taxes EVERY consumer with
+    # a serialize-to-disk + read-back round trip. Below the threshold
+    # (optimizer sizeInBytes estimate; unknown or over-threshold stays
+    # DISK_ONLY, so the failure mode of a bad estimate is only the old
+    # behavior) the frame is MEMORY_AND_DISK: small frames live in the
+    # bounded storage pool, anything unexpected spills via LRU. The
+    # estimate grows with the data, so the 100 TB regime always takes
+    # DISK_ONLY. Tune via UDC_MAT_MEMORY_MAX_BYTES (0 disables).
+    mem_max = int(os.environ.get("UDC_MAT_MEMORY_MAX_BYTES", 256 << 20))
+    level = StorageLevel.DISK_ONLY
+    if mem_max > 0:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = None
+        if est is not None and est <= mem_max:
+            level = StorageLevel.MEMORY_AND_DISK
+    df = df.persist(level)
     df.count()  # force: populate every partition before consumers run
     _pin_sink().append(df)
     return df
