@@ -5328,7 +5328,13 @@ def text_tfidf_topk(spark, sf_dir):
     nd = d.agg(F.count("*").cast("double").alias("nd"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
-    scored = (tf.filter(F.col("doc_id") < 100)
+    # broadcast the OUTPUT-cut tf side, not dfq: the doc_id < 100 cut
+    # bounds this side by contract at any scale, while dfq is the
+    # corpus-wide term aggregate — the planner's static choice was to
+    # broadcast dfq (materializing the whole df branch into a
+    # broadcast; unboundedly wrong at 100 TB) and it flapped at the
+    # AQE threshold run-to-run (0.49–0.74 s spread on same code, r21)
+    scored = (F.broadcast(tf.filter(F.col("doc_id") < 100))
                 .join(dfq, "term")
                 .crossJoin(F.broadcast(nd))
                 .withColumn("__rn", F.row_number().over(w))
