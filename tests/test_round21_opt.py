@@ -110,3 +110,22 @@ def test_scaled_avg_matches(spark):
                    orel.exact_avg_scaled("l_quantity").alias("b"))
               .collect())
     assert rows and all(r["a"] == r["b"] for r in rows)
+
+
+def test_corr_exact_spreads_narrow_scan(spark):
+    """agg_corr_exact pre-spreads the lineitem scan (guide §2.5: a
+    single-row-group parquet file scans as ONE task, serializing the
+    decimal-cast moment partials on one core). On the narrow local
+    input the plan must carry the spread's hashpartitioning(l_orderkey)
+    exchange; on a no-files frame (post-shuffle / in-memory, already
+    carrying session parallelism) spread must be the identity — the
+    guard that keeps wide inputs (the 100 TB case: estimated splits
+    >= cluster parallelism) from paying the extra exchange."""
+    from universal_data_connector_spark.plans.catalog import QUERIES
+
+    p = QUERIES["agg_corr_exact"](spark, SF)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "l_orderkey" in p, f"spread repartition missing:\n{p}"
+
+    mem = spark.range(100).withColumnRenamed("id", "l_orderkey")
+    assert orel.spread(mem, "l_orderkey") is mem

@@ -4916,8 +4916,21 @@ def agg_corr_exact(spark, sf_dir):
     formula runs in double with IDENTICAL parenthesization in both
     engines — unlike built-in corr(), whose streaming update order
     makes the last bits partition-count-dependent. One shuffle,
-    map-side partials."""
-    li = load(spark, sf_dir, "lineitem")
+    map-side partials.
+
+    Pre-spread (r21, guide §2.5 "one huge unsplittable file →
+    repartition immediately after the read"): syy's decimal(38,6) cast
+    is a per-row Double.toString→BigDecimal parse that fuses into the
+    scan stage, and a single-row-group parquet file scans as ONE task —
+    the whole moment pass serialized on one core regardless of cluster
+    width. spread() is metadata-guarded: a no-op whenever the scan
+    already splits to cluster parallelism (the 100 TB case), so only
+    narrow local inputs pay the one cheap row shuffle. Interleaved A/B
+    (noop sink, min-of-6): 1.358 → 0.750 s; the same probe measured
+    spread a LOSS on agg_hash_sum_avg (all-native scaled sums, 0.461 →
+    0.525) and agg_count_distinct (distinct expand already re-shuffles,
+    0.573 → 1.222), so those keys deliberately stay unspread."""
+    li = orel.spread(load(spark, sf_dir, "lineitem"), "l_orderkey")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
 
     def dsum(e, t="decimal(38,6)"):
