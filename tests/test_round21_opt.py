@@ -129,3 +129,17 @@ def test_corr_exact_spreads_narrow_scan(spark):
 
     mem = spark.range(100).withColumnRenamed("id", "l_orderkey")
     assert orel.spread(mem, "l_orderkey") is mem
+
+
+def test_repetition_ratio_spreads_narrow_scan(spark):
+    """text_repetition_ratio's interpreted higher-order gram build is
+    the heaviest per-row projection in the catalog; it must not fuse
+    into a one-task narrow scan (guide §2.5). Same spread() guard as
+    agg_corr_exact: fires on the local single-row-group file, identity
+    on wide inputs."""
+    from universal_data_connector_spark.plans.catalog import QUERIES
+
+    p = QUERIES["text_repetition_ratio"](spark, SF)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "RepartitionByExpression" in p or "doc_id" in p.split("Relation")[0], \
+        f"spread repartition missing:\n{p}"

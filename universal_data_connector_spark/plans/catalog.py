@@ -3051,16 +3051,26 @@ def text_repetition_ratio(spark, sf_dir):
     the same document ((total - distinct) / total). High-dup_frac docs
     are boilerplate/spam and get dropped by quality filters before
     training. Pure JVM higher-order-array expressions (sequence +
-    transform + array_distinct) — no Python, no shuffle: the filter
-    rides the scan at any scale. Docs with < 3 tokens carry no grams
-    and score 0.0."""
+    transform + array_distinct) — no Python. Docs with < 3 tokens
+    carry no grams and score 0.0.
+
+    Pre-spread (r21, guide §2.5): higher-order array functions run
+    INTERPRETED (no whole-stage codegen), so the per-row gram build is
+    the most expensive projection in the catalog — and fused into the
+    scan it ran as ONE task on the single-row-group local file (the
+    slowest key in the whole 147-key sweep, ~4.1 s serial at sf0.1).
+    spread() fans it out when the scan is narrower than the cluster
+    (no-op at 100 TB widths); per-row projection ⇒ results identical.
+    Interleaved A/B min-of-4: 4.134 → 0.596 s (best clean rep
+    4.134 → 0.596 at steal 15)."""
     toks = ft.tokenize(F.col("text"))
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
     grams = F.when(
         F.size(toks) >= 3,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
     ).otherwise(F.array().cast("array<string>"))
-    d = load(spark, sf_dir, "documents").withColumn("__grams", grams)
+    d = orel.spread(load(spark, sf_dir, "documents"), "doc_id") \
+        .withColumn("__grams", grams)
     total = F.size("__grams")
     distinct = F.size(F.array_distinct("__grams"))
     dup = F.when(total > 0,
