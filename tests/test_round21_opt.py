@@ -143,3 +143,52 @@ def test_repetition_ratio_spreads_narrow_scan(spark):
         .optimizedPlan().toString()
     assert "RepartitionByExpression" in p or "doc_id" in p.split("Relation")[0], \
         f"spread repartition missing:\n{p}"
+
+
+def test_cogroup_asof_merge_arrow_path_and_semantics(spark, tmp_path):
+    """cogroup_asof_merge moved to applyInArrow + a numpy searchsorted
+    body (r21): the pandas cogroup serializer cost ~5 ms/group of
+    DataFrame construction and merge_asof another ~2.5 ms/group. Pin
+    (a) the Arrow cogroup node in the plan, and (b) the exact asof
+    semantics the old body had: backward match, ties on ts take the
+    max event_id purchase, clicks with no preceding purchase get NULL,
+    purchase-only users emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_data_connector_spark.plans.catalog import QUERIES
+
+    p = QUERIES["cogroup_asof_merge"](spark, SF)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "FlatMapCoGroupsInArrow" in p or "Arrow" in p, p
+    assert "FlatMapCoGroupsInPandas" not in p
+
+    import numpy as np
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": pa.array(np.array(["2024-01-01T00:00:00", "2024-01-01T00:10:00",
+                                 "2024-01-01T00:10:00", "2024-01-01T00:05:00",
+                                 "2024-01-01T00:00:30", "2024-01-01T00:20:00",
+                                 "2024-01-01T00:01:00"],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase", "click",
+                                "purchase", "purchase", "click"]),
+        "value": pa.array([None, 10.0, 20.0, None, 5.0, 9.0, None],
+                          pa.float64()),
+        "props": pa.array(["{}"] * 7),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {(r["click_id"], r["user_id"]): r["purchase_value"]
+            for r in QUERIES["cogroup_asof_merge"](spark, str(tmp_path))
+            .collect()}
+    # click 1 at 00:00: no purchase at or before -> NULL
+    assert rows[(1, 1)] is None
+    # click 4 at 00:05: latest preceding purchase is event 5 (00:00:30)
+    assert rows[(4, 1)] == 5.0
+    # click 7 (user 3): no purchases for the user at all -> NULL
+    assert rows[(7, 3)] is None
+    # user 2 has only purchases -> no output rows
+    assert all(u != 2 for (_, u) in rows)
+    assert len(rows) == 3
