@@ -123,10 +123,12 @@ def main() -> None:
 
     spark = get_spark("udc-bench", cpus=cpus)
 
-    def run(name: str) -> float:
+    def run(name: str) -> tuple[float, int]:
+        s0 = read_steal_jiffies()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        s1 = read_steal_jiffies()
         # Drop every persisted dataset before the next rep: Spark's
         # CacheManager substitutes cached plans by logical-plan
         # equality, so without this a repeat execution of the same
@@ -134,7 +136,8 @@ def main() -> None:
         # times cached disk reads instead of recomputation. Outside the
         # timer — cache teardown isn't part of the query.
         spark.catalog.clearCache()
-        return elapsed
+        steal = (s1 - s0) if s0 is not None and s1 is not None else 0
+        return elapsed, steal
 
     # multi-job queries (iterative convergence loops, foreachBatch
     # stream sinks, eager rank-selection) launch many short Spark jobs
@@ -147,20 +150,51 @@ def main() -> None:
                  "stream_agg_state_totals", "ts_outlier_iqr",
                  "events_rfm_segments"}
 
-    def run_best(name: str, reps: int = 4) -> tuple[float, float]:
-        """(min, median) over reps. The host VM shows transient
-        multi-second CPU starvation spikes that land on random queries;
-        min-of-N measures the engine, not the neighbor, and the median
-        rides along in the artifact so noise is diagnosable from the
-        JSON alone (median >> min across queries = noisy run). Four reps
-        so operators whose first execution materializes an eager
-        checkpoint still get three clean samples; multi-job keys get
-        two more so a single starved rep can't be the median."""
+    # Steal-aware retry (r21 verdict "Next round #1"): the r21 driver
+    # bench ran in a ~19%-steal window and recorded 9 phantom
+    # "regressions" on untouched code (events_sessionize_gap 2.6 s vs
+    # 0.42 s minutes later). A rep whose steal fraction — steal jiffies
+    # during the rep over the machine's total jiffy capacity for its
+    # duration (cpus * 100/s) — exceeds this threshold was measurably
+    # contended, so the key earns extra reps (bounded) hunting for one
+    # clean sample. min-of-reps reduction is unchanged; this only adds
+    # samples when the existing ones are provably contaminated.
+    STEAL_RETRY_FRAC = float(os.environ.get("SPARK_GRAFT_STEAL_FRAC", "0.015"))
+    STEAL_RETRY_MAX = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "3"))
+    # /proc/stat's cpu line aggregates over every host-visible CPU, so
+    # the jiffy capacity basis is the machine's CPU count, not the
+    # (possibly lower) Spark core count.
+    ncpu = os.cpu_count() or int(cpus)
+
+    def steal_frac(elapsed: float, steal: int) -> float:
+        cap = max(elapsed, 1e-9) * ncpu * 100.0
+        return steal / cap
+
+    def run_best(name: str, reps: int = 4) -> tuple[float, float, float, int]:
+        """(min, median, min-rep steal fraction, extra reps) over reps.
+        The host VM shows transient multi-second CPU starvation spikes
+        that land on random queries; min-of-N measures the engine, not
+        the neighbor, and the median rides along in the artifact so
+        noise is diagnosable from the JSON alone (median >> min across
+        queries = noisy run). Four reps so operators whose first
+        execution materializes an eager checkpoint still get three
+        clean samples; multi-job keys get two more so a single starved
+        rep can't be the median. If even the BEST rep landed in a steal
+        burst, up to STEAL_RETRY_MAX extra reps run until one clean
+        sample exists — the r21 contended-window adjudication, done by
+        the bench itself instead of a human reading canary files."""
         import statistics
         if name in MULTI_JOB:
             reps += 2
-        ts = sorted(run(name) for _ in range(reps))
-        return ts[0], statistics.median(ts)
+        samples = [run(name) for _ in range(reps)]
+        extra = 0
+        while (extra < STEAL_RETRY_MAX
+               and steal_frac(*min(samples)) > STEAL_RETRY_FRAC):
+            samples.append(run(name))
+            extra += 1
+        best = min(samples)
+        ts = sorted(t for t, _ in samples)
+        return best[0], statistics.median(ts), steal_frac(*best), extra
 
     run("agg_hash_sum_avg")  # warm-up: JVM, codegen, parquet footer cache
 
@@ -200,10 +234,15 @@ def main() -> None:
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     noise_by_key: dict[str, float] = {}
+    rep_steal: dict[str, float] = {}
+    rep_extra: dict[str, int] = {}
     for name in HEADLINE:
-        best, med = run_best(name, reps)
+        best, med, bsteal, extra = run_best(name, reps)
         times[name] = round(best, 3)
         medians[name] = round(med, 3)
+        rep_steal[name] = round(bsteal, 4)
+        if extra:
+            rep_extra[name] = extra
         # one canary sample right after each key: the r9/r10 rounds
         # showed multi-second starvation BURSTS landing on random keys
         # mid-run — a per-key noise timeline lets a reader align a
@@ -232,6 +271,8 @@ def main() -> None:
                         "median": round(statistics.median(noise), 4),
                         "max": round(max(noise), 4)},
         "noise_by_key": noise_by_key,
+        "best_rep_steal_frac": rep_steal,
+        "steal_retry_extra_reps": rep_extra,
         "reps": reps,
         "sf": sf,
         "spark_version": spark.version,

@@ -556,8 +556,14 @@ def test_s3_slow_maintenance_under_renewal_still_excludes_commit(target):
         s3_writer_mark,
     )
 
-    with s3_maintenance_lease(target, ttl=0.9):
-        time.sleep(1.6)
+    # ttl=3.0 (renewal every 1.0 s) instead of the original 0.9/1.6:
+    # the tight margin made the heartbeat lose to multi-second host
+    # steal bursts (recorded r21 flake on a steal-burst window) — the
+    # semantics under test (sleep > ttl, lease still held because the
+    # holder renews) are unchanged, the real-time margin is just wide
+    # enough that a ~2 s scheduler pause can't expire a live holder.
+    with s3_maintenance_lease(target, ttl=3.0):
+        time.sleep(5.0)
         with pytest.raises(StoreLeaseHeld):
             with s3_writer_mark(target):
                 pass
@@ -721,9 +727,14 @@ def test_s3_renewal_exclusion_holds_mirror_direction(target):
     released = threading.Event()
 
     def slow_maintenance():
-        with s3_maintenance_lease(target, ttl=0.4):
+        # ttl=2.0 (renewal every ~0.67 s) instead of the original 0.4:
+        # the tight margin lost the heartbeat to sub-second host
+        # scheduler pauses (r22 flake on a contended window) — the
+        # semantics (hold longer than the TTL, renewals keep exclusion)
+        # are unchanged, the margin just tolerates a ~1.3 s pause.
+        with s3_maintenance_lease(target, ttl=2.0):
             holding.set()
-            time.sleep(1.3)
+            time.sleep(4.0)
         released.set()
 
     t = threading.Thread(target=slow_maintenance, daemon=True)

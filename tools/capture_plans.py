@@ -1,4 +1,5 @@
-"""Capture .explain('formatted') for bench headline keys to plans/r21/.
+"""Capture .explain('formatted') for bench headline keys to
+plans/$UDC_PLANS_DIR (default r22).
 
 Usage: python tools/capture_plans.py before|after [key ...]
 """
@@ -19,7 +20,8 @@ def main():
         keys = bench.HEADLINE
     spark = get_spark("udc-plans", cpus="8")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r21")
+    out_dir = os.path.join(REPO, "plans",
+                           os.environ.get("UDC_PLANS_DIR", "r22"))
     os.makedirs(out_dir, exist_ok=True)
     for name in keys:
         try:

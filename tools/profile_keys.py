@@ -8,7 +8,7 @@ Python eval vs job-count overhead) is answered from Spark's own
 accounting instead of wall-clock guesswork.
 
 Usage: python tools/profile_keys.py [key ...]   (default: a hot-key set)
-Writes JSON to plans/r21/profile_<key>.json and a summary to stdout.
+Writes JSON to plans/$UDC_PLANS_DIR (default r22) profile_<key>.json and a summary to stdout.
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
     run("agg_hash_sum_avg")
     run(keys[0])
 
-    os.makedirs(os.path.join(REPO, "plans", "r21"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", os.environ.get("UDC_PLANS_DIR", "r22")), exist_ok=True)
     for name in keys:
         before_jobs = {j["jobId"] for j in api(f"applications/{app_id}/jobs")}
         wall = run(name)
@@ -104,7 +104,7 @@ def main() -> None:
         prof = {"key": name, "wall_sec": round(wall, 3),
                 "n_jobs": len(jobs), "n_stages": len(stages),
                 "stages": stages}
-        out = os.path.join(REPO, "plans", "r21", f"profile_{name}.json")
+        out = os.path.join(REPO, "plans", os.environ.get("UDC_PLANS_DIR", "r22"), f"profile_{name}.json")
         with open(out, "w") as fh:
             json.dump(prof, fh, indent=1)
         top = sorted((s for s in stages if "error" not in s),

@@ -55,6 +55,41 @@ def exact_avg(col: Column | str) -> Column:
 _SCALED_MAX_ABS = 5e8
 
 
+def _scaled_guard(c: Column) -> Column:
+    """Debug-mode contract assertion for the scaled decimal fast path
+    (r21 verdict "What's wrong #3": the fast path's correctness lived
+    only in call-site discipline). With UDC_SCALED_ASSERT=1 in the
+    environment at plan-construction time, every input value is
+    checked at runtime for EXACT PATH EQUIVALENCE: the decimal the
+    old path would cast the value to (`cast(c as decimal(38,6))`, the
+    Double.toString -> BigDecimal HALF_UP route) must equal the
+    integer the fast path computes (`floor(c*1e6 + 0.5)`). The
+    clean-6dp / |v|<=5e8 documentation contract is a SUFFICIENT
+    condition a reviewer can check by eye; the runtime probe checks
+    the exact theorem, which also holds for e.g. products of clean
+    decimals (price*(1-disc)) whose doubles carry representation
+    noise but still round to the same 6-dp decimal on both routes.
+    Violations raise (assert_true) instead of silently changing sums.
+    Off by default: production plans carry zero extra expressions."""
+    import os
+    if not os.environ.get("UDC_SCALED_ASSERT"):
+        return c
+    dec6 = c.cast("decimal(38,6)")  # the exact path's per-value decimal
+    fast = F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    ok = c.isNull() | (
+        (dec6 * F.lit(1000000).cast("decimal(7,0)")).cast("decimal(38,0)")
+        == fast)
+    probe = F.assert_true(ok, F.concat(
+        F.lit("exact_sum_scaled contract violation (decimal-cast path "
+              "and scaled path disagree on value): "), c.cast("string")))
+    # assert_true yields NULL when ok (or raises). coalesce(probe, c)
+    # forces the probe per row and then falls through to the value;
+    # a when(probe.isNull(), c).otherwise(c) form does NOT survive the
+    # optimizer (SimplifyConditionals folds identical branches and the
+    # probe disappears — verified empirically).
+    return F.coalesce(probe, c)
+
+
 def exact_sum_scaled(col: Column | str) -> Column:
     """`exact_sum` for DECIMAL-CLEAN doubles, without the per-row
     string hop.
@@ -87,6 +122,7 @@ def exact_sum_scaled(col: Column | str) -> Column:
     `exact_sum` remains the general-purpose form.
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = _scaled_guard(c)
     scaled = F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(28,0)")
     return (F.sum(scaled) / F.lit(1000000).cast("decimal(7,0)")).cast("double")
 
@@ -392,7 +428,7 @@ def running_sum(df: DataFrame, partition_cols: list[str],
     w = (Window.partitionBy(*partition_cols).orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     if clean6:
-        scaled = F.floor(value * F.lit(1000000.0) + F.lit(0.5)) \
+        scaled = F.floor(_scaled_guard(value) * F.lit(1000000.0) + F.lit(0.5)) \
                   .cast("decimal(28,0)")
         run = (F.sum(scaled).over(w)
                / F.lit(1000000).cast("decimal(7,0)")).cast("double")

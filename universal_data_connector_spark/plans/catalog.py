@@ -147,6 +147,8 @@ def query(name: str, oracle: str | None = None):
             return out
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # introspection (e.g. the r22
+        # scaled-contract sweep reads call-site source via getsource)
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -3964,6 +3966,16 @@ def cogroup_asof_merge(spark, sf_dir):
             return pa.table({"click_id": pa.array([], pa.int64()),
                              "user_id": pa.array([], pa.int64()),
                              "purchase_value": pa.array([], pa.float64())})
+        # merge_asof (the replaced pandas path) raised loudly on NULL
+        # merge keys; NaT sorts to the end under np.lexsort and makes
+        # searchsorted comparisons arbitrary, so keep the loud failure.
+        # An absent-side group arrives as a ZERO-COLUMN empty table (and
+        # a count()-style action can prune side columns entirely), so
+        # only touch a column that is actually present.
+        if left.column("ts").null_count or (
+                "ts" in right.schema.names
+                and right.column("ts").null_count):
+            raise ValueError("cogroup_asof_merge: NULL ts in merge keys")
         lt = left.column("ts").to_numpy()
         le = left.column("event_id").to_numpy()
         le = le[np.lexsort((le, lt))]
@@ -3977,9 +3989,14 @@ def cogroup_asof_merge(spark, sf_dir):
         else:
             vals = np.full(len(le), np.nan)
         uid = left.column("user_id")[0].as_py()
+        # NULL-group guard: the pandas path emitted rows with NULL
+        # user_id for a NULL-key group; np.full(..., None, int64) would
+        # raise instead, so emit an Arrow null column explicitly.
+        uid_col = (pa.nulls(len(le), pa.int64()) if uid is None
+                   else pa.array(np.full(len(le), uid, dtype=np.int64)))
         return pa.table({
             "click_id": pa.array(le),
-            "user_id": pa.array(np.full(len(le), uid, dtype=np.int64)),
+            "user_id": uid_col,
             "purchase_value": pa.array(vals, from_pandas=True),
         })
 
@@ -4149,7 +4166,8 @@ def ts_moving_window_avg(spark, sf_dir):
     # exact decimal the (27,6) cast summed to, minus the per-row
     # string-based cast — and every consumer divides by 1e6 exactly
     # once at the edge (exact division, correctly-rounded double).
-    scaled = F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)) \
+    scaled = F.floor(orel._scaled_guard(F.col("o_totalprice"))
+                     * F.lit(1000000.0) + F.lit(0.5)) \
               .cast("decimal(28,0)")
     unscale = F.lit(1000000).cast("decimal(7,0)")
     daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
@@ -4666,7 +4684,7 @@ def window_percent_of_total(spark, sf_dir):
                    .join(F.broadcast(n),
                          F.col("c_nationkey") == F.col("n_nationkey"))
                    .groupBy("n_name")
-                   .agg(F.sum(F.floor(F.col("o_totalprice")
+                   .agg(F.sum(F.floor(orel._scaled_guard(F.col("o_totalprice"))
                                       * F.lit(1000000.0) + F.lit(0.5))
                                .cast("decimal(28,0)")).alias("rev6")))
     # scaled fast path (exact_sum_scaled formulation): per-nation and
