@@ -141,6 +141,45 @@ def test_cogroup_asof_null_ts_fails_loudly(spark, tmp_path):
     assert "NULL ts" in str(ei.value)
 
 
+def test_grouped_dispatch_partitioning_pinned(spark):
+    """grouped_spread (r22): AQE's byte-based partition coalescing
+    collapsed the small-bytes/many-groups exchanges feeding
+    groupBy().applyInPandas / cogroup().applyInArrow to ONE task,
+    serializing ~1,500 per-group Python dispatches on one core
+    (measured 3.2 s -> 0.65 s for agg_grouped_mad_pandas, 2.9 -> 0.55
+    for cogroup_asof_merge at 32 partitions). Pin the explicit keyed
+    REPARTITION_BY_NUM (exempt from AQE coalescing) feeding the
+    grouped node, and that no SECOND exchange appeared (the grouped
+    operator must reuse the repartition's hash partitioning)."""
+    from universal_data_connector_spark.plans.catalog import QUERIES
+
+    p = QUERIES["agg_grouped_mad_pandas"](spark, SF)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in p, p
+    p2 = QUERIES["cogroup_asof_merge"](spark, SF)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 2, p2  # one per cogroup side
+    assert "REPARTITION_BY_NUM" in p2, p2
+
+
+def test_grouped_spread_scale_posture(spark):
+    """grouped_spread's partition count must never fall below cluster
+    parallelism and must be an explicit keyed repartition; a non-scan
+    (in-memory) input falls back to defaultParallelism instead of
+    failing."""
+    from pyspark.sql import functions as F
+
+    from universal_data_connector_spark.operators import relational as orel
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    out = orel.grouped_spread(df, "k")
+    assert "RepartitionByExpression" in out._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert out.rdd.getNumPartitions() == n
+
+
 def test_scaled_guard_accepts_clean_and_matches_unguarded(spark):
     """Positive control: on a clean 2-dp column the armed guard changes
     nothing — bit-identical to the unguarded scaled sum and to

@@ -2465,7 +2465,12 @@ def agg_grouped_mad_pandas(spark, sf_dir):
         })
 
     e = load(spark, sf_dir, "events").select("user_id", "value")
-    return (e.groupBy("user_id")
+    # grouped_spread (r22): AQE's byte-based coalescing collapsed this
+    # small-bytes/many-groups exchange to ONE task, serializing 1,500
+    # per-group pandas dispatches (~1.7 ms each) onto one core —
+    # measured 3.2 s -> 0.65 s at 32 partitions, identical results
+    # (per-group function, partitioning-independent).
+    return (orel.grouped_spread(e, "user_id").groupBy("user_id")
              .applyInPandas(mad, "user_id bigint, n bigint, mad double"))
 
 
@@ -4000,8 +4005,16 @@ def cogroup_asof_merge(spark, sf_dir):
             "purchase_value": pa.array(vals, from_pandas=True),
         })
 
-    return (clicks.groupBy("user_id")
-            .cogroup(purchases.groupBy("user_id"))
+    # grouped_spread (r22): same AQE small-bytes coalescing pathology
+    # as agg_grouped_mad_pandas — both cogroup sides collapsed to one
+    # post-shuffle task, serializing the per-group Arrow dispatch on a
+    # single core. Both sides repartition to the same count on the
+    # same key, so the cogroup's co-partitioning requirement is met
+    # without a second exchange; per-group results are
+    # partitioning-independent.
+    return (orel.grouped_spread(clicks, "user_id").groupBy("user_id")
+            .cogroup(orel.grouped_spread(purchases, "user_id")
+                     .groupBy("user_id"))
             .applyInArrow(
                 merge,
                 "click_id bigint, user_id bigint, purchase_value double"))
